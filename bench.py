@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Each query executes via count() on the final DataFrame (forces the full
+plan without driver-side materialization of wide results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference-parity pipeline surface
+    "ingest_clean",
+    "star_fact",
+    "agg_pair_daily",
+    "agg_time",
+    "top_pairs",
+    "dq_checks",
+    # analytic joins/aggregates
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    # windows / events
+    "window_top_orders",
+    "sessionize_events",
+    "events_tumbling_hour",
+    # LLM-data extensions
+    "dedup_exact",
+    "text_stats",
+    "doc_fingerprint",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark import (
+        get_spark,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

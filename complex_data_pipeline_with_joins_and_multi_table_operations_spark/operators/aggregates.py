@@ -1,0 +1,78 @@
+"""Summary-table aggregations + top-k (reference AggregationJob.scala:43-90;
+SURVEY.md §2.5 A2-A4, §2.6 T1).
+
+Each builder is a single groupBy → agg: Spark plans partial (map-side)
+HashAggregate → exchange on the group keys → final HashAggregate, so at
+100 TB the shuffle carries only partial aggregates, never raw fact rows.
+Top-k goes through orderBy+limit which the planner turns into
+TakeOrderedAndProject — no global sort.
+
+Floating-point summation is not associative, so a double sum differs
+across engines and across partition orderings — and rounding does NOT fix
+it (money values live on a 10^-k grid, so sums land exactly on round-half
+boundaries). The engine-exact pattern used here: cast monetary doubles to
+DECIMAL on their value grid, sum exactly, cast the exact sum back to
+double (one deterministic conversion). Averages divide two exact values —
+also bit-deterministic. Integer-valued doubles sum as longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: str | Column, scale: int) -> Column:
+    """Exact grid-decimal sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_avg(col: str | Column, scale: int) -> Column:
+    """Exact-sum / count average: bit-deterministic across engines."""
+    return exact_sum(col, scale) / F.count("*")
+
+
+def agg_pair_daily(fact: DataFrame) -> DataFrame:
+    """3-key grouped aggregate (A2; reference AggregationJob.scala:43-51):
+    (ship_date, supp_nation, cust_nation) → count/sum/avg×2/sum-cast-long."""
+    return fact.groupBy("ship_date", "supp_nation", "cust_nation").agg(
+        F.count("*").alias("trip_count"),
+        exact_sum("revenue", 4).alias("total_revenue"),
+        exact_avg("quantity", 0).alias("avg_quantity"),
+        exact_avg("discount", 2).alias("avg_discount"),
+        F.sum(F.col("quantity").cast("long")).alias("total_quantity"),
+    )
+
+
+def agg_time(fact: DataFrame) -> DataFrame:
+    """5-key grouped aggregate (A3; reference AggregationJob.scala:60-66):
+    (year, quarter, month, day_of_week, is_weekend) → count/sum/avg."""
+    return fact.groupBy("year", "quarter", "month", "day_of_week", "is_weekend").agg(
+        F.count("*").alias("trip_count"),
+        exact_sum("revenue", 4).alias("total_revenue"),
+        exact_avg("revenue", 4).alias("avg_revenue"),
+    )
+
+
+def top_pairs(fact: DataFrame, k: int = 50) -> DataFrame:
+    """2-key aggregate + top-k (A4+T1; reference AggregationJob.scala:76-85).
+
+    Tie-break on the group keys after the measure so the top-k set is
+    deterministic across engines (the reference orders on count alone)."""
+    return (
+        fact.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("trip_count"),
+            exact_avg("quantity", 0).alias("avg_quantity"),
+            exact_avg("revenue", 4).alias("avg_revenue"),
+        )
+        .orderBy(F.desc("trip_count"), "supp_nation", "cust_nation")
+        .limit(k)
+    )
+
+
+def global_minmax(df: DataFrame, col: str) -> DataFrame:
+    """Global min/max aggregate (A1; reference DimensionJob.scala:63-66) —
+    kept as a DataFrame, not .head(), so no driver round-trip."""
+    return df.agg(F.min(col).alias("min_val"), F.max(col).alias("max_val"))

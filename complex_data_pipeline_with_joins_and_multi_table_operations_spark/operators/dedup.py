@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard similarity.
+
+Design for 100 TB:
+- exact dedup is one hash-groupBy (map-side partial agg, one shuffle on
+  the 128-bit digest — uniformly distributed, skew-free by construction);
+- MinHash/SimHash signatures are single-pass projections built entirely
+  from built-in higher-order functions (xxhash64 / transform / aggregate),
+  so signature computation never leaves the JVM;
+- candidate generation is a band-bucket self-equi-join — the only shuffle
+  is on (band_id, band_hash). Hot buckets (boilerplate docs) are the skew
+  risk; AQE skew-join handles moderate skew and ``max_bucket_size`` hard-caps
+  pathological buckets (standard practice: a bucket with thousands of
+  identical-signature docs is itself a dup cluster, handled by exact dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+# LSH geometry: P minhash permutations split into B bands of R rows.
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def exact_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Exact duplicate clusters keyed by content digest: each cluster keeps
+    the minimum doc_id as canonical representative."""
+    return (
+        documents.withColumn("text_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Word k-shingles as a distinct array column (single projection)."""
+    df = documents.withColumn("toks", tokens_col(F.col("text")))
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(toks, i, {k}))))"
+    )
+    return df.withColumn("shingles", F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(shingles)).drop("toks")
+
+
+def with_minhash(documents: DataFrame, k: int = 3) -> DataFrame:
+    """MinHash signature (MINHASH_PERMS values) over word k-shingles.
+
+    Permutation p is the seeded hash xxhash64(shingle, p) — seeded
+    rehashing instead of affine a*h+b because Spark's ANSI mode (default
+    in 4.x) rejects the intentional long wraparound. array_min folds each
+    permutation to its signature element. All JVM built-ins — no UDF,
+    no shuffle.
+    """
+    df = with_shingles(documents, k)
+    sig = F.array(
+        *[
+            F.expr(f"array_min(transform(shingles, s -> xxhash64(s, {p})))")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    return df.withColumn(
+        "minhash", F.when(F.size("shingles") == 0, F.lit(None)).otherwise(sig)
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified with
+    exact shingle-set Jaccard.
+
+    Pipeline: signature → explode into (band_id, band_hash) keys →
+    self-equi-join on the band key (the ONE shuffle) → distinct pairs →
+    verify Jaccard ≥ threshold on the shingle sets.
+    """
+    sig = with_minhash(documents, k).filter(F.col("minhash").isNotNull())
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.expr(f"slice(minhash, {b * LSH_ROWS + 1}, {LSH_ROWS})")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_hash")
+
+    # hard-cap pathological buckets (exact-dup floods) — they're handled by
+    # exact_dedup_clusters; near-dup LSH shouldn't quadratically explode
+    bucket_sizes = bands.groupBy("band_id", "band_hash").count()
+    bands = bands.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
+        ["band_id", "band_hash"],
+    )
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_id",
+        "band_hash",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_id",
+        "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def with_simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bit votes.
+
+    aggregate() folds token hashes into a 64-slot vote vector (+1/-1 per
+    bit), then the sign pattern packs back into one long. Pure built-in
+    higher-order functions, single projection.
+    """
+    df = documents.withColumn("toks", tokens_col(F.col("text")))
+    votes = (
+        "aggregate(transform(toks, t -> xxhash64(t)), "
+        "  array_repeat(0, 64), "
+        "  (acc, h) -> zip_with(acc, transform(sequence(0, 63), "
+        "    b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x, y) -> x + y))"
+    )
+    df = df.withColumn("votes", F.expr(votes))
+    # pack references `votes` exactly ONCE: Catalyst's CollapseProject may
+    # inline the alias, and a 64-reference form would re-evaluate the whole
+    # token fold per output bit (measured 64× slowdown)
+    pack = (
+        "aggregate(zip_with(votes, sequence(0, 63), "
+        "  (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (s, x) -> s + x)"
+    )
+    return df.withColumn(
+        "simhash",
+        F.when(F.size("toks") == 0, F.lit(None).cast("long")).otherwise(F.expr(pack)),
+    ).drop("toks", "votes")
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 8, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates come from equality on any of four 16-bit chunks (pigeonhole:
+    hamming ≤ 3 guarantees one equal chunk; larger radii are best-effort),
+    so the join key is (chunk_id, chunk_value) — never a cross join. Hot
+    chunk buckets are capped like in minhash LSH.
+    """
+    sig = with_simhash(documents).filter(F.col("simhash").isNotNull())
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(f"(simhash >> {16 * c}) & 65535").alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    bucket_sizes = chunks.groupBy("chunk_id", "chunk_val").count()
+    chunks = chunks.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
+        ["chunk_id", "chunk_val"],
+    )
+    left = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val"
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val"
+    )
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact token-shingle Jaccard over blocked candidate pairs.
+
+    Blocking key = (lang, source, length bucket): deterministic, SQL-
+    expressible (this one has a DuckDB oracle), and keeps the pair count
+    linear-ish. The full-corpus near-dup path is minhash_lsh_pairs.
+    """
+    df = with_shingles(documents, k).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
+        "shingles",
+    )
+    a = df.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("shingles").alias("sh_a"),
+    )
+    b = df.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = a.join(b, ["lang", "source", "len_bucket"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "lang", "source", "jaccard")
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+- :func:`ann_cosine_topk` — brute-force cosine top-k: the QUERY set is
+  broadcast (it's small by definition), the corpus streams through one
+  scan; per-partition the join is query×batch, and TakeOrderedAndProject
+  keeps only k rows per query. Exact baseline; O(|corpus|·|queries|·dim).
+- :func:`ann_lsh_topk` — random-hyperplane LSH: 1-bit-per-plane signatures,
+  banded into bucket keys; candidates share a bucket in ≥1 band, cosine is
+  evaluated only within buckets. The scale path: shuffle on bucket keys
+  instead of a cross product.
+
+Vector math uses built-in higher-order functions on double arrays
+(zip_with + aggregate) — stays in the JVM, no UDF serialization. For very
+wide vectors a pandas_udf dot product can beat the fold; at dim=64 the
+built-in wins by avoiding Arrow round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COS_EXPR = (
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) "
+    "/ (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) "
+    " * sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)))"
+)
+
+
+def _as_double(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return df.withColumn(dst, F.col(src).cast("array<double>"))
+
+
+def ann_cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    Query set = the first ``n_queries`` vec_ids (deterministic); broadcast
+    against the full corpus; rank per query with a row_number window after
+    rounding the similarity (rounding pins a canonical value so ranking is
+    engine-reproducible; ties break on candidate id).
+    """
+    corpus = _as_double(embeddings, "embedding", "cv").select(
+        F.col("vec_id").alias("c_id"), "cv", F.col("label").alias("c_label")
+    )
+    queries = _as_double(embeddings, "embedding", "qv").select(
+        F.col("vec_id").alias("q_id"), "qv"
+    ).filter(F.col("q_id") < n_queries)
+
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .select("q_id", "c_id", "c_label", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "c_label", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_signature(
+    embeddings: DataFrame, dim: int = 64, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature: bit j = sign(v · plane_j). Planes are a
+    fixed literal array (deterministic, shipped with the plan — at scale
+    they'd be a broadcast variable, but 16×64 doubles fold into the plan)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    df = _as_double(embeddings, "embedding", "ev")
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(ev, {lit}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN shiftleft(1L, {j}) ELSE 0L END")
+    return df.withColumn("lsh_sig", F.expr(" + ".join(bits)))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share ≥1 LSH band with the
+    query, then exact cosine ranks within candidates. Recall < 1 by design;
+    the shuffle is on (band_id, band_bits) — linear, never quadratic."""
+    rows = n_planes // n_bands
+    sig = with_lsh_signature(embeddings, n_planes=n_planes)
+    bands = sig.select(
+        "vec_id",
+        "ev",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"(lsh_sig >> {b * rows}) & {(1 << rows) - 1}"
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("vec_id", "ev", "label", "bd.band_id", "bd.band_bits")
+
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"), "band_id", "band_bits"
+    )
+    cb = bands.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("ev").alias("cv"),
+        F.col("label").alias("c_label"),
+        "band_id",
+        "band_bits",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band_id", "band_bits"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(F.expr(COS_EXPR), 6)).select(
+        "q_id", "c_id", "c_label", "cosine"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "c_label", "cosine", "rank")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators over the documents table: tokenization, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in column expressions (split / regexp / higher-order array
+functions) — JVM-side, whole-stage-codegen'd, no Python in the hot path.
+At 100 TB these are embarrassingly parallel single-pass projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokens: split on runs of whitespace after trim; empty text → 0 tokens.
+PUNCT_CLASS = "[.,;:!?]"
+STOPWORDS = ("the", "a", "an", "of", "and", "is", "to", "in")
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "les", "et", "des"),
+    "de": ("der", "die", "und", "das"),
+}
+LANG_DEFAULT = "und"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token count, length, punctuation ratio, stopword ratio,
+    and a composite quality score (the length/punct/stopword heuristics a
+    pretraining-data pipeline uses for filtering)."""
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    avg_token_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars_actual"),
+        n_punct.cast("int").alias("n_punct"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        F.round(quality, 2).alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, predict
+    the argmax (ties broken by fixed language order), 'und' when no hits."""
+    toks = tokens_col(F.lower(F.col("text")))
+    df = documents.select("doc_id", "lang", toks.alias("toks"))
+    for code, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        df = df.withColumn(
+            f"hits_{code}", F.expr(f"size(filter(toks, x -> x IN ({in_list})))")
+        )
+    best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_MARKERS])
+    # when-chain in declared order: first language matching the max wins ties
+    expr = None
+    for code in LANG_MARKERS:
+        cond = (best > 0) & (F.col(f"hits_{code}") == best)
+        expr = F.when(cond, code) if expr is None else expr.when(cond, code)
+    pred = expr.otherwise(F.lit(LANG_DEFAULT))
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"hits_{c}").cast("int").alias(f"hits_{c}") for c in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: minimum hash over all character k-grams
+    (md5 hex compared lexicographically — engine-portable, deterministic).
+    One projection, no shuffle; the fingerprint is a join/dedup key."""
+    # substring with a dynamic start needs expr-form (positional substring)
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> md5(substring(text, i, {k}))))"
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_actual"),
+        fp.alias("fingerprint"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("full_hash"),
+    )

@@ -1,0 +1,85 @@
+"""Window-function operators over the events table: sessionization,
+top-n-per-group, tumbling time windows (batch form).
+
+The reference has no window functions (SURVEY.md §2.8) — these extend the
+surface for event/stream-shaped data. All are single-shuffle plans: one
+exchange on the partition key, then window evaluation within partitions.
+
+Timestamp discipline: the events parquet stores nanosecond timestamps,
+which Spark cannot represent (µs max). The loader (sources) exposes both
+``ts`` (timestamp_ntz, µs-truncated) and ``ts_us`` (exact integer
+microseconds). All ordering and gap arithmetic uses ``ts_us`` so results
+are engine-exact regardless of sub-microsecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Split each user's event stream into sessions at inactivity gaps.
+
+    Classic lag + cumulative-sum sessionization: a new session starts when
+    the gap to the previous event exceeds ``gap_seconds``. One shuffle on
+    user_id; both window functions share the same (partition, order) so
+    Spark evaluates them in a single Window node.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ts_sec = (F.col("ts_us") / F.lit(1_000_000)).cast("long")  # floor: ts_us >= 0
+    sec = events.withColumn("ts_sec", ts_sec).withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | ((F.col("ts_sec") - F.lag("ts_sec").over(w)) > gap_seconds),
+            1,
+        ).otherwise(0),
+    )
+    sess = sec.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    from .aggregates import exact_sum
+
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        exact_sum("value", 2).alias("total_value"),
+        F.min("ts_sec").alias("session_start_sec"),
+        F.max("ts_sec").alias("session_end_sec"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+    )
+
+
+def top_n_per_group(
+    df: DataFrame, group_col: str, order_col: str, tiebreak_col: str, n: int
+) -> DataFrame:
+    """row_number top-n within each group, deterministic via tie-break."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), tiebreak_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .withColumn("rn", F.col("rn").cast("int"))
+    )
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Batch tumbling-window aggregate: (window_start, event_type) →
+    count / sum / avg. Uses F.window so the same expression works in
+    Structured Streaming (streaming/events.py reuses it)."""
+    from .aggregates import exact_avg, exact_sum
+
+    return (
+        events.groupBy(
+            F.window("ts", width).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", 2).alias("total_value"),
+            exact_avg("value", 2).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,689 @@
+"""Query registry: every implemented operator exposed as a named query
+(spark, sf_dir) -> DataFrame, with a matching ANSI-SQL oracle for DuckDB
+where SQL can express the semantics (SURVEY.md §5 test strategy).
+
+Cross-engine determinism rules applied throughout:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (floating-point summation is not
+  associative across partitionings/engines);
+- every LIMIT sits on a total order (measure + key tie-break);
+- integer-valued doubles are summed before casting so trunc-vs-round
+  cast differences can't bite;
+- timestamps flow as NTZ microseconds (see sources.load_events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    aggregates,
+    cleaning,
+    dedup,
+    dimensions,
+    fact as fact_mod,
+    multimodal,
+    quality,
+    similarity,
+    text,
+    windows,
+)
+from ..sources import Catalog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL fragments
+# ---------------------------------------------------------------------------
+
+# date dimension over a timestamp column (mirrors dimensions.build_date_dim)
+def _date_dim_sql(table: str, col: str) -> str:
+    return f"""
+  SELECT full_date,
+         full_date AS date_key,
+         CAST(year(full_date) AS INTEGER) AS year,
+         CAST(quarter(full_date) AS INTEGER) AS quarter,
+         CAST(month(full_date) AS INTEGER) AS month,
+         CAST(dayofmonth(full_date) AS INTEGER) AS day_of_month,
+         CAST(dayofweek(full_date) + 1 AS INTEGER) AS day_of_week,
+         dayofweek(full_date) IN (0, 6) AS is_weekend
+  FROM (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS full_date
+    FROM (SELECT CAST(min({col}) AS DATE) AS lo, CAST(max({col}) AS DATE) AS hi FROM {table})
+  )"""
+
+
+# the denormalized star fact (mirrors operators.fact.build_fact over testdata)
+FACT_CTE = f"""
+WITH dd AS ({_date_dim_sql('lineitem', 'l_shipdate')}),
+li AS (
+  SELECT *, CAST(l_shipdate AS DATE) AS ship_date,
+         l_extendedprice * (1 - l_discount) AS revenue
+  FROM lineitem
+  WHERE l_quantity > 0 AND l_quantity < 1000 AND l_extendedprice > 0
+    AND l_extendedprice * (1 - l_discount) > 0
+),
+supp AS (
+  SELECT s_suppkey, s_name AS supp_name, n_name AS supp_nation
+  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+),
+cust AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         c_custkey AS cust_key, c_mktsegment AS cust_segment, n_name AS cust_nation
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       LEFT JOIN nation ON c_nationkey = n_nationkey
+),
+fact AS (
+  SELECT li.l_orderkey AS orderkey, li.l_linenumber AS linenumber, li.ship_date,
+         dd.year, dd.quarter, dd.month, dd.day_of_week, dd.is_weekend,
+         li.l_quantity AS quantity, li.l_extendedprice AS extendedprice,
+         li.l_discount AS discount, li.revenue,
+         li.l_returnflag AS returnflag, li.l_linestatus AS linestatus,
+         supp.supp_name, supp.supp_nation,
+         cust.cust_key, cust.cust_segment, cust.cust_nation
+  FROM li
+  LEFT JOIN supp ON li.l_suppkey = supp.s_suppkey
+  LEFT JOIN cust ON li.l_orderkey = cust.o_orderkey
+  LEFT JOIN dd ON li.ship_date = dd.date_key
+)
+"""
+
+TOKS_SQL = (
+    "CASE WHEN length(trim({src})) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim({src}), '\\s+') END"
+)
+
+
+def _spark_fact(cat: Catalog) -> DataFrame:
+    return fact_mod.build_fact(
+        cat.lineitem, cat.orders, cat.customer, cat.supplier, cat.nation
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — reference parity (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaning.clean_lineitem(Catalog(spark, sf_dir).lineitem)
+
+
+SQL_INGEST_CLEAN = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(hour(l_shipdate) AS INTEGER) AS ship_hour,
+       l_quantity, l_extendedprice, l_discount, l_returnflag, l_linestatus,
+       l_extendedprice * (1.0 - l_discount) AS revenue,
+       CASE WHEN l_quantity > 0
+            THEN (l_extendedprice * (1.0 - l_discount)) / l_quantity END AS unit_price
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_quantity > 0 AND l_extendedprice > 0 AND l_discount >= 0
+  AND l_extendedprice * (1.0 - l_discount) > 0
+"""
+
+
+def q_entity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dimensions.build_entity_dim(
+        Catalog(spark, sf_dir).lineitem, "l_partkey", "l_suppkey"
+    )
+
+
+SQL_ENTITY_DIM = """
+WITH keys AS (
+  SELECT DISTINCT entity_id FROM (
+    SELECT l_partkey AS entity_id FROM lineitem
+    UNION ALL
+    SELECT l_suppkey AS entity_id FROM lineitem
+  ) WHERE entity_id IS NOT NULL AND entity_id <> 0
+)
+SELECT CAST(entity_id AS INTEGER) AS entity_id,
+       'Entity ' || CAST(CAST(entity_id AS INTEGER) AS VARCHAR) AS entity_name,
+       CASE WHEN entity_id BETWEEN 1 AND 50 THEN 'Group A'
+            WHEN entity_id BETWEEN 51 AND 100 THEN 'Group B'
+            WHEN entity_id BETWEEN 101 AND 150 THEN 'Group C'
+            WHEN entity_id BETWEEN 151 AND 200 THEN 'Group D'
+            ELSE 'Group E' END AS entity_group,
+       'Zone ' || CAST(CAST(entity_id AS INTEGER) AS VARCHAR) AS entity_zone
+FROM keys
+"""
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dimensions.build_date_dim(Catalog(spark, sf_dir).orders, "o_orderdate")
+
+
+SQL_DATE_DIM = _date_dim_sql("orders", "o_orderdate")
+
+
+def q_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_fact(Catalog(spark, sf_dir))
+
+
+SQL_STAR_FACT = FACT_CTE + "SELECT * FROM fact"
+
+
+def q_agg_pair_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.agg_pair_daily(_spark_fact(Catalog(spark, sf_dir)))
+
+
+SQL_AGG_PAIR_DAILY = FACT_CTE + """
+SELECT ship_date, supp_nation, cust_nation,
+       count(*) AS trip_count,
+       CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(quantity AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_quantity,
+       CAST(sum(CAST(discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_discount,
+       CAST(sum(CAST(quantity AS BIGINT)) AS BIGINT) AS total_quantity
+FROM fact
+GROUP BY ship_date, supp_nation, cust_nation
+"""
+
+
+def q_agg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.agg_time(_spark_fact(Catalog(spark, sf_dir)))
+
+
+SQL_AGG_TIME = FACT_CTE + """
+SELECT year, quarter, month, day_of_week, is_weekend,
+       count(*) AS trip_count,
+       CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_revenue
+FROM fact
+GROUP BY year, quarter, month, day_of_week, is_weekend
+"""
+
+
+def q_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.top_pairs(_spark_fact(Catalog(spark, sf_dir)), k=50)
+
+
+SQL_TOP_PAIRS = FACT_CTE + """
+SELECT supp_nation, cust_nation,
+       count(*) AS trip_count,
+       CAST(sum(CAST(quantity AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_quantity,
+       CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_revenue
+FROM fact
+GROUP BY supp_nation, cust_nation
+ORDER BY trip_count DESC, supp_nation, cust_nation
+LIMIT 50
+"""
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.quality_counts(_spark_fact(Catalog(spark, sf_dir)))
+
+
+SQL_DQ_CHECKS = FACT_CTE + """
+SELECT total_rows, missing_a, missing_b, invalid_range,
+       (missing_a + missing_b + invalid_range) = 0 AS passed
+FROM (
+  SELECT count(*) AS total_rows,
+         count(*) FILTER (WHERE supp_nation IS NULL) AS missing_a,
+         count(*) FILTER (WHERE cust_nation IS NULL) AS missing_b,
+         count(*) FILTER (WHERE quantity <= 0 OR quantity >= 1000) AS invalid_range
+  FROM fact
+)
+"""
+
+
+def q_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.global_minmax(Catalog(spark, sf_dir).orders, "o_totalprice")
+
+
+SQL_GLOBAL_MINMAX = (
+    "SELECT min(o_totalprice) AS min_val, max(o_totalprice) AS max_val FROM orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries — analytic benchmarks (TPC-H-shaped, exercising the same operator
+# classes at bench scale)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            aggregates.exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            aggregates.exact_sum(disc_price, 4).alias("sum_disc_price"),
+            aggregates.exact_sum(charge, 6).alias("sum_charge"),
+            aggregates.exact_avg("l_quantity", 0).alias("avg_qty"),
+            aggregates.exact_avg("l_extendedprice", 2).alias("avg_price"),
+            aggregates.exact_avg("l_discount", 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("date")
+    joined = (
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.to_date("o_orderdate") < cutoff) & (F.to_date("l_shipdate") > cutoff)
+        )
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            aggregates.exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            F.col("r_name").isin("ASIA", "EUROPE")
+            & (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        aggregates.exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — window / event operators
+# ---------------------------------------------------------------------------
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return windows.top_n_per_group(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+
+
+SQL_WINDOW_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sessionize(Catalog(spark, sf_dir).events, gap_seconds=1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) AS ts_us, epoch_us(ts) // 1000000 AS ts_sec
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       min(ts_sec) AS session_start_sec,
+       max(ts_sec) AS session_end_sec,
+       max(ts_sec) - min(ts_sec) AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_agg(Catalog(spark, sf_dir).events, "1 hour")
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / text / similarity / multimodal extensions
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_clusters(Catalog(spark, sf_dir).documents)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(coalesce(text, '')) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.2)
+
+
+_SHINGLES_SQL = (
+    "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) END"
+)
+
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars // 64 AS INTEGER) AS len_bucket,
+         {TOKS_SQL.format(src='text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source, len_bucket, {_SHINGLES_SQL} AS shingles FROM t
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lang, source,
+       round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4) AS jaccard
+FROM p
+WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.2
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(Catalog(spark, sf_dir).documents)
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         {TOKS_SQL.format(src='text')} AS toks,
+         length(text) AS n_chars_actual,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+),
+u AS (
+  SELECT doc_id, lang, source, n_chars_actual, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks,
+             x -> x IN ('the','a','an','of','and','is','to','in'))) AS n_stopwords
+  FROM t
+),
+v AS (
+  SELECT *,
+         CASE WHEN n_chars_actual > 0
+              THEN n_punct / CAST(n_chars_actual AS DOUBLE) ELSE 0.0 END AS pr,
+         CASE WHEN n_tokens > 0
+              THEN n_stopwords / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS sr
+  FROM u
+)
+SELECT doc_id, lang, source,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_chars_actual AS INTEGER) AS n_chars_actual,
+       CAST(n_punct AS INTEGER) AS n_punct,
+       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+       round(pr, 4) AS punct_ratio,
+       round(sr, 4) AS stopword_ratio,
+       round(CASE WHEN n_tokens > 0
+             THEN (n_chars_actual - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END, 4) AS avg_token_len,
+       round(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN sr > 0.05 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN pr < 0.2 THEN 0.2 ELSE 0.0 END, 2) AS quality_score
+FROM v
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(Catalog(spark, sf_dir).documents)
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKS_SQL.format(src='lower(text)')} AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS INTEGER) AS hits_en,
+    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS INTEGER) AS hits_es,
+    CAST(len(list_filter(toks, x -> x IN ('le','les','et','des'))) AS INTEGER) AS hits_fr,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS INTEGER) AS hits_de
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, hits_en, hits_es, hits_fr, hits_de,
+  CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) > 0
+            AND hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+       WHEN greatest(hits_en, hits_es, hits_fr, hits_de) > 0
+            AND hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+       WHEN greatest(hits_en, hits_es, hits_fr, hits_de) > 0
+            AND hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+       WHEN greatest(hits_en, hits_es, hits_fr, hits_de) > 0
+            AND hits_de = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'de'
+       ELSE 'und' END AS predicted_lang
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(Catalog(spark, sf_dir).documents, k=8)
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       list_aggregate(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+           i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min') AS fingerprint,
+       md5(coalesce(text, '')) AS full_hash
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_cosine_topk(
+        Catalog(spark, sf_dir).embeddings, n_queries=5, k=10
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.media_features(Catalog(spark, sf_dir).documents)
+    return feats.select("media_id", "media_type", "byte_len", "content_md5")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
+       md5(coalesce(text, '')) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
+# rows-only checks from the driver.
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(Catalog(spark, sf_dir).documents, threshold=0.3)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(Catalog(spark, sf_dir).documents, max_hamming=8)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(Catalog(spark, sf_dir).embeddings, n_queries=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    # reference parity (SURVEY.md §2)
+    "ingest_clean": q_ingest_clean,
+    "entity_dim": q_entity_dim,
+    "date_dim": q_date_dim,
+    "star_fact": q_star_fact,
+    "agg_pair_daily": q_agg_pair_daily,
+    "agg_time": q_agg_time,
+    "top_pairs": q_top_pairs,
+    "dq_checks": q_dq_checks,
+    "global_minmax": q_global_minmax,
+    # analytic benchmarks
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    # window / events
+    "window_top_orders": q_window_top_orders,
+    "sessionize_events": q_sessionize,
+    "events_tumbling_hour": q_events_tumbling,
+    # LLM-data extensions
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "media_features": q_media_features,
+    # rows-only (hash-seeded LSH, not SQL-expressible)
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_near_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "ingest_clean": SQL_INGEST_CLEAN,
+    "entity_dim": SQL_ENTITY_DIM,
+    "date_dim": SQL_DATE_DIM,
+    "star_fact": SQL_STAR_FACT,
+    "agg_pair_daily": SQL_AGG_PAIR_DAILY,
+    "agg_time": SQL_AGG_TIME,
+    "top_pairs": SQL_TOP_PAIRS,
+    "dq_checks": SQL_DQ_CHECKS,
+    "global_minmax": SQL_GLOBAL_MINMAX,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "window_top_orders": SQL_WINDOW_TOP_ORDERS,
+    "sessionize_events": SQL_SESSIONIZE,
+    "events_tumbling_hour": SQL_EVENTS_TUMBLING,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "media_features": SQL_MEDIA_FEATURES,
+}
+
+
+def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)

@@ -1,0 +1,152 @@
+"""Sources and sinks.
+
+Replaces the reference's closed-source ``SDSIcebergReader``/``SDSIcebergWriter``
+wrapper (reference IngestionJob.scala:4, build.sbt:18; API inferred in
+SURVEY.md §2.10) with a thin portable layer:
+
+- reads: parquet directory scan with schema merge (IngestionJob.scala:32-34),
+  catalog table read (DimensionJob.scala:29-31), CSV lookup (README.md:50)
+- writes: partitioned append (IngestionJob.scala:80-84), full overwrite
+  (DimensionJob.scala:58), plus idempotent *overwrite-partitions* which the
+  reference lacks (SURVEY.md §4.3.3 flags its append non-idempotency).
+
+At 100 TB the write layout is the contract between pipeline stages: every
+large table is partitioned on its natural pruning key so downstream scans
+partition-prune for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+# The star-schema test tables the driver generates (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet_dir(spark: SparkSession, path: str, merge_schema: bool = True) -> DataFrame:
+    """Parquet directory scan with schema merge across drifting monthly files
+    (reference IngestionJob.scala:32-34, operator S1)."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, infer: bool = True) -> DataFrame:
+    """CSV lookup-file source (reference data/taxi-zone-lookup.csv, operator S4)."""
+    return spark.read.csv(path, header=header, inferSchema=infer)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog table read (operator S2; reference DimensionJob.scala:29-31)."""
+    return spark.table(name)
+
+
+def append(df: DataFrame, name: str, partition_cols: list[str] | None = None) -> None:
+    """Partitioned append sink (operator S5; reference IngestionJob.scala:80-84).
+
+    Creates the table when absent; appends otherwise. Non-idempotent by
+    design — prefer :func:`overwrite_partitions` for re-runnable stages.
+    """
+    writer = df.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(name)
+
+
+def overwrite_table(df: DataFrame, name: str, partition_cols: list[str] | None = None) -> None:
+    """Full-table overwrite sink (operator S6; reference DimensionJob.scala:58)."""
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(name)
+
+
+def overwrite_partitions(df: DataFrame, name: str, partition_cols: list[str]) -> None:
+    """Idempotent dynamic-partition overwrite: replaces only the partitions
+    present in ``df`` (the re-runnable upgrade of the reference's append —
+    SURVEY.md §4.3.3). Requires the table to exist and be partitioned."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(name):
+        overwrite_table(df, name, partition_cols)
+        return
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .insertInto(name)
+    )
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events-table loader handling nanosecond parquet timestamps.
+
+    Spark's TimestampType is microsecond-precision and its parquet reader
+    rejects INT64 TIMESTAMP(NANOS) outright; the legacy nanosAsLong conf
+    reads the raw int64 instead. The loader exposes:
+      - ``ts``     timestamp_ntz, truncated to microseconds (tz-independent:
+                   built by timestampadd from the epoch, never through the
+                   session timezone)
+      - ``ts_us``  exact integer microseconds since epoch — the canonical
+                   ordering/arithmetic key for window operators
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    ts_field = dict(raw.dtypes).get("ts")
+    if ts_field == "bigint":
+        df = raw.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:  # already a timestamp type (µs/ms source data)
+        df = raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return df.withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+
+
+class Catalog:
+    """Named-table access over a scale-factor directory of parquet files,
+    plus temp-view registration so the same queries run as SQL.
+
+    This is the engine's analogue of the reference's Iceberg Hadoop catalog
+    (IngestionJob.scala:15-19): tables addressed by name, storage columnar.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if name == "events":
+                self._cache[name] = load_events(self.spark, path)
+            else:
+                self._cache[name] = self.spark.read.parquet(path)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TPCH_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, tables: tuple[str, ...] = TPCH_TABLES) -> None:
+        for t in tables:
+            self.table(t).createOrReplaceTempView(t)
+
+    def table_exists(self, name: str) -> bool:
+        """Catalog existence probe (operator S7; reference FactJob.scala:33-36)."""
+        return os.path.exists(os.path.join(self.sf_dir, f"{name}.parquet")) or (
+            self.spark.catalog.tableExists(name)
+        )

@@ -1,0 +1,137 @@
+"""Tests for the LLM-data-pipeline extensions: dedup, similarity, text,
+multimodal plumbing, windows."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique doc")],
+        "doc_id long, text string",
+    )
+    clusters = dedup.exact_dedup_clusters(docs)
+    dups = clusters.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1 and dups[0].keep_doc_id == 1 and dups[0].n_copies == 2
+
+
+def test_minhash_detects_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark query engines and parquet files " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert any(p.doc_a == 1 and p.doc_b == 2 for p in pairs)
+    assert not any(p.doc_b == 3 or p.doc_a == 3 for p in pairs)
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_ann_bruteforce_self_similarity_excluded_and_ranked(cat):
+    out = similarity.ann_cosine_topk(cat.embeddings, n_queries=2, k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        assert r.q_id != r.c_id
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 - 1e-6 <= s <= 1.0 + 1e-6 for s in sims)
+
+
+def test_ann_lsh_is_subset_quality(cat):
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.ann_cosine_topk(cat.embeddings, n_queries=2, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in similarity.ann_lsh_topk(cat.embeddings, n_queries=2, k=5).collect()
+    }
+    # LSH recall won't be 1.0, but candidates must be valid and overlap some
+    assert len(approx) > 0
+    assert len(exact & approx) >= 1
+
+
+def test_text_stats_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "one two three.", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    assert rows[1].n_tokens == 0 and rows[1].punct_ratio == 0.0
+    assert rows[2].n_tokens == 3 and rows[2].n_punct == 1
+
+
+def test_doc_fingerprint_deterministic_and_content_keyed(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.doc_fingerprint(docs).collect()}
+    assert rows[1].fingerprint == rows[2].fingerprint
+    assert rows[1].fingerprint != rows[3].fingerprint
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_multimodal_features_match_content(cat):
+    feats = multimodal.media_features(cat.documents)
+    joined = feats.join(
+        cat.documents.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    ).withColumn("true_len", F.length(F.encode(F.coalesce("text", F.lit("")), "utf-8")))
+    bad = joined.filter(F.col("byte_len") != F.col("true_len"))
+    assert bad.count() == 0
+    assert feats.filter(F.col("fake_width") < 64).count() == 0
+
+
+def test_sessionize_gap_splits(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.io import (
+        load_events,
+    )
+    # synth: user 1 has two bursts 2h apart → 2 sessions
+    us = 1_000_000
+    rows = [
+        (1, 1, 0 * us, 1.0, "click"),
+        (2, 1, 60 * us, 2.0, "view"),
+        (3, 1, 7800 * us * 1, 3.0, "click"),  # 7800s later → new session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double, event_type string"
+    )
+    out = windows.sessionize(ev, gap_seconds=1800).collect()
+    assert len(out) == 2
+    assert sorted(s.n_events for s in out) == [1, 2]
+
+
+def test_tumbling_agg_window_alignment(cat):
+    out = windows.tumbling_agg(cat.events, "1 hour")
+    row = out.head()
+    assert row.window_start.minute == 0 and row.window_start.second == 0
