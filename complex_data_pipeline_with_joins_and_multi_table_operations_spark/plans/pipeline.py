@@ -1,0 +1,179 @@
+"""Five-stage pipeline orchestration (reference §3.4: IngestionJob →
+DimensionJob → FactJob → AggregationJob → DataQualityJob).
+
+The reference runs five separate spark-submit JVMs communicating only
+through Iceberg tables (README.md:78-105). Here the same stages are
+callable in-process against ONE SparkSession (no per-stage JVM spin-up)
+or per-stage via the CLI, with hand-off still table-materialized in a
+warehouse directory of partitioned parquet — the portable equivalent of
+the reference's Hadoop-catalog warehouse (SURVEY.md §1.4, §2.10).
+
+Write-mode semantics upgrade (SURVEY.md §4.3.3): every stage write here
+is an idempotent overwrite (re-running a stage replaces its output);
+append remains available through sources.io.append for incremental loads.
+
+Partition layout: large tables partition on their pruning key — the raw
+and fact tables by ship_year (at 100 TB: by date, giving daily partition
+pruning; at test scale daily layout would mean thousands of tiny files,
+the classic small-files problem, so the CLI exposes --partition-daily).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, cleaning, dimensions, fact, quality
+from ..sources import Catalog
+
+
+class Warehouse:
+    """Path-addressed parquet warehouse: the table-materialized hand-off
+    between stages. Pluggable: swap for saveAsTable/Iceberg by replacing
+    write/read (the reference's SDSIcebergWriter seam, SURVEY.md §2.10)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+
+def stage_ingest(wh: Warehouse, cat: Catalog, partition_daily: bool = False) -> int:
+    """IngestionJob parity: scan → clean → enrich → partitioned write."""
+    cleaned = cleaning.clean_lineitem(cat.lineitem).withColumn(
+        "ship_year", F.year("ship_date")
+    )
+    wh.write(
+        cleaned,
+        "trips_raw",
+        ["ship_date"] if partition_daily else ["ship_year"],
+    )
+    return wh.read("trips_raw").count()
+
+
+def stage_dimensions(wh: Warehouse, cat: Catalog) -> tuple[int, int]:
+    """DimensionJob parity: entity dim (union+distinct+bucket) and date
+    dim (sequence/explode spine), both full-overwrite like the reference
+    (DimensionJob.scala:58,90)."""
+    raw = wh.read("trips_raw")
+    entity = dimensions.build_entity_dim(raw, "l_partkey", "l_suppkey")
+    date_dim = dimensions.build_date_dim(raw, "ship_date")
+    wh.write(entity, "entity_dim")
+    wh.write(date_dim, "date_dim")
+    return wh.read("entity_dim").count(), wh.read("date_dim").count()
+
+
+def stage_fact(wh: Warehouse, cat: Catalog, partition_daily: bool = False) -> int:
+    """FactJob parity: guard on upstream tables, star join, partitioned
+    write keyed for downstream pruning."""
+    for dep in ("trips_raw", "date_dim"):
+        if not wh.exists(dep):
+            raise RuntimeError(f"pipeline ordering violation: missing table {dep}")
+    date_dim = wh.read("date_dim")
+    f = fact.build_fact(
+        cat.lineitem, cat.orders, cat.customer, cat.supplier, cat.nation, date_dim
+    )
+    wh.write(
+        f,
+        "star_fact",
+        ["ship_date"] if partition_daily else ["year"],
+    )
+    return wh.read("star_fact").count()
+
+
+def stage_aggregates(wh: Warehouse) -> dict[str, int]:
+    """AggregationJob parity: one fact scan fanned into three summaries.
+    The fact is cached across the three aggregations — the reference
+    re-scans it per summary and even re-aggregates for its log counts
+    (SURVEY.md §4.3.1); counts here come from the written tables."""
+    if not wh.exists("star_fact"):
+        raise RuntimeError("pipeline ordering violation: missing table star_fact")
+    f = wh.read("star_fact").cache()
+    try:
+        wh.write(aggregates.agg_pair_daily(f), "pair_daily", ["supp_nation"])
+        wh.write(aggregates.agg_time(f), "time_analysis", ["year"])
+        wh.write(aggregates.top_pairs(f, 50), "top_pairs")
+    finally:
+        f.unpersist()
+    return {
+        name: wh.read(name).count()
+        for name in ("pair_daily", "time_analysis", "top_pairs")
+    }
+
+
+def stage_quality(wh: Warehouse) -> dict:
+    """DataQualityJob parity: null/range violation counts over the fact,
+    one aggregation pass, pass/fail verdict."""
+    row = quality.quality_counts(wh.read("star_fact")).head()
+    return row.asDict()
+
+
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, warehouse_dir: str, partition_daily: bool = False
+) -> dict:
+    """All five stages in-process; returns per-stage row counts."""
+    cat = Catalog(spark, sf_dir)
+    wh = Warehouse(spark, warehouse_dir)
+    out: dict = {}
+    out["ingest_rows"] = stage_ingest(wh, cat, partition_daily)
+    out["entity_dim_rows"], out["date_dim_rows"] = stage_dimensions(wh, cat)
+    out["fact_rows"] = stage_fact(wh, cat, partition_daily)
+    out["aggregates"] = stage_aggregates(wh)
+    out["quality"] = stage_quality(wh)
+    return out
+
+
+STAGES = {
+    "ingest": lambda wh, cat, daily: stage_ingest(wh, cat, daily),
+    "dimensions": lambda wh, cat, daily: stage_dimensions(wh, cat),
+    "fact": lambda wh, cat, daily: stage_fact(wh, cat, daily),
+    "aggregates": lambda wh, cat, daily: stage_aggregates(wh),
+    "quality": lambda wh, cat, daily: stage_quality(wh),
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="run pipeline stages")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument(
+        "--stage", choices=[*STAGES, "all"], default="all",
+        help="single stage (mimics the reference's per-job spark-submit) or all",
+    )
+    p.add_argument("--partition-daily", action="store_true")
+    args = p.parse_args()
+
+    from .. import get_spark
+
+    spark = get_spark("pipeline")
+    if args.stage == "all":
+        result = run_pipeline(spark, args.sf_dir, args.warehouse, args.partition_daily)
+    else:
+        wh = Warehouse(spark, args.warehouse)
+        cat = Catalog(spark, args.sf_dir)
+        result = STAGES[args.stage](wh, cat, args.partition_daily)
+    print(result)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -361,6 +361,112 @@ GROUP BY n_name
 """
 
 
+def q_raw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README-verification-surface parity (reference README.md:130-140):
+    count(*), count(DISTINCT date), min/max date, round(avg(...), n) —
+    operators A1/A5/A6/A7."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.to_date("l_shipdate")).alias("n_days"),
+        F.min(F.to_date("l_shipdate")).alias("min_date"),
+        F.max(F.to_date("l_shipdate")).alias("max_date"),
+        F.round(aggregates.exact_avg("l_quantity", 0), 2).alias("avg_qty"),
+        F.round(aggregates.exact_avg("l_extendedprice", 2), 2).alias("avg_price"),
+    )
+
+
+SQL_RAW_STATS = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
+       min(CAST(l_shipdate AS DATE)) AS min_date,
+       max(CAST(l_shipdate AS DATE)) AS max_date,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) / count(*), 2) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price
+FROM lineitem
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio over a part⋈lineitem join (q14 shape);
+    the part dim is broadcast — the lineitem side never shuffles."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        aggregates.exact_sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 4
+        ).alias("promo_revenue"),
+        aggregates.exact_sum(rev, 4).alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * aggregates.exact_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 4
+            )
+            / aggregates.exact_sum(rev, 4)
+        ).alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT
+  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+      / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity (operators U3/S8; reference README.md:142-154
+    uses UNION ALL to compare snapshot counts): the engine registers the
+    catalog as temp views and runs plain Spark SQL."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders", "lineitem", "customer"))
+    return spark.sql(
+        """
+        SELECT 'orders' AS src, count(*) AS n FROM orders
+        UNION ALL SELECT 'lineitem' AS src, count(*) AS n FROM lineitem
+        UNION ALL SELECT 'customer' AS src, count(*) AS n FROM customer
+        """
+    )
+
+
+SQL_UNION_ALL_COUNTS = """
+SELECT 'orders' AS src, count(*) AS n FROM orders
+UNION ALL SELECT 'lineitem' AS src, count(*) AS n FROM lineitem
+UNION ALL SELECT 'customer' AS src, count(*) AS n FROM customer
+"""
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-style semi-join aggregate (q4 shape): orders with at
+    least one late lineitem, counted per priority. Covers left-semi —
+    a join kind the reference lacks but any engine user expects."""
+    cat = Catalog(spark, sf_dir)
+    late = cat.lineitem.filter(F.col("l_linestatus") == "O")
+    return (
+        cat.orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_linestatus = 'O'
+)
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — window / event operators
 # ---------------------------------------------------------------------------
@@ -641,6 +747,10 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "raw_stats": q_raw_stats,
+    "promo_revenue": q_promo_revenue,
+    "union_all_counts": q_union_all_counts,
+    "order_priority_count": q_order_priority_count,
     # window / events
     "window_top_orders": q_window_top_orders,
     "sessionize_events": q_sessionize,
@@ -672,6 +782,10 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "raw_stats": SQL_RAW_STATS,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "union_all_counts": SQL_UNION_ALL_COUNTS,
+    "order_priority_count": SQL_ORDER_PRIORITY_COUNT,
     "window_top_orders": SQL_WINDOW_TOP_ORDERS,
     "sessionize_events": SQL_SESSIONIZE,
     "events_tumbling_hour": SQL_EVENTS_TUMBLING,
