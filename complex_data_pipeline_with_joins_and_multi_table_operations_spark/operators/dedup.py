@@ -27,6 +27,19 @@ LSH_BANDS = 4
 LSH_ROWS = 4
 
 
+def _parallelize_input(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    signature computation. A single-file parquet source arrives as one
+    partition — the 16-permutation fold would then run on one core while
+    31 idle. The repartition shuffle moves only raw rows (cheap relative
+    to the compute it unlocks); inputs that already have enough
+    partitions pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_clusters(documents: DataFrame) -> DataFrame:
     """Exact duplicate clusters keyed by content digest: each cluster keeps
     the minimum doc_id as canonical representative."""
@@ -84,56 +97,68 @@ def minhash_lsh_pairs(
     self-equi-join on the band key (the ONE shuffle) → distinct pairs →
     verify Jaccard ≥ threshold on the shingle sets.
     """
-    sig = with_minhash(documents, k).filter(F.col("minhash").isNotNull())
-    bands = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.expr(f"slice(minhash, {b * LSH_ROWS + 1}, {LSH_ROWS})")
-                        ).alias("band_hash"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_hash")
+    # persist the signature relation ONCE: without it every downstream
+    # branch (bucket sizing, both join sides, verification) re-runs the
+    # full tokenize→shingle→16-permutation fold — measured ~5×
+    # recomputation. At cluster scale the same role is played by
+    # materializing signatures to a table between the stages.
+    sig = (
+        with_minhash(_parallelize_input(documents), k)
+        .filter(F.col("minhash").isNotNull())
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    shingle_tbl = sig.select("doc_id", "shingles")
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.xxhash64(
+                                F.expr(f"slice(minhash, {b * LSH_ROWS + 1}, {LSH_ROWS})")
+                            ).alias("band_hash"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
 
     # hard-cap pathological buckets (exact-dup floods) — they're handled by
     # exact_dedup_clusters; near-dup LSH shouldn't quadratically explode
     bucket_sizes = bands.groupBy("band_id", "band_hash").count()
-    bands = bands.join(
+    capped = bands.join(
         bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
         ["band_id", "band_hash"],
     )
 
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_id",
-        "band_hash",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_id",
-        "band_hash",
-    )
+    # the band self-join carries only (doc_id, band key) — the heavy
+    # shingle arrays join back AFTER the pair set is deduplicated
+    left = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    right = capped.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     cand = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        shingle_tbl.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        shingle_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -178,7 +203,14 @@ def simhash_near_pairs(
     so the join key is (chunk_id, chunk_value) — never a cross join. Hot
     chunk buckets are capped like in minhash LSH.
     """
-    sig = with_simhash(documents).filter(F.col("simhash").isNotNull())
+    # persist the (doc_id, simhash) relation — every downstream branch
+    # otherwise re-runs the 64-bit vote fold over all tokens
+    sig = (
+        with_simhash(_parallelize_input(documents))
+        .filter(F.col("simhash").isNotNull())
+        .select("doc_id", "simhash")
+        .persist()
+    )
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -208,10 +240,12 @@ def simhash_near_pairs(
     return (
         left.join(right, ["chunk_id", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming filter BEFORE the pair-dedup: cuts the distinct's input
+        # from every band collision down to the actual near-dup set
         .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -224,12 +258,16 @@ def ngram_jaccard_pairs(
     expressible (this one has a DuckDB oracle), and keeps the pair count
     linear-ish. The full-corpus near-dup path is minhash_lsh_pairs.
     """
-    df = with_shingles(documents, k).select(
-        "doc_id",
-        "lang",
-        "source",
-        (F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
-        "shingles",
+    df = (
+        with_shingles(_parallelize_input(documents), k)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
+            "shingles",
+        )
+        .persist()  # both join sides read the shingled relation
     )
     a = df.select(
         F.col("doc_id").alias("doc_a"),
