@@ -1,6 +1,7 @@
 from . import (
     aggregates,
     cleaning,
+    custom,
     dedup,
     dimensions,
     fact,
@@ -14,6 +15,7 @@ from . import (
 __all__ = [
     "aggregates",
     "cleaning",
+    "custom",
     "dedup",
     "dimensions",
     "fact",

@@ -66,6 +66,29 @@ def top_n_per_group(
     )
 
 
+def moving_avg(events: DataFrame, frame_rows: int = 3) -> DataFrame:
+    """Per-user trailing moving average over the last ``frame_rows`` events.
+
+    Frame-bounded window (ROWS n-1 PRECEDING..CURRENT): computed with the
+    exact-decimal sum over the frame so the average is bit-deterministic
+    (see operators.aggregates docstring).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    frame_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    frame_n = F.count("*").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        (frame_sum / frame_n).alias(f"mov_avg{frame_rows}"),
+    )
+
+
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Batch tumbling-window aggregate: (window_start, event_type) →
     count / sum / avg. Uses F.window so the same expression works in

@@ -56,6 +56,43 @@ class Warehouse:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self.path(name))
 
+    # -- snapshot / time-travel seam (reference README.md:142-154 uses
+    # Iceberg `VERSION AS OF`; SURVEY.md §2.1 S9 keeps it behind a
+    # pluggable writer). Portable implementation: immutable versioned
+    # directories — v1, v2, … — so any past version stays readable. An
+    # Iceberg/Delta backend would swap these three methods for real
+    # snapshot metadata with no caller changes.
+
+    def write_snapshot(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        version = max(self.versions(name), default=0) + 1
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.path(name), f"v{version}"))
+        return version
+
+    def versions(self, name: str) -> list[int]:
+        base = self.path(name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read_snapshot(self, name: str, version: int | None = None) -> DataFrame:
+        """Read a table VERSION AS OF `version` (latest when omitted)."""
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        v = version if version is not None else versions[-1]
+        if v not in versions:
+            raise ValueError(f"table {name} has no version {v} (has {versions})")
+        return self.spark.read.parquet(os.path.join(self.path(name), f"v{v}"))
+
 
 def stage_ingest(wh: Warehouse, cat: Catalog, partition_daily: bool = False) -> int:
     """IngestionJob parity: scan → clean → enrich → partitioned write."""

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     aggregates,
     cleaning,
+    custom,
     dedup,
     dimensions,
     fact as fact_mod,
@@ -534,6 +535,47 @@ GROUP BY 1, 2
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.moving_avg(Catalog(spark, sf_dir).events, frame_rows=3)
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(*) OVER w AS mov_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = custom.user_median_value(Catalog(spark, sf_dir).events)
+    return out.withColumn("median_value", F.round("median_value", 3))
+
+
+SQL_USER_MEDIAN = """
+SELECT user_id, count(*) AS n_events,
+       round(median(value), 3) AS median_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return custom.salted_event_type_agg(Catalog(spark, sf_dir).events)
+
+
+SQL_SALTED_EVENT_AGG = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / text / similarity / multimodal extensions
 # ---------------------------------------------------------------------------
@@ -755,6 +797,9 @@ QUERIES: dict[str, QueryFn] = {
     "window_top_orders": q_window_top_orders,
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
+    "moving_avg3": q_moving_avg,
+    "user_median_value": q_user_median,
+    "salted_event_type_agg": q_salted_event_agg,
     # LLM-data extensions
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -789,6 +834,9 @@ ORACLES: dict[str, str] = {
     "window_top_orders": SQL_WINDOW_TOP_ORDERS,
     "sessionize_events": SQL_SESSIONIZE,
     "events_tumbling_hour": SQL_EVENTS_TUMBLING,
+    "moving_avg3": SQL_MOVING_AVG,
+    "user_median_value": SQL_USER_MEDIAN,
+    "salted_event_type_agg": SQL_SALTED_EVENT_AGG,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
