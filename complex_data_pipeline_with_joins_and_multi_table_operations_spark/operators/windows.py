@@ -66,6 +66,49 @@ def top_n_per_group(
     )
 
 
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window aggregate: each event contributes to width/slide
+    overlapping windows (F.window emits one row per covering window before
+    the aggregation — the shuffle carries the small (window, type) partial
+    aggregates, not the replicated events)."""
+    from .aggregates import exact_sum
+
+    return (
+        events.groupBy(
+            F.window("ts", width, slide).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", 2).alias("total_value"),
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window): consecutive events of a
+    user merge while the gap to the previous event is < gap; a gap >= gap
+    starts a new session. The built-in twin of :func:`sessionize` (which
+    uses the explicit lag+cumsum formulation); both shuffle once on the
+    session key. Works identically in Structured Streaming with a
+    watermark for state expiry."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            # NTZ-pure epoch micros (unix_micros would route through the
+            # session timezone)
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', sw.start)"
+            ).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def moving_avg(events: DataFrame, frame_rows: int = 3) -> DataFrame:
     """Per-user trailing moving average over the last ``frame_rows`` events.
 

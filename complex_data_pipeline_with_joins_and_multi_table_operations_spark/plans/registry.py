@@ -248,8 +248,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # filter on the raw timestamp column, not to_date(col): a cast-wrapped
+    # column defeats parquet predicate pushdown (to_date(ts) <= d ⟺ ts < d+1)
     return (
-        li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        li.filter(F.col("l_shipdate") < F.lit("2001-09-03").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
@@ -275,20 +277,22 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+WHERE l_shipdate < TIMESTAMP '2001-09-03'
 GROUP BY l_returnflag, l_linestatus
 """
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    cutoff = F.lit("1998-03-15").cast("date")
+    # raw-timestamp comparisons so both predicates push into the scans:
+    # to_date(o) < d ⟺ o < d; to_date(l) > d ⟺ l >= d+1
     joined = (
         cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
-            (F.to_date("o_orderdate") < cutoff) & (F.to_date("l_shipdate") > cutoff)
+            (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") >= F.lit("1998-03-16").cast("timestamp_ntz"))
         )
     )
     return (
@@ -314,8 +318,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
-  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate >= TIMESTAMP '1998-03-16'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
@@ -336,8 +340,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(
             F.col("r_name").isin("ASIA", "EUROPE")
-            & (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-            & (F.to_date("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
         )
     )
     return joined.groupBy("n_name").agg(
@@ -356,8 +360,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name IN ('ASIA', 'EUROPE')
-  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY n_name
 """
 
@@ -532,6 +536,90 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding_agg(Catalog(spark, sf_dir).events, "1 hour", "30 minutes")
+
+
+SQL_SLIDING_AGG = """
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) - INTERVAL '30 minutes' AS window_start, event_type, value FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_window_agg(Catalog(spark, sf_dir).events, "30 minutes")
+
+
+# session_window semantics: a gap >= 30min (at µs precision) starts a new
+# session; session start = first event's timestamp
+SQL_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations the reference lacks but the engine exposes: BUILDING-
+    segment customers with orders EXCEPT those with any open ('O') order,
+    UNION the INTERSECT of HOUSEHOLD customers with urgent-order customers."""
+    cat = Catalog(spark, sf_dir)
+    with_orders = cat.orders.select(F.col("o_custkey").alias("c"))
+    building = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("c")
+    )
+    open_orders = cat.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+    household = cat.customer.filter(F.col("c_mktsegment") == "HOUSEHOLD").select(
+        F.col("c_custkey").alias("c")
+    )
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    part1 = building.intersect(with_orders).exceptAll(open_orders.distinct())
+    part2 = household.intersect(urgent)
+    return part1.withColumn("src", F.lit("building_no_open")).union(
+        part2.withColumn("src", F.lit("household_urgent"))
+    )
+
+
+SQL_EXCEPT_INTERSECT = """
+SELECT c, 'building_no_open' AS src FROM (
+  (SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT o_custkey AS c FROM orders)
+  EXCEPT
+  SELECT DISTINCT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT c, 'household_urgent' AS src FROM (
+  SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'HOUSEHOLD'
+  INTERSECT
+  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """
 
 
@@ -800,6 +888,9 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg3": q_moving_avg,
     "user_median_value": q_user_median,
     "salted_event_type_agg": q_salted_event_agg,
+    "events_sliding_30m": q_sliding_agg,
+    "session_window_agg": q_session_window,
+    "except_intersect": q_except_intersect,
     # LLM-data extensions
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -837,6 +928,9 @@ ORACLES: dict[str, str] = {
     "moving_avg3": SQL_MOVING_AVG,
     "user_median_value": SQL_USER_MEDIAN,
     "salted_event_type_agg": SQL_SALTED_EVENT_AGG,
+    "events_sliding_30m": SQL_SLIDING_AGG,
+    "session_window_agg": SQL_SESSION_WINDOW,
+    "except_intersect": SQL_EXCEPT_INTERSECT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
