@@ -27,10 +27,17 @@ BENCH_QUERIES = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "promo_revenue",
+    "order_priority_count",
     # windows / events
     "window_top_orders",
     "sessionize_events",
     "events_tumbling_hour",
+    "events_sliding_30m",
+    "session_window_agg",
+    "moving_avg3",
+    "user_median_value",
+    "salted_event_type_agg",
     # LLM-data extensions
     "dedup_exact",
     "text_stats",
@@ -38,6 +45,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "media_features",
 ]
 
 
@@ -61,6 +71,10 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
+        # operators persist intermediates (LSH signatures); drop them so
+        # queries are measured independently without cross-query cache
+        # pressure
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -66,6 +66,43 @@ def ann_cosine_topk(
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid components via posexplode → grouped exact mean.
+
+    The vector unrolls to (label, pos, component) rows; the mean per
+    (label, pos) uses the exact-decimal pattern (floats pass through
+    double → DECIMAL(28,12) — a deterministic rounding far below float
+    precision — so the sum is engine- and order-exact). At scale this is
+    one shuffle keyed (label, pos): perfectly uniform, dim-way parallel.
+    """
+    ex = _as_double(embeddings, "embedding", "ev").select(
+        "label", F.posexplode("ev").alias("pos0", "e")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("e").cast("decimal(28,12)")).cast("double") / F.count("*")
+            ).alias("centroid_val"),
+        )
+    )
+
+
+def vector_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector diagnostics: dimension, L2 norm, max |component| —
+    single-pass higher-order folds, no shuffle."""
+    df = _as_double(embeddings, "embedding", "ev")
+    sumsq = "aggregate(transform(ev, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    return df.select(
+        "vec_id",
+        "label",
+        F.size("ev").alias("dim"),
+        F.round(F.expr(f"sqrt({sumsq})"), 6).alias("l2_norm"),
+        F.round(F.expr("array_max(transform(ev, x -> abs(x)))"), 6).alias("max_abs"),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

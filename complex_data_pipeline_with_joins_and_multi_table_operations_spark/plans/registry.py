@@ -827,6 +827,36 @@ SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(Catalog(spark, sf_dir).embeddings)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, i AS pos, count(*) AS n,
+       CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS centroid_val
+FROM (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS e,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.vector_norms(Catalog(spark, sf_dir).embeddings)
+
+
+SQL_VECTOR_NORMS = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+FROM embeddings
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.media_features(Catalog(spark, sf_dir).documents)
     return feats.select("media_id", "media_type", "byte_len", "content_md5")
@@ -898,6 +928,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
+    "vector_norms": q_vector_norms,
     "media_features": q_media_features,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -937,6 +969,8 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "vector_norms": SQL_VECTOR_NORMS,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
