@@ -66,6 +66,81 @@ def top_n_per_group(
     )
 
 
+def asof_last_view_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join expressed as a window scan: for every purchase event,
+    the most recent prior 'view' event of the same user.
+
+    Spark has no native ASOF JOIN; the idiomatic composition sorts each
+    user's stream once and carries the last-seen view timestamp forward
+    with last(..., ignorenulls) — one shuffle on user_id, no self-join,
+    no range explosion. (The equivalent as-of self-join would be a range
+    join that Spark plans as a broadcast nested loop — quadratic per key.)
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    tagged = events.withColumn(
+        "last_view_us", F.last(view_ts, ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            "last_view_us",
+            ((F.col("ts_us") - F.col("last_view_us")) / F.lit(1_000_000.0)).alias(
+                "gap_seconds"
+            ),
+        )
+    )
+
+
+def quantity_range_join(lineitem: DataFrame, ranges: DataFrame) -> DataFrame:
+    """Range (theta) join: classify each lineitem row by a bucket table
+    with [lo, hi) bounds. The ranges side is tiny and broadcast, so the
+    non-equi predicate evaluates as a broadcast nested loop over a
+    handful of rows — the correct plan for dimension-sized range tables
+    (for large range tables: bucket both sides on a coarse grid first to
+    restore an equi prefix)."""
+    joined = lineitem.join(
+        F.broadcast(ranges),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        "left",
+    )
+    return joined.groupBy("bucket_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+def user_value_zscore(events: DataFrame) -> DataFrame:
+    """Per-user z-score of event values, engine-deterministic: mean and
+    variance derive from exact-decimal window sums (value and value² both
+    live on fixed grids), so every engine computes bit-identical doubles
+    before the final rounding."""
+    w = Window.partitionBy("user_id")
+    n = F.count("*").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    # value has 2 decimals → value² lives on the 1e-4 grid
+    ss = F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).over(w).cast(
+        "double"
+    )
+    mean = s / n
+    var = (ss - (s * s) / n) / (n - 1)
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(mean, 6).alias("user_mean"),
+        F.round(z, 6).alias("zscore"),
+    )
+
+
 def sliding_agg(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

@@ -623,6 +623,67 @@ SELECT c, 'household_urgent' AS src FROM (
 """
 
 
+def q_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.asof_last_view_before_purchase(Catalog(spark, sf_dir).events)
+
+
+SQL_ASOF_VIEW_PURCHASE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+t AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_view_us
+  FROM e
+)
+SELECT event_id, user_id, ts_us AS purchase_us, last_view_us,
+       (ts_us - last_view_us) / 1000000.0 AS gap_seconds
+FROM t WHERE event_type = 'purchase'
+"""
+
+QTY_RANGES = [(0.0, 10.0, "small"), (10.0, 30.0, "mid"), (30.0, 1000.0, "large")]
+
+
+def q_quantity_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranges = spark.createDataFrame(
+        QTY_RANGES, "lo double, hi double, bucket_name string"
+    )
+    return windows.quantity_range_join(Catalog(spark, sf_dir).lineitem, ranges)
+
+
+SQL_QUANTITY_RANGE_JOIN = """
+SELECT bucket_name, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+LEFT JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 30.0, 'mid'),
+                  (30.0, 1000.0, 'large')) r(lo, hi, bucket_name)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY bucket_name
+"""
+
+
+def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.user_value_zscore(Catalog(spark, sf_dir).events)
+
+
+SQL_USER_ZSCORE = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER u AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER u AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER u AS DOUBLE) AS ss
+  FROM events WINDOW u AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value,
+       round(s / n, 6) AS user_mean,
+       round(CASE WHEN (ss - (s * s) / n) / (n - 1) > 0
+             THEN (value - s / n) / sqrt((ss - (s * s) / n) / (n - 1))
+             ELSE 0.0 END, 6) AS zscore
+FROM w
+"""
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.moving_avg(Catalog(spark, sf_dir).events, frame_rows=3)
 
@@ -647,6 +708,17 @@ SELECT user_id, count(*) AS n_events,
        round(median(value), 3) AS median_value
 FROM events GROUP BY user_id
 """
+
+
+def q_user_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in exact percentile — the JVM fast path for the same result
+    as user_median_value's applyInPandas (UDFs are the slow path; this
+    pair demonstrates the ~10× difference in bench)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 3).alias("median_value"),
+    )
 
 
 def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,10 +989,14 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling_hour": q_events_tumbling,
     "moving_avg3": q_moving_avg,
     "user_median_value": q_user_median,
+    "user_median_builtin": q_user_median_builtin,
     "salted_event_type_agg": q_salted_event_agg,
     "events_sliding_30m": q_sliding_agg,
     "session_window_agg": q_session_window,
     "except_intersect": q_except_intersect,
+    "asof_view_purchase": q_asof_view_purchase,
+    "quantity_range_join": q_quantity_range_join,
+    "user_value_zscore": q_user_zscore,
     # LLM-data extensions
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -959,10 +1035,14 @@ ORACLES: dict[str, str] = {
     "events_tumbling_hour": SQL_EVENTS_TUMBLING,
     "moving_avg3": SQL_MOVING_AVG,
     "user_median_value": SQL_USER_MEDIAN,
+    "user_median_builtin": SQL_USER_MEDIAN,
     "salted_event_type_agg": SQL_SALTED_EVENT_AGG,
     "events_sliding_30m": SQL_SLIDING_AGG,
     "session_window_agg": SQL_SESSION_WINDOW,
     "except_intersect": SQL_EXCEPT_INTERSECT,
+    "asof_view_purchase": SQL_ASOF_VIEW_PURCHASE,
+    "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,
+    "user_value_zscore": SQL_USER_ZSCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
