@@ -38,8 +38,17 @@ BENCH_QUERIES = [
     "moving_avg3",
     "user_median_value",
     "salted_event_type_agg",
+    # multi-dimensional grouping + analytic subquery shapes
+    "rollup_revenue",
+    "returned_items",
+    "large_volume_orders",
+    "cheapest_supplier",
+    "quiet_customers",
     # LLM-data extensions
     "dedup_exact",
+    "bpe_token_counts",
+    "embedding_near_dup_lsh",
+    "ann_ivf_topk",
     "text_stats",
     "doc_fingerprint",
     "minhash_lsh_pairs",

@@ -294,3 +294,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "source", "jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: every (a, b) with
+    ``a.vec_id < b.vec_id`` and ``cosine(a, b) >= threshold``, plus the
+    pair's dedup-cluster representative (the lower id — the row a
+    keep-one-per-cluster pass would retain).
+
+    This is the oracle-checkable baseline: an all-pairs comparison
+    (O(n²·dim)); at corpus scale run :func:`embedding_near_dup_lsh`, which
+    generates the same survivors from band-bucket candidates instead of a
+    cross product. Cosine is rounded to 6 decimals BEFORE thresholding so
+    the boundary is engine-reproducible.
+    """
+    from .similarity import COS_EXPR, _as_double
+
+    df = _as_double(embeddings, "embedding", "v")
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("id_a").alias("keep_id"),
+            "cosine",
+        )
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed (the 100 TB path): candidate
+    pairs must share at least one random-hyperplane band; exact rounded
+    cosine then thresholds the candidates. Same output schema as
+    :func:`embedding_near_dup_pairs`; recall < 1 by design (pairs whose
+    signatures disagree in every band are never compared) — raise
+    ``n_bands`` (fewer bits per band) for higher recall. The only shuffle
+    is on (band_id, band_bits): linear in corpus size, never quadratic.
+    """
+    from .similarity import COS_EXPR, with_lsh_signature
+
+    rows = n_planes // n_bands
+    sig = with_lsh_signature(embeddings, n_planes=n_planes)
+    bands = sig.select(
+        "vec_id",
+        "ev",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band_id"),
+                        F.expr(
+                            f"(lsh_sig >> {bb * rows}) & {(1 << rows) - 1}"
+                        ).alias("band_bits"),
+                    )
+                    for bb in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("vec_id", "ev", "bd.band_id", "bd.band_bits")
+
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"), "band_id", "band_bits"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"), "band_id", "band_bits"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine")
+    )

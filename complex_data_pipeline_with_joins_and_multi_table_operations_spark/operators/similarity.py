@@ -103,6 +103,98 @@ def vector_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """Assemble the per-label centroid COMPONENTS of :func:`label_centroids`
+    back into dense vectors ``(cell_id, cvec)``.
+
+    collect_list is order-nondeterministic across partitionings, so the
+    components are collected as (pos, val) structs and array_sort'ed — the
+    struct sort on the leading pos field pins a total order. One shuffle on
+    label; output is n_labels rows (tiny, broadcastable by construction).
+    """
+    comps = label_centroids(embeddings)
+    return (
+        comps.groupBy(F.col("label").alias("cell_id"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, centroid_val))),"
+                " x -> x.centroid_val)"
+            ).alias("cvec")
+        )
+    )
+
+
+def _best_cells(
+    vectors: DataFrame, cells: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Rank IVF cells per vector by rounded cosine (ties → lower cell_id)
+    and keep the top ``n``. The centroid table is broadcast — the corpus
+    never shuffles for assignment."""
+    from pyspark.sql import Window
+
+    scored = (
+        vectors.join(F.broadcast(cells))
+        .withColumn(
+            "cell_cos",
+            F.round(F.expr(COS_EXPR.replace("cv", "cvec").replace("qv", vec_col)), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), "cell_id")
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n)
+        .drop("cvec", "cell_rank")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    cells around the per-label centroids; each query probes only its
+    ``nprobe`` closest cells and ranks exact cosine within them.
+
+    Scale path: assignment is a broadcast nested-loop against n_cells
+    centroids (linear in corpus, no shuffle); the candidate join shuffles
+    on cell_id only — search cost drops by ~n_cells/nprobe vs brute force.
+    Deterministic end-to-end (exact-decimal centroids, rounded cosines,
+    id tie-breaks), so it is oracle-checkable in SQL.
+    """
+    cells = centroid_vectors(embeddings)
+    corpus = _as_double(embeddings, "embedding", "cv_").select(
+        F.col("vec_id").alias("c_id"), F.col("cv_").alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    assigned = _best_cells(corpus, cells, "c_id", "cv", 1).select(
+        "c_id", "cv", "c_label", F.col("cell_id").alias("cell")
+    )
+
+    queries = _as_double(embeddings, "embedding", "qv_").select(
+        F.col("vec_id").alias("q_id"), F.col("qv_").alias("qv")
+    ).filter(F.col("q_id") < n_queries)
+    probes = _best_cells(queries, cells, "q_id", "qv", nprobe).select(
+        "q_id", "qv", F.col("cell_id").alias("cell")
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    scored = cand.withColumn("cosine", F.round(F.expr(COS_EXPR), 6)).select(
+        "q_id", "c_id", "c_label", "cosine"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "c_label", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

@@ -105,3 +105,31 @@ def doc_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
         fp.alias("fingerprint"),
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("full_hash"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit groups of <=3 (as modern BPE
+# vocabularies split numbers), and single non-alnum symbols. Restricted to
+# a regex subset that Java (Spark) and RE2 (DuckDB/oracle) treat
+# identically — no lookarounds, no \p classes.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Token accounting for pretraining-data budgeting: whitespace tokens,
+    BPE-ish pre-tokens (:data:`BPE_TOKEN_RE`), and chars-per-token — the
+    compression-rate proxy used to estimate token cost per document.
+    Single-pass projection, no shuffle; the regex runs in the JVM
+    (regexp_extract_all), not in Python."""
+    toks = tokens_col(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    n_bpe = F.size(bpe)
+    n_chars = F.length(F.col("text"))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, n_chars.cast("double") / n_bpe).otherwise(F.lit(0.0)), 4
+        ).alias("chars_per_token"),
+    )

@@ -944,9 +944,392 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# multi-dimensional grouping: ROLLUP / CUBE / GROUPING SETS / PIVOT
+# ---------------------------------------------------------------------------
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_REV_SQL = "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): detail rows + per-flag subtotals +
+    grand total in one pass (Catalyst expands to a single Expand+HashAggregate
+    — one shuffle, not three scans)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        aggregates.exact_sum(_rev(), 4).alias("revenue"),
+    )
+
+
+SQL_ROLLUP_REVENUE = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, {_REV_SQL} AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations in one
+    Expand+HashAggregate."""
+    o = Catalog(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        aggregates.exact_sum("o_totalprice", 2).alias("total_price"),
+    )
+
+
+SQL_CUBE_ORDER_COUNTS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, {_REV_SQL} AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry path (spark.sql over
+    registered views) — the exact text also runs on DuckDB as its own
+    oracle."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — explicit values keep
+    the plan single-pass (no extra distinct scan to discover columns) and
+    pin the output schema."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(aggregates.exact_sum(_rev(), 4))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("rev_f"),
+            F.col("O").alias("rev_o"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS_REVENUE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# analytic join/subquery shapes beyond the reference (TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer (TPC-H Q10 shape): selective
+    fact filter → two joins (customer/nation broadcast) → top-20. The
+    returnflag filter applies BEFORE the joins (pushed into the scan)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(aggregates.exact_sum(_rev(), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a grouped sum feeding a join (TPC-H Q18 shape): the
+    heavy groupBy runs on lineitem alone FIRST; only the few surviving
+    orderkeys join to orders/customer (both joins broadcast the small
+    filtered side at scale via AQE)."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17 shape): rows below 20% of
+    their part's average quantity. Decorrelated as agg-then-join — the
+    per-part averages are a second aggregate over the SAME lineitem scan,
+    joined back on l_partkey; the brand dim filter broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    brand_parts = cat.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = cat.lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (aggregates.exact_avg("l_quantity", 0) * 0.2).alias("qty_limit")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(aggregates.exact_sum("l_extendedprice", 2) / 7.0, 4).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+pa AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) / count(*) * 0.2 AS qty_limit
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_rows
+FROM li JOIN pa ON l_partkey = pk
+WHERE l_quantity < qty_limit
+"""
+
+
+def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated NOT EXISTS (TPC-H Q22 shape):
+    above-average-balance customers with no URGENT order, per segment.
+    The scalar average broadcasts (1 row); the NOT EXISTS is a left-anti
+    join against the filtered orders side."""
+    cat = Catalog(spark, sf_dir)
+    avg_bal = cat.customer.filter(F.col("c_acctbal") > 0).agg(
+        aggregates.exact_avg("c_acctbal", 2).alias("avg_bal")
+    )
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cat.customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            aggregates.exact_sum("c_acctbal", 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_QUIET_CUSTOMERS = """
+WITH ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 shape) as a rank-1 window:
+    unit price per (part, supplier) from lineitem, row_number over part
+    (price asc, suppkey tie-break), keep rank 1, broadcast-join the
+    supplier name. One shuffle on l_partkey."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    priced = cat.lineitem.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        priced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_name", "unit_price")
+        .orderBy("l_partkey")
+        .limit(100)
+    )
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 4) AS unit_price
+  FROM lineitem WHERE l_quantity > 0
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+  FROM priced
+)
+SELECT l_partkey, l_suppkey, s_name, unit_price
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY l_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data extensions round 2: token accounting, embedding near-dup, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_counts(Catalog(spark, sf_dir).documents)
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+SELECT doc_id, lang,
+       CAST(len({TOKS_SQL.format(src='text')}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS INTEGER)
+           AS n_bpe_tokens,
+       round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) > 0
+             THEN CAST(length(text) AS DOUBLE)
+                  / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+             ELSE 0.0 END, 4) AS chars_per_token
+FROM documents
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        Catalog(spark, sf_dir).embeddings, threshold=0.35
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.vec_id AS keep_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_topk(
+        Catalog(spark, sf_dir).embeddings, n_queries=5, k=10, nprobe=2
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT label, i AS pos,
+         CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS centroid_val
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+  GROUP BY label, i
+),
+cells AS (
+  SELECT label AS cell_id, list(centroid_val ORDER BY pos) AS cvec
+  FROM comp GROUP BY label
+),
+assign AS (
+  SELECT vec_id AS c_id, v AS cv, label AS c_label, cell_id AS cell
+  FROM (
+    SELECT e.*, cells.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, cells.cvec), 6) DESC,
+                        cells.cell_id) AS rn
+    FROM e, cells
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, cell_id AS cell
+  FROM (
+    SELECT e.*, cells.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, cells.cvec), 6) DESC,
+                        cells.cell_id) AS rn
+    FROM e, cells
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q_id, c_id, c_label, round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM assign JOIN probes USING (cell)
+  WHERE c_id <> q_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
 # rows-only checks from the driver.
 # ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_lsh(
+        Catalog(spark, sf_dir).embeddings, threshold=0.35
+    )
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(Catalog(spark, sf_dir).documents, threshold=0.3)
@@ -1007,10 +1390,26 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroids": q_label_centroids,
     "vector_norms": q_vector_norms,
     "media_features": q_media_features,
+    # multi-dimensional grouping
+    "rollup_revenue": q_rollup_revenue,
+    "cube_order_counts": q_cube_order_counts,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "pivot_status_revenue": q_pivot_status_revenue,
+    # analytic subquery/join shapes (TPC-H-style)
+    "returned_items": q_returned_items,
+    "large_volume_orders": q_large_volume_orders,
+    "small_qty_revenue": q_small_qty_revenue,
+    "quiet_customers": q_quiet_customers,
+    "cheapest_supplier": q_cheapest_supplier,
+    # LLM-data extensions round 2
+    "bpe_token_counts": q_bpe_token_counts,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1052,6 +1451,18 @@ ORACLES: dict[str, str] = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "vector_norms": SQL_VECTOR_NORMS,
     "media_features": SQL_MEDIA_FEATURES,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "cube_order_counts": SQL_CUBE_ORDER_COUNTS,
+    "grouping_sets_revenue": _GROUPING_SETS_SQL,
+    "pivot_status_revenue": SQL_PIVOT_STATUS_REVENUE,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "quiet_customers": SQL_QUIET_CUSTOMERS,
+    "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
 }
 
 

@@ -135,3 +135,75 @@ def test_tumbling_agg_window_alignment(cat):
     out = windows.tumbling_agg(cat.events, "1 hour")
     row = out.head()
     assert row.window_start.minute == 0 and row.window_start.second == 0
+
+
+# ---------------------------------------------------------------------------
+# round-2 extensions: embedding near-dup, IVF ANN, BPE token counts
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_near_dup_exact_finds_planted_pair(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.04, 0.0], 0),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], 1),      # orthogonal
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b, p.keep_id) == (1, 2, 1) and p.cosine > 0.99
+
+
+def test_embedding_lsh_is_subset_of_exact(cat):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(cat.embeddings, 0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_lsh(cat.embeddings, 0.35).collect()
+    }
+    # LSH candidates pass the same exact-cosine threshold -> precision 1.0;
+    # banding loses some pairs -> recall < 1 but must stay high
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_ann_ivf_structure_and_determinism(cat):
+    # recall vs brute force is intentionally low on near-random embeddings
+    # (nprobe=2 of ~n_label cells); cross-engine value parity is covered by
+    # the DuckDB oracle. Here: structural validity + determinism.
+    res = similarity.ann_ivf_topk(cat.embeddings, n_queries=5, k=10).collect()
+    brute = {
+        r.q_id: r.cosine
+        for r in similarity.ann_cosine_topk(cat.embeddings, n_queries=5, k=1).collect()
+    }
+    assert {r.q_id for r in res} == {0, 1, 2, 3, 4}
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # ranked descending, approximate never beats the exact optimum
+        assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))
+        assert rows[0].cosine <= brute[q]
+        assert all(r.c_id != q for r in rows)
+    again = similarity.ann_ivf_topk(cat.embeddings, n_queries=5, k=10).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_bpe_token_counts_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab, c7 1234 x", "en", "s", 13), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text.bpe_token_counts(docs).collect()}
+    # 'ab' ',' 'c' '7' '123' '4' 'x' -> 7 BPE-ish tokens, 4 ws tokens
+    assert out[1].n_bpe_tokens == 7
+    assert out[1].n_ws_tokens == 4
+    assert out[1].chars_per_token == round(13 / 7, 4)
+    assert out[2].n_bpe_tokens == 0 and out[2].chars_per_token == 0.0
