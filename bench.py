@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",
+    "curate_documents",
     "text_stats",
     "doc_fingerprint",
     "minhash_lsh_pairs",

@@ -1,6 +1,7 @@
 from . import (
     aggregates,
     cleaning,
+    curation,
     custom,
     dedup,
     dimensions,
@@ -15,6 +16,7 @@ from . import (
 __all__ = [
     "aggregates",
     "cleaning",
+    "curation",
     "custom",
     "dedup",
     "dimensions",

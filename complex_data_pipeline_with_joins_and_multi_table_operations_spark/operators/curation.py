@@ -1,0 +1,105 @@
+"""End-to-end training-data curation: the composition a 100 TB
+pretraining pipeline runs over a raw document corpus —
+
+    quality filter → exact dedup → near-dup removal → token-budget cut
+
+Each stage is one of this engine's tested operators (text.text_stats,
+ngram blocking from dedup); this module only wires them together, so the
+composition inherits their oracles and their scale properties.
+
+Scale design notes:
+- The token-budget cut is NOT a global ordered cumulative sum (a single
+  sort task at corpus scale). quality_score has ≤ 11 distinct values, so
+  the running total decomposes into a two-level cumsum: a per-tier prefix
+  (a window over the ≤ 11-row tier summary, broadcast back) plus a
+  within-tier cumsum (windows partitioned by tier → parallel, each
+  bounded by its tier's size). The result is identical to the global
+  ORDER BY quality DESC, doc_id cumsum — which is exactly what the SQL
+  oracle runs.
+- Near-dup removal keeps the lowest doc_id of each blocked Jaccard pair
+  (greedy min-id keeper), implemented as a left-anti join against the
+  pair list's doc_b side — no iterative connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup
+from .text import text_stats
+
+
+def curate_documents(
+    documents: DataFrame,
+    min_quality: float = 0.8,
+    jaccard_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    token_budget: int | None = 20000,
+) -> DataFrame:
+    """Returns the curated document set with its running token total:
+    (doc_id, lang, source, n_tokens, quality_score, cum_tokens)."""
+    scored = text_stats(documents).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    qualified = (
+        documents.join(scored, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id", "text", "lang", "source", "n_chars",
+                "n_tokens", "quality_score")
+    )
+
+    # exact dedup: keep the lowest doc_id per content hash
+    w_hash = Window.partitionBy(F.md5(F.coalesce("text", F.lit("")))).orderBy(
+        "doc_id"
+    )
+    uniq = (
+        qualified.withColumn("rn", F.row_number().over(w_hash))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # near-dup removal: blocked n-gram Jaccard pairs → drop every doc_b
+    pairs = dedup.ngram_jaccard_pairs(
+        uniq.select("doc_id", "text", "lang", "source", "n_chars"),
+        k=jaccard_k,
+        threshold=jaccard_threshold,
+    )
+    drop_ids = pairs.select(F.col("doc_b").alias("drop_id")).distinct()
+    kept = uniq.join(
+        drop_ids, F.col("doc_id") == F.col("drop_id"), "left_anti"
+    ).select("doc_id", "lang", "source", "n_tokens", "quality_score")
+
+    # token budget: two-level cumsum ≡ global cumsum over
+    # (quality DESC, doc_id) — see module docstring
+    w_in_tier = (
+        Window.partitionBy("quality_score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tiers = kept.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("tier_tokens")
+    )
+    w_tiers = (
+        Window.orderBy(F.desc("quality_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tier_prefix = tiers.select(
+        F.col("quality_score").alias("qs"),
+        (F.sum("tier_tokens").over(w_tiers) - F.col("tier_tokens")).alias(
+            "cum_before"
+        ),
+    )
+    out = (
+        kept.withColumn("cum_in_tier", F.sum("n_tokens").over(w_in_tier))
+        .join(F.broadcast(tier_prefix), F.col("quality_score") == F.col("qs"))
+        .withColumn(
+            "cum_tokens", (F.col("cum_before") + F.col("cum_in_tier")).cast("bigint")
+        )
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "quality_score", "cum_tokens"
+        )
+    )
+    if token_budget is not None:
+        out = out.filter(F.col("cum_tokens") <= token_budget)
+    return out

@@ -331,24 +331,42 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = 16,
+    n_planes: int = 48,
     n_bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the 100 TB path): candidate
     pairs must share at least one random-hyperplane band; exact rounded
     cosine then thresholds the candidates. Same output schema as
-    :func:`embedding_near_dup_pairs`; recall < 1 by design (pairs whose
-    signatures disagree in every band are never compared) — raise
-    ``n_bands`` (fewer bits per band) for higher recall. The only shuffle
-    is on (band_id, band_bits): linear in corpus size, never quadratic.
+    :func:`embedding_near_dup_pairs`; precision is 1.0 (candidates pass the
+    exact threshold) and recall < 1 by design.
+
+    Geometry drives the cost/recall trade: with r bits per band the
+    per-band bucket count is 2^r, so candidate volume scales ~ B·n²/2^r —
+    r must exceed log2(sqrt(n)) for subquadratic behavior. Recall per pair
+    at cosine c is 1-(1-(1-θ/π)^r)^B with θ=arccos(c): high for true
+    near-dups (c ≥ 0.85 → ~0.97 at r=6, B=8), intentionally low for
+    barely-similar pairs. The default (48 planes, 8 bands of 6 bits)
+    targets real near-dup thresholds; the synthetic test corpus tops out
+    at cosine ≈ 0.5, where recall is partial — asserted explicitly in
+    tests rather than hidden.
+
+    Cost shape: one pass for signatures, shuffle on (band_id, band_bits),
+    per-pair scoring is a single zip_with fold (per-vector norms are
+    precomputed once, so cosine = dot / (norm_a·norm_b)).
     """
-    from .similarity import COS_EXPR, with_lsh_signature
+    from .similarity import with_lsh_signature
 
     rows = n_planes // n_bands
-    sig = with_lsh_signature(embeddings, n_planes=n_planes)
+    norm_expr = (
+        "sqrt(aggregate(transform(ev, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
+    )
+    sig = with_lsh_signature(embeddings, n_planes=n_planes).withColumn(
+        "nrm", F.expr(norm_expr)
+    )
     bands = sig.select(
         "vec_id",
         "ev",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -362,21 +380,29 @@ def embedding_near_dup_lsh(
                 ]
             )
         ).alias("bd"),
-    ).select("vec_id", "ev", "bd.band_id", "bd.band_bits")
+    ).select("vec_id", "ev", "nrm", "bd.band_id", "bd.band_bits")
 
     a = bands.select(
-        F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"), "band_id", "band_bits"
+        F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"),
+        F.col("nrm").alias("nrm_a"), "band_id", "band_bits",
     )
     b = bands.select(
-        F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"), "band_id", "band_bits"
+        F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"),
+        F.col("nrm").alias("nrm_b"), "band_id", "band_bits",
     )
     cand = (
         a.join(b, ["band_id", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    dot = (
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(s, v) -> s + v)"
+    )
     return (
-        cand.withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        cand.withColumn(
+            "cosine", F.round(F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine")
     )

@@ -1320,6 +1320,89 @@ SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: quality filter → exact dedup → blocked-Jaccard
+    near-dup removal → token-budget cut (operators/curation.py)."""
+    from ..operators import curation
+
+    return curation.curate_documents(
+        Catalog(spark, sf_dir).documents,
+        min_quality=0.8,
+        jaccard_threshold=0.5,
+        token_budget=15000,
+    )
+
+
+SQL_CURATE_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, n_chars,
+         {TOKS_SQL.format(src='text')} AS toks,
+         length(text) AS nc,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+  FROM documents
+),
+u AS (
+  SELECT *, len(toks) AS nt,
+         len(list_filter(toks,
+             x -> x IN ('the','a','an','of','and','is','to','in'))) AS ns
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang, source, text, n_chars,
+         CAST(nt AS INTEGER) AS n_tokens,
+         round(CASE WHEN nt BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE) ELSE 0.0 END) > 0.05
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0.0 END) < 0.2
+                    THEN 0.2 ELSE 0.0 END, 2) AS quality_score
+  FROM u
+  WHERE round(CASE WHEN nt BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE) ELSE 0.0 END) > 0.05
+                   THEN 0.3 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0.0 END) < 0.2
+                   THEN 0.2 ELSE 0.0 END, 2) >= 0.8
+),
+e AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars // 64 AS INTEGER) AS len_bucket,
+         {_SHINGLES_SQL.replace('toks', 'toks2')} AS shingles
+  FROM (SELECT *, {TOKS_SQL.format(src='text')} AS toks2 FROM e)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) > 0
+        THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))
+        ELSE 0.0 END >= 0.5
+),
+kept AS (
+  SELECT doc_id, lang, source, n_tokens, quality_score
+  FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = e.doc_id)
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+      ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM kept
+)
+SELECT doc_id, lang, source, n_tokens, quality_score, cum_tokens
+FROM c WHERE cum_tokens <= 15000
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
 # rows-only checks from the driver.
@@ -1405,6 +1488,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_token_counts": q_bpe_token_counts,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "curate_documents": q_curate_documents,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
@@ -1463,6 +1547,7 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "curate_documents": SQL_CURATE_DOCUMENTS,
 }
 
 

@@ -166,10 +166,14 @@ def test_embedding_lsh_is_subset_of_exact(cat):
         (r.id_a, r.id_b)
         for r in dedup.embedding_near_dup_lsh(cat.embeddings, 0.35).collect()
     }
-    # LSH candidates pass the same exact-cosine threshold -> precision 1.0;
-    # banding loses some pairs -> recall < 1 but must stay high
+    # LSH candidates pass the same exact-cosine threshold -> precision 1.0.
+    # Recall is geometry-bound: 6-bit bands × 8 at cosine 0.35 predict
+    # 1-(1-(1-acos(.35)/pi)^6)^8 ≈ 0.36 (the synthetic corpus has no true
+    # near-dups; at real dedup thresholds ≥0.85 the same geometry gives
+    # ≥0.97). Deterministic seed -> the measured value is stable.
     assert lsh <= exact
-    assert len(lsh) >= 0.9 * len(exact)
+    assert len(lsh) >= 0.25 * len(exact)
+    assert len(lsh) > 0
 
 
 def test_ann_ivf_structure_and_determinism(cat):
@@ -207,3 +211,44 @@ def test_bpe_token_counts_semantics(spark):
     assert out[1].n_ws_tokens == 4
     assert out[1].chars_per_token == round(13 / 7, 4)
     assert out[2].n_bpe_tokens == 0 and out[2].chars_per_token == 0.0
+
+
+def test_curate_documents_stages(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        curation,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the old mill by the river bank every single day ")
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "web", len(good)),          # kept
+            (2, good, "en", "web", len(good)),          # exact dup of 1 -> dropped
+            # near-dup of 1 -> dropped (short tail keeps it in the same
+            # 64-char length bucket; cross-bucket pairs are out of scope
+            # for the blocked-Jaccard stage by design)
+            (3, good + "extra", "en", "web", len(good) + 5),
+            (4, "short low quality", "en", "web", 17),  # quality < 0.8 -> dropped
+            (5, "an entirely different story about the sea and the ships "
+                "that sail upon it through winter storms and summer calms",
+             "en", "web", 112),                         # kept
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curation.curate_documents(
+        docs, min_quality=0.8, jaccard_threshold=0.5, token_budget=None
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 5]
+    # cum_tokens is a valid running total over (quality desc, doc_id)
+    rows = sorted(out, key=lambda r: r.cum_tokens)
+    running = 0
+    for r in rows:
+        running += r.n_tokens
+        assert r.cum_tokens == running
+    # budget cuts deterministically at the boundary
+    first = rows[0]
+    budget_out = curation.curate_documents(
+        docs, min_quality=0.8, jaccard_threshold=0.5,
+        token_budget=first.cum_tokens,
+    ).collect()
+    assert [r.doc_id for r in budget_out] == [first.doc_id]
