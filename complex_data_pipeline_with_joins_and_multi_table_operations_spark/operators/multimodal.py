@@ -115,3 +115,94 @@ def media_features(documents: DataFrame) -> DataFrame:
     """End-to-end: documents → media table → mapInPandas features.
     byte_len/content_md5 are oracle-checkable against the source text."""
     return extract_features(documents_as_media(documents))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("thumbnail", BinaryType()),  # out_width*out_height*3 bytes
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Thumbnail/resize plumbing over image rows (mapInPandas).
+
+    A real deployment decodes via PIL/libvips inside the batch fn; this
+    container has no codecs, so the pixel step is a deterministic fake
+    (RGB bytes cycled from the content digest) while everything Spark-side
+    is real: image-only pushdown filter, Arrow batching, fixed-size binary
+    output column, executor-local decode memory (one batch at a time).
+    """
+
+    def _resize(batches):
+        # self-contained closure (workers don't share the driver sys.path)
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        n_px = width * height * 3
+        for pdf in batches:
+            thumbs = []
+            for c in pdf["content"]:
+                seed = _hashlib.md5(c if c is not None else b"").digest()
+                reps = n_px // len(seed) + 1
+                thumbs.append((seed * reps)[:n_px])
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "out_width": width,
+                    "out_height": height,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    imgs = media.filter(F.col("media_type") == "image")
+    return imgs.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_s", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_s: int = 10, max_frames: int = 5) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (1:N mapInPandas — the batch fn yields more rows than it consumes,
+    which is exactly how a real ffmpeg-backed sampler fans out).
+
+    Fake decode: frame count is derived from payload size (1 frame per
+    4 KiB, capped), frame digests from (content, frame_idx) — stable
+    across runs and engines.
+    """
+
+    def _sample(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame_md5": []}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                payload = c if c is not None else b""
+                n = min(len(payload) // 4096 + 1, max_frames)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_s"].append(i * every_s)
+                    out["frame_md5"].append(
+                        _hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.mapInPandas(_sample, schema=FRAME_SCHEMA)

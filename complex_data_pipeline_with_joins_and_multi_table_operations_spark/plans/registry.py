@@ -1320,6 +1320,28 @@ SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame sampling over video media rows (mapInPandas fan-out);
+    the frame schedule (count from payload size, timestamps) is oracle-
+    checked; frame digests are covered by unit tests."""
+    media = multimodal.documents_as_media(Catalog(spark, sf_dir).documents)
+    return multimodal.sample_frames(media, every_s=10, max_frames=5).select(
+        "media_id", "frame_idx", "frame_ts_s"
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS bl
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       CAST(unnest(range(least(bl // 4096 + 1, 5))) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(least(bl // 4096 + 1, 5))) * 10 AS INTEGER) AS frame_ts_s
+FROM v
+"""
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: quality filter → exact dedup → blocked-Jaccard
     near-dup removal → token-budget cut (operators/curation.py)."""
@@ -1489,6 +1511,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "curate_documents": q_curate_documents,
+    "video_frame_sample": q_video_frame_sample,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
@@ -1548,6 +1571,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "curate_documents": SQL_CURATE_DOCUMENTS,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
 }
 
 

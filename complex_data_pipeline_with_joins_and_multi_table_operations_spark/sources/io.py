@@ -47,6 +47,34 @@ def read_csv(spark: SparkSession, path: str, header: bool = True, infer: bool = 
     return spark.read.csv(path, header=header, inferSchema=infer)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Supply an explicit schema in production — schema
+    inference is a full extra pass over the data (per-file at 100 TB)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format; parquet remains the analytic
+    format — JSON carries no column statistics, so no pushdown)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source (pushdown + pruning parity with parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """Catalog table read (operator S2; reference DimensionJob.scala:29-31)."""
     return spark.table(name)

@@ -1,0 +1,128 @@
+"""Round-2 surface tests: streaming dedup, JSON/ORC io, multimodal
+resize/frame-sample, and physical-plan shape assertions for the new
+analytic queries."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    multimodal,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import io
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_removes_redelivered(spark, tmp_path):
+    # simulate at-least-once delivery: the same events file lands twice
+    src = f"{SF_DIR}/events.parquet"
+    dup_dir = tmp_path / "events_dup"
+    dup_dir.mkdir()
+    shutil.copy(src, dup_dir / "delivery1.parquet")
+    shutil.copy(src, dup_dir / "delivery2.parquet")
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        run_stream_dedup,
+    )
+
+    run_stream_dedup(
+        spark, str(dup_dir), str(tmp_path / "ckpt"), sink_table="dedup_test"
+    )
+    n_unique = io.load_events(spark, src).select("event_id").distinct().count()
+    assert spark.table("dedup_test").count() == n_unique
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "j")
+    io.write_json(df, path)
+    back = io.read_json(spark, path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "x", 30)], "id long, part string, v long"
+    )
+    path = str(tmp_path / "o")
+    io.write_orc(df, path, partition_cols=["part"])
+    back = io.read_orc(spark, path).select("id", "part", "v")
+    assert sorted((r.id, r.part, r.v) for r in back.collect()) == [
+        (1, "x", 10), (2, "y", 20), (3, "x", 30),
+    ]
+
+
+def test_resize_images_shape_and_determinism(cat):
+    media = multimodal.documents_as_media(cat.documents.limit(30))
+    out = multimodal.resize_images(media, width=8, height=8).collect()
+    n_images = len([r for r in media.collect() if r.media_type == "image"])
+    assert len(out) == n_images > 0
+    assert all(len(r.thumbnail) == 8 * 8 * 3 for r in out)
+    again = multimodal.resize_images(media, width=8, height=8).collect()
+    assert sorted(r.media_id for r in out) == sorted(r.media_id for r in again)
+
+
+def test_sample_frames_fanout(spark):
+    docs = spark.createDataFrame(
+        # doc_id % 3 == 2 -> video; 9000 bytes -> 3 frames
+        [(2, "x" * 9000, "en", "s", 9000), (5, "y" * 100, "en", "s", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, every_s=10).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[2]) == 3 and len(by_id[5]) == 1
+    assert [r.frame_ts_s for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [
+        0, 10, 20,
+    ]
+    # digests are content+index keyed: all distinct
+    assert len({r.frame_md5 for r in frames}) == len(frames)
+
+
+# ---------------------------------------------------------------------------
+# physical plan shape: the optimizations we claim must appear in the plan
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_returned_items_broadcasts_dims_and_pushes_filter(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    df = QUERIES["returned_items"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this scale
+    # the returnflag filter must reach the parquet scan
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_large_volume_orders_aggregates_before_join(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["large_volume_orders"](spark, SF_DIR))
+    # partial aggregation (map-side combine) must run below the shuffle
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_rollup_is_single_expand_not_multiple_scans(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["rollup_revenue"](spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
