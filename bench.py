@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "salted_event_type_agg",
     # multi-dimensional grouping + analytic subquery shapes
     "rollup_revenue",
+    "market_share",
+    "approx_event_stats",
     "returned_items",
     "large_volume_orders",
     "cheapest_supplier",

@@ -76,3 +76,21 @@ def global_minmax(df: DataFrame, col: str) -> DataFrame:
     """Global min/max aggregate (A1; reference DimensionJob.scala:63-66) —
     kept as a DataFrame, not .head(), so no driver round-trip."""
     return df.agg(F.min(col).alias("min_val"), F.max(col).alias("max_val"))
+
+
+def approx_event_stats(events: DataFrame) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path for cardinality and
+    quantiles: HyperLogLog++ (approx_count_distinct, rsd=1%) and the
+    Greenwald-Khanna quantile sketch (percentile_approx, accuracy 10000).
+    Both are single-pass, fixed-memory, and mergeable across partitions
+    (partial sketches combine in the map-side aggregate, so the shuffle
+    carries sketch bytes, not rows). Approximate by design → no SQL
+    oracle; error bounds vs exact are asserted in tests.
+    """
+    pa = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.element_at(pa, 1).alias("p50_value"),
+        F.element_at(pa, 2).alias("p95_value"),
+        F.count("*").alias("n_events"),
+    )

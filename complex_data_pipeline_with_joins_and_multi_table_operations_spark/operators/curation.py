@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup
-from .text import text_stats
+from .text import quality_cols
 
 
 def curate_documents(
@@ -39,11 +39,12 @@ def curate_documents(
 ) -> DataFrame:
     """Returns the curated document set with its running token total:
     (doc_id, lang, source, n_tokens, quality_score, cum_tokens)."""
-    scored = text_stats(documents).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    # quality inline on the scan (shared expressions with text_stats) —
+    # no documents⋈text_stats self-join, so the corpus is read ONCE
+    n_tokens, quality = quality_cols(F.col("text"))
     qualified = (
-        documents.join(scored, "doc_id")
+        documents.withColumn("n_tokens", n_tokens)
+        .withColumn("quality_score", quality)
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id", "text", "lang", "source", "n_chars",
                 "n_tokens", "quality_score")

@@ -31,6 +31,25 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+def quality_cols(text: Column) -> tuple[Column, Column]:
+    """(n_tokens, quality_score) as pure column expressions over ``text`` —
+    the single-scan building block shared by text_stats and the curation
+    pipeline (identical formulas, so both stay oracle-consistent)."""
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return n_tokens.cast("int"), F.round(quality, 2)
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document token count, length, punctuation ratio, stopword ratio,
     and a composite quality score (the length/punct/stopword heuristics a

@@ -1320,6 +1320,50 @@ SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share per year (TPC-H Q8 shape): conditional-sum
+    ratio inside one grouped aggregate — one shuffle on year, the nation
+    dim folded in via broadcast before aggregation."""
+    cat = Catalog(spark, sf_dir)
+    priced = (
+        cat.lineitem.join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    target = F.when(F.col("n_name") == "NATION_1", F.col("rev"))
+    return priced.groupBy("o_year").agg(
+        F.round(
+            F.coalesce(aggregates.exact_sum(target, 4), F.lit(0.0))
+            / aggregates.exact_sum("rev", 4),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(coalesce(CAST(sum(CASE WHEN n_name = 'NATION_1'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+             AS DOUBLE), 0.0)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+         6) AS mkt_share,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_year
+"""
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame sampling over video media rows (mapInPandas fan-out);
     the frame schedule (count from payload size, timestamps) is oracle-
@@ -1431,6 +1475,10 @@ FROM c WHERE cum_tokens <= 15000
 # ---------------------------------------------------------------------------
 
 
+def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.approx_event_stats(Catalog(spark, sf_dir).events)
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(
         Catalog(spark, sf_dir).embeddings, threshold=0.35
@@ -1512,11 +1560,13 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "curate_documents": q_curate_documents,
     "video_frame_sample": q_video_frame_sample,
+    "market_share": q_market_share,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "approx_event_stats": q_approx_event_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1572,6 +1622,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "curate_documents": SQL_CURATE_DOCUMENTS,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
+    "market_share": SQL_MARKET_SHARE,
 }
 
 

@@ -126,3 +126,38 @@ def test_rollup_is_single_expand_not_multiple_scans(spark):
     plan = _plan(QUERIES["rollup_revenue"](spark, SF_DIR))
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        aggregates,
+    )
+
+    ev = io.load_events(spark, f"{SF_DIR}/events.parquet")
+    approx = {r.event_type: r for r in aggregates.approx_event_stats(ev).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert a.n_events == e.n
+        # HLL++ rsd=1%: allow 5% slack
+        assert abs(a.approx_users - e.users) <= max(0.05 * e.users, 2)
+        # the GK sketch guarantees RANK error (±n/accuracy), and returns a
+        # real data value (no interpolation, unlike exact percentile()) —
+        # so assert the rank contract, not value closeness
+        for frac, got in ((0.5, a.p50_value), (0.95, a.p95_value)):
+            rank = ev.filter(
+                (F.col("event_type") == et) & (F.col("value") <= got)
+            ).count()
+            eps = e.n / 10000 + 1
+            assert frac * e.n - eps <= rank <= frac * e.n + eps
