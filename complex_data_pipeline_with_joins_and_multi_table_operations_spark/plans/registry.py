@@ -1364,6 +1364,98 @@ GROUP BY o_year
 """
 
 
+def q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-window family in one pass: ntile quartiles, dense_rank,
+    percent_rank, lag delta, and cumulative share over per-customer spend —
+    one shuffle on the (empty) partition key is avoided by ranking within
+    mktsegment (parallel across segments)."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    spend = cat.orders.groupBy("o_custkey").agg(
+        aggregates.exact_sum("o_totalprice", 2).alias("spend")
+    )
+    seg = spend.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("spend"), "o_custkey")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return seg.select(
+        "c_mktsegment",
+        "o_custkey",
+        "spend",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(
+            F.col("spend") - F.coalesce(F.lag("spend", 1).over(w), F.lit(0.0)), 2
+        ).alias("gap_to_prev"),
+        F.round(F.sum("spend").over(w_cum), 2).alias("cum_spend"),
+    )
+
+
+SQL_CUSTOMER_VALUE_QUARTILES = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, o_custkey, spend
+  FROM spend JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_custkey, spend,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(dense_rank() OVER w AS INTEGER) AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(spend - coalesce(lag(spend, 1) OVER w, 0.0), 2) AS gap_to_prev,
+       round(sum(spend) OVER (
+           PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM seg
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface in one projection: substring, split,
+    regexp_extract, lpad, replace, upper/lower, length, locate/strpos,
+    trim, concat_ws — all JVM builtins, no shuffle."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_number"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("int").alias("name_len"),
+        (F.instr("c_name", "#")).cast("int").alias("hash_pos"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+       substr(c_name, 1, 8) AS name_prefix,
+       str_split(c_name, '#')[2] AS name_number,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_mktsegment) AS seg_lower,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+       concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       trim('  x  ') AS trimmed
+FROM customer
+"""
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame sampling over video media rows (mapInPandas fan-out);
     the frame schedule (count from payload size, timestamps) is oracle-
@@ -1561,6 +1653,8 @@ QUERIES: dict[str, QueryFn] = {
     "curate_documents": q_curate_documents,
     "video_frame_sample": q_video_frame_sample,
     "market_share": q_market_share,
+    "customer_value_quartiles": q_customer_value_quartiles,
+    "string_functions": q_string_functions,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
@@ -1623,6 +1717,8 @@ ORACLES: dict[str, str] = {
     "curate_documents": SQL_CURATE_DOCUMENTS,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "market_share": SQL_MARKET_SHARE,
+    "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,
+    "string_functions": SQL_STRING_FUNCTIONS,
 }
 
 
