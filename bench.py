@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "returned_items",
     "large_volume_orders",
     "cheapest_supplier",
+    "sole_late_suppliers",
+    "trailing_hour_avg",
     "quiet_customers",
     # LLM-data extensions
     "dedup_exact",

@@ -1364,6 +1364,107 @@ GROUP BY o_year
 """
 
 
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS on the same relation (TPC-H Q21
+    shape): suppliers whose lineitem shipped late (> 60 days after the
+    order date) in a multi-supplier order where NO other supplier was
+    late. Both subqueries decorrelate to one semi- and one anti-join on
+    l_orderkey — the lineitem relation is scanned for each role but
+    filtered before each join, and the joins shuffle on orderkey only."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60)).alias(
+            "late"
+        ),
+    )
+    l1 = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"),
+        "late",
+    )
+    # EXISTS: another supplier in the same order
+    with_other = l1.join(
+        others.select("o_key", "o_supp").distinct(),
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    # NOT EXISTS: another supplier late in the same order
+    sole = with_other.join(
+        others.filter(F.col("late")),
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIERS = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+"""
+
+
+def q_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window (not ROWS): per-user trailing-1-hour event
+    average — rangeBetween over event-time seconds. The state per row is
+    bounded by the time range, not a row count; partitioned by user so
+    the window shuffles once on user_id."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    sec = F.col("ts_us").cast("double") / 1_000_000.0
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.avg("value").over(w), 4).alias("trailing_1h_avg"),
+        F.count("*").over(w).cast("int").alias("trailing_1h_n"),
+    )
+
+
+SQL_TRAILING_HOUR_AVG = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, user_id, ts_us,
+       round(avg(value) OVER w, 4) AS trailing_1h_avg,
+       CAST(count(*) OVER w AS INTEGER) AS trailing_1h_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us / 1000000.0
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ranking-window family in one pass: ntile quartiles, dense_rank,
     percent_rank, lag delta, and cumulative share over per-customer spend —
@@ -1654,6 +1755,8 @@ QUERIES: dict[str, QueryFn] = {
     "video_frame_sample": q_video_frame_sample,
     "market_share": q_market_share,
     "customer_value_quartiles": q_customer_value_quartiles,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "trailing_hour_avg": q_trailing_hour_avg,
     "string_functions": q_string_functions,
     # rows-only (hash-seeded LSH, not SQL-expressible)
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -1718,6 +1821,8 @@ ORACLES: dict[str, str] = {
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "market_share": SQL_MARKET_SHARE,
     "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,
+    "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
+    "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,
     "string_functions": SQL_STRING_FUNCTIONS,
 }
 

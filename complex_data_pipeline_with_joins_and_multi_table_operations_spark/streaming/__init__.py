@@ -1,9 +1,12 @@
 from .dedup import dedup_events_stream, run_stream_dedup
+from .enrich import enrich_events_stream, run_stream_enrich
 from .events import run_events_stream, streaming_tumbling_agg
 from .stateful import run_running_totals, running_user_totals
 
 __all__ = [
     "dedup_events_stream",
+    "enrich_events_stream",
+    "run_stream_enrich",
     "run_events_stream",
     "run_running_totals",
     "run_stream_dedup",

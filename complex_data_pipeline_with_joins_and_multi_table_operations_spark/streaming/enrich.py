@@ -1,0 +1,49 @@
+"""Stream-static enrichment: join a live event stream against a slowly
+changing dimension table — the standard "attach user/account attributes
+to the clickstream" shape.
+
+Stream-static joins need no watermark and keep no state: each micro-batch
+broadcast-hash-joins against the static side, which Spark re-plans per
+batch (so a dim refresh lands on the next trigger). At 100 TB/day the
+stream side never shuffles for this join as long as the dim broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .events import read_events_stream
+
+
+def enrich_events_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Left-join events to user attributes (unknown users pass through
+    with null attributes — an inner join would silently drop them)."""
+    dim = user_dim.select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_mktsegment").alias("user_segment"),
+        F.col("c_acctbal").alias("user_acctbal"),
+    )
+    return stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["user_key"], "left"
+    ).drop("user_key")
+
+
+def run_stream_enrich(
+    spark: SparkSession,
+    events_path: str,
+    user_dim: DataFrame,
+    checkpoint: str,
+    sink_table: str = "enrich_sink",
+) -> None:
+    stream = read_events_stream(spark, events_path)
+    q = (
+        enrich_events_stream(stream, user_dim)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -161,3 +161,33 @@ def test_approx_sketches_within_error_bounds(spark):
             ).count()
             eps = e.n / 10000 + 1
             assert frac * e.n - eps <= rank <= frac * e.n + eps
+
+
+def test_stream_static_enrich_matches_batch_join(spark, cat, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        run_stream_enrich,
+    )
+
+    src = f"{SF_DIR}/events.parquet"
+    run_stream_enrich(
+        spark, src, cat.customer, str(tmp_path / "ckpt_enr"), sink_table="enrich_test"
+    )
+    streamed = spark.table("enrich_test")
+    ev = io.load_events(spark, src)
+    batch = ev.join(
+        cat.customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        ),
+        "user_id",
+        "left",
+    )
+    assert streamed.count() == ev.count() == batch.count()
+    s_seg = {
+        (r.user_id, r.user_segment)
+        for r in streamed.select("user_id", "user_segment").distinct().collect()
+    }
+    b_seg = {
+        (r.user_id, r.c_mktsegment)
+        for r in batch.select("user_id", "c_mktsegment").distinct().collect()
+    }
+    assert s_seg == b_seg
