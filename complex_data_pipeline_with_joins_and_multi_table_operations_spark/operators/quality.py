@@ -46,3 +46,34 @@ def quality_counts(
             (F.col("missing_a") + F.col("missing_b") + F.col("invalid_range")) == 0
         ).alias("passed"),
     )
+
+
+def observed_quality(
+    df: DataFrame,
+    null_col_a: str = "supp_nation",
+    null_col_b: str = "cust_nation",
+    range_col: str = "quantity",
+    range_lo: float = 0.0,
+    range_hi: float = 1000.0,
+):
+    """Attach the DQ counters to the DataFrame as an Observation: the
+    metrics are collected DURING whatever action consumes ``df`` (e.g.
+    the table write) — zero extra scans, unlike the reference's separate
+    count jobs (SURVEY.md §4.3.1: every logging count() re-ran the plan).
+
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER an action has run. At 100 TB this is the
+    difference between validating for free and re-reading the table.
+    """
+    from pyspark.sql import Observation
+
+    a, b, r = F.col(null_col_a), F.col(null_col_b), F.col(range_col)
+    obs = Observation("dq")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(a.isNull(), 1)).alias("missing_a"),
+        F.count(F.when(b.isNull(), 1)).alias("missing_b"),
+        F.count(F.when((r <= range_lo) | (r >= range_hi), 1)).alias("invalid_range"),
+    )
+    return observed, obs

@@ -23,10 +23,13 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# cosine(qv, cv). nullif-guarded denominator: a zero vector yields NULL
+# (cosine undefined) instead of an ANSI DIVIDE_BY_ZERO error — NULL then
+# fails any >= threshold filter, which is the semantics we want.
 COS_EXPR = (
     "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) "
-    "/ (sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) "
-    " * sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)))"
+    "/ nullif(sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) "
+    " * sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)), 0.0)"
 )
 
 

@@ -89,3 +89,88 @@ def test_sessionize_against_python_model(spark, raw):
             model[(user, sid)] = model.get((user, sid), 0) + 1
             prev = ts_sec
     assert got == model
+
+
+# simple word-soup documents: enough structure for tokenization/quality
+_words = st.sampled_from(
+    ["the", "quick", "fox", "and", "of", "runs", "data", "spark", "a", "is"]
+)
+_doc_text = st.lists(_words, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=12), st.integers(1, 4))
+def test_curation_budget_is_prefix_closed(spark, texts, parts):
+    """Shrinking the token budget must select a PREFIX of the bigger
+    budget's selection (in cum_tokens order) — the property that lets a
+    budget sweep reuse one ranking. Also: cum_tokens is a valid running
+    total under any input partitioning."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(parts)
+    # sort in the cumsum's own order (quality desc, doc_id) — sorting by
+    # cum_tokens is ambiguous when 0-token docs tie
+    full = sorted(
+        curation.curate_documents(
+            docs, min_quality=0.0, jaccard_threshold=1.1, token_budget=None
+        ).collect(),
+        key=lambda r: (-r.quality_score, r.doc_id),
+    )
+    running = 0
+    for r in full:
+        running += r.n_tokens
+        assert r.cum_tokens == running
+    if not full:
+        return
+    cut = full[len(full) // 2].cum_tokens
+    small = curation.curate_documents(
+        docs, min_quality=0.0, jaccard_threshold=1.1, token_budget=int(cut)
+    ).collect()
+    assert sorted(r.doc_id for r in small) == sorted(
+        r.doc_id for r in full if r.cum_tokens <= cut
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1.0, 1.0, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=10,
+    ),
+    st.floats(0.1, 0.9),
+)
+def test_embedding_near_dup_matches_numpy(spark, vecs, threshold):
+    """Exact near-dup pairs must agree with a NumPy reference on rounded
+    cosine (ignoring zero vectors, whose cosine is undefined)."""
+    import numpy as np
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    norms = np.linalg.norm(arr, axis=1)
+    keep = norms > 1e-9
+    expected = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if keep[i] and keep[j]:
+                c = round(float(arr[i] @ arr[j] / (norms[i] * norms[j])), 6)
+                if c >= threshold:
+                    expected.add((i, j))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold).collect()
+        if keep[r.id_a] and keep[r.id_b]
+    }
+    assert got == expected

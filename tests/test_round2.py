@@ -191,3 +191,23 @@ def test_stream_static_enrich_matches_batch_join(spark, cat, tmp_path):
         for r in batch.select("user_id", "c_mktsegment").distinct().collect()
     }
     assert s_seg == b_seg
+
+
+def test_observed_quality_piggybacks_on_single_action(spark, cat, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        fact as fact_mod,
+        quality,
+    )
+
+    f = fact_mod.build_fact(
+        cat.lineitem, cat.orders, cat.customer, cat.supplier, cat.nation
+    )
+    observed, obs = quality.observed_quality(f)
+    # ONE action (the write); metrics ride along with it
+    observed.write.mode("overwrite").parquet(str(tmp_path / "fact_out"))
+    m = obs.get
+    direct = quality.quality_counts(f).head()
+    assert m["total_rows"] == direct.total_rows
+    assert m["missing_a"] == direct.missing_a
+    assert m["missing_b"] == direct.missing_b
+    assert m["invalid_range"] == direct.invalid_range
