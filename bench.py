@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "cheapest_supplier",
     "sole_late_suppliers",
     "trailing_hour_avg",
+    "event_funnel",
     "quiet_customers",
     # LLM-data extensions
     "dedup_exact",

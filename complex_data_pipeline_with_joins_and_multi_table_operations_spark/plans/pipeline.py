@@ -164,6 +164,17 @@ def stage_quality(wh: Warehouse) -> dict:
     return row.asDict()
 
 
+def stage_curate(wh: Warehouse, cat: Catalog) -> int:
+    """Training-data curation stage (extension): quality filter → exact
+    dedup → near-dup removal → token budget over the documents corpus,
+    written as its own warehouse table for downstream training jobs."""
+    from ..operators import curation
+
+    curated = curation.curate_documents(cat.documents)
+    wh.write(curated, "curated_docs")
+    return wh.read("curated_docs").count()
+
+
 def run_pipeline(
     spark: SparkSession, sf_dir: str, warehouse_dir: str, partition_daily: bool = False
 ) -> dict:
@@ -176,6 +187,7 @@ def run_pipeline(
     out["fact_rows"] = stage_fact(wh, cat, partition_daily)
     out["aggregates"] = stage_aggregates(wh)
     out["quality"] = stage_quality(wh)
+    out["curated_rows"] = stage_curate(wh, cat)
     return out
 
 
@@ -185,6 +197,7 @@ STAGES = {
     "fact": lambda wh, cat, daily: stage_fact(wh, cat, daily),
     "aggregates": lambda wh, cat, daily: stage_aggregates(wh),
     "quality": lambda wh, cat, daily: stage_quality(wh),
+    "curate": lambda wh, cat, daily: stage_curate(wh, cat),
 }
 
 

@@ -1364,6 +1364,76 @@ GROUP BY o_year
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each step's
+    earliest qualifying timestamp must FOLLOW the previous step's. One
+    conditional min-aggregate per user (single shuffle on user_id) — the
+    step ordering is resolved with min(CASE WHEN ...) chains, not joins."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts_us")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin("view", "click", "purchase"),
+                F.struct("ts_us", "event_type"),
+            )
+        ).alias("steps"),
+    )
+    # earliest click AFTER the first view; earliest purchase AFTER that
+    t_click = (
+        "array_min(transform(filter(steps, s -> s.event_type = 'click' "
+        "AND t_view IS NOT NULL AND s.ts_us > t_view), s -> s.ts_us))"
+    )
+    t_purchase = (
+        "array_min(transform(filter(steps, s -> s.event_type = 'purchase' "
+        "AND t_click IS NOT NULL AND s.ts_us > t_click), s -> s.ts_us))"
+    )
+    staged = (
+        per_user.withColumn("t_click", F.expr(t_click))
+        .withColumn("t_purchase", F.expr(t_purchase))
+    )
+    return staged.agg(
+        F.count(F.col("t_view")).alias("n_viewed"),
+        F.count(F.col("t_click")).alias("n_clicked_after_view"),
+        F.count(F.col("t_purchase")).alias("n_purchased_after_click"),
+        F.round(
+            F.count(F.col("t_purchase")).cast("double")
+            / F.nullif(F.count(F.col("t_view")), F.lit(0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+  FROM e GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+  GROUP BY e.user_id
+)
+SELECT count(t_view) AS n_viewed,
+       count(t_click) AS n_clicked_after_view,
+       count(t_purchase) AS n_purchased_after_click,
+       round(CAST(count(t_purchase) AS DOUBLE) / nullif(count(t_view), 0), 6)
+           AS view_to_purchase_rate
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + NOT EXISTS on the same relation (TPC-H Q21
     shape): suppliers whose lineitem shipped late (> 60 days after the
@@ -1756,6 +1826,7 @@ QUERIES: dict[str, QueryFn] = {
     "market_share": q_market_share,
     "customer_value_quartiles": q_customer_value_quartiles,
     "sole_late_suppliers": q_sole_late_suppliers,
+    "event_funnel": q_event_funnel,
     "trailing_hour_avg": q_trailing_hour_avg,
     "string_functions": q_string_functions,
     # rows-only (hash-seeded LSH, not SQL-expressible)
@@ -1822,6 +1893,7 @@ ORACLES: dict[str, str] = {
     "market_share": SQL_MARKET_SHARE,
     "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,
     "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
+    "event_funnel": SQL_EVENT_FUNNEL,
     "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,
     "string_functions": SQL_STRING_FUNCTIONS,
 }

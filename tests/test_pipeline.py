@@ -32,6 +32,8 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     # synthetic data is FK-consistent → all joins resolve → DQ passes
     assert result["quality"]["passed"] is True
     assert result["quality"]["missing_a"] == 0
+    # curation stage writes a non-empty curated_docs table within budget
+    assert 0 < result["curated_rows"] <= 500
 
 
 def test_pipeline_stage_guard(spark, tmp_path):
