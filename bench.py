@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "sole_late_suppliers",
     "trailing_hour_avg",
     "event_funnel",
+    "priority_shipping",
+    "disjunctive_revenue",
+    "important_parts",
     "quiet_customers",
     # LLM-data extensions
     "dedup_exact",

@@ -1364,6 +1364,114 @@ GROUP BY o_year
 """
 
 
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional CASE-counts inside a grouped agg (TPC-H Q12 shape):
+    high/low-priority order counts per linestatus for late-shipped rows.
+    The date-range predicate pushes to the lineitem scan."""
+    cat = Catalog(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_SHIPPING = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+           AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjunctions join predicate (TPC-H Q19 shape): three brand ×
+    quantity-band alternatives. Catalyst extracts the common l_partkey
+    equi-key for the join and keeps the disjunction as a post-join filter;
+    the quantity bounds (common to all branches) still push to the scan."""
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        aggregates.exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sum vs global-fraction threshold (TPC-H Q11 shape): parts
+    whose revenue exceeds 0.07% of total revenue. The global total is a
+    1-row broadcast cross join — no second pass over the grouped data."""
+    cat = Catalog(spark, sf_dir)
+    rev = cat.lineitem.select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    per_part = rev.groupBy("l_partkey").agg(
+        aggregates.exact_sum("rev", 4).alias("part_rev")
+    )
+    total = rev.agg((aggregates.exact_sum("rev", 4) * 0.0007).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("threshold"))
+        .select("l_partkey", "part_rev")
+        .orderBy(F.desc("part_rev"), "l_partkey")
+        .limit(100)
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH rev AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev FROM lineitem
+),
+pp AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
+  FROM rev GROUP BY l_partkey
+),
+t AS (
+  SELECT CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) * 0.0007 AS threshold
+  FROM rev
+)
+SELECT l_partkey, part_rev
+FROM pp, t
+WHERE part_rev > threshold
+ORDER BY part_rev DESC, l_partkey
+LIMIT 100
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: each step's
     earliest qualifying timestamp must FOLLOW the previous step's. One
@@ -1452,24 +1560,19 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    l1 = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l1")
-    others = li.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"),
-        "late",
+    # set-algebra decorrelation: for a LATE row, EXISTS(other supplier)
+    # ⇔ the order has ≥2 distinct suppliers, and NOT EXISTS(other late
+    # supplier) ⇔ the order's late-supplier set is exactly {this one}.
+    # One distinct-aggregate per orderkey replaces BOTH self-joins — the
+    # relation is scanned once, shuffled once on orderkey.
+    stats = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
     )
-    # EXISTS: another supplier in the same order
-    with_other = l1.join(
-        others.select("o_key", "o_supp").distinct(),
-        (F.col("l_orderkey") == F.col("o_key"))
-        & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_semi",
-    )
-    # NOT EXISTS: another supplier late in the same order
-    sole = with_other.join(
-        others.filter(F.col("late")),
-        (F.col("l_orderkey") == F.col("o_key"))
-        & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_anti",
+    sole = (
+        li.filter(F.col("late"))
+        .join(stats, F.col("l_orderkey") == F.col("o_key"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
         sole.join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1827,6 +1930,9 @@ QUERIES: dict[str, QueryFn] = {
     "customer_value_quartiles": q_customer_value_quartiles,
     "sole_late_suppliers": q_sole_late_suppliers,
     "event_funnel": q_event_funnel,
+    "priority_shipping": q_priority_shipping,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "important_parts": q_important_parts,
     "trailing_hour_avg": q_trailing_hour_avg,
     "string_functions": q_string_functions,
     # rows-only (hash-seeded LSH, not SQL-expressible)
@@ -1894,6 +2000,9 @@ ORACLES: dict[str, str] = {
     "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,
     "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "priority_shipping": SQL_PRIORITY_SHIPPING,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "important_parts": SQL_IMPORTANT_PARTS,
     "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,
     "string_functions": SQL_STRING_FUNCTIONS,
 }
