@@ -178,3 +178,30 @@ class Catalog:
         return os.path.exists(os.path.join(self.sf_dir, f"{name}.parquet")) or (
             self.spark.catalog.tableExists(name)
         )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_mb``. Streaming sinks and per-partition appends leave
+    thousands of KB-sized files; at 100 TB that degrades scan planning
+    (footer reads) and shuffle locality. Sizing uses the directory's
+    on-disk bytes — no data collect; the rewrite is one repartition pass
+    through a temp dir (atomic-enough rename; a table format would make
+    the swap transactional). Returns the new file count."""
+    import math
+    import shutil
+    import tempfile
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -211,3 +211,16 @@ def test_observed_quality_piggybacks_on_single_action(spark, cat, tmp_path):
     assert m["missing_a"] == direct.missing_a
     assert m["missing_b"] == direct.missing_b
     assert m["invalid_range"] == direct.invalid_range
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    n = io.compact_parquet(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 64 and n == 1 and after == 1
+    assert spark.read.parquet(path).count() == 10000
