@@ -1,0 +1,71 @@
+"""Plan audit: dump `explain formatted` for the headline queries and
+grep-able one-line verdicts for the plan properties the engine claims
+(pushdown, broadcast joins, partial aggregation, top-k without sort).
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HEADLINE = [
+    "star_fact",
+    "agg_pair_daily",
+    "top_pairs",
+    "returned_items",
+    "rollup_revenue",
+    "sole_late_suppliers",
+    "important_parts",
+    "curate_documents",
+    "embedding_near_dup_lsh",
+    "ann_ivf_topk",
+]
+
+CLAIMS = {
+    "star_fact": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    "top_pairs": [("TakeOrderedAndProject", True)],
+    "returned_items": [("BroadcastHashJoin", True), ("EqualTo(l_returnflag,R)", True)],
+    "rollup_revenue": [("Expand", True)],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or HEADLINE
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark import (
+        get_spark,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"# Plan audit @ {sf_dir}\n")
+    failures = 0
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+        )
+        print(f"## {name}\n")
+        for claim, expected in CLAIMS.get(name, []):
+            present = claim in plan
+            ok = present == expected
+            failures += not ok
+            verdict = "ok" if ok else "VIOLATED"
+            want = "present" if expected else "absent"
+            print(f"- claim `{claim}` {want}: **{verdict}**")
+        print("\n```\n" + plan.strip() + "\n```\n")
+    spark.stop()
+    print(f"\n_{failures} claim violations_\n", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
