@@ -1364,6 +1364,44 @@ GROUP BY o_year
 """
 
 
+def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth-value frame semantics per user: the first, last, and
+    second event in each user's timeline — one ordered window with an
+    explicit full-partition frame (last_value over the default frame is a
+    classic wrong-answer trap; the frame here is pinned)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id", "ts_us")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        F.count("*").over(w).cast("int").alias("n_events"),
+    ).distinct()
+    return out
+
+
+SQL_USER_FIRST_LAST = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT DISTINCT user_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id) OVER w AS last_event,
+       nth_value(event_id, 2) OVER w AS second_event,
+       CAST(count(*) OVER w AS INTEGER) AS n_events
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional CASE-counts inside a grouped agg (TPC-H Q12 shape):
     high/low-priority order counts per linestatus for late-shipped rows.
@@ -1931,6 +1969,7 @@ QUERIES: dict[str, QueryFn] = {
     "sole_late_suppliers": q_sole_late_suppliers,
     "event_funnel": q_event_funnel,
     "priority_shipping": q_priority_shipping,
+    "user_first_last": q_user_first_last,
     "disjunctive_revenue": q_disjunctive_revenue,
     "important_parts": q_important_parts,
     "trailing_hour_avg": q_trailing_hour_avg,
@@ -2001,6 +2040,7 @@ ORACLES: dict[str, str] = {
     "sole_late_suppliers": SQL_SOLE_LATE_SUPPLIERS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "priority_shipping": SQL_PRIORITY_SHIPPING,
+    "user_first_last": SQL_USER_FIRST_LAST,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "important_parts": SQL_IMPORTANT_PARTS,
     "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,

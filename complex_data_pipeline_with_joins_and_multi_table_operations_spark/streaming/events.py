@@ -106,3 +106,35 @@ def run_events_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint: str,
+) -> None:
+    """Drain the stream into partitioned parquet via foreachBatch — the
+    production sink pattern: each micro-batch is written with its batch id
+    available for idempotent re-processing (a retried batch overwrites its
+    own output instead of duplicating it). Structured Streaming's
+    checkpoint + deterministic batch contents give end-to-end
+    exactly-once for this sink."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    stream = read_events_stream(spark, events_path)
+    q = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

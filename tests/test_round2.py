@@ -224,3 +224,20 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert before == 64 and n == 1 and after == 1
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_foreach_batch_sink_is_idempotent_per_batch(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.events import (
+        run_stream_to_parquet,
+    )
+
+    src = f"{SF_DIR}/events.parquet"
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt_fb")
+    run_stream_to_parquet(spark, src, out, ckpt)
+    n_src = io.load_events(spark, src).count()
+    written = spark.read.parquet(out)
+    assert written.count() == n_src
+    # re-running with the same checkpoint is a no-op (no new batches)
+    run_stream_to_parquet(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
