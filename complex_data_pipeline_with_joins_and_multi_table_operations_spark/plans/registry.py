@@ -1468,9 +1468,12 @@ WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
 
 
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-sum vs global-fraction threshold (TPC-H Q11 shape): parts
-    whose revenue exceeds 0.07% of total revenue. The global total is a
-    1-row broadcast cross join — no second pass over the grouped data."""
+    """Group-sum vs global-aggregate threshold (TPC-H Q11 shape): parts
+    whose revenue exceeds 1.5x the mean per-part revenue — scale-factor
+    adaptive, unlike an absolute fraction. The 1-row threshold broadcasts
+    as a cross join; the per-part aggregate is computed ONCE and reused
+    for both the threshold and the filter (self-referential reuse of one
+    shuffle output)."""
     cat = Catalog(spark, sf_dir)
     rev = cat.lineitem.select(
         "l_partkey",
@@ -1479,7 +1482,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = rev.groupBy("l_partkey").agg(
         aggregates.exact_sum("rev", 4).alias("part_rev")
     )
-    total = rev.agg((aggregates.exact_sum("rev", 4) * 0.0007).alias("threshold"))
+    # exact-decimal mean (order-independent across engines/partitionings)
+    total = per_part.agg(
+        (aggregates.exact_avg("part_rev", 4) * 1.5).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_rev") > F.col("threshold"))
@@ -1499,8 +1505,9 @@ pp AS (
   FROM rev GROUP BY l_partkey
 ),
 t AS (
-  SELECT CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) * 0.0007 AS threshold
-  FROM rev
+  SELECT CAST(sum(CAST(part_rev AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1.5
+             AS threshold
+  FROM pp
 )
 SELECT l_partkey, part_rev
 FROM pp, t

@@ -138,3 +138,62 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_view_purchase_join(
+    views: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a preceding view by
+    the same user within ``within``. Both sides are watermarked so the
+    join state (buffered unmatched rows) is bounded — Spark drops a
+    buffered view once the purchase-side watermark passes view_ts +
+    within. The time-bound predicate is REQUIRED for streaming (an
+    unbounded condition would mean infinite state retention).
+    """
+    v = (
+        views.withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint: str,
+    sink_table: str = "ssj_sink",
+    within: str = "1 hour",
+) -> None:
+    views = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream_stream_view_purchase_join(views, purchases, within)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

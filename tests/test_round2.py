@@ -241,3 +241,40 @@ def test_foreach_batch_sink_is_idempotent_per_batch(spark, tmp_path):
     # re-running with the same checkpoint is a no-op (no new batches)
     run_stream_to_parquet(spark, src, out, ckpt)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.events import (
+        run_stream_stream_join,
+    )
+
+    src = f"{SF_DIR}/events.parquet"
+    run_stream_stream_join(
+        spark, src, str(tmp_path / "ckpt_ssj"), sink_table="ssj_test", within="1 hour"
+    )
+    streamed = spark.table("ssj_test")
+    ev = io.load_events(spark, src)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), "ts_us"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts_us") > F.col("ts_us"))
+        & (F.col("p_ts_us") <= F.col("ts_us") + 3_600_000_000),
+    )
+    assert streamed.count() == batch.count() > 0
+    s_pairs = {
+        (r.view_id, r.purchase_id)
+        for r in streamed.select("view_id", "purchase_id").collect()
+    }
+    b_pairs = {
+        (r.view_id, r.purchase_id)
+        for r in batch.select("view_id", "purchase_id").collect()
+    }
+    assert s_pairs == b_pairs
