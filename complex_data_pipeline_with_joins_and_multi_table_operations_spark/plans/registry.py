@@ -1797,6 +1797,40 @@ FROM v
 """
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over embedding near-dup pairs (iterative
+    min-label propagation, operators/dedup.resolve_clusters). The oracle
+    computes the same components with a recursive transitive-closure CTE
+    — tractable at oracle scale, quadratic in cluster size at corpus
+    scale (which is why the engine side iterates instead)."""
+    pairs = dedup.embedding_near_dup_pairs(
+        Catalog(spark, sf_dir).embeddings, threshold=0.35
+    )
+    return dedup.resolve_clusters(pairs)
+
+
+SQL_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS member_id,
+       least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: quality filter → exact dedup → blocked-Jaccard
     near-dup removal → token-budget cut (operators/curation.py)."""
@@ -1970,6 +2004,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "curate_documents": q_curate_documents,
+    "near_dup_clusters": q_near_dup_clusters,
     "video_frame_sample": q_video_frame_sample,
     "market_share": q_market_share,
     "customer_value_quartiles": q_customer_value_quartiles,
@@ -2041,6 +2076,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "curate_documents": SQL_CURATE_DOCUMENTS,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "market_share": SQL_MARKET_SHARE,
     "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,

@@ -278,3 +278,40 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
         for r in batch.select("view_id", "purchase_id").collect()
     }
     assert s_pairs == b_pairs
+
+
+def test_resolve_clusters_transitive_chain(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    # chain 1-2-3-4 (never compared 1~4), separate pair 10-11, and a star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.member_id: r.cluster_id
+        for r in dedup.resolve_clusters(pairs).collect()
+    }
+    assert {k: out[k] for k in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == out[23] == 20
+
+
+def test_resolve_clusters_on_real_near_dups(cat):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    pairs = dedup.embedding_near_dup_pairs(cat.embeddings, threshold=0.35)
+    clusters = dedup.resolve_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.member_id)
+    # every cluster id is its own smallest member
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    # every paired node appears in exactly one cluster
+    n_nodes = len({r.member_id for r in clusters})
+    assert sum(len(m) for m in by_cluster.values()) == n_nodes
