@@ -206,3 +206,49 @@ def sample_frames(media: DataFrame, every_s: int = 10, max_frames: int = 5) -> D
 
     vids = media.filter(F.col("media_type") == "video")
     return vids.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_s", IntegerType()),
+        StructField("end_s", IntegerType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def audio_chunks(media: DataFrame, chunk_s: int = 30, max_chunks: int = 4) -> DataFrame:
+    """Fixed-window audio chunking for ASR-style pipelines: audio rows
+    fan out 1:N into ``chunk_s``-second segments (duration faked from
+    payload size at a nominal 16 kB/s; a real build decodes headers).
+    Same mapInPandas fan-out shape as video frame sampling — one Arrow
+    batch in, N rows out, no driver involvement."""
+
+    def _chunk(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "chunk_idx": [], "start_s": [], "end_s": [],
+                "chunk_md5": [],
+            }
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                payload = c if c is not None else b""
+                dur = len(payload) // 16000 + 1
+                n = min((dur + chunk_s - 1) // chunk_s, max_chunks)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["start_s"].append(i * chunk_s)
+                    out["end_s"].append(min((i + 1) * chunk_s, dur))
+                    out["chunk_md5"].append(
+                        _hashlib.md5(payload + b"|" + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    auds = media.filter(F.col("media_type") == "audio")
+    return auds.mapInPandas(_chunk, schema=CHUNK_SCHEMA)

@@ -1364,6 +1364,68 @@ GROUP BY o_year
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): revenue between supplier
+    and customer nations per year, for one nation pair in either
+    direction. The nation dim joins twice under different roles (the
+    reference's role-playing-dimension pattern at a bigger scale) and
+    both roles broadcast."""
+    cat = Catalog(spark, sf_dir)
+    supp_nat = cat.supplier.join(
+        F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("s_suppkey").alias("sk"), F.col("n_name").alias("supp_nat"))
+    cust_nat = (
+        cat.customer.join(
+            F.broadcast(cat.nation.select(
+                F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nat")
+            )),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .select(F.col("c_custkey").alias("ck"), "cust_nat")
+    )
+    pair = (
+        (F.col("supp_nat") == "NATION_2") & (F.col("cust_nat") == "NATION_5")
+    ) | ((F.col("supp_nat") == "NATION_5") & (F.col("cust_nat") == "NATION_2"))
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("sk"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nat", "cust_nat", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            aggregates.exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+WITH sn AS (
+  SELECT s_suppkey AS sk, n_name AS supp_nat
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+cn AS (
+  SELECT c_custkey AS ck, n_name AS cust_nat
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT supp_nat, cust_nat, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS volume,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN sn ON l_suppkey = sk
+JOIN cn ON o_custkey = ck
+WHERE (supp_nat = 'NATION_2' AND cust_nat = 'NATION_5')
+   OR (supp_nat = 'NATION_5' AND cust_nat = 'NATION_2')
+GROUP BY supp_nat, cust_nat, o_year
+"""
+
+
 def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth-value frame semantics per user: the first, last, and
     second event in each user's timeline — one ordered window with an
@@ -2012,6 +2074,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "priority_shipping": q_priority_shipping,
     "user_first_last": q_user_first_last,
+    "nation_trade_volume": q_nation_trade_volume,
     "disjunctive_revenue": q_disjunctive_revenue,
     "important_parts": q_important_parts,
     "trailing_hour_avg": q_trailing_hour_avg,
@@ -2084,6 +2147,7 @@ ORACLES: dict[str, str] = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "priority_shipping": SQL_PRIORITY_SHIPPING,
     "user_first_last": SQL_USER_FIRST_LAST,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "important_parts": SQL_IMPORTANT_PARTS,
     "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,

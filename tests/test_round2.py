@@ -315,3 +315,21 @@ def test_resolve_clusters_on_real_near_dups(cat):
     # every paired node appears in exactly one cluster
     n_nodes = len({r.member_id for r in clusters})
     assert sum(len(m) for m in by_cluster.values()) == n_nodes
+
+
+def test_audio_chunks_fanout_and_bounds(spark):
+    docs = spark.createDataFrame(
+        # doc_id % 3 == 1 -> audio; 800000 bytes -> 51s -> 2 chunks of 30s
+        [(1, "a" * 800000, "en", "s", 800000), (4, "b" * 100, "en", "s", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.documents_as_media(docs)
+    chunks = multimodal.audio_chunks(media, chunk_s=30).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2 and len(by_id[4]) == 1
+    c0, c1 = sorted(by_id[1], key=lambda r: r.chunk_idx)
+    assert (c0.start_s, c0.end_s) == (0, 30)
+    assert (c1.start_s, c1.end_s) == (30, 51)
+    assert len({r.chunk_md5 for r in chunks}) == len(chunks)
