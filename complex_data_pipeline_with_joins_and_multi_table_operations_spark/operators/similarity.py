@@ -279,3 +279,51 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "c_label", "cosine", "rank")
     )
+
+
+def ann_cosine_topk_pandas(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k with the scoring in a vectorized pandas
+    UDF instead of the JVM fold — the Arrow path that wins for WIDE
+    vectors (dim ≳ 512: one numpy matmul per batch beats a per-element
+    lambda fold; at dim=64 the JVM fold wins by skipping Arrow
+    round-trips — both shipped so the choice is a one-line swap).
+    Identical output contract to :func:`ann_cosine_topk` (rounded cosine,
+    id tie-breaks), asserted equal in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(qv, cv):
+        # self-contained: imports inside, no module globals
+        import numpy as np
+        import pandas as pd
+
+        q = np.stack(qv.to_numpy())
+        c = np.stack(cv.to_numpy())
+        dots = np.einsum("ij,ij->i", q, c)
+        denom = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dots / denom, np.nan)
+        return pd.Series(out).round(6)
+
+    corpus = _as_double(embeddings, "embedding", "cv").select(
+        F.col("vec_id").alias("c_id"), "cv", F.col("label").alias("c_label")
+    )
+    queries = _as_double(embeddings, "embedding", "qv").select(
+        F.col("vec_id").alias("q_id"), "qv"
+    ).filter(F.col("q_id") < n_queries)
+
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", _cos(F.col("qv"), F.col("cv")))
+        .select("q_id", "c_id", "c_label", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "c_label", "cosine", "rank")
+    )

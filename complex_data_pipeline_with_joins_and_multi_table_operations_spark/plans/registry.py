@@ -899,6 +899,14 @@ SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
 """
 
 
+def q_ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-path twin of ann_cosine_topk (vectorized pandas-UDF scoring);
+    shares its oracle — identical output contract."""
+    return similarity.ann_cosine_topk_pandas(
+        Catalog(spark, sf_dir).embeddings, n_queries=5, k=10
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(Catalog(spark, sf_dir).embeddings)
 
@@ -2047,6 +2055,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "label_centroids": q_label_centroids,
     "vector_norms": q_vector_norms,
     "media_features": q_media_features,
@@ -2123,6 +2132,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_cosine_topk_pandas": SQL_ANN_COSINE_TOPK,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "vector_norms": SQL_VECTOR_NORMS,
     "media_features": SQL_MEDIA_FEATURES,

@@ -333,3 +333,13 @@ def test_audio_chunks_fanout_and_bounds(spark):
     assert (c0.start_s, c0.end_s) == (0, 30)
     assert (c1.start_s, c1.end_s) == (30, 51)
     assert len({r.chunk_md5 for r in chunks}) == len(chunks)
+
+
+def test_pandas_cosine_twin_equals_jvm_fold(cat):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    jvm = similarity.ann_cosine_topk(cat.embeddings, n_queries=3, k=5).collect()
+    arrow = similarity.ann_cosine_topk_pandas(cat.embeddings, n_queries=3, k=5).collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, arrow))
