@@ -343,3 +343,18 @@ def test_pandas_cosine_twin_equals_jvm_fold(cat):
     jvm = similarity.ann_cosine_topk(cat.embeddings, n_queries=3, k=5).collect()
     arrow = similarity.ann_cosine_topk_pandas(cat.embeddings, n_queries=3, k=5).collect()
     assert sorted(map(tuple, jvm)) == sorted(map(tuple, arrow))
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 3, float(i)) for i in range(300)], "id long, year int, v double"
+    )
+    path = str(tmp_path / "pt")
+    df.write.partitionBy("year").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("year") == 2021)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the year predicate must prune at the PARTITION level, not post-scan
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "year" in seg
+    assert scan.count() == 100
