@@ -1241,6 +1241,32 @@ LIMIT 100
 # ---------------------------------------------------------------------------
 
 
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) + LATERAL join: 1:N token-window chunking
+    with multi-column output (operators/udtfs.py)."""
+    from ..operators import udtfs
+
+    return udtfs.chunk_tokens(Catalog(spark, sf_dir).documents, chunk_size=32)
+
+
+SQL_CHUNK_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, CAST((len(toks) + 31) // 32 AS INTEGER) AS n_chunks FROM t
+)
+SELECT doc_id,
+       CAST(unnest(range(1, n_chunks + 1)) AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks,
+           unnest(range(0, n_chunks)) * 32 + 1,
+           unnest(range(1, n_chunks + 1)) * 32), ' ') AS chunk_text,
+       CAST(least(len(toks) - unnest(range(0, n_chunks)) * 32, 32) AS INTEGER)
+           AS n_tokens
+FROM n
+"""
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(Catalog(spark, sf_dir).documents)
 
@@ -2072,6 +2098,7 @@ QUERIES: dict[str, QueryFn] = {
     "cheapest_supplier": q_cheapest_supplier,
     # LLM-data extensions round 2
     "bpe_token_counts": q_bpe_token_counts,
+    "chunk_tokens": q_chunk_tokens,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "curate_documents": q_curate_documents,
@@ -2146,6 +2173,7 @@ ORACLES: dict[str, str] = {
     "quiet_customers": SQL_QUIET_CUSTOMERS,
     "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "chunk_tokens": SQL_CHUNK_TOKENS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "curate_documents": SQL_CURATE_DOCUMENTS,

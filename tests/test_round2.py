@@ -358,3 +358,23 @@ def test_warehouse_partition_pruning(spark, tmp_path):
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "year" in seg
     assert scan.count() == 100
+
+
+def test_udtf_chunk_tokens_fanout(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        udtfs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70)), "en", "s", 0),
+         (2, "only three words", "en", "s", 0),
+         (3, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = udtfs.chunk_tokens(docs, chunk_size=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [32, 32, 6]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    assert 3 not in by_doc  # null text yields no chunks
