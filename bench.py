@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "ann_ivf_topk",
     "curate_documents",
+    "chunk_tokens",
     "text_stats",
     "doc_fingerprint",
     "minhash_lsh_pairs",

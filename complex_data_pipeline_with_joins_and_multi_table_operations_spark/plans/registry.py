@@ -1927,6 +1927,49 @@ FROM reach GROUP BY a
 """
 
 
+def q_kept_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materialization: the corpus MINUS every near-dup cluster's
+    non-representative members — i.e. what a dedup pass actually keeps.
+    Cluster membership comes from connected components; the keep rule is
+    min-id per cluster; survivors = anti-join against the drop list."""
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.35)
+    clusters = dedup.resolve_clusters(pairs)
+    drops = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias("drop_id")
+    )
+    return (
+        emb.join(drops, F.col("vec_id") == F.col("drop_id"), "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+SQL_KEPT_VECTORS = """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+clusters AS (
+  SELECT a AS member_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT vec_id, label
+FROM embeddings
+WHERE NOT EXISTS (SELECT 1 FROM clusters
+                  WHERE member_id = vec_id AND member_id <> cluster_id)
+"""
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: quality filter → exact dedup → blocked-Jaccard
     near-dup removal → token-budget cut (operators/curation.py)."""
@@ -2103,6 +2146,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "curate_documents": q_curate_documents,
     "near_dup_clusters": q_near_dup_clusters,
+    "kept_vectors": q_kept_vectors,
     "video_frame_sample": q_video_frame_sample,
     "market_share": q_market_share,
     "customer_value_quartiles": q_customer_value_quartiles,
@@ -2178,6 +2222,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "curate_documents": SQL_CURATE_DOCUMENTS,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "kept_vectors": SQL_KEPT_VECTORS,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "market_share": SQL_MARKET_SHARE,
     "customer_value_quartiles": SQL_CUSTOMER_VALUE_QUARTILES,
