@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "session_window_agg",
     "moving_avg3",
     "user_median_value",
+    "user_median_builtin",
     "salted_event_type_agg",
     # multi-dimensional grouping + analytic subquery shapes
     "rollup_revenue",

@@ -378,3 +378,14 @@ def test_udtf_chunk_tokens_fanout(spark):
     assert [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [32, 32, 6]
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
     assert 3 not in by_doc  # null text yields no chunks
+
+
+def test_event_funnel_is_monotone(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    row = QUERIES["event_funnel"](spark, SF_DIR).head()
+    assert row.n_viewed >= row.n_clicked_after_view >= row.n_purchased_after_click >= 0
+    if row.n_viewed:
+        assert 0.0 <= row.view_to_purchase_rate <= 1.0
