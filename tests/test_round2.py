@@ -389,3 +389,25 @@ def test_event_funnel_is_monotone(spark):
     assert row.n_viewed >= row.n_clicked_after_view >= row.n_purchased_after_click >= 0
     if row.n_viewed:
         assert 0.0 <= row.view_to_purchase_rate <= 1.0
+
+
+def test_reference_zone_lookup_csv_parity(spark):
+    """S4 parity against the REFERENCE'S actual lookup file (reference
+    data/taxi-zone-lookup.csv, declared at README.md:50): 265 zones,
+    LocationID int-typed, both boroughs of the reference's when-chain
+    bucketing present."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/data/taxi-zone-lookup.csv"
+    if not os.path.exists(path):
+        _pytest.skip("reference checkout not present")
+    df = io.read_csv(spark, path)
+    assert df.columns == ["LocationID", "Borough", "Zone"]
+    assert dict(df.dtypes)["LocationID"] == "int"
+    n = df.count()
+    assert n == 265
+    assert df.filter(F.col("LocationID").isNull()).count() == 0
+    boroughs = {r.Borough for r in df.select("Borough").distinct().collect()}
+    assert {"Manhattan", "Brooklyn"} <= boroughs
