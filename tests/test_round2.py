@@ -411,3 +411,29 @@ def test_reference_zone_lookup_csv_parity(spark):
     assert df.filter(F.col("LocationID").isNull()).count() == 0
     boroughs = {r.Borough for r in df.select("Borough").distinct().collect()}
     assert {"Manhattan", "Brooklyn"} <= boroughs
+
+
+def test_pipeline_cli_single_stage(tmp_path):
+    """The per-stage CLI is the reference's per-job spark-submit parity
+    surface (SURVEY §3.4) — run one stage in a fresh subprocess the way
+    an orchestrator would."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline",
+            "--sf-dir", SF_DIR,
+            "--warehouse", str(tmp_path / "wh_cli"),
+            "--stage", "ingest",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "6000" in proc.stdout.splitlines()[-1]
