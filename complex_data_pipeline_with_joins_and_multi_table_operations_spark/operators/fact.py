@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import is_weekend
 from .dimensions import build_date_dim
 
 
@@ -27,6 +28,7 @@ def build_fact(
     supplier: DataFrame,
     nation: DataFrame,
     date_dim: DataFrame | None = None,
+    derive_calendar_inline: bool = False,
 ) -> DataFrame:
     """Denormalized fact: lineitem enriched with both nation roles and the
     date dimension.
@@ -38,8 +40,18 @@ def build_fact(
       J3: fact ← date dim on the date key, left-outer equi
     Filters are applied before the joins (FactJob.scala:47-54) — Catalyst
     would push them anyway, but the explicit order keeps plans readable.
+
+    ``derive_calendar_inline=True`` computes the calendar attributes as
+    direct functions of ship_date instead of joining the date-dim spine.
+    Provably identical output (the spine is built from this column's own
+    min..max, so the left join always matches), but it removes a whole
+    lineitem scan (the spine's min/max aggregate) and a broadcast join
+    from the plan — the fast path for ad-hoc fact queries. The join form
+    remains the default for reference parity (J3) and for pipelines
+    whose date dim carries non-derivable attributes (holidays, fiscal
+    calendars).
     """
-    if date_dim is None:
+    if date_dim is None and not derive_calendar_inline:
         date_dim = build_date_dim(lineitem, "l_shipdate")
 
     li = (
@@ -85,25 +97,37 @@ def build_fact(
         )
     )
 
-    fact = (
-        li.join(supp_side, li["l_suppkey"] == supp_side["s_suppkey"], "left")
-        .join(cust_side, li["l_orderkey"] == cust_side["o_orderkey"], "left")
-        .join(
+    fact = li.join(
+        supp_side, li["l_suppkey"] == supp_side["s_suppkey"], "left"
+    ).join(cust_side, li["l_orderkey"] == cust_side["o_orderkey"], "left")
+
+    if derive_calendar_inline:
+        cal = [
+            F.year("ship_date").alias("year"),
+            F.quarter("ship_date").alias("quarter"),
+            F.month("ship_date").alias("month"),
+            F.dayofweek("ship_date").alias("day_of_week"),
+            is_weekend(F.col("ship_date")).alias("is_weekend"),
+        ]
+    else:
+        fact = fact.join(
             F.broadcast(date_dim.alias("dd")),
             li["ship_date"] == F.col("dd.date_key"),
             "left",
         )
-    )
+        cal = [
+            F.col("dd.year").alias("year"),
+            F.col("dd.quarter").alias("quarter"),
+            F.col("dd.month").alias("month"),
+            F.col("dd.day_of_week").alias("day_of_week"),
+            F.col("dd.is_weekend").alias("is_weekend"),
+        ]
 
     return fact.select(
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
         F.col("ship_date"),
-        F.col("dd.year").alias("year"),
-        F.col("dd.quarter").alias("quarter"),
-        F.col("dd.month").alias("month"),
-        F.col("dd.day_of_week").alias("day_of_week"),
-        F.col("dd.is_weekend").alias("is_weekend"),
+        *cal,
         F.col("l_quantity").alias("quantity"),
         F.col("l_extendedprice").alias("extendedprice"),
         F.col("l_discount").alias("discount"),

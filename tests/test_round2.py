@@ -437,3 +437,24 @@ def test_pipeline_cli_single_stage(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "6000" in proc.stdout.splitlines()[-1]
+
+
+def test_fact_inline_calendar_equals_date_dim_join(cat):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        fact as fact_mod,
+    )
+
+    joined = fact_mod.build_fact(
+        cat.lineitem, cat.orders, cat.customer, cat.supplier, cat.nation
+    )
+    inline = fact_mod.build_fact(
+        cat.lineitem, cat.orders, cat.customer, cat.supplier, cat.nation,
+        derive_calendar_inline=True,
+    )
+    assert joined.schema == inline.schema
+    assert joined.exceptAll(inline).count() == 0
+    assert inline.exceptAll(joined).count() == 0
+    # and the fast path's plan really dropped a join
+    pj = joined._jdf.queryExecution().executedPlan().toString()
+    pi = inline._jdf.queryExecution().executedPlan().toString()
+    assert pi.count("BroadcastHashJoin") == pj.count("BroadcastHashJoin") - 1
