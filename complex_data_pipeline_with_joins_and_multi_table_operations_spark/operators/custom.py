@@ -87,3 +87,37 @@ def salted_event_type_agg(events: DataFrame, n_salts: int = SALT_BUCKETS) -> Dat
         F.min("pmin").alias("min_value"),
         F.max("pmax").alias("max_value"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-safe equi-join: a hot key on the LEFT (fact) side would send
+    its entire partition to one reducer in a plain SortMergeJoin. Salting
+    splits each left key into ``n_salts`` sub-keys (deterministic hash of
+    the whole row, so re-runs are stable) and replicates each RIGHT row
+    ``n_salts`` times — the shuffle then spreads a hot key over n_salts
+    reducers at the cost of an n_salts× right-side blowup (use for
+    right sides that are too big to broadcast but far smaller than the
+    fact; AQE's skew-join handles the moderate cases without any of
+    this).
+
+    Semantics: plain inner equi-join (asserted equal in tests). Output
+    drops the salt columns and the duplicate right key.
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["_salt"] == salted_right["_salt"]),
+    )
+    return out.drop("_salt").drop(salted_right[right_key])

@@ -108,11 +108,20 @@ def overwrite_partitions(df: DataFrame, name: str, partition_cols: list[str]) ->
     if not spark.catalog.tableExists(name):
         overwrite_table(df, name, partition_cols)
         return
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .insertInto(name)
-    )
+    # insertInto matches columns BY POSITION, and a partitioned table
+    # physically stores its partition columns last — reorder to the
+    # table's own schema so callers can pass any column order
+    table_cols = spark.table(name).columns
+    # the DataFrameWriter partitionOverwriteMode option is not honored on
+    # the catalog insertInto path in Spark 4 — set the session conf for
+    # the duration of the write (restored after)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        df.select(*table_cols).write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:

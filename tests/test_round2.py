@@ -458,3 +458,51 @@ def test_fact_inline_calendar_equals_date_dim_join(cat):
     pj = joined._jdf.queryExecution().executedPlan().toString()
     pi = inline._jdf.queryExecution().executedPlan().toString()
     assert pi.count("BroadcastHashJoin") == pj.count("BroadcastHashJoin") - 1
+
+
+def test_salted_join_equals_plain_join(spark, cat):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        custom,
+    )
+
+    ev = io.load_events(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    users = cat.customer.select(
+        F.col("c_custkey").alias("u_key"), "c_mktsegment"
+    )
+    salted = custom.salted_join(ev, users, "user_id", "u_key", n_salts=4)
+    plain = ev.join(users, ev["user_id"] == users["u_key"]).drop("u_key")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    cols = sorted(salted.columns)
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+def test_incremental_partition_refresh_equals_full_recompute(spark, tmp_path):
+    """The incremental-ETL contract: when one day's data is restated,
+    dynamic-partition overwrite of JUST that day's aggregate equals a full
+    recompute — no other partition is touched (their files keep their
+    original content)."""
+    wh = str(tmp_path / "incr")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS incr_db LOCATION '{wh}'")
+    days = [(d, i, float(i * 10)) for d in ("2024-01-01", "2024-01-02") for i in range(5)]
+    src = spark.createDataFrame(days, "day string, id int, v double")
+
+    def daily_agg(df):
+        return df.groupBy("day").agg(
+            F.sum("v").alias("total"), F.count("*").alias("n")
+        )
+
+    io.overwrite_table(daily_agg(src), "incr_db.daily", ["day"])
+
+    # restate day 2 (one row dropped) and refresh only that partition
+    src2 = src.filter(~((F.col("day") == "2024-01-02") & (F.col("id") == 4)))
+    restated = daily_agg(src2.filter(F.col("day") == "2024-01-02"))
+    io.overwrite_partitions(restated, "incr_db.daily", ["day"])
+
+    got = {r.day: (r.total, r.n) for r in spark.table("incr_db.daily").collect()}
+    want = {r.day: (r.total, r.n) for r in daily_agg(src2).collect()}
+    assert got == want
+    spark.sql("DROP DATABASE incr_db CASCADE")
