@@ -506,3 +506,36 @@ def test_incremental_partition_refresh_equals_full_recompute(spark, tmp_path):
     want = {r.day: (r.total, r.n) for r in daily_agg(src2).collect()}
     assert got == want
     spark.sql("DROP DATABASE incr_db CASCADE")
+
+
+def test_rollup_subtotals_are_internally_consistent(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    rows = QUERIES["rollup_revenue"](spark, SF_DIR).collect()
+    detail = [r for r in rows if r.l_returnflag is not None and r.l_linestatus is not None]
+    flag_subtotals = {
+        r.l_returnflag: r
+        for r in rows
+        if r.l_returnflag is not None and r.l_linestatus is None
+    }
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n_rows == sum(r.n_rows for r in detail)
+    for flag, sub in flag_subtotals.items():
+        mine = [r for r in detail if r.l_returnflag == flag]
+        assert sub.n_rows == sum(r.n_rows for r in mine)
+        # exact-decimal sums: subtotal equals the sum of its details exactly
+        assert abs(sub.revenue - sum(r.revenue for r in mine)) < 1e-6
+
+
+def test_entry_contract_stable(spark):
+    import __spark_entry__ as e
+
+    a = e.entry(spark)
+    b = e.entry(spark)
+    assert a.schema == b.schema
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) > 0
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
