@@ -98,19 +98,29 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: a hot key on the LEFT (fact) side would send
     its entire partition to one reducer in a plain SortMergeJoin. Salting
-    splits each left key into ``n_salts`` sub-keys (deterministic hash of
-    the whole row, so re-runs are stable) and replicates each RIGHT row
-    ``n_salts`` times — the shuffle then spreads a hot key over n_salts
-    reducers at the cost of an n_salts× right-side blowup (use for
-    right sides that are too big to broadcast but far smaller than the
-    fact; AQE's skew-join handles the moderate cases without any of
+    splits each left key into ``n_salts`` sub-keys and replicates each
+    RIGHT row ``n_salts`` times — the shuffle then spreads a hot key over
+    n_salts reducers at the cost of an n_salts× right-side blowup (use
+    for right sides that are too big to broadcast but far smaller than
+    the fact; AQE's skew-join handles the moderate cases without any of
     this).
+
+    The salt carries a per-row unique component (partition id + row id),
+    NOT a hash of the row's values: value-hash salting silently collapses
+    back to one reducer exactly when the hot key's rows are identical
+    (the classic boilerplate-duplicate corpus). The join OUTPUT is salt-
+    independent — every salt value matches the same replicated right row
+    — so nondeterminism in row ids never reaches the result.
 
     Semantics: plain inner equi-join (asserted equal in tests). Output
     drops the salt columns and the duplicate right key.
     """
     salted_left = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

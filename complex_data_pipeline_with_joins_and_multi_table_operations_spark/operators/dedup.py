@@ -35,7 +35,16 @@ def _parallelize_input(df: DataFrame) -> DataFrame:
     to the compute it unlocks); inputs that already have enough
     partitions pass through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() reads the file index off the already-analyzed scan —
+    # no physical planning and no RDD materialization (df.rdd.getNumPartitions
+    # would force both just to read a count). Non-file relations (in-memory
+    # test frames, views over joins) report 0 files and take the repartition:
+    # for those the extra narrow shuffle is cheap insurance.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -250,13 +259,23 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.2
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """Exact token-shingle Jaccard over blocked candidate pairs.
 
     Blocking key = (lang, source, length bucket): deterministic, SQL-
     expressible (this one has a DuckDB oracle), and keeps the pair count
-    linear-ish. The full-corpus near-dup path is minhash_lsh_pairs.
+    linear-ish. The in-block join is O(block²), so ``max_block_size``
+    hard-caps it: blocks larger than the cap are excluded from exact
+    pairing (same policy as the LSH bucket caps — one boilerplate-heavy
+    (lang, source, length) tier of a web corpus would otherwise be a
+    disguised cross join). The cap predicate is a plain block-count
+    filter, so the DuckDB oracle expresses it too. Oversized blocks
+    belong to :func:`minhash_lsh_pairs`, whose banded buckets subdivide
+    what this blocking key can't.
     """
     df = (
         with_shingles(_parallelize_input(documents), k)
@@ -268,6 +287,15 @@ def ngram_jaccard_pairs(
             "shingles",
         )
         .persist()  # both join sides read the shingled relation
+    )
+    # block-size cap: the per-key count table is tiny (distinct blocking
+    # keys), so the filter join back onto the corpus broadcasts
+    block_sizes = df.groupBy("lang", "source", "len_bucket").count()
+    df = df.join(
+        F.broadcast(
+            block_sizes.filter(F.col("count") <= max_block_size).drop("count")
+        ),
+        ["lang", "source", "len_bucket"],
     )
     a = df.select(
         F.col("doc_id").alias("doc_a"),
@@ -444,6 +472,7 @@ def resolve_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -481,7 +510,18 @@ def resolve_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting the loop means the labels are NOT a fixed point —
+        # silently returning them would hand callers wrong clusters with
+        # no signal. Pointer jumping converges in ~log2(longest chain)
+        # rounds, so hitting this with the default budget indicates a
+        # pathological component; the caller should raise max_iterations.
+        raise RuntimeError(
+            f"resolve_clusters did not converge within {max_iterations} "
+            "iterations; results would be incorrect — increase max_iterations"
+        )
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )

@@ -23,14 +23,25 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# cosine(qv, cv). nullif-guarded denominator: a zero vector yields NULL
-# (cosine undefined) instead of an ANSI DIVIDE_BY_ZERO error — NULL then
-# fails any >= threshold filter, which is the semantics we want.
-COS_EXPR = (
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) "
-    "/ nullif(sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) "
-    " * sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)), 0.0)"
+# cosine(a, b) as a parameterized template (NOT substring-rewritten SQL —
+# building from the template keeps any column name safe, including ones
+# that contain 'cv'/'qv' as substrings). nullif-guarded denominator: a
+# zero vector yields NULL (cosine undefined) instead of an ANSI
+# DIVIDE_BY_ZERO error — NULL then fails any >= threshold filter, which
+# is the semantics we want.
+COS_TEMPLATE = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) "
+    "/ nullif(sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) "
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v)), 0.0)"
 )
+
+
+def cos_expr(a: str, b: str) -> str:
+    """Cosine-similarity SQL between two array<double> columns."""
+    return COS_TEMPLATE.format(a=a, b=b)
+
+
+COS_EXPR = cos_expr("qv", "cv")
 
 
 def _as_double(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -139,7 +150,7 @@ def _best_cells(
         vectors.join(F.broadcast(cells))
         .withColumn(
             "cell_cos",
-            F.round(F.expr(COS_EXPR.replace("cv", "cvec").replace("qv", vec_col)), 6),
+            F.round(F.expr(cos_expr(vec_col, "cvec")), 6),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), "cell_id")
@@ -290,7 +301,13 @@ def ann_cosine_topk_pandas(
     lambda fold; at dim=64 the JVM fold wins by skipping Arrow
     round-trips — both shipped so the choice is a one-line swap).
     Identical output contract to :func:`ann_cosine_topk` (rounded cosine,
-    id tie-breaks), asserted equal in tests."""
+    id tie-breaks), asserted equal in tests.
+
+    Edge-case parity with the JVM twin: a zero-denominator pair returns
+    NULL (nullable Float64 → Arrow null), matching the nullif() guard —
+    NaN would sort ABOVE every real cosine in a descending Spark sort and
+    steal rank 1.  Rounding happens JVM-side via F.round (HALF_UP);
+    pd.Series.round is banker's (half-even) and flips ...5 boundaries."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -303,9 +320,9 @@ def ann_cosine_topk_pandas(
         c = np.stack(cv.to_numpy())
         dots = np.einsum("ij,ij->i", q, c)
         denom = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(denom > 0, dots / denom, np.nan)
-        return pd.Series(out).round(6)
+        safe = np.where(denom > 0, denom, 1.0)
+        # nullable dtype so zero-denominator rows cross Arrow as NULL, not NaN
+        return pd.Series(dots / safe, dtype="Float64").where(denom > 0)
 
     corpus = _as_double(embeddings, "embedding", "cv").select(
         F.col("vec_id").alias("c_id"), "cv", F.col("label").alias("c_label")
@@ -316,7 +333,7 @@ def ann_cosine_topk_pandas(
 
     scored = (
         corpus.join(F.broadcast(queries), F.col("c_id") != F.col("q_id"))
-        .withColumn("cosine", _cos(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", F.round(_cos(F.col("qv"), F.col("cv")), 6))
         .select("q_id", "c_id", "c_label", "cosine")
     )
     from pyspark.sql import Window

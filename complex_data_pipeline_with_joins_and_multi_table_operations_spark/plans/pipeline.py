@@ -93,6 +93,70 @@ class Warehouse:
             raise ValueError(f"table {name} has no version {v} (has {versions})")
         return self.spark.read.parquet(os.path.join(self.path(name), f"v{v}"))
 
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point with Iceberg-style time travel (reference
+        README.md:143-154 verifies through ``SELECT … VERSION AS OF``).
+
+        ``<table> VERSION AS OF <n>`` references are resolved against the
+        warehouse snapshot store and swapped for temp views before the
+        query reaches Spark's parser; bare warehouse table names resolve
+        to the latest snapshot (or the plain table). Vanilla Spark only
+        parses VERSION AS OF for v2 catalogs (Iceberg/Delta); this shim
+        keeps the same user-facing SQL over the portable parquet backend
+        — an Iceberg catalog would replace it with native parsing and no
+        caller changes."""
+        import re
+
+        def _versioned(m: "re.Match[str]") -> str:
+            name, version = m.group(1), int(m.group(2))
+            view = f"__{name}_v{version}"
+            self.read_snapshot(name, version).createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
+            _versioned,
+            query,
+            flags=re.IGNORECASE,
+        )
+        for name in self.tables():
+            if re.search(rf"\b{re.escape(name)}\b", rewritten):
+                if self.versions(name):
+                    self.read_snapshot(name).createOrReplaceTempView(name)
+                else:
+                    self.read(name).createOrReplaceTempView(name)
+        return self.spark.sql(rewritten)
+
+
+class CatalogWarehouse(Warehouse):
+    """Stage hand-off through the session catalog (saveAsTable /
+    spark.table / tableExists) instead of parquet paths — the
+    persistent-metastore deployment shape (the reference verifies its
+    warehouse with ``SHOW TABLES IN …`` / ``DESCRIBE``, README.md:125-128).
+    Same stage code runs over either backend; only write/read/exists swap,
+    which is exactly the seam an Iceberg catalog would plug into."""
+
+    def write(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        from ..sources.io import overwrite_table
+
+        overwrite_table(df, name, partition_by)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
 
 def stage_ingest(wh: Warehouse, cat: Catalog, partition_daily: bool = False) -> int:
     """IngestionJob parity: scan → clean → enrich → partitioned write."""

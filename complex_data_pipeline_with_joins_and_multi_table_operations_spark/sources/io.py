@@ -196,21 +196,35 @@ def compact_parquet(
     ~``target_file_mb``. Streaming sinks and per-partition appends leave
     thousands of KB-sized files; at 100 TB that degrades scan planning
     (footer reads) and shuffle locality. Sizing uses the directory's
-    on-disk bytes — no data collect; the rewrite is one repartition pass
-    through a temp dir (atomic-enough rename; a table format would make
-    the swap transactional). Returns the new file count."""
+    on-disk bytes — no data collect; the rewrite goes to a SIBLING dir on
+    the same filesystem and swaps in via Hadoop FS rename, so it works on
+    HDFS/object stores and the source data is never deleted before the
+    rewrite is fully in place (worst crash window leaves the data intact
+    under ``<path>._compact_old``; a table format would make the swap
+    fully transactional). Returns the new file count."""
     import math
-    import shutil
-    import tempfile
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    hfs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+    jvm_path = hfs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     total_bytes = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
+    base = path.rstrip("/")
+    tmp_path = hfs.Path(base + "._compact_tmp")
+    old_path = hfs.Path(base + "._compact_old")
+    for stale in (tmp_path, old_path):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    # full rewrite lands in the sibling dir before the source is touched
     df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_")
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp_path.toString())
+
+    if not fs.rename(jvm_path, old_path):
+        raise IOError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(tmp_path, jvm_path):
+        fs.rename(old_path, jvm_path)  # roll back — source untouched
+        raise IOError(f"compact_parquet: could not swap rewrite into {path}")
+    fs.delete(old_path, True)
     return n_files
