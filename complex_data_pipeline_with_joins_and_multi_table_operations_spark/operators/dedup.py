@@ -139,12 +139,15 @@ def minhash_lsh_pairs(
     )
 
     # hard-cap pathological buckets (exact-dup floods) — they're handled by
-    # exact_dedup_clusters; near-dup LSH shouldn't quadratically explode
+    # exact_dedup_clusters; near-dup LSH shouldn't quadratically explode.
+    # The cap is applied as a broadcast ANTI-join against the HOT keys:
+    # by construction there are at most n/max_bucket_size of them (each
+    # represents > cap docs), so the hot set is tiny and the bands
+    # relation itself never shuffles for the cap — vs an inner join
+    # against all small keys, which shuffles both sides.
     bucket_sizes = bands.groupBy("band_id", "band_hash").count()
-    capped = bands.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
-        ["band_id", "band_hash"],
-    )
+    hot = bucket_sizes.filter(F.col("count") > max_bucket_size).drop("count")
+    capped = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
 
     # the band self-join carries only (doc_id, band key) — the heavy
     # shingle arrays join back AFTER the pair set is deduplicated
@@ -236,10 +239,8 @@ def simhash_near_pairs(
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
     bucket_sizes = chunks.groupBy("chunk_id", "chunk_val").count()
-    chunks = chunks.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket_size).drop("count"),
-        ["chunk_id", "chunk_val"],
-    )
+    hot = bucket_sizes.filter(F.col("count") > max_bucket_size).drop("count")
+    chunks = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti")
     left = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val"
     )
@@ -288,15 +289,12 @@ def ngram_jaccard_pairs(
         )
         .persist()  # both join sides read the shingled relation
     )
-    # block-size cap: the per-key count table is tiny (distinct blocking
-    # keys), so the filter join back onto the corpus broadcasts
+    # block-size cap as a broadcast anti-join against the few oversized
+    # blocks (≤ n/max_block_size keys by construction) — the corpus never
+    # shuffles for the cap
     block_sizes = df.groupBy("lang", "source", "len_bucket").count()
-    df = df.join(
-        F.broadcast(
-            block_sizes.filter(F.col("count") <= max_block_size).drop("count")
-        ),
-        ["lang", "source", "len_bucket"],
-    )
+    hot = block_sizes.filter(F.col("count") > max_block_size).drop("count")
+    df = df.join(F.broadcast(hot), ["lang", "source", "len_bucket"], "left_anti")
     a = df.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -321,6 +319,50 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "source", "jaccard")
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct word k-shingles with any benchmark/eval
+    document — the leakage check a pretraining pipeline runs before
+    training on scraped data.
+
+    Scale shape: the benchmark side is an eval suite (MBs) against a
+    corpus of TBs, so its distinct shingle set broadcasts and the corpus
+    side never shuffles for the probe — explode corpus shingles, hash
+    join against the broadcast set, one groupBy(doc_id) to count hits.
+    Benchmark documents themselves are excluded from the output (they
+    "contaminate" trivially).
+    """
+    bench_shingles = (
+        with_shingles(benchmark, k)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    bench_ids = benchmark.select("doc_id")
+    corpus = with_shingles(_parallelize_input(documents), k).join(
+        F.broadcast(bench_ids), "doc_id", "left_anti"
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return (
+        corpus.select("doc_id", "lang", "source")
+        .join(hits, "doc_id", "left")
+        .withColumn(
+            "n_shared_shingles",
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0)).cast("int"),
+        )
+        .withColumn("is_contaminated", F.col("n_shared_shingles") >= min_shared)
     )
 
 
@@ -359,8 +401,9 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = 48,
+    n_planes: int | None = None,
     n_bands: int = 8,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the 100 TB path): candidate
     pairs must share at least one random-hyperplane band; exact rounded
@@ -370,66 +413,106 @@ def embedding_near_dup_lsh(
 
     Geometry drives the cost/recall trade: with r bits per band the
     per-band bucket count is 2^r, so candidate volume scales ~ B·n²/2^r —
-    r must exceed log2(sqrt(n)) for subquadratic behavior. Recall per pair
-    at cosine c is 1-(1-(1-θ/π)^r)^B with θ=arccos(c): high for true
-    near-dups (c ≥ 0.85 → ~0.97 at r=6, B=8), intentionally low for
-    barely-similar pairs. The default (48 planes, 8 bands of 6 bits)
-    targets real near-dup thresholds; the synthetic test corpus tops out
-    at cosine ≈ 0.5, where recall is partial — asserted explicitly in
-    tests rather than hidden.
+    r must exceed log2(sqrt(n)) for subquadratic behavior, WHICH MEANS r
+    IS A FUNCTION OF n, not a constant: the r=6 that flies at n=2 000
+    (64 buckets/band) ground to a halt at a 10× corpus, measured, because
+    per-band candidate volume grows as n²/2^r. Default geometry is
+    therefore adaptive — r = max(6, ceil(log2(n)/2) + 2) from a
+    metadata-only count() of the input — pass ``n_planes`` to pin it.
+    Recall per pair at cosine c is 1-(1-(1-θ/π)^r)^B with θ=arccos(c):
+    high for true near-dups (c ≥ 0.85), intentionally low for
+    barely-similar pairs; the synthetic test corpus tops out at cosine
+    ≈ 0.5, where recall is partial — asserted explicitly in tests.
+
+    Hot buckets (a flood of identical embeddings — re-crawled pages with
+    the same encoder output) are hard-capped like the MinHash/SimHash
+    paths: buckets over ``max_bucket_size`` are dropped from pairing via
+    a broadcast anti-join (exact dedup owns identical content).
 
     Cost shape: one pass for signatures, shuffle on (band_id, band_bits),
     per-pair scoring is a single zip_with fold (per-vector norms are
     precomputed once, so cosine = dot / (norm_a·norm_b)).
     """
-    from .similarity import with_lsh_signature
+    import math
 
+    from .similarity import with_lsh_bands
+
+    if n_planes is None:
+        n = embeddings.count()  # metadata-only over parquet: no column IO
+        rows = max(6, math.ceil(math.log2(max(n, 2)) / 2) + 2)
+        n_planes = n_bands * rows
     rows = n_planes // n_bands
     norm_expr = (
         "sqrt(aggregate(transform(ev, x -> x * x), CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
     )
-    sig = with_lsh_signature(embeddings, n_planes=n_planes).withColumn(
-        "nrm", F.expr(norm_expr)
+    # persist the (vec, norm, band keys) relation ONCE — five downstream
+    # branches (bucket sizing, both join sides, two vector re-joins) would
+    # otherwise re-run the signature matmul each. At cluster scale this is
+    # a materialized signatures table between stages.
+    sig = (
+        with_lsh_bands(embeddings, n_bands, rows)
+        .withColumn("nrm", F.expr(norm_expr))
+        .select("vec_id", "ev", "nrm", "lsh_bands")
+        .persist()
     )
     bands = sig.select(
-        "vec_id",
-        "ev",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bb).alias("band_id"),
-                        F.expr(
-                            f"(lsh_sig >> {bb * rows}) & {(1 << rows) - 1}"
-                        ).alias("band_bits"),
-                    )
-                    for bb in range(n_bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select("vec_id", "ev", "nrm", "bd.band_id", "bd.band_bits")
+        "vec_id", F.posexplode("lsh_bands").alias("band_id", "band_bits")
+    )
 
-    a = bands.select(
-        F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"),
-        F.col("nrm").alias("nrm_a"), "band_id", "band_bits",
-    )
-    b = bands.select(
-        F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"),
-        F.col("nrm").alias("nrm_b"), "band_id", "band_bits",
-    )
+    # hot-bucket cap (same policy as the MinHash/SimHash paths): anti-join
+    # against the few over-cap keys, so the bands relation never shuffles
+    # for the cap itself
+    bucket_sizes = bands.groupBy("band_id", "band_bits").count()
+    hot = bucket_sizes.filter(F.col("count") > max_bucket_size).drop("count")
+    capped = bands.join(F.broadcast(hot), ["band_id", "band_bits"], "left_anti")
+
+    # candidates carry ONLY ids through the band join and the pair-dedup —
+    # shipping the 64-dim vectors through that shuffle was measured at
+    # ~1 KB/row × millions of band collisions; the vectors join back by id
+    # AFTER dropDuplicates, exactly like the minhash shingle re-join
+    a = capped.select(F.col("vec_id").alias("id_a"), "band_id", "band_bits")
+    b = capped.select(F.col("vec_id").alias("id_b"), "band_id", "band_bits")
     cand = (
         a.join(b, ["band_id", "band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = (
-        "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-        "(s, v) -> s + v)"
+    vec = sig.select("vec_id", "ev", "nrm")
+    pairs = cand.join(
+        vec.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("ev").alias("qv"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "id_a",
+    ).join(
+        vec.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("ev").alias("cv"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "id_b",
     )
+
+    # pair scoring is a batched numpy dot (one einsum per Arrow batch) —
+    # the interpreted zip_with fold costs ~64 lambda evals per pair and
+    # dominated the runtime at millions of candidates
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(qv, cv):
+        # self-contained: imports inside, no module globals
+        import numpy as np
+        import pandas as pd
+
+        q = np.stack(qv.to_numpy())
+        c = np.stack(cv.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", q, c))
+
     return (
-        cand.withColumn(
-            "cosine", F.round(F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")), 6)
+        pairs.withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nrm_a") * F.col("nrm_b")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine")

@@ -126,6 +126,35 @@ def doc_fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 subset (no lookarounds)
+# so the Spark operator and the SQL oracle redact identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails and phone-like
+    digit runs with typed placeholder tokens, and count what was removed
+    (the redaction-rate signal a pipeline monitors for drift).
+
+    Emails redact FIRST so the phone pattern can't fire on digits inside
+    an address. Pure JVM regexp projections — single pass, no shuffle,
+    embarrassingly parallel at any scale."""
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        redacted.alias("text_redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        (n_emails + n_phones > 0).alias("had_pii"),
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs, digit groups of <=3 (as modern BPE
 # vocabularies split numbers), and single non-alnum symbols. Restricted to
 # a regex subset that Java (Spark) and RE2 (DuckDB/oracle) treat

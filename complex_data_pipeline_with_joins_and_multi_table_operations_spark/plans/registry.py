@@ -28,6 +28,7 @@ from ..operators import (
     fact as fact_mod,
     multimodal,
     quality,
+    sampling,
     similarity,
     text,
     windows,
@@ -2072,6 +2073,97 @@ FROM c WHERE cum_tokens <= 15000
 
 
 # ---------------------------------------------------------------------------
+# queries — sampling / decontamination / PII (training-data governance)
+# ---------------------------------------------------------------------------
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by md5 prefix (scan-local filter)."""
+    return sampling.hash_sample(
+        Catalog(spark, sf_dir).documents, "doc_id", 10.0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: ≤ 50 docs per (lang, source), hash-ordered."""
+    return sampling.quota_sample(
+        Catalog(spark, sf_dir).documents, per_group=50
+    ).select("doc_id", "lang", "source")
+
+
+SQL_QUOTA_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+             PARTITION BY lang, source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: docs sharing ≥2 shingles with the stand-in
+    eval set (doc_id < 20)."""
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") < 20)
+    return dedup.decontaminate(docs, bench, k=3, min_shared=2)
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {TOKS_SQL.format(src='text')} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM t
+),
+bench AS (
+  SELECT DISTINCT sh AS shingle
+  FROM (SELECT unnest(shingles) AS sh FROM s WHERE doc_id < 20)
+),
+corpus AS (SELECT * FROM s WHERE doc_id >= 20),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus) c
+  JOIN bench USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id, lang, source,
+       CAST(coalesce(n_shared, 0) AS INTEGER) AS n_shared_shingles,
+       coalesce(n_shared, 0) >= 2 AS is_contaminated
+FROM corpus LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.redact_pii(Catalog(spark, sf_dir).documents)
+
+
+SQL_REDACT_PII = f"""
+WITH a AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       regexp_replace(no_email, '{text.PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{text.PHONE_RE}')) AS INTEGER) AS n_phones,
+       n_emails + len(regexp_extract_all(no_email, '{text.PHONE_RE}')) > 0 AS had_pii
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
 # rows-only checks from the driver.
 # ---------------------------------------------------------------------------
@@ -2190,6 +2282,11 @@ QUERIES: dict[str, QueryFn] = {
     "quiet_customers": q_quiet_customers,
     "cheapest_supplier": q_cheapest_supplier,
     "bpe_token_counts": q_bpe_token_counts,
+    # new this round (oracled locally; rotate into the window next round)
+    "hash_sample": q_hash_sample,
+    "quota_sample": q_quota_sample,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
 }
 
 ORACLES: dict[str, str] = {
@@ -2260,6 +2357,10 @@ ORACLES: dict[str, str] = {
     "important_parts": SQL_IMPORTANT_PARTS,
     "trailing_hour_avg": SQL_TRAILING_HOUR_AVG,
     "string_functions": SQL_STRING_FUNCTIONS,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "quota_sample": SQL_QUOTA_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
+    "redact_pii": SQL_REDACT_PII,
 }
 
 

@@ -1,0 +1,81 @@
+"""Training-data governance operators: deterministic sampling, benchmark
+decontamination, and PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    dedup,
+    sampling,
+    text,
+)
+
+
+def test_hash_sample_deterministic_and_near_rate(cat):
+    docs = cat.documents
+    n = docs.count()
+    s1 = sampling.hash_sample(docs, "doc_id", 25.0)
+    s2 = sampling.hash_sample(docs.repartition(7), "doc_id", 25.0)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2, "sample must be partitioning-independent"
+    assert 0.15 <= len(ids1) / n <= 0.35, "rate should be near 25%"
+
+
+def test_quota_sample_caps_every_group_deterministically(cat):
+    docs = cat.documents
+    out = sampling.quota_sample(docs, per_group=7)
+    sizes = out.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 7 for r in sizes)
+    # stable under repartitioning (hash order, not first-seen order)
+    again = sampling.quota_sample(docs.repartition(11), per_group=7)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+    # groups smaller than the quota pass through whole
+    orig = {(r.lang, r.source): r["count"] for r in
+            docs.groupBy("lang", "source").count().collect()}
+    for r in sizes:
+        assert r["count"] == min(7, orig[(r.lang, r.source)])
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "eval", 36),
+        (100, "alpha beta gamma delta nothing else here at all", "en", "web", 47),
+        (101, "totally unrelated content with no overlap words", "en", "web", 47),
+        (102, "alpha beta gamma words only once though", "en", "web", 39),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    bench = docs.filter(F.col("doc_id") < 100)
+    out = {r.doc_id: r for r in dedup.decontaminate(docs, bench, min_shared=2).collect()}
+    assert 1 not in out, "benchmark docs are excluded from the verdict"
+    assert out[100].is_contaminated and out[100].n_shared_shingles >= 2
+    assert not out[101].is_contaminated and out[101].n_shared_shingles == 0
+    # doc 102 shares exactly one 3-shingle ('alpha beta gamma') -> below min
+    assert out[102].n_shared_shingles == 1 and not out[102].is_contaminated
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    rows = [
+        (1, "contact bob.smith+spam@corp.example.org or call +1 (555) 123-4567 ok", "en", "web", 60),
+        (2, "no pii in this document at all", "en", "web", 30),
+        (3, "two mails a@b.io c@d.net and year 2023 then 2024", "en", "web", 48),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1 and out[1].had_pii
+    assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert "@" not in out[1].text_redacted.replace("<EMAIL>", "")
+    assert out[2].n_emails == 0 and out[2].n_phones == 0 and not out[2].had_pii
+    assert out[2].text_redacted == rows[1][1]
+    # isolated short digit groups (years) are not phone-like; note that
+    # ADJACENT digit groups ("2023 2024") do redact — the pattern errs
+    # toward recall, the right bias for PII scrubbing
+    assert out[3].n_emails == 2 and out[3].n_phones == 0
+    assert "2023" in out[3].text_redacted

@@ -21,6 +21,9 @@ HEADLINE = [
     "curate_documents",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",
+    "decontaminate",
+    "hash_sample",
+    "minhash_lsh_pairs",
 ]
 
 CLAIMS = {
@@ -28,6 +31,14 @@ CLAIMS = {
     "top_pairs": [("TakeOrderedAndProject", True)],
     "returned_items": [("BroadcastHashJoin", True), ("EqualTo(l_returnflag,R)", True)],
     "rollup_revenue": [("Expand", True)],
+    # eval-set shingles broadcast; the corpus side must never sort-merge
+    "decontaminate": [("BroadcastHashJoin", True)],
+    # sampling filter must reach the scan as a data filter, not a
+    # post-scan Filter-only plan (md5 isn't a pushable predicate, but the
+    # scan must still project nothing extra)
+    "hash_sample": [("Scan parquet", True)],
+    # bucket cap is a broadcast anti-join against hot keys
+    "minhash_lsh_pairs": [("BroadcastHashJoin LeftAnti", True)],
 }
 
 
