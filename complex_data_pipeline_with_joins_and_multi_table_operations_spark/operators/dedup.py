@@ -366,6 +366,73 @@ def decontaminate(
     )
 
 
+def remove_boilerplate_segments(
+    documents: DataFrame,
+    segment_tokens: int = 5,
+    max_doc_frequency: int = 2,
+) -> DataFrame:
+    """Cross-document repetition removal (the CCNet/RefinedWeb paragraph
+    dedup): split each document into fixed-``segment_tokens`` word
+    segments, drop every segment whose distinct-document frequency
+    exceeds ``max_doc_frequency`` (nav menus, cookie banners, license
+    footers — text repeated across the corpus rather than within a
+    topic), and reassemble the surviving segments in order.
+
+    Scale shape: the segment explode is a bounded 1/segment_tokens
+    multiple of the token count; doc-frequency is one groupBy on
+    md5(segment) (uniform, skew-free); the boilerplate set is by
+    definition the high-frequency tail — far smaller than the corpus —
+    so it broadcasts and the corpus side anti-joins without shuffling;
+    reassembly is one groupBy(doc_id) with an in-group sort bounded by
+    the per-doc segment count. Three shuffles total, none all-pairs.
+    """
+    df = _parallelize_input(documents).withColumn("toks", tokens_col(F.col("text")))
+    n_segs = F.expr(f"CAST(ceil(size(toks) / {segment_tokens}.0) AS INT)")
+    segs_arr = F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {segment_tokens}.0) AS INT) - 1), "
+            f"i -> array_join(slice(toks, i * {segment_tokens} + 1, {segment_tokens}), ' '))"
+        )
+    )
+    base = df.select(
+        "doc_id", "lang", "source", n_segs.alias("n_segments"), segs_arr.alias("segs")
+    ).persist()  # read by the segment explode AND the final doc-level join
+
+    segs = base.select(
+        "doc_id", F.posexplode("segs").alias("seg_id", "seg")
+    ).withColumn("seg_h", F.md5("seg"))
+    # distinct-doc frequency per segment content; the over-threshold set
+    # is the boilerplate list — tiny, so it broadcasts for the anti-join
+    hot = (
+        segs.groupBy("seg_h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_doc_frequency)
+        .select("seg_h")
+    )
+    kept = segs.join(F.broadcast(hot), "seg_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg_id, seg))), "
+            "s -> s.seg), ' ')"
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "lang", "source", "n_segments")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_segments").cast("int").alias("n_segments"),
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35
 ) -> DataFrame:

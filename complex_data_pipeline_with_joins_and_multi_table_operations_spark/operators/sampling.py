@@ -62,3 +62,33 @@ def quota_sample(
         .filter(F.col("_qrank") <= per_group)
         .drop("_qrank")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of md5(key), so membership is stable across runs,
+    engines, partitionings, and incremental re-ingests (a re-crawled
+    document lands in the same split it was in last month — the property
+    that prevents eval leakage when the corpus is rebuilt).
+
+    The first 4 hex chars of the digest (16 bits, 1/65536 granularity)
+    are compared lexicographically against cumulative hex thresholds —
+    no hex→int cast, so the same CASE expression runs anywhere. Pure
+    projection: no shuffle, pushes past any downstream partitioning.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = format(min(65535, round(cum * 65536)), "04x")
+        cond = prefix < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

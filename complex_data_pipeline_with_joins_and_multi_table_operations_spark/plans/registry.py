@@ -2163,6 +2163,64 @@ FROM a
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5(doc_id)."""
+    return sampling.split_assign(
+        Catalog(spark, sf_dir).documents, "doc_id"
+    ).select("doc_id", "lang", "source", "split")
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id, lang, source,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repetition removal: drop 5-token segments seen in > 2
+    distinct docs, reassemble the rest in order."""
+    return dedup.remove_boilerplate_segments(
+        Catalog(spark, sf_dir).documents, segment_tokens=5, max_doc_frequency=2
+    )
+
+
+SQL_BOILERPLATE_SEGMENTS = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {TOKS_SQL.format(src='text')} AS toks FROM documents
+),
+sl AS (
+  SELECT doc_id, lang, source,
+         CAST(ceil(len(toks) / 5.0) AS INTEGER) AS n_segments,
+         [array_to_string(toks[(i * 5 + 1):(i * 5 + 5)], ' ')
+          for i in range(0, CAST(ceil(len(toks) / 5.0) AS INTEGER))] AS segs
+  FROM t
+),
+seg AS (
+  SELECT doc_id, unnest(segs) AS seg,
+         generate_subscripts(segs, 1) - 1 AS seg_id
+  FROM sl
+),
+hot AS (
+  SELECT md5(seg) AS seg_h FROM seg GROUP BY 1
+  HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (SELECT * FROM seg WHERE md5(seg) NOT IN (SELECT seg_h FROM hot)),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT sl.doc_id, lang, source,
+       coalesce(text_clean, '') AS text_clean,
+       n_segments,
+       CAST(n_segments - coalesce(n_kept, 0) AS INTEGER) AS n_removed
+FROM sl LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
 # rows-only checks from the driver.
@@ -2287,6 +2345,8 @@ QUERIES: dict[str, QueryFn] = {
     "quota_sample": q_quota_sample,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
+    "split_assign": q_split_assign,
+    "boilerplate_segments": q_boilerplate_segments,
 }
 
 ORACLES: dict[str, str] = {
@@ -2361,6 +2421,8 @@ ORACLES: dict[str, str] = {
     "quota_sample": SQL_QUOTA_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "redact_pii": SQL_REDACT_PII,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
 }
 
 

@@ -79,3 +79,58 @@ def test_redact_pii_scrubs_and_counts(spark):
     # toward recall, the right bias for PII scrubbing
     assert out[3].n_emails == 2 and out[3].n_phones == 0
     assert "2023" in out[3].text_redacted
+
+
+def test_split_assign_deterministic_partition_and_proportions(cat):
+    docs = cat.documents
+    out = sampling.split_assign(docs, "doc_id")
+    rows = out.select("doc_id", "split").collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    n = len(rows)
+    frac_train = sum(r.split == "train" for r in rows) / n
+    assert 0.8 <= frac_train <= 0.97, "train share should be near 90%"
+    # assignment is a pure function of the key: partitioning-independent
+    again = {r.doc_id: r.split for r in
+             sampling.split_assign(docs.repartition(13), "doc_id")
+             .select("doc_id", "split").collect()}
+    assert {r.doc_id: r.split for r in rows} == again
+    # every row gets exactly one split (no drops, no dupes)
+    assert n == docs.count()
+
+
+def test_boilerplate_segments_removes_cross_doc_banner(spark):
+    # 6-token banner: segment 1 ("accept all cookies to continue") is
+    # identical across docs 1-3; segment 2 starts with "reading" + unique text
+    banner = "accept all cookies to continue reading"
+    rows = [
+        (1, banner + " unique alpha words for doc one here", "en", "web", 0),
+        (2, banner + " different beta content in doc two ok", "en", "web", 0),
+        (3, banner + " third gamma body text goes here now", "en", "web", 0),
+        (4, "no banner at all just original delta prose here ok", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r.doc_id: r for r in
+           dedup.remove_boilerplate_segments(docs, segment_tokens=5,
+                                             max_doc_frequency=2).collect()}
+    # the shared first 5-token segment appears in 3 docs > cap -> removed
+    for d in (1, 2, 3):
+        assert "accept all cookies to continue" not in out[d].text_clean
+        assert out[d].n_removed >= 1
+    # unique content survives, in order
+    assert "unique alpha words for doc" in out[1].text_clean
+    assert out[4].n_removed == 0 and out[4].text_clean == rows[3][1]
+    # all docs present in the output
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_boilerplate_fully_duplicated_doc_empties(spark):
+    t = "exactly five tokens in here"
+    rows = [(i, t, "en", "web", 0) for i in range(1, 5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = dedup.remove_boilerplate_segments(docs, segment_tokens=5,
+                                            max_doc_frequency=2).collect()
+    assert all(r.text_clean == "" and r.n_removed == r.n_segments == 1 for r in out)
