@@ -539,3 +539,28 @@ def test_entry_contract_stable(spark):
     ra, rb = a.collect(), b.collect()
     assert len(ra) == len(rb) > 0
     assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+
+def test_minhash_collapse_expands_exact_dup_groups(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = (
+        [(i, base, "en", "web", 0) for i in (1, 2, 3)]       # exact-dup group
+        + [(10, near, "en", "web", 0), (11, near, "en", "web", 0)]  # second group, near the first
+        + [(20, "totally different words with zero overlap here now", "en", "web", 0)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # intra-group pairs of both exact-dup groups, jaccard exactly 1.0
+    for pair in [(1, 2), (1, 3), (2, 3), (10, 11)]:
+        assert out.get(pair) == 1.0, f"missing intra pair {pair}: {out}"
+    # cross-group near-dups expand to EVERY member combination
+    cross = {p for p in out if p[0] in (1, 2, 3) and p[1] in (10, 11)}
+    assert cross == {(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11)}
+    # all six cross pairs carry the identical representative score
+    assert len({out[p] for p in cross}) == 1
+    assert not any(20 in p for p in out), "unrelated doc must not pair"
