@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "label_centroids",
     "media_features",
+    # governance / corpus management
+    "hash_sample",
+    "quota_sample",
+    "decontaminate",
+    "redact_pii",
+    "split_assign",
+    "boilerplate_segments",
 ]
 
 
