@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "redact_pii",
     "split_assign",
     "boilerplate_segments",
+    "repetition_stats",
 ]
 
 

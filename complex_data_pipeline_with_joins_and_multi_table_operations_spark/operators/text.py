@@ -84,6 +84,80 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rule family: a page
+    whose content is mostly repeated n-grams is boilerplate/spam however
+    good its other stats look):
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|;
+    - ``dup_bigram_frac`` / ``dup_trigram_frac`` — fraction of n-gram
+      OCCURRENCES that are repeats of an n-gram already seen in the doc
+      (1 - distinct/total);
+    - ``top_token_frac`` — occurrences of the doc's most frequent token
+      / |tokens| (dominance: 'click click click …').
+
+    Everything but the dominance term is a pure projection over array
+    built-ins (no shuffle, scan-local). Dominance needs per-(doc, token)
+    counts: one explode + two aggregations, both keyed on doc_id —
+    uniform, skew-free, linear at corpus scale.
+    """
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", "lang", "source", toks.alias("toks"))
+
+    def ngrams(n: int):
+        return F.expr(
+            f"CASE WHEN size(toks) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n}))) END"
+        )
+
+    def dup_frac(col):
+        total = F.size(col)
+        return F.when(
+            total > 0, (total - F.size(F.array_distinct(col))) / total
+        ).otherwise(F.lit(0.0))
+
+    proj = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0, F.size(F.array_distinct("toks")) / F.size("toks")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_ratio"),
+        dup_frac(ngrams(2)).alias("dup_bigram_frac"),
+        dup_frac(ngrams(3)).alias("dup_trigram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_count"))
+    )
+    return (
+        proj.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+            F.round("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+            F.round("dup_trigram_frac", 4).alias("dup_trigram_frac"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("top_count", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_token_frac"),
+        )
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, predict
     the argmax (ties broken by fixed language order), 'und' when no hits."""

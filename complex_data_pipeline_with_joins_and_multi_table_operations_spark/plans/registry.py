@@ -2221,6 +2221,51 @@ FROM sl LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition quality signals (Gopher-rule family)."""
+    return text.repetition_stats(Catalog(spark, sf_dir).documents)
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {TOKS_SQL.format(src='text')} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, source, toks,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))] END AS bigrams,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)] END AS trigrams
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(cnt) AS top_count FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id, lang, source,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0 END, 4)
+           AS distinct_token_ratio,
+       round(CASE WHEN len(bigrams) > 0
+             THEN (len(bigrams) - len(list_distinct(bigrams))) * 1.0 / len(bigrams)
+             ELSE 0 END, 4) AS dup_bigram_frac,
+       round(CASE WHEN len(trigrams) > 0
+             THEN (len(trigrams) - len(list_distinct(trigrams))) * 1.0 / len(trigrams)
+             ELSE 0 END, 4) AS dup_trigram_frac,
+       round(CASE WHEN len(toks) > 0
+             THEN coalesce(top_count, 0) * 1.0 / len(toks) ELSE 0 END, 4)
+           AS top_token_frac
+FROM g LEFT JOIN top USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
 # rows-only checks from the driver.
@@ -2309,7 +2354,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "chunk_tokens": q_chunk_tokens,
-    "rollup_revenue": q_rollup_revenue,
+    "repetition_stats": q_repetition_stats,
     # new/changed this round — need their first (or fresh) driver verdict
     "hash_sample": q_hash_sample,
     "quota_sample": q_quota_sample,
@@ -2321,6 +2366,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- tail (outside window; r01-green and unchanged since;
     # evidence in CORRECTNESS_r01) ------------------------------------------
     "date_dim": q_date_dim,
+    "rollup_revenue": q_rollup_revenue,
     "global_minmax": q_global_minmax,
     "promo_revenue": q_promo_revenue,
     "order_priority_count": q_order_priority_count,
@@ -2422,6 +2468,7 @@ ORACLES: dict[str, str] = {
     "quota_sample": SQL_QUOTA_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "redact_pii": SQL_REDACT_PII,
+    "repetition_stats": SQL_REPETITION_STATS,
     "split_assign": SQL_SPLIT_ASSIGN,
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
 }

@@ -134,3 +134,29 @@ def test_boilerplate_fully_duplicated_doc_empties(spark):
     out = dedup.remove_boilerplate_segments(docs, segment_tokens=5,
                                             max_doc_frequency=2).collect()
     assert all(r.text_clean == "" and r.n_removed == r.n_segments == 1 for r in out)
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        # 6 tokens, all same: distinct 1/6, bigrams 5 all dup after first
+        (1, "spam spam spam spam spam spam", "en", "web", 0),
+        # 4 distinct tokens, no repeats at all
+        (2, "alpha beta gamma delta", "en", "web", 0),
+        (3, "", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 6
+    assert r1.distinct_token_ratio == round(1 / 6, 4)
+    assert r1.dup_bigram_frac == round(4 / 5, 4)   # 5 bigrams, 1 distinct
+    assert r1.dup_trigram_frac == round(3 / 4, 4)  # 4 trigrams, 1 distinct
+    assert r1.top_token_frac == 1.0
+    r2 = out[2]
+    assert r2.distinct_token_ratio == 1.0
+    assert r2.dup_bigram_frac == 0.0 and r2.dup_trigram_frac == 0.0
+    assert r2.top_token_frac == 0.25
+    r3 = out[3]
+    assert r3.n_tokens == 0 and r3.top_token_frac == 0.0
