@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "split_assign",
     "boilerplate_segments",
     "repetition_stats",
+    "pack_sequences",
 ]
 
 

@@ -92,3 +92,63 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", split)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence
+    (the concat-and-chunk packing step before an LLM training run):
+    documents are laid out in deterministic md5(id) order, the running
+    token total is computed, and a doc lands in the sequence where it
+    starts — ``seq_id = floor(tokens_before / budget)`` with its offset
+    inside that sequence.
+
+    A naive global ``SUM() OVER (ORDER BY ...)`` serializes the corpus
+    through ONE window partition. Instead: hash order is bucketed by the
+    md5 prefix (256 uniform buckets), cumsum runs within buckets
+    (parallel, bounded by corpus/256), and per-bucket totals — 256 rows
+    — broadcast back as prefix offsets. Equivalent to the global cumsum
+    because bucket order IS the global hash order's leading key. Same
+    two-level structure as the curation token budget, proven there.
+    """
+    from .text import tokens_col
+
+    h = F.md5(F.col(id_col).cast("string"))
+    base = documents.select(
+        F.col(id_col),
+        h.alias("h"),
+        F.substring(h, 1, 2).alias("bucket"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = buckets.select(
+        F.col("bucket").alias("bk"),
+        (F.sum("bucket_tokens").over(w_b) - F.col("bucket_tokens")).alias(
+            "tokens_before_bucket"
+        ),
+    )
+    return (
+        base.withColumn("cum_in_bucket", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(prefix), F.col("bucket") == F.col("bk"))
+        .withColumn(
+            "tokens_before",
+            F.col("tokens_before_bucket") + F.col("cum_in_bucket") - F.col("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("tokens_before") / budget_tokens).cast("long").alias("seq_id"),
+            (F.col("tokens_before") % budget_tokens).cast("long").alias("seq_offset"),
+        )
+    )

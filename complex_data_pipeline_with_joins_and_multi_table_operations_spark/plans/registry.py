@@ -2221,6 +2221,34 @@ FROM sl LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over the documents corpus."""
+    return sampling.pack_sequences(
+        Catalog(spark, sf_dir).documents, budget_tokens=2048
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         len({TOKS_SQL.format(src='text')}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+             ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS tokens_before
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tokens_before // 2048 AS BIGINT) AS seq_id,
+       CAST(tokens_before % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition quality signals (Gopher-rule family)."""
     return text.repetition_stats(Catalog(spark, sf_dir).documents)
@@ -2348,7 +2376,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
     "asof_view_purchase": q_asof_view_purchase,
-    "user_value_zscore": q_user_zscore,
+    "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -2366,6 +2394,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- tail (outside window; r01-green and unchanged since;
     # evidence in CORRECTNESS_r01) ------------------------------------------
     "date_dim": q_date_dim,
+    "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
     "global_minmax": q_global_minmax,
     "promo_revenue": q_promo_revenue,
@@ -2469,6 +2498,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "redact_pii": SQL_REDACT_PII,
     "repetition_stats": SQL_REPETITION_STATS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "split_assign": SQL_SPLIT_ASSIGN,
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
 }

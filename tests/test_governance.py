@@ -160,3 +160,28 @@ def test_repetition_stats_known_values(spark):
     assert r2.top_token_frac == 0.25
     r3 = out[3]
     assert r3.n_tokens == 0 and r3.top_token_frac == 0.0
+
+
+def test_pack_sequences_layout_invariants(cat):
+    docs = cat.documents
+    budget = 512
+    out = sampling.pack_sequences(docs, budget_tokens=budget).collect()
+    assert len(out) == docs.count()
+    assert all(0 <= r.seq_offset < budget for r in out)
+    # reconstruct the global layout: orders by (seq_id, seq_offset) and the
+    # running token total must be exactly seq_id*budget + seq_offset
+    laid = sorted(out, key=lambda r: (r.seq_id, r.seq_offset, r.doc_id))
+    cum = 0
+    for r in laid:
+        assert r.seq_id * budget + r.seq_offset == cum, r
+        cum += r.n_tokens
+    # every sequence index up to the last is occupied — holes can only
+    # come from a single doc spanning more than one full budget
+    if max(r.n_tokens for r in out) < budget:
+        seqs = {r.seq_id for r in out}
+        assert seqs == set(range(max(seqs) + 1))
+    # deterministic under repartitioning
+    again = sampling.pack_sequences(docs.repartition(9), budget_tokens=budget).collect()
+    assert {(r.doc_id, r.seq_id, r.seq_offset) for r in again} == {
+        (r.doc_id, r.seq_id, r.seq_offset) for r in out
+    }
