@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "boilerplate_segments",
     "repetition_stats",
     "pack_sequences",
+    "mixture_sample",
 ]
 
 

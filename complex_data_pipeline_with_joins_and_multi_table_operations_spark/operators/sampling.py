@@ -152,3 +152,74 @@ def pack_sequences(
             (F.col("tokens_before") % budget_tokens).cast("long").alias("seq_offset"),
         )
     )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each group so the
+    kept corpus matches the target token ``weights`` (corpus assembly with
+    fixed domain proportions). The achievable total is set by the binding
+    group — T = min(group_tokens / weight) — and every group keeps
+    ``min(1, weight·T / group_tokens)`` of its tokens; at least one group
+    passes through whole, the rest shrink to proportion.
+
+    All distributed: group token totals are one tiny aggregate, the
+    binding constraint is a single-row broadcast, and the keep decision
+    is the md5-prefix threshold compare from :func:`hash_sample` with a
+    per-group 4-hex threshold — scan-local, deterministic across runs,
+    engines, and partitionings. Groups without a target weight are
+    dropped (explicit mixture, not passthrough).
+    """
+    from .text import tokens_col
+
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{group_col} string, w double"
+    )
+    base = documents.withColumn(
+        "_nt", F.size(tokens_col(F.col("text"))).cast("long")
+    )
+    gs = (
+        base.groupBy(group_col)
+        .agg(F.sum("_nt").alias("g_tokens"))
+        .join(wdf, group_col)
+    )
+    t_bind = gs.select(
+        F.min(F.col("g_tokens") / F.col("w")).alias("t_total")
+    )
+    rates = (
+        gs.crossJoin(F.broadcast(t_bind))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0), F.col("w") * F.col("t_total") / F.col("g_tokens")
+            ).alias("keep_rate"),
+        )
+        .withColumn(
+            "thr",
+            F.format_string(
+                "%04x", F.round(F.col("keep_rate") * 65536).cast("int")
+            ),
+        )
+    )
+    # full-keep groups bypass the threshold compare: a rate of 1.0 would
+    # format as the 5-char '10000', and 4-char hex prefixes starting with
+    # a-f sort ABOVE '1' — the binding group would silently keep ~1/16
+    return (
+        base.join(F.broadcast(rates), group_col)
+        .filter(
+            (F.col("keep_rate") >= 1.0)
+            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("thr"))
+        )
+        .select(
+            id_col,
+            group_col,
+            "lang",
+            F.col("_nt").cast("int").alias("n_tokens"),
+            F.round("keep_rate", 4).alias("keep_rate"),
+        )
+    )

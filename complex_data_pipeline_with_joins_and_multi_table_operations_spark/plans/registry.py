@@ -2249,6 +2249,34 @@ FROM c
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50/30/20 token-mixture sample over three sources (binding group
+    kept whole, others downsampled to proportion)."""
+    return sampling.mixture_sample(
+        Catalog(spark, sf_dir).documents,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+t AS (
+  SELECT doc_id, source, lang, len({TOKS_SQL.format(src='text')}) AS n_tokens
+  FROM documents
+),
+gs AS (SELECT source, sum(n_tokens) AS g_tokens FROM t GROUP BY source),
+j AS (SELECT gs.source, g_tokens, wt FROM gs JOIN w USING (source)),
+tb AS (SELECT min(g_tokens / wt) AS t_total FROM j),
+r AS (SELECT source, least(1.0, wt * t_total / g_tokens) AS keep_rate FROM j, tb)
+SELECT t.doc_id, t.source, t.lang, CAST(t.n_tokens AS INTEGER) AS n_tokens,
+       round(keep_rate, 4) AS keep_rate
+FROM t JOIN r USING (source)
+WHERE keep_rate >= 1.0
+   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(round(keep_rate * 65536) AS INTEGER))
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition quality signals (Gopher-rule family)."""
     return text.repetition_stats(Catalog(spark, sf_dir).documents)
@@ -2375,7 +2403,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_top_orders": q_window_top_orders,
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
-    "asof_view_purchase": q_asof_view_purchase,
+    "mixture_sample": q_mixture_sample,
     "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -2394,6 +2422,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- tail (outside window; r01-green and unchanged since;
     # evidence in CORRECTNESS_r01) ------------------------------------------
     "date_dim": q_date_dim,
+    "asof_view_purchase": q_asof_view_purchase,
     "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
     "global_minmax": q_global_minmax,
@@ -2499,6 +2528,7 @@ ORACLES: dict[str, str] = {
     "redact_pii": SQL_REDACT_PII,
     "repetition_stats": SQL_REPETITION_STATS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
 }

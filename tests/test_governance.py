@@ -185,3 +185,30 @@ def test_pack_sequences_layout_invariants(cat):
     assert {(r.doc_id, r.seq_id, r.seq_offset) for r in again} == {
         (r.doc_id, r.seq_id, r.seq_offset) for r in out
     }
+
+
+def test_mixture_sample_binding_group_and_proportions(cat):
+    docs = cat.documents
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sampling.mixture_sample(docs, weights).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # only weighted sources appear
+    assert set(by_src) <= set(weights)
+    # the binding group (min g_tokens/w — src0 at these near-equal sizes)
+    # is kept in full
+    rates = {r.source: r.keep_rate for r in out}
+    binding = min(rates, key=rates.get) if rates else None
+    full = [s for s, rr in rates.items() if rr == 1.0]
+    assert full, f"some group must be kept whole: {rates}"
+    n_src0_total = docs.filter(F.col("source") == full[0]).count()
+    assert len(by_src[full[0]]) == n_src0_total
+    # achieved token mixture tracks the targets (hash granularity allows slack)
+    toks = {s: sum(r.n_tokens for r in rows) for s, rows in by_src.items()}
+    total = sum(toks.values())
+    for s, w in weights.items():
+        assert abs(toks.get(s, 0) / total - w) < 0.12, (s, toks, total)
+    # deterministic under repartitioning
+    again = sampling.mixture_sample(docs.repartition(7), weights).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
