@@ -582,6 +582,7 @@ def embedding_near_dup_lsh(
     n_planes: int | None = None,
     n_bands: int = 8,
     max_bucket_size: int = 2000,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the 100 TB path): candidate
     pairs must share at least one random-hyperplane band; exact rounded
@@ -602,21 +603,59 @@ def embedding_near_dup_lsh(
     barely-similar pairs; the synthetic test corpus tops out at cosine
     ≈ 0.5, where recall is partial — asserted explicitly in tests.
 
-    Hot buckets (a flood of identical embeddings — re-crawled pages with
-    the same encoder output) are hard-capped like the MinHash/SimHash
-    paths: buckets over ``max_bucket_size`` are dropped from pairing via
-    a broadcast anti-join (exact dedup owns identical content).
+    ``collapse_exact=True`` additionally collapses bit-identical
+    embeddings (re-crawled pages through the same encoder) to one
+    representative before banding, mirroring the text near-dup paths,
+    and expands rep pairs back through the long-keyed membership with
+    intra-group pairs at cosine 1.0 (zero-norm groups excluded — their
+    cosine is undefined, matching the null-filtered cross path). This is
+    OFF by default on measured evidence: unlike MinHash (where collapsing
+    saved the interpreted per-doc shingle folds, 33.7 s → 6 s), the
+    embedding signature is already one cheap Arrow-batched matmul, so at
+    a 10×-duplicated test corpus the collapse's extra vector-keyed
+    shuffles cost MORE than they save (5.2 s → 7.0 s; 1.5 s → 3.9 s on
+    the dup-free corpus). Flip it on when the dup fraction is large AND
+    the corpus is big enough that band-bucket candidate volume (∝ d²)
+    dominates the fixed shuffle cost — the d² term always wins
+    eventually, but not at every scale. Recall note: at the 10×-dup
+    corpus the collapse mode also emits the 41 900 identical-vector
+    pairs that the direct path's bucket cap drops (163 400 vs 121 500);
+    those dropped pairs are exactly the exact-dup floods that
+    ``exact_dedup_clusters`` owns in the composed pipeline, so the
+    default remains complete AT THE PIPELINE LEVEL either way.
 
     Cost shape: one pass for signatures, shuffle on (band_id, band_bits),
-    per-pair scoring is a single zip_with fold (per-vector norms are
-    precomputed once, so cosine = dot / (norm_a·norm_b)).
+    per-pair scoring is one Arrow-batched numpy einsum (per-vector norms
+    precomputed, cosine = dot/(norm_a·norm_b)).
     """
     import math
 
     from .similarity import with_lsh_bands
 
+    if collapse_exact:
+        # exact-dup collapse: grouping on the raw float array is exact-bit
+        # equality — precisely what "same encoder output" means
+        reps_g = embeddings.groupBy("embedding").agg(
+            F.min("vec_id").alias("vec_id"), F.count("*").alias("gsize")
+        )
+        memb = (
+            embeddings.select("vec_id", "embedding")
+            .join(
+                reps_g.select(F.col("vec_id").alias("rep_id"), "embedding", "gsize"),
+                "embedding",
+            )
+            # _expand_rep_pairs is generic over the (doc_id, rep_id) names
+            .select(F.col("vec_id").alias("doc_id"), "rep_id", "gsize")
+            .persist()
+        )
+        reps = reps_g.select("vec_id", "embedding")
+    else:
+        memb = None
+        reps = embeddings
+
     if n_planes is None:
-        n = embeddings.count()  # metadata-only over parquet: no column IO
+        # geometry sizes to the count of the relation the band join sees
+        n = reps.count()
         rows = max(6, math.ceil(math.log2(max(n, 2)) / 2) + 2)
         n_planes = n_bands * rows
     rows = n_planes // n_bands
@@ -628,7 +667,7 @@ def embedding_near_dup_lsh(
     # otherwise re-run the signature matmul each. At cluster scale this is
     # a materialized signatures table between stages.
     sig = (
-        with_lsh_bands(embeddings, n_bands, rows)
+        with_lsh_bands(reps, n_bands, rows)
         .withColumn("nrm", F.expr(norm_expr))
         .select("vec_id", "ev", "nrm", "lsh_bands")
         .persist()
@@ -687,13 +726,37 @@ def embedding_near_dup_lsh(
         c = np.stack(cv.to_numpy())
         return pd.Series(np.einsum("ij,ij->i", q, c))
 
-    return (
-        pairs.withColumn(
-            "cosine",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nrm_a") * F.col("nrm_b")), 6),
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nrm_a") * F.col("nrm_b")), 6),
+    ).filter(F.col("cosine") >= threshold)
+    if memb is None:
+        return scored.select(
+            "id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine"
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine")
+    # expand rep pairs to vec pairs; intra-group = identical vectors at
+    # cosine exactly 1.0, except zero-norm groups (undefined cosine)
+    rep_pairs = scored.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cosine"
+    )
+    dup_reps = (
+        memb.filter((F.col("gsize") >= 2) & (F.col("gsize") <= max_bucket_size))
+        .select("rep_id")
+        .distinct()
+        .join(
+            sig.filter(F.col("nrm") > 0).select(F.col("vec_id").alias("rep_id")),
+            "rep_id",
+            "left_semi",
+        )
+    )
+    return (
+        _expand_rep_pairs(rep_pairs, memb, dup_reps, "cosine", F.lit(1.0))
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.col("doc_a").alias("keep_id"),
+            "cosine",
+        )
     )
 
 

@@ -564,3 +564,30 @@ def test_minhash_collapse_expands_exact_dup_groups(spark):
     # all six cross pairs carry the identical representative score
     assert len({out[p] for p in cross}) == 1
     assert not any(20 in p for p in out), "unrelated doc must not pair"
+
+
+def test_embedding_lsh_collapse_mode_expands_dup_groups(spark):
+    import random
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import dedup
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+    rows = []
+    vid = 0
+    for vec in base:
+        for _ in range(3):            # every vector duplicated 3x
+            rows.append((vid, [float(x) for x in vec], "l0"))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = dedup.embedding_near_dup_lsh(emb, threshold=0.9, collapse_exact=True).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out}
+    # every intra-group pair present at cosine exactly 1.0: groups are
+    # {3k, 3k+1, 3k+2}
+    for g in range(30):
+        a, b, c = 3 * g, 3 * g + 1, 3 * g + 2
+        for p in [(a, b), (a, c), (b, c)]:
+            assert pairs.get(p) == 1.0, (p, len(pairs))
+    # random gaussians are near-orthogonal: no cross-group pair at 0.9
+    cross = [p for p in pairs if p[0] // 3 != p[1] // 3]
+    assert not cross
