@@ -2349,6 +2349,249 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(Catalog(spark, sf_dir).embeddings, n_queries=5, k=10)
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global filter-aggregate (TPC-H Q6 shape): revenue increase from
+    eliminating small discounts in a ship-year.  No join, no grouping —
+    the whole query is a pushed-down scan filter plus one partial+final
+    agg; the three range predicates all reach the parquet scan."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            aggregates.exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape): 5-way
+    join with a LIKE filter on the part name and a computed profit
+    expression.  This schema has no partsupp, so unit cost is modeled as
+    10% of p_retailprice (reference Q9 uses ps_supplycost).  part /
+    supplier / nation broadcast; only lineitem⋈orders shuffles."""
+    cat = Catalog(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(aggregates.exact_sum(amount, 4).alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join so zero-order customers survive with c_count = 0, then a second
+    aggregation over the first's result.  The order filter (reference
+    uses o_comment NOT LIKE; this schema filters a priority class) sits
+    INSIDE the join's right side, not a post-join WHERE — moving it out
+    would silently turn the outer join inner."""
+    cat = Catalog(spark, sf_dir)
+    counted = (
+        cat.customer.join(
+            cat.orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): aggregate
+    revenue per supplier, then keep the row(s) equal to the global max —
+    the scalar max joins back via broadcast, never a single-partition
+    global window.  Equality on the revenue double is safe because both
+    engines compute it as an exact DECIMAL(18,4) sum (same grid value)."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            aggregates.exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue"
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-relationship counts (TPC-H Q16 shape): how many distinct
+    suppliers shipped each surviving (brand, type, size) combination,
+    excluding one brand/type and a supplier blocklist (reference uses
+    complaint comments; this schema uses negative account balance) via
+    NOT IN → broadcast anti-join.  lineitem stands in for partsupp."""
+    cat = Catalog(spark, sf_dir)
+    excluded = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = cat.part.filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier promotion list (TPC-H Q20 shape): nested
+    IN-subqueries decorrelated to aggregate + join + semi-join.  A
+    supplier qualifies if, for some 'small%'-named part, it shipped MORE
+    THAN HALF of that part's 1997 volume (reference compares ps_availqty
+    to half the shipped volume; no partsupp here).  The correlated
+    threshold becomes a per-part total joined back to per-(supplier,
+    part) sums; qualifying suppkeys reach the supplier dim as a
+    broadcast semi-join — supplier rows are never widened."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(aggregates.exact_sum("l_quantity", 2).alias("sp_qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        aggregates.exact_sum("sp_qty", 2).alias("part_qty")
+    )
+    qualifying = (
+        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("sp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return cat.supplier.join(
+        F.broadcast(qualifying),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select(F.col("s_suppkey").alias("suppkey"), "s_name", "s_acctbal")
+
+
+SQL_PROMOTABLE_SUPPLIERS = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+), totals AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(sum(CAST(sp_qty AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey AS suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped JOIN totals ON l_partkey = t_partkey
+  WHERE sp_qty > 0.5 * part_qty
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2452,6 +2695,13 @@ QUERIES: dict[str, QueryFn] = {
     "quiet_customers": q_quiet_customers,
     "cheapest_supplier": q_cheapest_supplier,
     "bpe_token_counts": q_bpe_token_counts,
+    # round-2 additions (tail: rotate into the driver window next round)
+    "forecast_revenue": q_forecast_revenue,
+    "product_type_profit": q_product_type_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "promotable_suppliers": q_promotable_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2504,6 +2754,12 @@ ORACLES: dict[str, str] = {
     "quiet_customers": SQL_QUIET_CUSTOMERS,
     "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
+    "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
+    "promotable_suppliers": SQL_PROMOTABLE_SUPPLIERS,
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -591,3 +591,70 @@ def test_embedding_lsh_collapse_mode_expands_dup_groups(spark):
     # random gaussians are near-orthogonal: no cross-group pair at 0.9
     cross = [p for p in pairs if p[0] // 3 != p[1] // 3]
     assert not cross
+
+
+def test_tpch_tail_queries_plan_shapes(spark):
+    """The six round-2 TPC-H shapes produce the plans we'd want at scale:
+    dims broadcast, no cartesian product, Q6's predicates pushed to the
+    scan, Q13's order filter preserved under the LEFT join."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    for name in [
+        "forecast_revenue", "product_type_profit", "customer_distribution",
+        "top_supplier", "supplier_part_counts", "promotable_suppliers",
+    ]:
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "top_supplier", name
+
+    q6 = _plan(QUERIES["forecast_revenue"](spark, SF_DIR))
+    pushed = q6.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+    q9 = _plan(QUERIES["product_type_profit"](spark, SF_DIR))
+    assert q9.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+
+    # Q13: zero-order customers must survive with c_count = 0
+    rows = {r.c_count: r.custdist for r in
+            QUERIES["customer_distribution"](spark, SF_DIR).collect()}
+    import duckdb
+    zero = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{SF_DIR}/customer.parquet') c
+            WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{SF_DIR}/orders.parquet') o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority <> '4-NOT SPECIFIED')"""
+    ).fetchone()[0]
+    assert rows.get(0, 0) == zero
+
+
+def test_promotable_suppliers_majority_semantics(spark):
+    """A supplier qualifies iff it shipped a strict majority of some
+    small%-part's 1997 volume — cross-checked row-by-row in pandas."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+    import duckdb
+
+    got = {r.suppkey for r in
+           QUERIES["promotable_suppliers"](spark, SF_DIR).collect()}
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"""WITH s AS (
+                 SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+                 FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                   AND l_partkey IN (SELECT p_partkey
+                                     FROM read_parquet('{SF_DIR}/part.parquet')
+                                     WHERE p_name LIKE 'small%')
+                 GROUP BY 1, 2)
+               SELECT DISTINCT l_suppkey FROM s
+               JOIN (SELECT l_partkey AS pk, sum(q) AS tot FROM s GROUP BY 1)
+                 ON l_partkey = pk
+               WHERE q > 0.5 * tot"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
