@@ -255,3 +255,66 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
             F.when(n_bpe > 0, n_chars.cast("double") / n_bpe).otherwise(F.lit(0.0)), 4
         ).alias("chars_per_token"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a bag of query
+    terms (Robertson/Spärck Jones probabilistic relevance; the lexical
+    side of a hybrid retrieval stack next to the ANN operators).
+
+    Scale shape: each doc's token array is pruned to the query terms
+    BEFORE the explode, so the postings shuffle carries only matching
+    (doc_id, term) rows — the classic inverted-index posting list, built
+    lazily per query instead of materialized.  Per-term document
+    frequencies are a tiny aggregate (≤ |query| rows) and broadcast; the
+    corpus stats (N, avgdl) are a one-row broadcast.  Final ranking is
+    orderBy+limit → TakeOrderedAndProject, never a global sort.
+
+    Determinism: avgdl = exact long sum / count; per-term contributions
+    are identical IEEE expressions in both engines (same parenthesization,
+    same libm) summed on a DECIMAL(18,8) grid so partition order can't
+    reorder double additions.
+    """
+    toks = tokens_col(F.col("text"))
+    docs = documents.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda x: x.isin(*query_terms)).alias("qtoks"),
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast("long")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.filter(F.size("qtoks") > 0)
+        .select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df_t"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib.cast("decimal(18,8)")).cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )

@@ -2592,6 +2592,49 @@ WHERE s_suppkey IN (
 """
 
 
+BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 for a fixed query-term bag — the
+    inverted-index complement to the ANN cosine operators."""
+    return text.bm25_topk(Catalog(spark, sf_dir).documents, BM25_TERMS, k=20)
+
+
+SQL_BM25_TOPK = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({TOKS_SQL.format(src='text')}) AS dl,
+         list_filter({TOKS_SQL.format(src='text')},
+                     x -> x IN ('spark', 'join', 'window')) AS qtoks
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM d
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM d WHERE len(qtoks) > 0)
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+)
+SELECT doc_id,
+       CAST(sum(CAST(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                AS DECIMAL(18,8))) AS DOUBLE) AS bm25,
+       count(*) AS n_terms_hit
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2702,6 +2745,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2760,6 +2804,7 @@ ORACLES: dict[str, str] = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
     "promotable_suppliers": SQL_PROMOTABLE_SUPPLIERS,
+    "bm25_topk": SQL_BM25_TOPK,
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

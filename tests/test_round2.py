@@ -658,3 +658,31 @@ def test_promotable_suppliers_majority_semantics(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 orders by tf saturation + length normalization + idf: more
+    hits beat fewer, shorter docs beat longer at equal tf, rare terms
+    outweigh common ones."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import text as t
+
+    pad = " ".join(["filler"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana", "en", "s", 1),   # heavy on both
+            (2, "apple banana", "en", "s", 1),               # short, one each
+            (3, "apple banana " + pad, "en", "s", 1),        # same tf, long
+            (4, "banana", "en", "s", 1),                     # rare term only
+            (5, "apple " + pad, "en", "s", 1),               # common term only
+            (6, "cherry " + pad, "en", "s", 1),              # no hit
+        ] + [(10 + i, "apple " + pad, "en", "s", 1) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.bm25 for r in
+           t.bm25_topk(docs, ["apple", "banana"], k=30).collect()}
+    assert 6 not in out, "doc without any query term must not appear"
+    assert out[2] > out[3], "length normalization: shorter doc wins at equal tf"
+    # banana appears in 3/26 docs, apple in 24/26: doc4 (rare only) must
+    # beat doc5 (common only) despite identical length profile being worse
+    assert out[4] > out[5], "idf: rare-term match outweighs common-term match"
+    assert out[1] == max(out.values()), "multi-hit short doc ranks first"
