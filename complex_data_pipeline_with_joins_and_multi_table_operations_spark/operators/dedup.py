@@ -103,13 +103,23 @@ def _collapse_exact_dups(documents: DataFrame):
     the pair expansion shuffles, deliberately not the md5 strings (a
     32-char key doubles shuffle bytes on the expanded pair set, measured
     3× slower on a near-dup-dense corpus)."""
+    # Null-distinguishing hash key: prefix the digest with an isnull flag
+    # so NULL text and '' land in separate groups (today both produce null
+    # signatures, but a signature that ever treats them differently must
+    # not inherit a silently merged group). min_by picks the SAME row's
+    # text as the min-doc_id representative — deterministic, unlike
+    # F.first, which is partition-order dependent.
     with_hash = _parallelize_input(documents).withColumn(
-        "text_hash", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        "text_hash",
+        F.concat(
+            F.col("text").isNull().cast("int").cast("string"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        ),
     )
     reps = with_hash.groupBy("text_hash").agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("gsize"),
-        F.first("text").alias("text"),
+        F.min_by("text", "doc_id").alias("text"),
     )
     memb = (
         with_hash.select("doc_id", "text_hash")

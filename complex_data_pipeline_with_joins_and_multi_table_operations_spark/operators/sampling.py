@@ -25,17 +25,23 @@ from pyspark.sql import functions as F
 # avoids hex→int casts that differ between SQL dialects.
 
 
-def _hex_threshold(rate_pct: float) -> str:
-    t = max(0, min(255, round(rate_pct / 100.0 * 256)))
-    return format(t, "02x")
+def _hex_threshold(rate_pct: float) -> str | None:
+    """2-hex threshold for rate_pct, or None when the rounded threshold
+    reaches 256 — 'ff' would silently drop the 1/256 of keys whose prefix
+    IS 'ff', so a (near-)full rate must bypass the compare entirely."""
+    t = max(0, round(rate_pct / 100.0 * 256))
+    return None if t >= 256 else format(t, "02x")
 
 
 def hash_sample(df: DataFrame, key_col: str, rate_pct: float) -> DataFrame:
     """Deterministic ~``rate_pct``% Bernoulli sample: keep rows whose
     md5(key) hex prefix falls under the rate threshold. Granularity is
     1/256 ≈ 0.4%; the decision is per-key, so the same key is always in
-    or always out — across runs, engines, and partitionings."""
+    or always out — across runs, engines, and partitionings. A rate that
+    rounds to full (≥ 99.8%) keeps every row."""
     thr = _hex_threshold(rate_pct)
+    if thr is None:
+        return df
     return df.filter(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 2) < F.lit(thr)
     )
@@ -199,20 +205,18 @@ def mixture_sample(
                 F.lit(1.0), F.col("w") * F.col("t_total") / F.col("g_tokens")
             ).alias("keep_rate"),
         )
-        .withColumn(
-            "thr",
-            F.format_string(
-                "%04x", F.round(F.col("keep_rate") * 65536).cast("int")
-            ),
-        )
+        .withColumn("thr_int", F.round(F.col("keep_rate") * 65536).cast("int"))
+        .withColumn("thr", F.format_string("%04x", F.col("thr_int")))
     )
-    # full-keep groups bypass the threshold compare: a rate of 1.0 would
-    # format as the 5-char '10000', and 4-char hex prefixes starting with
-    # a-f sort ABOVE '1' — the binding group would silently keep ~1/16
+    # full-keep groups bypass the threshold compare on the ROUNDED integer,
+    # not on keep_rate >= 1.0: a rate of exactly 1.0 — or within ~8e-6 of
+    # it — rounds to 65536, which formats as the 5-char '10000'; 4-char hex
+    # prefixes starting with a-f sort ABOVE '1', so such a group would
+    # silently keep only ~1/16 of rows it should keep (nearly) all of
     return (
         base.join(F.broadcast(rates), group_col)
         .filter(
-            (F.col("keep_rate") >= 1.0)
+            (F.col("thr_int") >= 65536)
             | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < F.col("thr"))
         )
         .select(

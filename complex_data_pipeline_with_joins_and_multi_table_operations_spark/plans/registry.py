@@ -2271,7 +2271,7 @@ r AS (SELECT source, least(1.0, wt * t_total / g_tokens) AS keep_rate FROM j, tb
 SELECT t.doc_id, t.source, t.lang, CAST(t.n_tokens AS INTEGER) AS n_tokens,
        round(keep_rate, 4) AS keep_rate
 FROM t JOIN r USING (source)
-WHERE keep_rate >= 1.0
+WHERE CAST(round(keep_rate * 65536) AS INTEGER) >= 65536
    OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
       < printf('%04x', CAST(round(keep_rate * 65536) AS INTEGER))
 """

@@ -212,3 +212,33 @@ def test_mixture_sample_binding_group_and_proportions(cat):
     # deterministic under repartitioning
     again = sampling.mixture_sample(docs.repartition(7), weights).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_hash_sample_full_rate_keeps_everything(spark):
+    # rate 100% (and anything rounding to >= 256/256) must be a no-op,
+    # not a "< 'ff'" compare that drops the 1/256 of keys prefixed 'ff'
+    rows = [(i, f"text {i}", "en", "web", 10) for i in range(4096)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    assert sampling.hash_sample(docs, "doc_id", 100.0).count() == 4096
+    assert sampling.hash_sample(docs, "doc_id", 99.9).count() == 4096
+    # a sub-full rate still filters
+    assert sampling.hash_sample(docs, "doc_id", 50.0).count() < 4096
+
+
+def test_mixture_sample_near_full_rate_rounds_to_full_keep(spark):
+    # keep_rate within ~8e-6 below 1.0 rounds to threshold 65536, which
+    # printf('%04x') renders as the 5-char '10000' — hex prefixes a-f sort
+    # above '1', so without the rounded-threshold bypass the group keeps
+    # only ~1/16 of its rows instead of ~100%
+    rows = [(i, "tok " * 9 + "end", "en", "src_a" if i < 50 else "src_b", 40)
+            for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    # equal token totals; w_b chosen so keep_rate_b*65536 lands in
+    # [65535.5, 65536) and rounds up to 65536
+    weights = {"src_a": 1.0, "src_b": 1.0 - 7.5e-6}
+    out = sampling.mixture_sample(docs, weights)
+    assert out.count() == 100, "both groups round to full keep"
