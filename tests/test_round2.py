@@ -675,14 +675,19 @@ def test_bm25_ranking_semantics(spark):
             (4, "banana", "en", "s", 1),                     # rare term only
             (5, "apple " + pad, "en", "s", 1),               # common term only
             (6, "cherry " + pad, "en", "s", 1),              # no hit
-        ] + [(10 + i, "apple " + pad, "en", "s", 1) for i in range(20)],
+            (7, "apple cherry cherry banana", "en", "s", 1), # doc1 minus 2 apples
+        ] + [(10 + i, "apple " + pad, "en", "s", 1) for i in range(21)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     out = {r.doc_id: r.bm25 for r in
            t.bm25_topk(docs, ["apple", "banana"], k=30).collect()}
     assert 6 not in out, "doc without any query term must not appear"
     assert out[2] > out[3], "length normalization: shorter doc wins at equal tf"
-    # banana appears in 3/26 docs, apple in 24/26: doc4 (rare only) must
+    # banana appears in 4/28 docs, apple in 26/28: doc4 (rare only) must
     # beat doc5 (common only) despite identical length profile being worse
     assert out[4] > out[5], "idf: rare-term match outweighs common-term match"
-    assert out[1] == max(out.values()), "multi-hit short doc ranks first"
+    # tf monotonicity must be compared at EQUAL document length: doc1 and
+    # doc7 both have dl=4 and one banana; doc1's two extra apples must win.
+    # (doc2 — half the length — legitimately outranks doc1: near-saturated
+    # common-term tf adds less than the length-norm penalty on banana.)
+    assert out[1] > out[7], "higher tf at equal length and idf profile wins"
