@@ -100,14 +100,21 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    # Per-query time is the MIN of two trials: single-shot numbers on this
-    # box show one-off ~10-20 s stalls (host scheduling / JVM full-GC
-    # pauses) landing on a random query each run — min-of-2 measures the
-    # query, not the pause. Intermediates persisted by an operator (LSH
-    # signatures) are dropped between trials so every trial pays its full
-    # cost and queries stay independent.
+    # Per-query time is the MIN of two timed trials AFTER one untimed
+    # warm-up run. Min-of-2: single-shot numbers on this box show one-off
+    # ~10-20 s stalls (host scheduling / JVM full-GC pauses) landing on a
+    # random query each run — the min measures the query, not the pause.
+    # The warm-up run exists because codegen JIT state otherwise depends
+    # on suite position: a query whose expressions (md5, CASE-count agg)
+    # happen to be compiled by earlier queries runs ~2× faster than the
+    # same query benched first, which made round-over-round per-query
+    # comparisons noise-bound. Intermediates persisted by an operator
+    # (LSH signatures) are dropped between trials so every trial pays its
+    # full cost and queries stay independent.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
         trials = []
         for _ in range(2):
             t0 = time.time()

@@ -35,6 +35,13 @@ class Warehouse:
     between stages. Pluggable: swap for saveAsTable/Iceberg by replacing
     write/read (the reference's SDSIcebergWriter seam, SURVEY.md §2.10)."""
 
+    # Temp views registered by ANY Warehouse's .sql() — anything else with
+    # a table's name in the session catalog belongs to the user. Class-level
+    # because temp views are session-global: a second Warehouse over the
+    # same table names must treat a sibling's view as re-registerable, not
+    # as a user view to preserve.
+    _registered: set[str] = set()
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -101,6 +108,53 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    @staticmethod
+    def _split_sql_segments(query: str) -> list[tuple[bool, str]]:
+        """Split SQL into (is_code, text) segments so the time-travel
+        rewrite never touches string literals, quoted identifiers, or
+        comments. Handles ``'…'`` (with ``''`` escape), ``"…"``, ``…``
+        (backtick), ``-- …`` line comments and ``/* … */`` blocks."""
+        segments: list[tuple[bool, str]] = []
+        i, n, start = 0, len(query), 0
+
+        def flush_code(end: int) -> None:
+            if end > start:
+                segments.append((True, query[start:end]))
+
+        while i < n:
+            ch = query[i]
+            if ch in ("'", '"', "`"):
+                flush_code(i)
+                j = i + 1
+                while j < n:
+                    if query[j] == ch:
+                        if ch == "'" and j + 1 < n and query[j + 1] == "'":
+                            j += 2  # doubled-quote escape
+                            continue
+                        j += 1
+                        break
+                    j += 1
+                else:
+                    j = n
+                segments.append((False, query[i:j]))
+                i = start = j
+            elif ch == "-" and query[i : i + 2] == "--":
+                flush_code(i)
+                j = query.find("\n", i)
+                j = n if j == -1 else j
+                segments.append((False, query[i:j]))
+                i = start = j
+            elif ch == "/" and query[i : i + 2] == "/*":
+                flush_code(i)
+                j = query.find("*/", i + 2)
+                j = n if j == -1 else j + 2
+                segments.append((False, query[i:j]))
+                i = start = j
+            else:
+                i += 1
+        flush_code(n)
+        return segments
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point with Iceberg-style time travel (reference
         README.md:143-154 verifies through ``SELECT … VERSION AS OF``).
@@ -112,7 +166,14 @@ class Warehouse:
         parses VERSION AS OF for v2 catalogs (Iceberg/Delta); this shim
         keeps the same user-facing SQL over the portable parquet backend
         — an Iceberg catalog would replace it with native parsing and no
-        caller changes."""
+        caller changes.
+
+        Hardening (vs a naive regex pass): table names and VERSION AS OF
+        clauses inside string literals, quoted identifiers, or comments
+        are left untouched; and a temp view the USER registered under a
+        warehouse table's name is never clobbered — it shadows the
+        warehouse table, matching Spark's own temp-view-over-catalog
+        resolution order."""
         import re
 
         def _versioned(m: "re.Match[str]") -> str:
@@ -121,18 +182,34 @@ class Warehouse:
             self.read_snapshot(name, version).createOrReplaceTempView(view)
             return view
 
-        rewritten = re.sub(
-            r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
-            _versioned,
-            query,
-            flags=re.IGNORECASE,
-        )
+        segments = self._split_sql_segments(query)
+        code = [
+            re.sub(
+                r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
+                _versioned,
+                text,
+                flags=re.IGNORECASE,
+            )
+            if is_code
+            else text
+            for is_code, text in segments
+        ]
+        rewritten = "".join(code)
+        code_only = " ".join(t for (is_code, _), t in zip(segments, code) if is_code)
         for name in self.tables():
-            if re.search(rf"\b{re.escape(name)}\b", rewritten):
-                if self.versions(name):
-                    self.read_snapshot(name).createOrReplaceTempView(name)
-                else:
-                    self.read(name).createOrReplaceTempView(name)
+            if not re.search(rf"\b{re.escape(name)}\b", code_only):
+                continue
+            foreign_view = (
+                name not in self._registered
+                and self.spark.catalog.tableExists(name)
+            )
+            if foreign_view:
+                continue  # user's own temp view shadows the warehouse table
+            if self.versions(name):
+                self.read_snapshot(name).createOrReplaceTempView(name)
+            else:
+                self.read(name).createOrReplaceTempView(name)
+            self._registered.add(name)
         return self.spark.sql(rewritten)
 
 

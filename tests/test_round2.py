@@ -683,7 +683,7 @@ def test_bm25_ranking_semantics(spark):
            t.bm25_topk(docs, ["apple", "banana"], k=30).collect()}
     assert 6 not in out, "doc without any query term must not appear"
     assert out[2] > out[3], "length normalization: shorter doc wins at equal tf"
-    # banana appears in 4/28 docs, apple in 26/28: doc4 (rare only) must
+    # banana appears in 5/28 docs, apple in 26/28: doc4 (rare only) must
     # beat doc5 (common only) despite identical length profile being worse
     assert out[4] > out[5], "idf: rare-term match outweighs common-term match"
     # tf monotonicity must be compared at EQUAL document length: doc1 and

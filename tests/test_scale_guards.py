@@ -170,6 +170,50 @@ def test_sql_version_as_of(spark, cat, tmp_path):
         wh.sql("SELECT * FROM orders_snap VERSION AS OF 9")
 
 
+def test_sql_rewrite_skips_string_literals_and_comments(spark, cat, tmp_path):
+    """A table name (or a VERSION AS OF phrase) inside a string literal
+    or comment must pass through the time-travel rewrite untouched."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(cat.orders.limit(10), "orders_snap")
+    row = wh.sql(
+        "SELECT 'orders_snap VERSION AS OF 1' AS lit,  -- orders_snap VERSION AS OF 9\n"
+        "       'it''s orders_snap' AS esc, count(*) AS n\n"
+        "/* orders_snap VERSION AS OF 9 */ FROM orders_snap VERSION AS OF 1\n"
+        "GROUP BY 1, 2"
+    ).head()
+    assert row.lit == "orders_snap VERSION AS OF 1"
+    assert row.esc == "it's orders_snap"
+    assert row.n == 10
+
+
+def test_sql_preserves_user_temp_view(spark, cat, tmp_path):
+    """A temp view the USER registered under a warehouse table's name is
+    not clobbered by Warehouse.sql — it shadows the warehouse table, the
+    same precedence Spark gives temp views over catalog tables."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(cat.orders.limit(10), "user_shadowed")
+    cat.orders.limit(3).createOrReplaceTempView("user_shadowed")
+    try:
+        assert wh.sql("SELECT count(*) AS n FROM user_shadowed").head().n == 3
+        # the user's view object survives the call
+        assert spark.table("user_shadowed").count() == 3
+    finally:
+        spark.catalog.dropTempView("user_shadowed")
+
+
+def test_sql_reregisters_across_warehouse_instances(spark, cat, tmp_path):
+    """Two Warehouse instances over different roots but the same table
+    name: the second instance's .sql() must re-register the (session-
+    global) temp view with ITS data, not inherit the first's."""
+    wh1 = Warehouse(spark, str(tmp_path / "a"))
+    wh2 = Warehouse(spark, str(tmp_path / "b"))
+    wh1.write_snapshot(cat.orders.limit(5), "shared_name")
+    wh2.write_snapshot(cat.orders.limit(20), "shared_name")
+    assert wh1.sql("SELECT count(*) AS n FROM shared_name").head().n == 5
+    assert wh2.sql("SELECT count(*) AS n FROM shared_name").head().n == 20
+    assert wh1.sql("SELECT count(*) AS n FROM shared_name").head().n == 5
+
+
 def test_catalog_warehouse_stages_show_tables_describe(spark, cat, tmp_path):
     """The stage functions run unchanged over the catalog backend; the
     resulting warehouse is visible to plain SQL metadata commands — the

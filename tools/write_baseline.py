@@ -17,10 +17,14 @@ future rounds must stay within 2× of these numbers per query at the same
 scale factor** (the bench metric `total_query_runtime` inflates as queries
 are added — always compare per-query, never the total).
 
-Method: `bench.py`, local[32], 128 GiB box, min-of-2 trials per query
-(single-shot numbers carry one-off 10-20 s host-scheduling/GC stalls on a
-random query per run; min-of-2 measures the query, not the pause). Caches
-cleared between trials.
+Method: `bench.py`, local[32], 128 GiB box, one untimed warm-up run then
+min-of-2 timed trials per query (single-shot numbers carry one-off
+10-20 s host-scheduling/GC stalls on a random query per run — min-of-2
+measures the query, not the pause; the warm-up removes the suite-position
+JIT effect where a query whose expressions were already codegen-compiled
+by earlier queries ran ~2× faster than the same query benched first —
+the cause of every >2× "regression" flagged in rounds 1-3 on untouched
+code). Caches cleared between trials.
 
 Scale factors:
 - **sf0.1** — `/root/testdata/sf0.1` (lineitem 600 k rows, documents 5 k,
