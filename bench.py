@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "quiet_customers",
     # LLM-data extensions
     "dedup_exact",
+    "repeated_spans",
     "bpe_token_counts",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",

@@ -443,6 +443,119 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_spans(
+    documents: DataFrame,
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection: every ``window``-token
+    span (stride 1) that occurs in at least ``min_docs`` distinct
+    documents, with its occurrence counts and first occurrence.
+
+    This is the substring-level exact dedup of pretraining pipelines
+    (document-level dedup misses boilerplate paragraphs, license headers,
+    templated passages shared across otherwise-distinct pages). The
+    suffix-array formulation is inherently sequential; the Spark-native
+    shape is rolling token windows → hash → corpus-wide groupBy:
+
+    - one projection builds all window hashes per doc as an array (JVM
+      built-ins: transform/sequence/slice/xxhash64 — no UDF), posexplode
+      flattens to (doc_id, pos, span_hash);
+    - the exploded relation carries THREE LONGS per window (24 B/row), so
+      the one corpus-wide shuffle moves ~24 B × total_tokens regardless
+      of text size, and map-side partial aggregation collapses within-doc
+      repeats (boilerplate-heavy docs combine before the exchange);
+    - spans surviving ``min_docs`` are a small set; their display text is
+      recovered AFTER the aggregate by re-slicing only the first-occurrence
+      documents (broadcast the survivors, never re-shuffle the corpus).
+
+    At 100 TB: windows/doc ≈ tokens/doc, so the exploded row count equals
+    corpus token count — the same asymptotics every production substring
+    dedup pays. Knobs that matter at scale and why they're safe here:
+    stride >1 on the probe side trades recall for volume (not exposed:
+    stride 1 with 24 B rows is affordable up to ~10¹² tokens);
+    ``min_docs`` prunes in the final aggregate where partial counts have
+    already collapsed. xxhash64 keys (not md5 strings) keep the shuffle
+    narrow; a 64-bit collision merging two distinct spans is ~n²/2⁶⁵.
+
+    Like the MinHash/SimHash family, exact duplicate DOCUMENTS are
+    collapsed first (md5 group → min-id representative): span extraction
+    runs over distinct texts only, and doc/occurrence counts expand back
+    through the group sizes — exact-copy docs trivially share every span,
+    so on a dup-heavy corpus the uncollapsed formulation explodes the
+    survivor set by the duplication factor for zero information. The
+    expansion is exact arithmetic, not approximation: a span seen in
+    reps {r₁…rₖ} occurs in Σ gsize(rᵢ) distinct docs, and the least
+    (doc_id, pos) over all docs equals the least over reps because each
+    rep IS its group's min doc_id.
+
+    Output: (span_text, n_docs, n_occurrences, first_doc_id, first_pos),
+    first occurrence = lexicographically least (doc_id, pos); pos is
+    0-based token offset. Hash-free output keeps the DuckDB oracle exact
+    (the oracle computes the same relation directly over all docs).
+    """
+    reps, memb = _collapse_exact_dups(documents)
+    toks = tokens_col(F.col("text"))
+    df = (
+        reps.select("doc_id", "gsize", toks.alias("toks"))
+        .filter(F.size("toks") >= window)
+    )
+    span_hashes = F.expr(
+        f"transform(sequence(1, size(toks) - {window - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(toks, i, {window}))))"
+    )
+    exploded = df.select(
+        "doc_id", "gsize", F.posexplode(span_hashes).alias("pos", "span_hash")
+    )
+    # stage 1: collapse within-rep repeats — keys (span_hash, rep) are
+    # well spread, and map-side partial agg eats boilerplate-heavy docs
+    per_rep = exploded.groupBy("span_hash", "doc_id").agg(
+        F.min("gsize").alias("gsize"),  # constant per rep; min ≡ the value
+        F.count("*").alias("n_occ_rep"),
+        F.min("pos").alias("min_pos"),
+    )
+    # stage 2: per span, expand counts through group sizes
+    survivors = (
+        per_rep.groupBy("span_hash")
+        .agg(
+            F.sum("gsize").alias("n_docs"),
+            F.sum(F.col("n_occ_rep") * F.col("gsize")).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "min_pos")).alias("first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "span_hash",
+            "n_docs",
+            "n_occurrences",
+            F.col("first.doc_id").alias("first_doc_id"),
+            F.col("first.min_pos").alias("first_pos"),
+        )
+    )
+    # recover display text for the (small) survivor set: broadcast it onto
+    # the first-occurrence reps only — the corpus is scanned, not shuffled
+    span_text = F.expr(f"concat_ws(' ', slice(toks, first_pos + 1, {window}))")
+    out = (
+        reps.select(F.col("doc_id").alias("first_doc_id"), "text")
+        .join(F.broadcast(survivors), "first_doc_id")
+        .select(
+            tokens_col(F.col("text")).alias("toks"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+            "first_pos",
+        )
+        .select(
+            span_text.alias("span_text"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+            "first_pos",
+        )
+    )
+    memb.unpersist()
+    return out
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,

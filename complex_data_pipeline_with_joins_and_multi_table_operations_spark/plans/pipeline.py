@@ -69,6 +69,19 @@ class Warehouse:
     # directories — v1, v2, … — so any past version stays readable. An
     # Iceberg/Delta backend would swap these three methods for real
     # snapshot metadata with no caller changes.
+    #
+    # Why the shim stands rather than a real Iceberg/Delta backend: this
+    # build environment ships NO Iceberg or Delta jars (verified: zero
+    # matches in the pyspark jars dir) and is offline, so
+    # spark.jars.packages cannot fetch them — native `VERSION AS OF`
+    # parsing only exists for v2 catalogs those jars provide. The seam is
+    # deliberately the same three methods (write_snapshot / versions /
+    # read_snapshot) plus .sql(); a deployment with the jars available
+    # subclasses Warehouse, points write/read at the catalog, and deletes
+    # the rewrite in .sql() — no stage or caller changes. Divergences of
+    # the shim are documented and tested: sequential integer versions
+    # (not Iceberg snapshot ids), and .sql()'s literal/comment-aware
+    # rewriter (test_sql_rewrite_skips_string_literals_and_comments).
 
     def write_snapshot(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

@@ -756,6 +756,29 @@ FROM documents GROUP BY 1
 """
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.repeated_spans(Catalog(spark, sf_dir).documents, window=20)
+
+
+SQL_REPEATED_SPANS = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         array_to_string(list_slice(toks, CAST(p + 1 AS INTEGER), CAST(p + 20 AS INTEGER)), ' ') AS span
+  FROM t, UNNEST(range(0, greatest(len(toks) - 19, 0))) AS u(p)
+  WHERE len(toks) >= 20
+),
+g AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+         min(struct_pack(d := doc_id, p := pos)) AS first
+  FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT span AS span_text, n_docs, n_occurrences,
+       first.d AS first_doc_id, CAST(first.p AS INTEGER) AS first_pos
+FROM g
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, k=3, threshold=0.2)
 
@@ -2693,7 +2716,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
-    # --- window slots 39-50: oldest-r3 oracled entries, re-verified ------
+    # --- window slot 39: new round-4 operator ----------------------------
+    "repeated_spans": q_repeated_spans,
+    # --- window slots 40-50: oldest-r3 oracled entries, re-verified ------
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
@@ -2705,10 +2730,10 @@ QUERIES: dict[str, QueryFn] = {
     "hash_sample": q_hash_sample,
     "dedup_exact": q_dedup_exact,
     "near_dup_clusters": q_near_dup_clusters,
-    "date_dim": q_date_dim,
     # --- tail (outside the 50-entry window): r3-green and unchanged since;
     # evidence in CORRECTNESS_r03. The window holds exactly 50 entries —
     # re-count whenever entries are inserted above this line. -------------
+    "date_dim": q_date_dim,
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
     "asof_view_purchase": q_asof_view_purchase,
@@ -2780,6 +2805,7 @@ ORACLES: dict[str, str] = {
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,
     "user_value_zscore": SQL_USER_ZSCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "repeated_spans": SQL_REPEATED_SPANS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

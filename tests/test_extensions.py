@@ -27,6 +27,62 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     assert len(dups) == 1 and dups[0].keep_doc_id == 1 and dups[0].n_copies == 2
 
 
+def test_repeated_spans_planted(spark):
+    """Two docs share exactly one 5-token span; a third doc repeats a
+    different span internally (within one doc only — must not surface);
+    a fourth is shorter than the window (must be excluded entirely)."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing one"),
+            (2, f"{shared} other content here"),
+            (3, "solo solo solo solo solo solo solo solo"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.repeated_spans(docs, window=5, min_docs=2).collect()
+    spans = {r.span_text: r for r in out}
+    assert shared in spans
+    r = spans[shared]
+    # first occurrence is the lexicographically least (doc_id, pos):
+    # doc 1 has the span at token offset 2, doc 2 at offset 0
+    assert (r.n_docs, r.n_occurrences, r.first_doc_id, r.first_pos) == (2, 2, 1, 2)
+    # doc 3's internal repeats span only one doc; doc 4 is sub-window
+    assert all(row.n_docs >= 2 for row in out)
+    assert not any(row.first_doc_id in (3, 4) for row in out)
+
+
+def test_repeated_spans_expands_exact_dup_groups(spark):
+    """Exact-copy docs are collapsed before span extraction, but the
+    output counts must be identical to the uncollapsed ground truth:
+    3 copies sharing a span with 1 distinct other doc → n_docs=4; the
+    span also appears twice inside each copy → n_occurrences=2*3+1=7."""
+    shared = "alpha beta gamma delta epsilon"
+    twice = f"{shared} filler words {shared}"
+    docs = spark.createDataFrame(
+        [(10, twice), (11, twice), (12, twice), (2, f"lead-in {shared} tail")],
+        "doc_id long, text string",
+    )
+    out = {r.span_text: r for r in
+           dedup.repeated_spans(docs, window=5, min_docs=2).collect()}
+    r = out[shared]
+    assert (r.n_docs, r.n_occurrences) == (4, 7)
+    # least (doc_id, pos) over ALL docs: doc 2 at token offset 1
+    assert (r.first_doc_id, r.first_pos) == (2, 1)
+    # a span occurring only inside the copy group still counts its copies
+    internal = "epsilon filler words alpha beta"
+    assert out[internal].n_docs == 3 and out[internal].n_occurrences == 3
+
+
+def test_repeated_spans_single_shuffle_and_broadcast_back(spark, cat):
+    """Plan shape: the corpus-wide aggregate is the only wide exchange of
+    the exploded relation, and the survivor join-back is a broadcast."""
+    plan = dedup.repeated_spans(cat.documents, window=20)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_detects_planted_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     near = base.replace("lazy", "sleepy")
