@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     # LLM-data extensions
     "dedup_exact",
     "repeated_spans",
+    "span_coverage",
     "bpe_token_counts",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",

@@ -443,6 +443,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _span_occurrences(reps: DataFrame, window: int) -> DataFrame:
+    """(doc_id, gsize, pos, span_hash) — one row per rolling
+    ``window``-token span occurrence across the representative texts.
+    One projection builds all window hashes per doc as an array (JVM
+    built-ins: transform/sequence/slice/xxhash64 — no UDF), posexplode
+    flattens; docs shorter than the window contribute nothing."""
+    toks = tokens_col(F.col("text"))
+    df = (
+        reps.select("doc_id", "gsize", toks.alias("toks"))
+        .filter(F.size("toks") >= window)
+    )
+    span_hashes = F.expr(
+        f"transform(sequence(1, size(toks) - {window - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(toks, i, {window}))))"
+    )
+    return df.select(
+        "doc_id", "gsize", F.posexplode(span_hashes).alias("pos", "span_hash")
+    )
+
+
 def repeated_spans(
     documents: DataFrame,
     window: int = 20,
@@ -495,18 +515,7 @@ def repeated_spans(
     (the oracle computes the same relation directly over all docs).
     """
     reps, memb = _collapse_exact_dups(documents)
-    toks = tokens_col(F.col("text"))
-    df = (
-        reps.select("doc_id", "gsize", toks.alias("toks"))
-        .filter(F.size("toks") >= window)
-    )
-    span_hashes = F.expr(
-        f"transform(sequence(1, size(toks) - {window - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(toks, i, {window}))))"
-    )
-    exploded = df.select(
-        "doc_id", "gsize", F.posexplode(span_hashes).alias("pos", "span_hash")
-    )
+    exploded = _span_occurrences(reps, window)
     # stage 1: collapse within-rep repeats — keys (span_hash, rep) are
     # well spread, and map-side partial agg eats boilerplate-heavy docs
     per_rep = exploded.groupBy("span_hash", "doc_id").agg(
@@ -553,6 +562,83 @@ def repeated_spans(
         )
     )
     memb.unpersist()
+    return out
+
+
+def span_coverage(
+    documents: DataFrame,
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of token positions covered by CROSS-DOCUMENT
+    repeated spans (the :func:`repeated_spans` survivors) — the
+    "mostly boilerplate" signal that turns span detection into a
+    curation decision (filter or down-weight docs above a threshold).
+
+    Scale shape: span occurrences come from the shared exact-dup-collapsed
+    explode (:func:`_span_occurrences`); surviving span hashes (a set of
+    longs) broadcast back onto the occurrences; covered-token counts use
+    an INTERVAL-MERGE union per doc — sort the surviving start positions,
+    fold once with ``aggregate`` (all JVM built-ins) — NOT by exploding
+    the ``window`` positions of every occurrence, which would multiply
+    shuffle volume by the window length. The per-doc state is one sorted
+    int array bounded by doc length. Copies inherit their representative's
+    coverage through the membership relation (exact: identical text ⇒
+    identical spans ⇒ identical coverage).
+
+    Output: (doc_id, n_tokens, covered_tokens, coverage) for every doc;
+    coverage = covered/n_tokens rounded to 6 places, NULL for docs with
+    NULL text (n_tokens unknown) and for empty docs (0/0).
+    """
+    reps, memb = _collapse_exact_dups(documents)
+    exploded = _span_occurrences(reps, window)
+    # survivor decision needs distinct-doc counts with copies expanded —
+    # same arithmetic as repeated_spans, reduced to the hash set
+    survivor_hashes = (
+        exploded.groupBy("span_hash", "doc_id")
+        .agg(F.min("gsize").alias("gsize"))
+        .groupBy("span_hash")
+        .agg(F.sum("gsize").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    starts = (
+        exploded.join(F.broadcast(survivor_hashes), "span_hash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    covered = F.expr(
+        f"""aggregate(
+            starts,
+            struct(CAST(0 AS INT) AS last_end, CAST(0 AS INT) AS total),
+            (acc, s) -> struct(
+                CAST(greatest(acc.last_end, s + {window}) AS INT) AS last_end,
+                CAST(acc.total + greatest(0, s + {window} - greatest(acc.last_end, s)) AS INT) AS total),
+            acc -> acc.total)"""
+    )
+    rep_cov = (
+        reps.select("doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens"))
+        .join(starts, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("rep_id"),
+            "n_tokens",
+            F.coalesce(covered, F.lit(0)).alias("covered_tokens"),
+        )
+    )
+    out = (
+        memb.select("doc_id", "rep_id")
+        .join(rep_cov, "rep_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("covered_tokens"),
+            F.round(
+                F.col("covered_tokens")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                6,
+            ).alias("coverage"),
+        )
+    )
     return out
 
 

@@ -75,6 +75,35 @@ def test_repeated_spans_expands_exact_dup_groups(spark):
     assert out[internal].n_docs == 3 and out[internal].n_occurrences == 3
 
 
+def test_span_coverage_interval_merge(spark):
+    """Overlapping surviving spans must union, not double-count: two docs
+    share a 6-token run, so with window=5 each has two overlapping
+    surviving spans (offsets differing by 1) covering 6 positions, not 10.
+    A doc with no shared span reports 0; copies inherit coverage."""
+    run = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} tail one two"),          # 9 tokens, run at 0..5
+            (2, f"pre {run} post"),              # 8 tokens, run at 1..6
+            (3, f"pre {run} post"),              # exact copy of doc 2
+            (4, "nothing shared here at all five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.span_coverage(docs, window=5, min_docs=2).collect()}
+    # doc 1: two overlapping surviving spans (offsets 0 and 1) union to
+    # 6 covered positions, not 2×5
+    assert (out[1].n_tokens, out[1].covered_tokens) == (9, 6)
+    assert abs(out[1].coverage - 6 / 9) < 1e-6
+    # docs 2 and 3 are exact copies: EVERY span occurs in 2 distinct docs,
+    # so both are fully covered — exact duplicates are fully-repeated
+    # content by definition, and copies inherit identical coverage
+    assert (out[2].n_tokens, out[2].covered_tokens, out[2].coverage) == (8, 8, 1.0)
+    assert (out[3].covered_tokens, out[3].coverage) == (8, 1.0)
+    assert (out[4].covered_tokens, out[4].coverage) == (0, 0.0)
+
+
 def test_repeated_spans_single_shuffle_and_broadcast_back(spark, cat):
     """Plan shape: the corpus-wide aggregate is the only wide exchange of
     the exploded relation, and the survivor join-back is a broadcast."""
