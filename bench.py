@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "repeated_spans",
     "span_coverage",
+    "corpus_report",
     "bpe_token_counts",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",

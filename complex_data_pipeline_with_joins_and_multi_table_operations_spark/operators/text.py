@@ -84,6 +84,56 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus data card: doc counts, token totals,
+    exact-dup rate, mean quality, and median length — the summary a
+    pretraining-data pipeline publishes per ingest slice.
+
+    ONE corpus scan, one shuffle (the groupBy): every signal is a column
+    expression (quality_cols, md5 digest) folded into a single grouped
+    aggregate — composing the per-doc operators would scan the corpus
+    once per signal. countDistinct and the exact ``percentile`` both
+    expand inside the same aggregate; at 100 TB swap ``percentile`` for
+    ``approx_percentile`` (fixed-memory GK sketch, same call shape) —
+    the exact form is kept here because it is what the DuckDB oracle can
+    mirror bit-for-bit. avg quality sums in DECIMAL then divides, the
+    cross-engine-exact pattern used everywhere doubles are summed.
+    """
+    n_tokens, quality = quality_cols(F.col("text"))
+    df = documents.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+    )
+    return (
+        df.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("text_hash").alias("distinct_texts"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("_avg_q"),
+            F.expr("percentile(n_tokens, 0.5D)").alias("p50_tokens"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "distinct_texts",
+            F.round(
+                1 - F.col("distinct_texts") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("_avg_q"), 4).alias("avg_quality"),
+            "p50_tokens",
+        )
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Intra-document repetition signals (the Gopher-rule family: a page
     whose content is mostly repeated n-grams is boilerplate/spam however

@@ -779,6 +779,48 @@ FROM g
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_report(Catalog(spark, sf_dir).documents)
+
+
+SQL_CORPUS_REPORT = f"""
+WITH t AS (
+  SELECT source, lang, text,
+         {TOKS_SQL.format(src='text')} AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         md5(coalesce(text, '')) AS text_hash
+  FROM documents
+),
+u AS (
+  SELECT source, lang, text_hash, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks,
+             x -> x IN ('the','a','an','of','and','is','to','in'))) AS n_stopwords
+  FROM t
+),
+v AS (
+  SELECT source, lang, text_hash, n_tokens,
+         round(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN n_tokens > 0
+                          THEN n_stopwords / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END) > 0.05 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN n_chars > 0
+                          THEN n_punct / CAST(n_chars AS DOUBLE)
+                          ELSE 0.0 END) < 0.2 THEN 0.2 ELSE 0.0 END, 2) AS quality
+  FROM u
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       count(DISTINCT text_hash) AS distinct_texts,
+       round(1 - count(DISTINCT text_hash) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_quality,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens
+FROM v GROUP BY source, lang
+"""
+
+
 def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_coverage(Catalog(spark, sf_dir).documents, window=20)
 
@@ -2703,7 +2745,8 @@ freshly-verified queries park at the tail.  History: r1 verified the r1
 ordering's first 50; r2 the r2 ordering's; r3 rotated in the never-verified
 round-2 additions + the round-3 fixes (CORRECTNESS_r03: 48 oracled green,
 2 rows-only); r4 rotates in the 38 entries whose newest evidence was r2,
-plus the 12 oldest r3 entries."""
+plus the three new round-4 operators (repeated_spans, span_coverage,
+corpus_report) and the 9 oldest r3 entries that still fit."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-35: r2-evidence oracled queries, due a refresh ----
@@ -2748,10 +2791,11 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
-    # --- window slots 39-40: new round-4 operators -----------------------
+    # --- window slots 39-41: new round-4 operators -----------------------
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
-    # --- window slots 41-50: oldest-r3 oracled entries, re-verified ------
+    "corpus_report": q_corpus_report,
+    # --- window slots 42-50: oldest-r3 oracled entries, re-verified ------
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
@@ -2761,10 +2805,10 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
     "hash_sample": q_hash_sample,
-    "dedup_exact": q_dedup_exact,
     # --- tail (outside the 50-entry window): r3-green and unchanged since;
     # evidence in CORRECTNESS_r03. The window holds exactly 50 entries —
     # re-count whenever entries are inserted above this line. -------------
+    "dedup_exact": q_dedup_exact,
     "near_dup_clusters": q_near_dup_clusters,
     "date_dim": q_date_dim,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -2840,6 +2884,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "repeated_spans": SQL_REPEATED_SPANS,
     "span_coverage": SQL_SPAN_COVERAGE,
+    "corpus_report": SQL_CORPUS_REPORT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

@@ -27,6 +27,33 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     assert len(dups) == 1 and dups[0].keep_doc_id == 1 and dups[0].n_copies == 2
 
 
+def test_corpus_report_hand_computed(spark):
+    """Two sources; one has an exact dup pair. All signals hand-checked:
+    a 12-token doc scores quality 0.5 (len) + 0.3 (stopwords) + 0.2
+    (no punctuation) = 1.0."""
+    good = "the cat and the dog walked to the park in one day"  # 12 toks
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "web"),
+            (2, good, "en", "web"),
+            (3, "short", "en", "web"),
+            (4, "!!!!!!", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.source, r.lang): r for r in text.corpus_report(docs).collect()}
+    web = out[("web", "en")]
+    assert (web.n_docs, web.total_tokens, web.distinct_texts) == (3, 25, 2)
+    assert abs(web.dup_rate - round(1 - 2 / 3, 6)) < 1e-9
+    # quality: 1.0, 1.0, 0.2 (short doc: no length point, no stopword
+    # point, punct point) → avg 2.2/3
+    assert abs(web.avg_quality - round(2.2 / 3, 4)) < 1e-9
+    assert web.p50_tokens == 12.0
+    books = out[("books", "en")]
+    # "!!!!!!": one token, all punctuation → quality 0.0
+    assert (books.n_docs, books.avg_quality) == (1, 0.0)
+
+
 def test_repeated_spans_planted(spark):
     """Two docs share exactly one 5-token span; a third doc repeats a
     different span internally (within one doc only — must not surface);

@@ -21,6 +21,40 @@ money = st.integers(min_value=-(10**7), max_value=10**7).map(lambda c: c / 100.0
 
 
 @settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=15),
+    st.integers(2, 8),
+)
+def test_span_coverage_interval_merge_matches_python(spark, starts, window):
+    """The interval-merge fold in span_coverage must equal the union size
+    of the surviving span intervals computed the dumb way, for arbitrary
+    overlap/gap patterns.
+
+    Construction: R = ∪ [s, s+window) over the generated starts. Two docs
+    carry identical position-tagged tokens inside R and doc-distinct
+    tokens outside, so a window survives (occurs in both docs) iff it
+    lies entirely inside R — and because R is a union of window-length
+    intervals, the union of surviving windows is exactly R. The operator
+    must therefore report covered_tokens == |R| for both docs.
+    """
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.dedup import (
+        span_coverage,
+    )
+
+    n = max(starts) + window + 3  # unique tail keeps the docs non-identical
+    region = {p for s in starts for p in range(s, s + window)}
+    text_a = " ".join(f"sh{i}" if i in region else f"a{i}" for i in range(n))
+    text_b = " ".join(f"sh{i}" if i in region else f"b{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_coverage(docs, window=window).collect()}
+    assert out[1].covered_tokens == len(region)
+    assert out[2].covered_tokens == len(region)
+    assert out[1].n_tokens == n
+
+
+@settings(max_examples=5, deadline=None)
 @given(st.lists(money, min_size=1, max_size=200), st.integers(1, 7))
 def test_exact_sum_is_partitioning_invariant(spark, values, parts):
     """The exact-decimal sum must be bit-identical regardless of how rows

@@ -24,6 +24,9 @@ HEADLINE = [
     "decontaminate",
     "hash_sample",
     "minhash_lsh_pairs",
+    "repeated_spans",
+    "span_coverage",
+    "corpus_report",
 ]
 
 CLAIMS = {
@@ -39,6 +42,13 @@ CLAIMS = {
     "hash_sample": [("Scan parquet", True)],
     # bucket cap is a broadcast anti-join against hot keys
     "minhash_lsh_pairs": [("BroadcastHashJoin LeftAnti", True)],
+    # survivor text recovery broadcasts the small side; the exploded
+    # span relation must never sort-merge
+    "repeated_spans": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    "span_coverage": [("BroadcastHashJoin", True)],
+    # one scan, one shuffle: a single Exchange pair for the grouped agg
+    # (plus countDistinct's internal expand), no joins at all
+    "corpus_report": [("Join", False)],
 }
 
 
