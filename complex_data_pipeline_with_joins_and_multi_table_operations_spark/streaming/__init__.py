@@ -1,9 +1,10 @@
-from .dedup import dedup_events_stream, run_stream_dedup
+from .dedup import dedup_documents_stream, dedup_events_stream, run_stream_dedup
 from .enrich import enrich_events_stream, run_stream_enrich
 from .events import run_events_stream, streaming_tumbling_agg
 from .stateful import run_running_totals, running_user_totals
 
 __all__ = [
+    "dedup_documents_stream",
     "dedup_events_stream",
     "enrich_events_stream",
     "run_stream_enrich",

@@ -35,6 +35,51 @@ def test_stream_dedup_removes_redelivered(spark, tmp_path):
     assert spark.table("dedup_test").count() == n_unique
 
 
+def test_stream_document_dedup_by_content_hash(spark, tmp_path):
+    """A re-crawled page (same text, later ingest_ts, different doc_id)
+    is dropped within the watermark delay; distinct texts pass. NULL text
+    and '' are distinct contents (null-distinguishing digest, matching
+    the batch collapse)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        dedup_documents_stream,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    spark.createDataFrame(
+        [
+            (1, "same page text", "2024-01-01 00:00:00"),
+            (2, "same page text", "2024-01-01 01:00:00"),  # re-crawl: dropped
+            (3, "different text", "2024-01-01 02:00:00"),
+            (4, None, "2024-01-01 03:00:00"),
+            (5, "", "2024-01-01 03:30:00"),  # distinct from NULL
+        ],
+        "doc_id long, text string, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(str(staging))
+    for i, part in enumerate(staging.glob("part-*.parquet")):
+        shutil.copy(part, src / f"delivery{i}.parquet")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(str(src))
+    q = (
+        dedup_documents_stream(stream, delay="24 hours")
+        .writeStream.format("memory")
+        .queryName("doc_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.table("doc_dedup_test").collect()}
+    assert 3 in kept and 4 in kept and 5 in kept
+    assert len(kept & {1, 2}) == 1  # exactly one copy of the re-crawled page
+    assert "text_hash" not in spark.table("doc_dedup_test").columns
+
+
 def test_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
