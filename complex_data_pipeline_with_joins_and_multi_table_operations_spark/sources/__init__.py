@@ -7,9 +7,12 @@ from .io import (
     read_parquet_dir,
     read_table,
 )
+from .txlog import ConcurrentCommitError, TableLog
 
 __all__ = [
     "Catalog",
+    "ConcurrentCommitError",
+    "TableLog",
     "append",
     "overwrite_partitions",
     "overwrite_table",

@@ -1,0 +1,562 @@
+"""Transaction-log table format: ACID snapshots over plain parquet.
+
+The reference stores every table in Apache Iceberg (IngestionJob.scala:15-19)
+and verifies with ``SELECT … VERSION AS OF <snapshot_id>`` (README.md:143-154).
+This environment ships no Iceberg/Delta jars and is offline, so the native
+format is unavailable; the previous portable stand-in (``Warehouse`` versioned
+directories) copies the FULL table per snapshot — fine at test scale, a
+non-starter at 100 TB where an append must not rewrite 100 TB of history.
+
+This module implements the architecture those formats actually use — an
+append-only commit log over immutable data files (public design: the Delta
+Lake paper, VLDB 2020; Iceberg spec) — from scratch, Spark-native:
+
+- ``<table>/_txlog/<version>.json`` — one JSON commit per table version,
+  holding add/remove **file actions**, the snapshot schema, and per-file
+  column min/max/null-count statistics harvested from parquet footers.
+- ``<table>/data/…`` — immutable parquet files in a single hive-layout tree
+  (``col=val/`` subdirs for partitioned tables), shared across snapshots:
+  an append adds files; an overwrite adds new files and marks old ones
+  removed — **no data is ever copied or rewritten for versioning**.
+- **Atomic commits with optimistic concurrency**: a commit materializes as a
+  create-exclusive hard link of the next version file; two racing writers
+  cannot both win the same version — the loser re-resolves against the new
+  snapshot and retries (appends always merge; overwrites re-point their
+  removes). On an object store without atomic create-exclusive this single
+  primitive is what a commit service / conditional-put replaces (exactly the
+  Delta paper's LogStore seam).
+- **Data skipping**: reads prune files by partition values (exact, from the
+  log) and by column min/max stats (from footers) before Spark ever lists
+  them — the manifest-pruning half of Iceberg, measurable via
+  ``df.inputFiles()``.
+- **Checkpoints**: every ``CHECKPOINT_EVERY`` commits the full active file
+  set is written beside the log so snapshot reconstruction replays O(10)
+  recent commits, not the whole history — the log never becomes the scan
+  bottleneck on a long-lived table.
+
+Scale notes: file stats are harvested driver-side with pyarrow (footer reads
+only — metadata, not data); on a 1000-executor cluster writing thousands of
+files per commit the same harvest distributes as a mapInPandas over the file
+list with identical output. Commit metadata is O(files changed), snapshot
+metadata O(files active) — the checkpoint is the compaction knob.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CHECKPOINT_EVERY = 10
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loss). ``TableLog.write`` resolves and retries internally; seeing this
+    from user code means retries were exhausted."""
+
+
+# ---------------------------------------------------------------------------
+# JSON-safe encoding for footer stats (timestamps/dates/decimals round-trip
+# through a type tag so pruning compares like with like)
+
+def _enc(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"t": "dec", "v": str(v)}
+    if isinstance(v, bytes):
+        return None  # binary stats not comparable portably — skip
+    return v
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict) and "t" in v:
+        if v["t"] == "ts":
+            return datetime.fromisoformat(v["v"])
+        if v["t"] == "date":
+            return date.fromisoformat(v["v"])
+        if v["t"] == "dec":
+            return Decimal(v["v"])
+    return v
+
+
+def _file_stats(path: str) -> tuple[dict[str, dict], int]:
+    """Per-column {min, max, nulls} + row count from the parquet footer.
+    Metadata-only read — no data pages are touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — no scalar pruning
+                continue
+            st = col.statistics
+            cur = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            if st is None or not st.has_min_max:
+                # a single stats-less row group makes the file unprunable
+                cur["min"] = cur["max"] = None
+                cur["no_stats"] = True
+                continue
+            if not cur.get("no_stats"):
+                lo, hi = _enc(st.min), _enc(st.max)
+                if lo is None or hi is None:
+                    cur["no_stats"] = True
+                    cur["min"] = cur["max"] = None
+                else:
+                    cur["min"] = lo if cur["min"] is None else min(cur["min"], lo, key=_dec_key)
+                    cur["max"] = hi if cur["max"] is None else max(cur["max"], hi, key=_dec_key)
+            if st.has_null_count:
+                cur["nulls"] += st.null_count
+    return agg, md.num_rows
+
+
+def _dec_key(v: Any) -> Any:
+    return _dec(v)
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: str
+    schema_json: str
+    partition_by: list[str]
+    files: dict[str, dict] = field(default_factory=dict)  # relpath -> meta
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+
+class TableLog:
+    """One table's commit log + data tree (module docstring has the format)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_txlog")
+        self.data_dir = os.path.join(root, "data")
+
+    # -- log plumbing -------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self.versions())
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:012d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:012d}.checkpoint")
+
+    def _commit(self, version: int, payload: dict) -> None:
+        """Atomically publish `payload` as commit `version`. Create-exclusive
+        hard link: exactly one writer can create the version file — the
+        optimistic-concurrency primitive (LogStore seam on object stores)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, self._commit_path(version))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {version} of {self.root} was committed concurrently"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(f"no table at {self.root}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"{self.root} has no version {v} (has {versions})")
+
+        # start from the newest checkpoint at or below v, replay only the
+        # commits after it — snapshot construction opens O(CHECKPOINT_EVERY)
+        # files however long the table's history grows
+        snap = Snapshot(v, "", "", [])
+        replay_from = 0
+        for cv in sorted(versions, reverse=True):
+            if cv <= v and os.path.exists(self._checkpoint_path(cv)):
+                with open(self._checkpoint_path(cv)) as f:
+                    cp = json.load(f)
+                snap.files = cp["files"]
+                snap.snapshot_id = cp["snapshot_id"]
+                snap.schema_json = cp["schema"]
+                snap.partition_by = cp.get("partition_by") or []
+                replay_from = cv
+                break
+
+        for cv in versions:
+            if cv <= replay_from:
+                continue
+            if cv > v:
+                break
+            with open(self._commit_path(cv)) as f:
+                c = json.load(f)
+            snap.snapshot_id = c["snapshot_id"]
+            snap.schema_json = c["schema"]
+            snap.partition_by = c.get("partition_by") or []
+            for r in c.get("removes", []):
+                snap.files.pop(r, None)
+            for a in c.get("adds", []):
+                snap.files[a["path"]] = a
+        return snap
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            out.append(
+                {
+                    "version": v,
+                    "snapshot_id": c["snapshot_id"],
+                    "operation": c["operation"],
+                    "n_adds": len(c.get("adds", [])),
+                    "n_removes": len(c.get("removes", [])),
+                }
+            )
+        return out
+
+    # -- write path ---------------------------------------------------------
+
+    def _stage(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Write df's files into the shared data tree (via a staging dir so
+        a crash mid-write leaves no half-registered state — files without a
+        commit are invisible) and return their add-actions with stats."""
+        staging = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        adds: list[dict] = []
+        prefix = uuid.uuid4().hex[:8]
+        for dirpath, _dirs, fnames in os.walk(staging):
+            rel_dir = os.path.relpath(dirpath, staging)
+            for fname in fnames:
+                if not fname.endswith(".parquet"):
+                    continue
+                part_vals = _parse_partition_values(rel_dir)
+                rel = os.path.join(
+                    "" if rel_dir == "." else rel_dir, f"{prefix}-{fname}"
+                )
+                dest = os.path.join(self.data_dir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(dirpath, fname), dest)
+                stats, rows = _file_stats(dest)
+                adds.append(
+                    {
+                        "path": rel,
+                        "rows": rows,
+                        "bytes": os.path.getsize(dest),
+                        "partition_values": part_vals,
+                        "stats": stats,
+                    }
+                )
+        _rmtree(staging)
+        return adds
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        replace_where: dict[str, list] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """Commit df as a new table version. Modes:
+
+        - ``overwrite``  — new files become the table; previous files are
+          removed from the active set (still on disk for time travel).
+        - ``append``     — new files join the active set.
+        - ``replace_where={col: [values…]}`` (with mode="overwrite") —
+          dynamic partition overwrite: only active files whose partition
+          values match are removed (idempotent partition reload, the
+          reference-append upgrade of SURVEY.md §4.3.3).
+
+        Data files land once; only the commit is retried on a concurrency
+        loss, re-resolving removes against the winner's snapshot.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        cur = self.snapshot() if self.exists() else None
+        if (
+            cur is not None
+            and cur.partition_by != list(partition_by or [])
+            and (mode == "append" or replace_where)
+        ):
+            # appends and partition replaces extend the CURRENT layout; only
+            # a full overwrite may re-partition (it replaces the active set
+            # wholesale, so old-layout files all leave the snapshot)
+            raise ValueError(
+                f"table partitioning is {cur.partition_by}; append/"
+                f"replace_where writes must match it, got {partition_by}"
+            )
+        adds = self._stage(df, partition_by)
+
+        for _attempt in range(max_retries):
+            cur = self.snapshot() if self.exists() else None
+            version = (cur.version if cur else 0) + 1
+            if mode == "append":
+                removes: list[str] = []
+            elif replace_where and cur:
+                removes = [
+                    p
+                    for p, m in cur.files.items()
+                    if _partition_match(m.get("partition_values", {}), replace_where)
+                ]
+            else:
+                removes = list(cur.files) if cur else []
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id if cur else None,
+                "operation": mode if not replace_where else "replace_where",
+                "schema": df.schema.json(),
+                "partition_by": list(partition_by or []),
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % CHECKPOINT_EVERY:
+            return
+        snap = self.snapshot(version)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "files": snap.files,
+                    "snapshot_id": snap.snapshot_id,
+                    "schema": snap.schema_json,
+                    "partition_by": snap.partition_by,
+                },
+                f,
+            )
+        try:
+            os.link(tmp, self._checkpoint_path(version))
+        except FileExistsError:
+            pass  # a racing reader-side checkpointer beat us — same content
+        finally:
+            os.unlink(tmp)
+
+    # -- read path ----------------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
+        """DataFrame over a snapshot. ``filters`` — [(col, op, value)] with
+        op in {"==", "<", "<=", ">", ">=", "between"} — prune files by log
+        partition values and footer min/max BEFORE Spark plans the scan,
+        then re-apply as real Spark filters (correctness never depends on
+        stats; skipping is purely an I/O win, same contract as Iceberg
+        manifest pruning)."""
+        snap = self.snapshot(version)
+        metas = list(snap.files.values())
+        if filters:
+            metas = [m for m in metas if all(_may_match(m, f) for f in filters)]
+        paths = [os.path.join(self.data_dir, m["path"]) for m in metas]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot v{snap.version} references vacuumed files: "
+                f"{missing[:3]}…"
+            )
+        if not paths:
+            df = self.spark.createDataFrame([], snap.schema)
+        else:
+            df = (
+                self.spark.read.schema(snap.schema)
+                .option("basePath", self.data_dir)
+                .parquet(*paths)
+            )
+        for f in filters or []:
+            df = df.filter(_as_column(f))
+        return df
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files referenced ONLY by versions older than the last
+        ``retain_last`` — reclaims overwrite/replace garbage; older snapshots
+        become unreadable (read() then raises FileNotFoundError). Returns
+        files deleted. The retention window is the time-travel horizon."""
+        versions = self.versions()
+        keep_versions = versions[-retain_last:]
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(self.snapshot(v).files)
+        deleted = 0
+        for dirpath, _dirs, fnames in os.walk(self.data_dir):
+            for fname in fnames:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.data_dir)
+                if rel not in live:
+                    os.unlink(full)
+                    deleted += 1
+        return deleted
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
+    vals: dict[str, str | None] = {}
+    if rel_dir in (".", ""):
+        return vals
+    for seg in rel_dir.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+    return vals
+
+
+def _partition_match(pvals: dict, replace_where: dict[str, list]) -> bool:
+    return all(
+        str(pvals.get(col)) in {str(v) for v in vals}
+        for col, vals in replace_where.items()
+    )
+
+
+def _snapshot_id(version: int, adds: list, removes: list, parent) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(str(version).encode())
+    h.update((parent.snapshot_id if parent else "").encode())
+    for a in sorted(x["path"] for x in adds):
+        h.update(a.encode())
+    for r in sorted(removes):
+        h.update(r.encode())
+    return h.hexdigest()[:16]
+
+
+def _may_match(meta: dict, flt: tuple) -> bool:
+    """Can this file contain rows satisfying the filter? (False ⇒ safe to
+    skip: partition value is exact; stats ranges are conservative — files
+    with no stats for the column are always kept.)"""
+    col, op, val = flt
+    pvals = meta.get("partition_values", {})
+    if col in pvals:
+        pv = pvals[col]
+        if pv is None:
+            return False  # null partitions satisfy no comparison predicate
+        if op == "==":
+            return _typed(pv, val) == val
+        if op == "<":
+            return _typed(pv, val) < val
+        if op == "<=":
+            return _typed(pv, val) <= val
+        if op == ">":
+            return _typed(pv, val) > val
+        if op == ">=":
+            return _typed(pv, val) >= val
+        if op == "between":
+            lo, hi = val
+            return lo <= _typed(pv, lo) <= hi
+        return True
+    st = (meta.get("stats") or {}).get(col)
+    if not st or st.get("no_stats") or st.get("min") is None:
+        return True
+    lo, hi = _dec(st["min"]), _dec(st["max"])
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "between":
+            vlo, vhi = val
+            return not (hi < vlo or lo > vhi)
+    except TypeError:
+        return True  # incomparable literal/stats types — keep the file
+    return True
+
+
+def _typed(path_value: str, like: Any) -> Any:
+    """Coerce a partition-path string to the comparison literal's type."""
+    try:
+        if isinstance(like, bool):
+            return path_value.lower() == "true"
+        if isinstance(like, int):
+            return int(path_value)
+        if isinstance(like, float):
+            return float(path_value)
+        if isinstance(like, date) and not isinstance(like, datetime):
+            return date.fromisoformat(path_value)
+        if isinstance(like, datetime):
+            return datetime.fromisoformat(path_value)
+    except ValueError:
+        return path_value
+    return path_value
+
+
+def _as_column(flt: tuple):
+    col, op, val = flt
+    c = F.col(col)
+    return {
+        "==": lambda: c == val,
+        "<": lambda: c < val,
+        "<=": lambda: c <= val,
+        ">": lambda: c > val,
+        ">=": lambda: c >= val,
+        "between": lambda: c.between(val[0], val[1]),
+    }[op]()
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,227 @@
+"""Transaction-log table format (sources/txlog.py): ACID snapshots,
+file-sharing time travel, optimistic concurrency, stats-based data
+skipping, and the TxLogWarehouse pipeline backend."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+    TxLogWarehouse,
+    run_pipeline,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    CHECKPOINT_EVERY,
+    ConcurrentCommitError,
+    TableLog,
+)
+
+from conftest import SF_DIR
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_roundtrip_overwrite_and_schema(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = _df(spark, [(1, "a"), (2, "b")], ["id", "s"])
+    v = log.write(df)
+    assert v == 1
+    out = log.read()
+    assert out.schema == df.schema
+    assert sorted((r.id, r.s) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_append_shares_files_across_versions(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    v1_files = set(log.snapshot(1).files)
+    log.write(_df(spark, [(2,)], ["id"]), mode="append")
+    v2 = log.snapshot(2)
+    # the append did not rewrite v1's data: v1 files are still active in v2
+    assert v1_files < set(v2.files)
+    assert sorted(r.id for r in log.read(1).collect()) == [1]
+    assert sorted(r.id for r in log.read(2).collect()) == [1, 2]
+
+
+def test_overwrite_keeps_history_without_copying(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    paths_v1 = {
+        os.path.join(log.data_dir, p): os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot(1).files
+    }
+    log.write(_df(spark, [(99,)], ["id"]))
+    # old files untouched on disk (time travel reads them), new snapshot
+    # doesn't include them
+    for p, mtime in paths_v1.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime
+    assert [r.id for r in log.read(1).collect()] == [1]
+    assert [r.id for r in log.read(2).collect()] == [99]
+    ops = [h["operation"] for h in log.history()]
+    assert ops == ["overwrite", "overwrite"]
+    ids = {h["snapshot_id"] for h in log.history()}
+    assert len(ids) == 2  # distinct snapshot ids
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    # simulate a writer crash after data landed but before the commit:
+    # stage files directly with no commit
+    log._stage(_df(spark, [(777,)], ["id"]), None)
+    assert [r.id for r in log.read().collect()] == [1]
+
+
+def test_concurrent_commit_loser_raises_and_write_retries(spark, tmp_path):
+    log_a = TableLog(spark, str(tmp_path / "t"))
+    log_b = TableLog(spark, str(tmp_path / "t"))
+    log_a.write(_df(spark, [(1,)], ["id"]))
+    # low-level: both writers race for version 2 — exactly one wins
+    payload = {
+        "version": 2,
+        "snapshot_id": "x",
+        "parent_id": None,
+        "operation": "append",
+        "schema": _df(spark, [(1,)], ["id"]).schema.json(),
+        "partition_by": [],
+        "adds": [],
+        "removes": [],
+    }
+    log_a._commit(2, payload)
+    with pytest.raises(ConcurrentCommitError):
+        log_b._commit(2, dict(payload, snapshot_id="y"))
+    # high-level: write() resolves the race by taking the next version
+    v = log_b.write(_df(spark, [(2,)], ["id"]), mode="append")
+    assert v == 3
+    assert sorted(r.id for r in log_b.read().collect()) == [1, 2]
+
+
+def test_stats_file_skipping_prunes_scan(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    # range-partitioned write ⇒ files with disjoint [min,max] on `v`
+    df = spark.range(1000).withColumnRenamed("id", "v").repartitionByRange(8, "v")
+    log.write(df)
+    n_total = len(log.snapshot().files)
+    assert n_total >= 4
+    pruned = log.read(filters=[("v", "between", (0, 99))])
+    assert len(pruned.inputFiles()) < n_total
+    assert pruned.count() == 100
+    # equality + open ranges prune too, and results stay exact
+    assert log.read(filters=[("v", "==", 500)]).count() == 1
+    ge = log.read(filters=[("v", ">=", 900)])
+    assert len(ge.inputFiles()) < n_total and ge.count() == 100
+
+
+def test_partition_pruning_and_reconstruction(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = _df(spark, [(1, "us"), (2, "us"), (3, "eu"), (4, None)], ["id", "region"])
+    log.write(df, partition_by=["region"])
+    out = log.read()
+    assert dict(out.dtypes)["region"] == "string"  # reconstructed, typed
+    assert sorted((r.id, r.region) for r in out.collect()) == [
+        (1, "us"), (2, "us"), (3, "eu"), (4, None),
+    ]
+    us = log.read(filters=[("region", "==", "us")])
+    assert {f for f in us.inputFiles()} < {f for f in out.inputFiles()}
+    assert sorted(r.id for r in us.collect()) == [1, 2]
+
+
+def test_replace_where_partition_reload_is_idempotent(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        _df(spark, [(1, "a"), (2, "b")], ["id", "k"]), partition_by=["k"]
+    )
+    for _ in range(2):  # idempotent re-run
+        log.write(
+            _df(spark, [(10, "a")], ["id", "k"]),
+            partition_by=["k"],
+            replace_where={"k": ["a"]},
+        )
+        assert sorted((r.id, r.k) for r in log.read().collect()) == [
+            (2, "b"), (10, "a"),
+        ]
+    # history intact: version 1 still has the original partition a
+    assert sorted(r.id for r in log.read(1).collect()) == [1, 2]
+
+
+def test_append_must_match_partitioning(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, "a")], ["id", "k"]), partition_by=["k"])
+    with pytest.raises(ValueError, match="partitioning"):
+        log.write(_df(spark, [(2, "b")], ["id", "k"]), mode="append")
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    for i in range(CHECKPOINT_EVERY + 2):
+        log.write(_df(spark, [(i,)], ["id"]), mode="overwrite" if i == 0 else "append")
+    assert os.path.exists(log._checkpoint_path(CHECKPOINT_EVERY))
+    snap = log.snapshot()
+    assert snap.version == CHECKPOINT_EVERY + 2
+    assert sorted(r.id for r in log.read().collect()) == list(
+        range(CHECKPOINT_EVERY + 2)
+    )
+    # corrupt all commits at/below the checkpoint: snapshot() of the latest
+    # version must not read them (replay starts at the checkpoint)
+    for v in range(1, CHECKPOINT_EVERY + 1):
+        with open(log._commit_path(v), "w") as f:
+            f.write("garbage")
+    assert sorted(r.id for r in log.read().collect()) == list(
+        range(CHECKPOINT_EVERY + 2)
+    )
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    log.write(_df(spark, [(2,)], ["id"]))  # v1 files now garbage-eligible
+    deleted = log.vacuum(retain_last=1)
+    assert deleted >= 1
+    assert [r.id for r in log.read().collect()] == [2]
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        log.read(1).collect()
+
+
+def test_txlog_warehouse_runs_pipeline_and_time_travels(spark, tmp_path):
+    res = run_pipeline(
+        spark, SF_DIR, str(tmp_path / "wh"), warehouse_cls=TxLogWarehouse
+    )
+    assert res["fact_rows"] > 0
+    assert res["quality"]["passed"] is True
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    assert "star_fact" in wh.tables()
+    # stage rerun = new snapshot; VERSION AS OF reads the old one through
+    # the same SQL surface the reference verifies with (README.md:143-154)
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        stage_ingest,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import (
+        Catalog,
+    )
+
+    stage_ingest(wh, Catalog(spark, SF_DIR))
+    assert wh.versions("trips_raw") == [1, 2]
+    n_v1 = wh.sql("SELECT count(*) AS n FROM trips_raw VERSION AS OF 1").head().n
+    n_v2 = wh.sql("SELECT count(*) AS n FROM trips_raw VERSION AS OF 2").head().n
+    assert n_v1 == n_v2 == res["ingest_rows"]
+    # commits carry real snapshot ids, not just sequential versions
+    hist = TableLog(spark, wh.path("trips_raw")).history()
+    assert len({h["snapshot_id"] for h in hist}) == 2
+
+
+def test_commit_log_is_valid_json_with_stats(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, 5.0, "x")], ["id", "val", "s"]).coalesce(1))
+    with open(log._commit_path(1)) as f:
+        c = json.load(f)
+    (add,) = [a for a in c["adds"] if a["rows"]]
+    assert add["rows"] == 1
+    assert add["stats"]["id"]["min"] == 1 and add["stats"]["id"]["max"] == 1
+    assert add["stats"]["val"]["min"] == 5.0
+    assert add["stats"]["s"]["min"] == "x"
