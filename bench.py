@@ -53,11 +53,16 @@ BENCH_QUERIES = [
     "disjunctive_revenue",
     "important_parts",
     "quiet_customers",
+    # change management (SCD2 / MERGE / incremental maintenance)
+    "scd2_user_history",
+    "merge_upsert",
+    "incremental_agg",
     # LLM-data extensions
     "dedup_exact",
     "repeated_spans",
     "span_coverage",
     "corpus_report",
+    "top_terms",
     "bpe_token_counts",
     "embedding_near_dup_lsh",
     "ann_ivf_topk",

@@ -368,3 +368,80 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(k)
     )
+
+
+def top_terms(documents: DataFrame, k: int = 25) -> DataFrame:
+    """Exact corpus-wide heavy hitters: the k most frequent tokens with
+    their counts, tie-broken on the term so the set is deterministic.
+
+    Plan: explode → partial count (map-side combine absorbs each
+    partition's repeats, so the shuffle carries one row per distinct term
+    per partition, not one per token) → final count → TakeOrderedAndProject.
+    This is the exact baseline :func:`approx_top_terms` is bounded against.
+    """
+    return (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+    )
+
+
+def approx_top_terms(documents: DataFrame, k: int = 25, capacity: int = 4096) -> DataFrame:
+    """Approximate heavy hitters via Misra-Gries summaries (public
+    algorithm: Misra & Gries 1982; merge step per Agarwal et al. 2012,
+    "Mergeable Summaries").
+
+    Each partition folds its tokens into a ``capacity``-counter summary
+    inside one Arrow-batched pass (mapInPandas); summaries — at most
+    ``capacity`` rows each, regardless of data size — are then merged by
+    summing per-term lower bounds and re-truncating globally. Guarantee
+    carried by the merged summary: every term with true frequency
+    > n/capacity survives, and each reported count undercounts by at most
+    n/capacity (asserted against :func:`top_terms` in tests). The shuffle
+    moves O(partitions × capacity) rows — constant in corpus size, which
+    is the whole point at 100 TB where the exact path's shuffle is
+    O(distinct terms).
+    """
+    import pandas as pd  # noqa: F401 — schema doc; closure imports its own
+
+    def mg_partition(batches):
+        # self-contained closure: workers don't share the driver's sys.path
+        import re
+
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                toks = re.split(r"\s+", text.strip()) if text.strip() else []
+                for t in toks:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < capacity:
+                        counters[t] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"term": list(counters), "n": list(counters.values())})
+
+    summaries = documents.select("text").mapInPandas(
+        mg_partition, "term string, n long"
+    )
+    # merging = summing per-partition counter lower bounds; the undercount
+    # bound is additive across partitions (mergeable-summaries property)
+    return (
+        summaries.groupBy("term")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     aggregates,
+    changes,
     cleaning,
     custom,
     dedup,
@@ -2733,6 +2734,150 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# queries — change management (SCD2 / MERGE / incremental maintenance)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 over the event stream (operators/changes.py): collapse
+    each sampled user's event_type changes into effective-dated version
+    rows. The deterministic user sample keeps the oracle result compact;
+    the operator itself is a full-stream single-shuffle plan."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") % 97 == 0)
+    out = changes.scd2_history(ev, "user_id", "event_type", ["ts_us", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version_no",
+        "is_current",
+    )
+
+
+SQL_SCD2_USER_HISTORY = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id % 97 = 0
+),
+c AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+ch AS (
+  SELECT user_id, event_type, ts_us, event_id FROM c
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS INTEGER) AS version_no,
+       lead(ts_us) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: a deterministic source of
+    updates (doubled price, status U), inserts (shifted keys), and deletes
+    (5-LOW priority rows) merged into orders — all three MERGE branches in
+    one result (operators/changes.py)."""
+    orders = Catalog(spark, sf_dir).orders
+    updates = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            # ×2 not ×1.1: doubling is exact in binary floating point, so
+            # the oracle's double matches bit-for-bit with no rounding
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 5000 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100_000_000)
+    )
+    return changes.merge_upsert(
+        orders,
+        updates.unionByName(inserts),
+        ["o_orderkey"],
+        delete_condition=F.col("o_orderpriority") == "5-LOW",
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5000 = 0
+)
+SELECT o.* FROM orders o
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT * FROM src WHERE o_orderpriority <> '5-LOW'
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental summary maintenance: a pre-1997 summary folded together
+    with the 1997+ delta's partial aggregates (operators/changes.py) must
+    equal the from-scratch aggregate — which is exactly what the oracle
+    recomputes. Exact-decimal sums keep the merge bit-deterministic."""
+    li = Catalog(spark, sf_dir).lineitem
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.filter(F.year("l_shipdate") <= 1996)
+    delta = li.filter(F.year("l_shipdate") >= 1997)
+    summary = base.groupBy(*keys).agg(
+        F.count("*").alias("cnt"),
+        aggregates.exact_sum("l_quantity", 0).alias("l_quantity"),
+        aggregates.exact_sum("l_extendedprice", 2).alias("l_extendedprice"),
+    )
+    merged = changes.merge_partial_aggregates(
+        summary, delta, keys, sum_cols={"l_quantity": 0, "l_extendedprice": 2}
+    )
+    return merged.select(
+        *keys,
+        "cnt",
+        F.col("l_quantity").alias("sum_qty"),
+        F.col("l_extendedprice").alias("sum_price"),
+        F.round(F.col("l_extendedprice") / F.col("cnt"), 4).alias("avg_price"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters (operators/text.py): top 25 tokens
+    by frequency, term tie-break. The baseline approx_top_terms is bounded
+    against (Misra-Gries, tested in test_round2.py)."""
+    return text.top_terms(Catalog(spark, sf_dir).documents, k=25)
+
+
+SQL_TOP_TERMS = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({TOKS_SQL.format(src='text')}) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2745,8 +2890,9 @@ freshly-verified queries park at the tail.  History: r1 verified the r1
 ordering's first 50; r2 the r2 ordering's; r3 rotated in the never-verified
 round-2 additions + the round-3 fixes (CORRECTNESS_r03: 48 oracled green,
 2 rows-only); r4 rotates in the 38 entries whose newest evidence was r2,
-plus the three new round-4 operators (repeated_spans, span_coverage,
-corpus_report) and the 9 oldest r3 entries that still fit."""
+plus the seven new round-4 operators (repeated_spans, span_coverage,
+corpus_report, scd2_user_history, merge_upsert, incremental_agg,
+top_terms) and the 5 oldest r3 entries that still fit."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-35: r2-evidence oracled queries, due a refresh ----
@@ -2791,23 +2937,27 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
-    # --- window slots 39-41: new round-4 operators -----------------------
+    # --- window slots 39-45: new round-4 operators -----------------------
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
     "corpus_report": q_corpus_report,
-    # --- window slots 42-50: oldest-r3 oracled entries, re-verified ------
+    "scd2_user_history": q_scd2_user_history,
+    "merge_upsert": q_merge_upsert,
+    "incremental_agg": q_incremental_agg,
+    "top_terms": q_top_terms,
+    # --- window slots 46-50: oldest-r3 oracled entries, re-verified ------
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
+    # --- tail (outside the 50-entry window): r3-green and unchanged since;
+    # evidence in CORRECTNESS_r03. The window holds exactly 50 entries —
+    # re-count whenever entries are inserted above this line. -------------
     "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
     "hash_sample": q_hash_sample,
-    # --- tail (outside the 50-entry window): r3-green and unchanged since;
-    # evidence in CORRECTNESS_r03. The window holds exactly 50 entries —
-    # re-count whenever entries are inserted above this line. -------------
     "dedup_exact": q_dedup_exact,
     "near_dup_clusters": q_near_dup_clusters,
     "date_dim": q_date_dim,
@@ -2885,6 +3035,10 @@ ORACLES: dict[str, str] = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "span_coverage": SQL_SPAN_COVERAGE,
     "corpus_report": SQL_CORPUS_REPORT,
+    "scd2_user_history": SQL_SCD2_USER_HISTORY,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
+    "top_terms": SQL_TOP_TERMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

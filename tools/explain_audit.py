@@ -27,6 +27,10 @@ HEADLINE = [
     "repeated_spans",
     "span_coverage",
     "corpus_report",
+    "scd2_user_history",
+    "merge_upsert",
+    "incremental_agg",
+    "top_terms",
 ]
 
 CLAIMS = {
@@ -49,6 +53,14 @@ CLAIMS = {
     # one scan, one shuffle: a single Exchange pair for the grouped agg
     # (plus countDistinct's internal expand), no joins at all
     "corpus_report": [("Join", False)],
+    # both Window passes ride ONE Exchange on the key; no joins
+    "scd2_user_history": [("Join", False), ("Window", True)],
+    # MERGE = broadcast anti join + union; never a full outer join
+    "merge_upsert": [("BroadcastHashJoin LeftAnti", True), ("SortMergeJoin", False)],
+    # summary ∪ delta-partials re-aggregated: pure hash agg, no joins
+    "incremental_agg": [("Join", False), ("HashAggregate", True)],
+    # heavy hitters: partial count absorbs repeats; top-k without sort
+    "top_terms": [("TakeOrderedAndProject", True), ("Join", False)],
 }
 
 
