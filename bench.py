@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "simhash_near_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "label_centroids",
     "media_features",
     # governance / corpus management

@@ -1,0 +1,82 @@
+"""Product quantization (operators/similarity.py PQ family): code shape,
+k-means convergence, ADC+rerank recall against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    similarity as sim,
+)
+
+M, NBITS = 8, 4
+
+
+def _unit_vectors(cat):
+    return sim._unit(  # noqa: SLF001
+        sim._as_double(cat.embeddings, "embedding", "v_"), "v_", "v"  # noqa: SLF001
+    ).select("vec_id", "v")
+
+
+def test_pq_encode_shape_and_bounds(spark, cat):
+    vecs = _unit_vectors(cat)
+    cents = sim.pq_train(vecs, m=M, nbits=NBITS, iters=2)
+    codes = sim.pq_encode(vecs, cents, m=M)
+    assert codes.count() == vecs.count()
+    bad = codes.filter(
+        (F.size("codes") != M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 1 << NBITS))
+    )
+    assert bad.count() == 0
+
+
+def test_pq_kmeans_reduces_distortion(spark, cat):
+    vecs = _unit_vectors(cat)
+    sub = sim._pq_subvectors(vecs, "vec_id", "v", M)  # noqa: SLF001
+
+    def distortion(iters: int) -> float:
+        cents = sim.pq_train(vecs, m=M, nbits=NBITS, iters=iters)
+        assigned = sim._pq_assign(sub, cents, "vec_id")  # noqa: SLF001
+        joined = assigned.join(cents, ["j", "code"]).withColumn(
+            "dist", F.expr(sim._L2)  # noqa: SLF001
+        )
+        return joined.agg(F.avg("dist")).head()[0]
+
+    d0, d3 = distortion(0), distortion(3)
+    assert d3 < d0  # Lloyd iterations strictly improve the quantizer here
+
+
+def test_pq_rerank_recall_and_exactness(spark, cat):
+    exact_rows = sim.ann_cosine_topk(cat.embeddings, n_queries=5, k=10).collect()
+    exact = {(r.q_id, r.c_id): r.cosine for r in exact_rows}
+    out = sim.ann_pq_rerank_topk(
+        cat.embeddings, n_queries=5, k=10, shortlist=50, m=16, nbits=6
+    ).collect()
+    approx = {(r.q_id, r.c_id): r.cosine for r in out}
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) >= 0.9  # measured 0.98 on this corpus
+    # reranked scores are EXACT cosines — identical wherever the sets agree
+    assert all(exact[p] == approx[p] for p in hits)
+
+
+def test_pq_adc_score_approximates_cosine(spark, cat):
+    # ADC on unit vectors approximates cosine: for the top hit of each
+    # query the ADC score must be within quantization distance of the
+    # true cosine (loose sanity bound, not a tight guarantee)
+    adc = {
+        (r.q_id, r.c_id): r.adc_score
+        for r in sim.ann_pq_topk(
+            cat.embeddings, n_queries=3, k=5, m=16, nbits=6
+        ).collect()
+    }
+    emb = sim._as_double(cat.embeddings, "embedding", "cv")  # noqa: SLF001
+    ids = {i for pair in adc for i in pair}
+    rows = {r.vec_id: r.cv for r in emb.filter(F.col("vec_id").isin(*ids)).collect()}
+    import math
+
+    for (q, c), score in adc.items():
+        qv, cv = rows[q], rows[c]
+        dot = sum(a * b for a, b in zip(qv, cv))
+        denom = math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(a * a for a in cv))
+        cosine = dot / denom
+        assert abs(score - cosine) < 0.35

@@ -36,6 +36,7 @@ GOLDEN_QUERIES = [
     "ann_lsh_topk",
     "embedding_near_dup_lsh",
     "approx_event_stats",
+    "ann_pq_topk",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
