@@ -33,6 +33,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
+
+    # Python workers must be able to import this package (Python DataSource
+    # classes — sources/pyds.py — unpickle by module reference). Local-mode
+    # workers inherit the JVM's env, which inherits ours, so exporting
+    # PYTHONPATH before the JVM launches covers them; on a real cluster ship
+    # the package with --py-files / a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cpus), 8)
@@ -47,6 +59,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSources (sources/pyds.py) see pushed filters for
+        # log-metadata file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # nanosecond parquet timestamps (events table) must not error
         .config("spark.sql.legacy.parquet.nanosAsLong", "false")

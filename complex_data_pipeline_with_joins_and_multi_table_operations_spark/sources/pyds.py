@@ -1,0 +1,393 @@
+"""Spark-native access to the transaction-log table format: a Python
+DataSource (Spark 4 ``pyspark.sql.datasource`` API) named ``txlog``.
+
+`sources/txlog.py` implements the commit-log format itself (Delta-paper
+architecture: immutable parquet + JSON commit log). This module makes that
+format a *first-class Spark source*, closing the surface gap with the
+reference's Iceberg tables (reference IngestionJob.scala:15-19,
+README.md:143-154 — `VERSION AS OF` verification):
+
+- **batch read**   ``spark.read.format("txlog").option("versionAsOf", 3)
+  .load(path)`` — for SQL, ``load(...).createOrReplaceTempView(...)``
+  (Spark's ``SELECT … FROM format.`/path``` direct-query sugar is
+  JVM-sources-only as of 4.1).
+- **filter pushdown** — Spark pushes its data filters into the source
+  (``spark.sql.python.filterPushdown.enabled``); we translate them into
+  log-metadata file pruning (partition values exact, footer min/max
+  conservative) so skipped files are never listed, never opened, and never
+  reach a Python worker. All filters are reported back as unhandled, so
+  Spark still re-applies them — skipping is an I/O win, never a
+  correctness dependency (same contract as Iceberg manifest pruning).
+- **batch write**  ``df.write.format("txlog").mode("append"|"overwrite")
+  .save(path)`` — each task streams its Arrow batches straight into an
+  immutable data file and harvests that file's footer stats *on the
+  executor* (distributed stats, no driver re-read); the driver turns task
+  commit messages into ONE atomic log commit. A failed/speculated task's
+  file is simply never committed (and is deleted on abort) — the
+  classic write-audit-publish pattern, exactly-once per Spark's commit
+  protocol.
+- **streaming read** ``spark.readStream.format("txlog").load(path)`` —
+  tails the commit log: offsets are table versions, each microbatch is
+  the add-actions of the commits in ``(start, end]``. The Delta-style CDC
+  ingestion surface: downstream pipelines consume appends incrementally
+  with exactly-once semantics from the sink's checkpoint. Non-append
+  commits (overwrite/replace) fail the stream unless
+  ``ignoreChanges=true``, mirroring Delta's guardrail.
+
+Scale notes: partitions are one-per-data-file, so read parallelism tracks
+the file count; pruning happens on log metadata only (O(active files),
+checkpoint-bounded). The Python DS read path moves data through Arrow in
+Python workers — for JVM-only plans `TableLog.read()` (a parquet scan over
+the pruned file list) stays the fast path; this source is the
+interoperability surface (SQL access, streaming tail, third-party tools).
+On a real cluster, ship the package via ``--py-files`` so executors can
+unpickle the source class (local mode inherits PYTHONPATH from
+`get_spark`).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+FORMAT_NAME = "txlog"
+
+
+def register_txlog(spark) -> None:
+    """Register the ``txlog`` format on this session (idempotent)."""
+    spark.dataSource.register(TxLogDataSource)
+
+
+# ---------------------------------------------------------------------------
+# filter translation (driver-side, pure — unit-tested directly)
+
+_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def translate_filters(filters: Sequence[Filter]) -> list[tuple]:
+    """Spark pushed filters -> txlog ``(col, op, value)`` pruning tuples.
+
+    Only top-level-column comparisons translate; anything else is skipped
+    (file kept — conservative). ``In`` collapses to its value range: a file
+    whose [min,max] misses [min(values),max(values)] can hold no match, so
+    ``between`` prunes correctly even though it is weaker than membership.
+    """
+    out: list[tuple] = []
+    for f in filters:
+        op = _OPS.get(type(f))
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue  # nested column — no scalar stats
+        col = attr[0]
+        if op is not None:
+            if f.value is not None:
+                out.append((col, op, f.value))
+        elif isinstance(f, In):
+            vals = [v for v in f.value if v is not None]
+            if vals:
+                try:
+                    out.append((col, "between", (min(vals), max(vals))))
+                except TypeError:
+                    pass  # mixed/incomparable literals — keep the file
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared executor-side file reader
+
+def _read_file_as_batches(
+    data_dir: str,
+    meta: dict,
+    schema_json: str,
+) -> Iterator["pa.RecordBatch"]:
+    """Read one immutable data file and yield Arrow batches matching the
+    snapshot schema exactly: partition columns (absent from the file, held
+    as strings in the commit log) are re-materialized as typed constants,
+    and physical types (int32 vs int64 etc.) are cast to the logical ones.
+    Runs inside a Python worker — stdlib + pyarrow + pyspark only.
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _StructType
+
+    target = to_arrow_schema(_StructType.fromJson(_json.loads(schema_json)))
+    pvals = meta.get("partition_values", {})
+    pf = pq.ParquetFile(os.path.join(data_dir, meta["path"]))
+    for batch in pf.iter_batches():
+        n = batch.num_rows
+        arrays, names = [], []
+        present = set(batch.schema.names)
+        for fld in target:
+            if fld.name in present:
+                arr = batch.column(batch.schema.get_field_index(fld.name))
+            elif fld.name in pvals:
+                v = pvals[fld.name]
+                arr = (
+                    pa.nulls(n, fld.type)
+                    if v is None
+                    else pa.array([v] * n, pa.string()).cast(fld.type)
+                )
+            else:  # column added after this file was written — nulls
+                arr = pa.nulls(n, fld.type)
+            arrays.append(arr)
+            names.append(fld.name)
+        tbl = pa.Table.from_arrays(arrays, names=names).cast(target)
+        yield from tbl.to_batches()
+
+
+# ---------------------------------------------------------------------------
+# batch read
+
+class _FilePartition(InputPartition):
+    def __init__(self, meta: dict):
+        self.meta = meta
+
+
+class TxLogBatchReader(DataSourceReader):
+    def __init__(self, root: str, schema_json: str, metas: list[dict]):
+        self.data_dir = os.path.join(root, "data")
+        self.schema_json = schema_json
+        self.metas = metas
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        prune = translate_filters(filters)
+        if prune:
+            from .txlog import _may_match
+
+            self.metas = [
+                m for m in self.metas if all(_may_match(m, f) for f in prune)
+            ]
+        # report every filter unhandled: Spark re-applies them post-scan,
+        # so pruning can never change results — only skip dead I/O
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(m) for m in self.metas]
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        yield from _read_file_as_batches(
+            self.data_dir, partition.meta, self.schema_json
+        )
+
+
+# ---------------------------------------------------------------------------
+# batch write (write-audit-publish: files land invisibly, one log commit
+# publishes them; abort deletes the orphans)
+
+@dataclass
+class TxLogWriteMessage(WriterCommitMessage):
+    path: str
+    rows: int
+    bytes: int
+    stats: dict
+
+
+class TxLogBatchWriter(DataSourceArrowWriter):
+    def __init__(self, root: str, schema_json: str, overwrite: bool):
+        self.root = root
+        self.schema_json = schema_json
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> TxLogWriteMessage:
+        """Executor-side: stream this task's batches into one immutable
+        parquet file under data/, then harvest ITS footer stats right here
+        — the stats work distributes with the write instead of a driver
+        re-read of every footer."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .txlog import _file_stats
+
+        rel = f"part-{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.root, "data", rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(dest, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty task — nothing to publish
+            return TxLogWriteMessage(path="", rows=0, bytes=0, stats={})
+        stats, _ = _file_stats(dest)
+        return TxLogWriteMessage(
+            path=rel, rows=rows, bytes=os.path.getsize(dest), stats=stats
+        )
+
+    def commit(self, messages: list[TxLogWriteMessage]) -> None:
+        """Driver-side: one atomic log commit over all task files."""
+        from .txlog import ConcurrentCommitError, TableLog, _snapshot_id
+
+        adds = [
+            {
+                "path": m.path,
+                "rows": m.rows,
+                "bytes": m.bytes,
+                "partition_values": {},
+                "stats": m.stats,
+            }
+            for m in messages
+            if m is not None and m.path
+        ]
+        log = TableLog(None, self.root)
+        for _attempt in range(3):
+            cur = log.snapshot() if log.exists() else None
+            version = (cur.version if cur else 0) + 1
+            removes = list(cur.files) if (self.overwrite and cur) else []
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id if cur else None,
+                "operation": "overwrite" if self.overwrite else "append",
+                "schema": self.schema_json,
+                "partition_by": [],
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                log._commit(version, payload)
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"lost 3 commit races on {self.root}")
+
+    def abort(self, messages: list[TxLogWriteMessage]) -> None:
+        for m in messages or []:
+            if m is not None and m.path:
+                try:
+                    os.unlink(os.path.join(self.root, "data", m.path))
+                except FileNotFoundError:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# streaming read (tail the commit log; offset == table version)
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema_json: str, options):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.schema_json = schema_json
+        self.starting_version = int(options.get("startingversion", "0"))
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        from .txlog import TableLog
+
+        versions = TableLog(None, self.root).versions()
+        latest = versions[-1] if versions else self.starting_version
+        return {"version": max(latest, self.starting_version)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Add-actions of commits in (start, end] — one partition per file.
+        A non-append commit means earlier emitted rows may no longer be in
+        the table; surfacing its adds as 'new rows' would be silent
+        double-processing, so fail loudly unless the user opts in."""
+        import json as _json
+
+        from .txlog import TableLog
+
+        log = TableLog(None, self.root)
+        parts: list[_FilePartition] = []
+        for v in log.versions():
+            if not (start["version"] < v <= end["version"]):
+                continue
+            with open(log._commit_path(v)) as f:
+                c = _json.load(f)
+            if c["operation"] != "append" and c.get("removes"):
+                if not self.ignore_changes:
+                    raise RuntimeError(
+                        f"streaming source hit a {c['operation']!r} commit at "
+                        f"version {v}; restart from a fresh checkpoint or set "
+                        "ignoreChanges=true to stream its added files anyway"
+                    )
+            parts.extend(_FilePartition(a) for a in c.get("adds", []))
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        yield from _read_file_as_batches(
+            self.data_dir, partition.meta, self.schema_json
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the sink's checkpoint owns progress; the log retains history
+
+
+# ---------------------------------------------------------------------------
+
+class TxLogDataSource(DataSource):
+    """``txlog`` — the transaction-log table format as a Spark source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _root(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog requires a path: .load('/table/root')")
+        return path
+
+    def schema(self) -> StructType:
+        from .txlog import TableLog
+
+        log = TableLog(None, self._root())
+        if log.exists():
+            v = self.options.get("versionasof")
+            return log.snapshot(int(v) if v is not None else None).schema
+        raise FileNotFoundError(f"no txlog table at {self._root()}")
+
+    def reader(self, schema: StructType) -> TxLogBatchReader:
+        from .txlog import TableLog
+
+        root = self._root()
+        v = self.options.get("versionasof")
+        snap = TableLog(None, root).snapshot(int(v) if v is not None else None)
+        return TxLogBatchReader(root, snap.schema_json, list(snap.files.values()))
+
+    def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
+        return TxLogBatchWriter(self._root(), schema.json(), overwrite)
+
+    def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        return TxLogStreamReader(self._root(), schema.json(), self.options)
