@@ -1611,19 +1611,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
 def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional CASE-counts inside a grouped agg (TPC-H Q12 shape):
     high/low-priority order counts per linestatus for late-shipped rows.
-    The date-range predicate pushes to the lineitem scan."""
+    The date-range predicate pushes to the lineitem scan.
+
+    Scale shape: at sf0.1 `orders` broadcasts and any plan is fine, but
+    at sf1+ the join demotes to a shuffle of every filtered lineitem ROW
+    against the full `orders` width — BASELINE.md recorded 17.6× time for
+    10× data, the worst scaling in the suite. Two standard reductions fix
+    the curvature without giving up the shuffle join (which is the right
+    plan when both sides are large):
+
+    - partial-aggregate lineitem to (l_orderkey, l_linestatus, cnt)
+      BEFORE the join — lineitem files are orderkey-clustered, so the
+      map-side combine collapses the ~4 rows/order locally and the join
+      shuffles ~1 narrow row per order×status instead of every line;
+    - project orders to (o_orderkey, is_high) so the other shuffle side
+      carries 9 bytes of payload, not the full row.
+
+    The post-join agg then sums the pre-counts. Row-level CASE-count ≡
+    sum of per-group counts, so results are bit-identical to the naive
+    plan (same oracle)."""
     cat = Catalog(spark, sf_dir)
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
+    line_counts = (
         cat.lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
-        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order_flags = cat.orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    return (
+        line_counts.join(order_flags, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            F.count(F.when(hi, 1)).alias("high_line_count"),
-            F.count(F.when(~hi, 1)).alias("low_line_count"),
+            F.sum(F.when(F.col("is_high"), F.col("cnt")).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~F.col("is_high"), F.col("cnt")).otherwise(0)).alias(
+                "low_line_count"
+            ),
         )
     )
 
