@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "scd2_user_history",
     "merge_upsert",
     "incremental_agg",
+    "scd2_point_in_time",
     # LLM-data extensions
     "dedup_exact",
     "repeated_spans",
@@ -75,9 +76,12 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "kmeans_clusters",
     "label_centroids",
     "media_features",
     # governance / corpus management
+    "adaptive_quality",
+    "incremental_dedup",
     "hash_sample",
     "quota_sample",
     "decontaminate",

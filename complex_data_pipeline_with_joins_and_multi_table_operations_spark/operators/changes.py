@@ -140,3 +140,78 @@ def merge_partial_aggregates(
             *[exact_sum(c, s).alias(c) for c, s in sum_cols.items()],
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    from_col: str,
+    attr_cols: list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each fact row with the SCD2
+    dimension version that was effective at the fact's timestamp.
+
+    The naive formulation — equi-join on ``key`` plus a
+    ``valid_from <= ts < valid_to`` range filter — materializes
+    facts × versions-per-key intermediate rows before filtering; with a
+    hot key carrying hundreds of versions that blows up the shuffle at
+    100 TB. This operator instead uses the union-sort shape: dimension
+    version rows are interleaved with fact rows on ``(key, ts)`` and each
+    fact picks up the most recent version via ``last(..., ignorenulls)``
+    over a running frame — ONE shuffle on ``key``, output exactly
+    |facts| rows, no multiplicative intermediate. SCD2 versions are
+    contiguous (``valid_to`` = next ``valid_from``), so most-recent-start
+    is exactly the effective version; a version starting at the fact's
+    own timestamp applies (dim rows sort before fact rows on ties).
+
+    Facts with no version yet (before the key's first ``valid_from``, or
+    an unknown key) get null attributes — left-join semantics. Attributes
+    ride in ONE struct so a legitimately-null attribute value inside a
+    version survives (per-column ``last(ignorenulls)`` would skip it and
+    resurrect the previous version's value).
+
+    ``seq_col`` (e.g. SCD2's ``version_no``) orders dim versions that
+    share a ``valid_from`` timestamp: the later version wins, matching
+    the range formulation where the earlier one is zero-width and
+    matches nothing. Without it, same-timestamp versions would leave the
+    winner tie-dependent.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols]).alias("__pit")
+    dim_tagged = dim.select(
+        F.col(key),
+        F.col(from_col).alias(ts_col),
+        attrs,
+        F.lit(1).alias("__is_dim"),
+        *(
+            [F.col(seq_col).cast("long").alias("__seq")]
+            if seq_col
+            else [F.lit(0).cast("long").alias("__seq")]
+        ),
+    )
+    facts_tagged = (
+        facts.withColumn(
+            "__pit", F.lit(None).cast(dim_tagged.schema["__pit"].dataType)
+        )
+        .withColumn("__is_dim", F.lit(0))
+        .withColumn("__seq", F.lit(None).cast("long"))
+    )
+
+    merged = facts_tagged.unionByName(dim_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(ts_col), F.col("__is_dim").desc(), F.asc_nulls_first("__seq")
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = merged.withColumn("__eff", F.last("__pit", ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("__is_dim") == 0)
+        .select(
+            *facts.columns,
+            *[F.col(f"__eff.{c}").alias(f"dim_{c}") for c in attr_cols],
+        )
+    )

@@ -62,6 +62,36 @@ def exact_dedup_clusters(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_against_corpus(
+    incoming: DataFrame, corpus: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental exact dedup: keep the incoming-batch documents whose
+    text does not already exist in the standing corpus, collapsing exact
+    duplicates *within* the batch to their min-``id_col`` representative.
+
+    This is the snapshot-over-snapshot ingestion shape: at 100 TB the
+    standing corpus never re-shuffles its text — both sides reduce to a
+    digest projection, the corpus side deduplicates map-side
+    (``distinct`` on the 32-byte digest), and the batch anti-joins on the
+    digest only. The kept rows then re-attach their full payload through
+    an ``id_col`` semi-join against the (much smaller) batch — text
+    payloads move only for rows that survive. A production run would
+    persist the corpus digest set as its own compact table and skip the
+    corpus scan entirely; the operator takes any digest-projectable
+    DataFrame so that table slots straight in.
+    """
+    digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_digests = corpus.select(digest.alias("text_hash")).distinct()
+    batch = incoming.withColumn("text_hash", digest)
+    fresh = batch.select(id_col, "text_hash").join(
+        corpus_digests, "text_hash", "left_anti"
+    )
+    keep_ids = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return batch.join(
+        keep_ids.select(id_col), id_col, "left_semi"
+    ).drop("text_hash")
+
+
 def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Word k-shingles as a distinct array column (single projection)."""
     df = documents.withColumn("toks", tokens_col(F.col("text")))

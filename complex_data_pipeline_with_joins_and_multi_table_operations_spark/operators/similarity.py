@@ -714,3 +714,92 @@ def ann_pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "c_label", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means document clustering
+# ---------------------------------------------------------------------------
+
+# squared L2 between two array<double> columns, folded as exact decimals:
+# each term is the deterministic DECIMAL(28,12) rounding of a double, and
+# decimal addition is associative — the distance is bit-identical across
+# partitionings AND engines (a plain double fold is neither), which is
+# what lets an iterative clustering be oracle-checked in SQL.
+def _l2sq_dec(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(28,12)")),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda s, v: (s + v).cast("decimal(28,12)"),
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column → final
+    cluster assignment ``(vec_id, cluster)``.
+
+    Fully deterministic, which makes an *iterative* algorithm exactly
+    reproducible in a SQL oracle (the DuckDB mirror unrolls the same
+    ``iters`` steps): init is the ``k`` lowest vec_ids; assignment is
+    argmin of the exact-decimal squared L2 (ties → lower cluster id);
+    centroid updates use the exact-decimal mean (sum as DECIMAL(28,12),
+    order-independent, then one double division). A cluster that loses
+    all members drops out — both engines shrink identically.
+
+    100 TB shape (same contract as :func:`pq_train`): the centroid table
+    is metadata-sized (k × dim doubles) and lives driver-side between
+    iterations; each iteration is ONE job — scan, partition-local argmin
+    against centroid literals (no join, no shuffle of vectors), then an
+    exact-decimal mean whose shuffle carries only k × dim partial states
+    after map-side combine. Lineage restarts from literals each
+    iteration, so no checkpoint is needed. Cost: (iters + 1) corpus
+    scans; vectors never move.
+    """
+    corpus = _as_double(embeddings, "embedding", "ev").select("vec_id", "ev")
+
+    def assign(cents: dict[int, list[float]]) -> DataFrame:
+        cents_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("int").alias("cluster"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                )
+                for c, vec in sorted(cents.items())
+            ]
+        )
+        scored = F.transform(
+            cents_arr,
+            lambda cc: F.struct(
+                _l2sq_dec(F.col("ev"), cc["cvec"]).alias("dist"),
+                cc["cluster"].alias("cluster"),
+            ),
+        )
+        return corpus.withColumn("cluster", F.array_min(scored)["cluster"])
+
+    def update(assigned: DataFrame) -> dict[int, list[float]]:
+        comp = (
+            assigned.select("cluster", F.posexplode("ev").alias("pos", "e"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("e").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("val")
+            )
+        )
+        out: dict[int, list[tuple[int, float]]] = {}
+        for r in comp.collect():  # k × dim rows — metadata-sized
+            out.setdefault(r["cluster"], []).append((r["pos"], r["val"]))
+        return {c: [v for _, v in sorted(vs)] for c, vs in out.items()}
+
+    init = {
+        int(r["vec_id"]): list(r["ev"])
+        for r in corpus.filter(F.col("vec_id") < k).collect()
+    }
+    cents = init
+    for _ in range(iters):
+        cents = update(assign(cents))
+    return assign(cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )

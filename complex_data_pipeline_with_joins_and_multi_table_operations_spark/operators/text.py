@@ -84,6 +84,42 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def adaptive_quality_filter(documents: DataFrame, p: float = 0.25) -> DataFrame:
+    """Per-language adaptive quality cut: keep documents whose lexical
+    diversity (distinct-token ratio, rounded to the 1e-6 grid) is at or
+    above their OWN language's exact ``p``-quantile.
+
+    A fixed global threshold over-prunes whichever language happens to
+    tokenize densest; the adaptive form is what multilingual pretraining
+    curation actually does. Two passes, both cheap at 100 TB: the
+    per-language quantile is a tiny aggregate (n_langs rows) that
+    broadcasts back onto the scan — the corpus itself is never shuffled.
+    ``percentile`` (exact, linearly interpolated) rather than
+    ``percentile_approx``: the threshold is deterministic and
+    cross-engine reproducible (DuckDB ``quantile_cont`` interpolates the
+    same order statistics), so the filter is oracle-checkable. Scores sit
+    on the 1e-6 grid while an interpolated threshold lies strictly
+    between adjacent order statistics, so the >= comparison cannot flip
+    on ulp-level interpolation differences between engines.
+    """
+    toks = tokens_col(F.col("text"))
+    diversity = F.when(
+        F.size(toks) > 0,
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6),
+    ).otherwise(F.lit(0.0))
+    scored = documents.select(
+        "doc_id", "lang", "source", diversity.alias("diversity")
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.expr(f"percentile(diversity, CAST({p} AS DOUBLE))").alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("diversity") >= F.col("__thr"))
+        .select("doc_id", "lang", "source", "diversity")
+    )
+
+
 def corpus_report(documents: DataFrame) -> DataFrame:
     """Per-(source, lang) corpus data card: doc counts, token totals,
     exact-dup rate, mean quality, and median length — the summary a

@@ -2917,6 +2917,191 @@ LIMIT 25
 """
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/changes.py): every non-profile event
+    of the sampled users is enriched with the SCD2 profile version
+    effective at its timestamp (the profile stream = every third event).
+    The operator is the union-sort shape — one shuffle on user_id, no
+    facts × versions intermediate; the oracle is the naive range join,
+    proving the two formulations agree (including before-first-version
+    facts → nulls and same-timestamp zero-width versions)."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") % 97 == 0)
+    profile = ev.filter(F.col("event_id") % 3 == 0)
+    facts = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    dim = changes.scd2_history(
+        profile, "user_id", "event_type", ["ts_us", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("profile_type"),
+        "valid_from",
+        "version_no",
+    )
+    out = changes.point_in_time_join(
+        facts,
+        dim,
+        key="user_id",
+        ts_col="ts_us",
+        from_col="valid_from",
+        attr_cols=["profile_type", "version_no"],
+        seq_col="version_no",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.col("dim_profile_type").alias("profile_type"),
+        F.col("dim_version_no").alias("profile_version"),
+    )
+
+
+SQL_SCD2_POINT_IN_TIME = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id % 97 = 0
+),
+p AS (SELECT * FROM e WHERE event_id % 3 = 0),
+f AS (SELECT event_id, user_id, ts_us, event_type FROM e WHERE event_id % 3 <> 0),
+c AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+ch AS (
+  SELECT user_id, event_type, ts_us, event_id FROM c
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+v AS (
+  SELECT user_id, event_type AS profile_type, ts_us AS valid_from,
+         lead(ts_us) OVER w AS valid_to,
+         CAST(row_number() OVER w AS INTEGER) AS version_no
+  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT f.event_id, f.user_id, f.ts_us, f.event_type,
+       v.profile_type, v.version_no AS profile_version
+FROM f LEFT JOIN v
+  ON f.user_id = v.user_id AND f.ts_us >= v.valid_from
+ AND (v.valid_to IS NULL OR f.ts_us < v.valid_to)
+"""
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality cut (operators/text.py): documents at
+    or above their own language's exact p25 lexical diversity. Exact
+    interpolated percentile = deterministic threshold = SQL-oracleable,
+    unlike percentile_approx."""
+    return text.adaptive_quality_filter(Catalog(spark, sf_dir).documents, p=0.25)
+
+
+SQL_ADAPTIVE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) > 0
+              THEN round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+              ELSE 0.0 END AS diversity
+  FROM (SELECT doc_id, lang, source, {TOKS_SQL.format(src='text')} AS toks
+        FROM documents)
+),
+thr AS (SELECT lang, quantile_cont(diversity, 0.25) AS t FROM t GROUP BY lang)
+SELECT doc_id, lang, source, diversity
+FROM t JOIN thr USING (lang) WHERE diversity >= thr.t
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot ingestion dedup (operators/dedup.py): the
+    incoming fifth of the corpus (doc_id % 5 = 4) keeps only texts absent
+    from the standing four-fifths, collapsing intra-batch duplicates to
+    the min-doc_id representative. The corpus side moves digests only."""
+    docs = Catalog(spark, sf_dir).documents
+    incoming = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    return dedup.dedup_against_corpus(incoming, corpus).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH corp AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 <> 4
+),
+b AS (
+  SELECT doc_id, lang, source, n_chars, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 = 4
+),
+fresh AS (SELECT * FROM b WHERE h NOT IN (SELECT h FROM corp)),
+keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h)
+SELECT doc_id, lang, source, n_chars
+FROM b WHERE doc_id IN (SELECT doc_id FROM keep)
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings
+    (operators/similarity.py) — an ITERATIVE algorithm with a full SQL
+    oracle: exact-decimal distances and centroid means make every
+    iteration bit-deterministic, so DuckDB unrolls the same two update
+    steps and must land on identical final assignments."""
+    return similarity.kmeans_clusters(
+        Catalog(spark, sf_dir).embeddings, k=8, iters=2
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's mirror: a{i} assigns against c{i-1}; c{i} is the
+    exact-decimal mean update. Centroid components and squared-L2 terms
+    go through the same DECIMAL(28,12) grid as the Spark operator, so
+    every intermediate is engine-exact, not merely close."""
+    # zipped unnest, not range(len(ev)): DuckDB's range table function
+    # rejects lateral column arguments
+    dist = (
+        "(SELECT sum(CAST((z.x - z.y) * (z.x - z.y) AS DECIMAL(28,12)))"
+        " FROM (SELECT unnest(e.ev) AS x, unnest(c.cvec) AS y) z)"
+    )
+
+    def assign(n: int, prev: str) -> str:
+        return f"""a{n} AS (
+  SELECT vec_id, cluster, ev FROM (
+    SELECT vec_id, cluster, ev,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (
+      SELECT e.vec_id, c.cluster, e.ev, {dist} AS dist
+      FROM e CROSS JOIN {prev} c
+    )
+  ) WHERE rn = 1
+)"""
+
+    def update(n: int) -> str:
+        return f"""c{n} AS (
+  SELECT cluster, list(val ORDER BY pos) AS cvec FROM (
+    SELECT cluster, pos, CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS val
+    FROM (SELECT cluster, generate_subscripts(ev, 1) AS pos, unnest(ev) AS e FROM a{n})
+    GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, ev AS cvec"
+        f" FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(i, f"c{i - 1}"))
+        ctes.append(update(i))
+    ctes.append(assign(iters + 1, f"c{iters}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{iters + 1}"
+    )
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_sql(k=8, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2930,9 +3115,10 @@ freshly-verified queries park at the tail.  History: r1 verified the r1
 ordering's first 50; r2 the r2 ordering's; r3 rotated in the never-verified
 round-2 additions + the round-3 fixes (CORRECTNESS_r03: 48 oracled green,
 2 rows-only); r4 rotates in the 38 entries whose newest evidence was r2,
-plus the eight new round-4 operators (repeated_spans, span_coverage,
+plus the twelve new round-4 operators (repeated_spans, span_coverage,
 corpus_report, scd2_user_history, merge_upsert, incremental_agg,
-top_terms, ann_pq_topk) and the 4 oldest r3 entries that still fit."""
+top_terms, ann_pq_topk, scd2_point_in_time, adaptive_quality,
+incremental_dedup, kmeans_clusters)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-35: r2-evidence oracled queries, due a refresh ----
@@ -2977,7 +3163,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
-    # --- window slots 39-46: new round-4 operators -----------------------
+    # --- window slots 39-50: new round-4 operators -----------------------
     "repeated_spans": q_repeated_spans,
     "span_coverage": q_span_coverage,
     "corpus_report": q_corpus_report,
@@ -2986,14 +3172,21 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_agg": q_incremental_agg,
     "top_terms": q_top_terms,
     "ann_pq_topk": q_ann_pq_topk,
-    # --- window slots 47-50: oldest-r3 oracled entries, re-verified ------
+    "scd2_point_in_time": q_scd2_point_in_time,
+    "adaptive_quality": q_adaptive_quality,
+    "incremental_dedup": q_incremental_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
+    # --- tail (outside the 50-entry window): r3-green and unchanged since;
+    # evidence in CORRECTNESS_r03 (the first four below were displaced
+    # from the window by this round's last four new operators — their r3
+    # evidence is one round old, within the two-round freshness bar). The
+    # window holds exactly 50 entries (35 r2-refresh + 3 r2 rows-only +
+    # 12 new round-4) — re-count whenever entries are inserted above this
+    # line. ---------------------------------------------------------------
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
-    # --- tail (outside the 50-entry window): r3-green and unchanged since;
-    # evidence in CORRECTNESS_r03. The window holds exactly 50 entries —
-    # re-count whenever entries are inserted above this line. -------------
     "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
@@ -3080,6 +3273,10 @@ ORACLES: dict[str, str] = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "top_terms": SQL_TOP_TERMS,
+    "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
+    "adaptive_quality": SQL_ADAPTIVE_QUALITY,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

@@ -1,0 +1,207 @@
+"""Round-4 operators: point-in-time join, incremental corpus dedup,
+adaptive quality filter, distributed k-means."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    changes,
+    dedup,
+    similarity,
+    text,
+)
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join
+# ---------------------------------------------------------------------------
+
+
+def _pit(spark, facts_rows, dim_rows):
+    facts = spark.createDataFrame(facts_rows, ["fid", "uid", "ts"])
+    dim = spark.createDataFrame(dim_rows, ["uid", "attr", "valid_from", "version_no"])
+    return changes.point_in_time_join(
+        facts, dim, key="uid", ts_col="ts", from_col="valid_from",
+        attr_cols=["attr", "version_no"], seq_col="version_no",
+    )
+
+
+def test_pit_picks_effective_version(spark):
+    out = _pit(
+        spark,
+        [(1, 1, 5), (2, 1, 10), (3, 1, 15), (4, 1, 25)],
+        [(1, "a", 10, 1), (1, "b", 20, 2)],
+    ).collect()
+    got = {r.fid: (r.dim_attr, r.dim_version_no) for r in out}
+    # fact before the first version -> nulls (left-join semantics)
+    assert got[1] == (None, None)
+    # fact at exactly valid_from gets the version starting there
+    assert got[2] == ("a", 1)
+    assert got[3] == ("a", 1)
+    assert got[4] == ("b", 2)
+
+
+def test_pit_unknown_key_gets_nulls(spark):
+    out = _pit(spark, [(1, 99, 10)], [(1, "a", 5, 1)]).collect()
+    assert out[0].dim_attr is None and out[0].dim_version_no is None
+
+
+def test_pit_same_timestamp_versions_later_wins(spark):
+    # two versions share valid_from: version 1 is zero-width, version 2
+    # must win for facts at and after that timestamp (range-join parity)
+    out = _pit(
+        spark,
+        [(1, 1, 10), (2, 1, 30)],
+        [(1, "old", 10, 1), (1, "new", 10, 2)],
+    ).collect()
+    got = {r.fid: r.dim_attr for r in out}
+    assert got == {1: "new", 2: "new"}
+
+
+def test_pit_null_attribute_value_survives(spark):
+    # a version whose attribute is legitimately null must NOT resurrect
+    # the previous version's value (struct-wrapped last, not per-column)
+    facts = spark.createDataFrame([(1, 1, 25)], ["fid", "uid", "ts"])
+    dim = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, None, 20, 2)],
+        ["uid", "attr", "valid_from", "version_no"],
+    )
+    out = changes.point_in_time_join(
+        facts, dim, key="uid", ts_col="ts", from_col="valid_from",
+        attr_cols=["attr", "version_no"], seq_col="version_no",
+    ).collect()
+    assert out[0].dim_attr is None
+    assert out[0].dim_version_no == 2  # ...but the version itself applied
+
+
+def test_pit_output_row_count_equals_facts(spark):
+    # union-sort shape: |facts| rows out, never facts x versions
+    out = _pit(
+        spark,
+        [(i, 1, 15) for i in range(20)],
+        [(1, "a", 10, 1), (1, "b", 12, 2), (1, "c", 14, 3)],
+    )
+    assert out.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# dedup_against_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_drops_known_and_collapses_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "known text"), (2, "other text")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "known text"),   # already in corpus -> dropped
+            (11, "fresh one"),    # new -> kept
+            (12, "fresh two"),    # new, duplicated in batch -> min id kept
+            (13, "fresh two"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_corpus(incoming, corpus).collect()
+    )
+    assert kept == [11, 12]
+
+
+def test_incremental_dedup_empty_corpus_is_plain_exact_dedup(spark):
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_corpus(incoming, corpus).collect()
+    )
+    assert kept == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# adaptive_quality_filter
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_quality_thresholds_are_per_language(spark):
+    # en: diversities 1.0, 1.0, 0.5, 0.25 -> p25 = 0.4375 -> doc 4 dropped
+    # fr: all identical -> threshold equals the score -> all kept
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s", 1),
+            (2, "e f g h", "en", "s", 1),
+            (3, "a a b b", "en", "s", 1),
+            (4, "a a a a", "en", "s", 1),
+            (5, "x x", "fr", "s", 1),
+            (6, "y y", "fr", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    kept = sorted(
+        r.doc_id for r in text.adaptive_quality_filter(docs).collect()
+    )
+    assert kept == [1, 2, 3, 5, 6]
+
+
+def test_adaptive_quality_empty_text_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "a b", "en", "s", 3),
+         (3, "c d", "en", "s", 3), (4, "e f", "en", "s", 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r.diversity for r in
+           text.adaptive_quality_filter(docs).collect()}
+    # p25 over [0.0, 1.0, 1.0, 1.0] = 0.75: the empty doc is cut
+    assert 1 not in out and set(out) == {2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# kmeans_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_partition_invariant(spark, cat):
+    emb = cat.embeddings
+    base = {
+        (r.vec_id, r.cluster)
+        for r in similarity.kmeans_clusters(emb, k=4, iters=2).collect()
+    }
+    shuffled = {
+        (r.vec_id, r.cluster)
+        for r in similarity.kmeans_clusters(
+            emb.repartition(7), k=4, iters=2
+        ).collect()
+    }
+    assert base == shuffled
+    assert len(base) == emb.count()
+
+
+def test_kmeans_iterations_reduce_inertia(spark, cat):
+    # Lloyd's guarantee: total within-cluster distance is non-increasing
+    # per iteration. Compare inertia after 0 vs 2 updates.
+    emb = cat.embeddings
+
+    def inertia(iters):
+        assigned = similarity.kmeans_clusters(emb, k=4, iters=iters)
+        corpus = emb.withColumn(
+            "ev", F.col("embedding").cast("array<double>")
+        ).select("vec_id", "ev")
+        joined = assigned.join(corpus, "vec_id")
+        cents = (
+            joined.select("cluster", F.posexplode("ev").alias("pos", "e"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("e").alias("c"))
+        )
+        back = (
+            joined.select("vec_id", "cluster", F.posexplode("ev").alias("pos", "e"))
+            .join(cents, ["cluster", "pos"])
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("e") - F.col("c")) ** 2).alias("d"))
+        )
+        return back.agg(F.sum("d")).collect()[0][0]
+
+    assert inertia(2) <= inertia(0) + 1e-9
