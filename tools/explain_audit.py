@@ -31,6 +31,10 @@ HEADLINE = [
     "merge_upsert",
     "incremental_agg",
     "top_terms",
+    "scd2_point_in_time",
+    "adaptive_quality",
+    "incremental_dedup",
+    "kmeans_clusters",
 ]
 
 CLAIMS = {
@@ -61,6 +65,16 @@ CLAIMS = {
     "incremental_agg": [("Join", False), ("HashAggregate", True)],
     # heavy hitters: partial count absorbs repeats; top-k without sort
     "top_terms": [("TakeOrderedAndProject", True), ("Join", False)],
+    # union-sort PIT shape: Window over the union, NO join of any kind
+    # (the naive range join would show facts × versions here)
+    "scd2_point_in_time": [("Join", False), ("Window", True), ("Union", True)],
+    # per-lang thresholds broadcast back onto the scan; corpus never SMJs
+    "adaptive_quality": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # digest anti-join against the standing corpus; payload re-attach is
+    # a semi join — no full-width shuffle of surviving text
+    "incremental_dedup": [("LeftAnti", True), ("LeftSemi", True)],
+    # final assignment is scan + literal-centroid argmin: no join at all
+    "kmeans_clusters": [("Join", False), ("Scan parquet", True)],
 }
 
 
