@@ -1,5 +1,5 @@
 from .dedup import dedup_documents_stream, dedup_events_stream, run_stream_dedup
-from .enrich import enrich_events_stream, run_stream_enrich
+from .enrich import enrich_events_stream, pit_enrich_events_stream, run_stream_enrich
 from .events import run_events_stream, streaming_tumbling_agg
 from .stateful import run_running_totals, running_user_totals
 
@@ -7,6 +7,7 @@ __all__ = [
     "dedup_documents_stream",
     "dedup_events_stream",
     "enrich_events_stream",
+    "pit_enrich_events_stream",
     "run_stream_enrich",
     "run_events_stream",
     "run_running_totals",

@@ -29,6 +29,44 @@ def enrich_events_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     ).drop("user_key")
 
 
+def pit_enrich_events_stream(
+    stream: DataFrame,
+    scd2_dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming point-in-time enrichment: each event picks up the SCD2
+    dimension version effective at ITS OWN event time, not the current
+    one — the difference matters whenever the stream replays history
+    (backfill, reprocessing after an outage).
+
+    The batch operator (operators/changes.py point_in_time_join) uses the
+    union-sort shape, which a stream cannot (no global sort over an
+    unbounded source). The streaming twin is the stream-static range
+    join: versions broadcast per micro-batch, the range predicate
+    selects at most one contiguous version per event, unmatched events
+    pass through with nulls. Stateless — no watermark, no store; a dim
+    refresh lands on the next trigger. Equality with the batch operator
+    is asserted in tests/test_round4.py.
+    """
+    attr_cols = attr_cols or ["event_type"]
+    d = scd2_dim.select(
+        F.col(key).alias("__k"),
+        "valid_from",
+        "valid_to",
+        *[F.col(c).alias(f"dim_{c}") for c in attr_cols],
+    )
+    cond = (
+        (stream[key] == d["__k"])
+        & (stream[ts_col] >= d["valid_from"])
+        & (d["valid_to"].isNull() | (stream[ts_col] < d["valid_to"]))
+    )
+    return stream.join(F.broadcast(d), cond, "left").drop(
+        "__k", "valid_from", "valid_to"
+    )
+
+
 def run_stream_enrich(
     spark: SparkSession,
     events_path: str,

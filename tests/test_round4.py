@@ -205,3 +205,71 @@ def test_kmeans_iterations_reduce_inertia(spark, cat):
         return back.agg(F.sum("d")).collect()[0][0]
 
     assert inertia(2) <= inertia(0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# streaming point-in-time enrichment (stream-static range join twin)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_pit_enrich_matches_batch_operator(spark, cat, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import io
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.enrich import (
+        pit_enrich_events_stream,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = io.load_events(spark, src).filter(F.col("user_id") % 97 == 0)
+    profile = ev.filter(F.col("event_id") % 3 == 0)
+    dim = changes.scd2_history(
+        profile, "user_id", "event_type", ["ts_us", "event_id"]
+    )
+
+    stream = read_events_stream(spark, src).filter(
+        (F.col("user_id") % 97 == 0) & (F.col("event_id") % 3 != 0)
+    )
+    # the raw stream carries ns-as-long ts; rebuild ts_us like load_events
+    ts_field = dict(
+        (f.name, f.dataType.simpleString())
+        for f in stream.schema.fields
+    ).get("ts")
+    if ts_field == "bigint":
+        stream = stream.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        stream = stream.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+    enriched = pit_enrich_events_stream(
+        stream.select("event_id", "user_id", "ts_us"),
+        dim,
+        attr_cols=["event_type", "version_no"],
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("pit_enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.event_id, r.dim_event_type, r.dim_version_no)
+        for r in spark.table("pit_enrich_test").collect()
+    }
+
+    facts = ev.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "user_id", "ts_us"
+    )
+    batch = changes.point_in_time_join(
+        facts, dim, key="user_id", ts_col="ts_us", from_col="valid_from",
+        attr_cols=["event_type", "version_no"], seq_col="version_no",
+    )
+    expected = {
+        (r.event_id, r.dim_event_type, r.dim_version_no)
+        for r in batch.collect()
+    }
+    assert streamed == expected and len(expected) > 0
