@@ -87,19 +87,32 @@ def merge_upsert(
     ``delete_condition`` THEN DELETE (those source rows drop their target
     matches and are not inserted).
 
+    SQL MERGE scopes the delete to the MATCHED branch only: a source row
+    that satisfies ``delete_condition`` but matches nothing in the target
+    still falls through to WHEN NOT MATCHED THEN INSERT. Delete-flagged
+    rows therefore need a membership probe against the target keys —
+    without it they would silently vanish instead of inserting.
+
     Plan shape: one left-anti join of target against source keys + a
-    union — no full outer join, no row comparison. The anti join
-    broadcasts when the source is small (the common dimension-trickle
-    case); at comparable sizes it shuffles on the merge keys only once.
-    Schemas must align by name (``unionByName``).
+    union — no full outer join, no row comparison; with a delete branch,
+    one extra anti join of the (small) delete-flagged slice against the
+    target keys. The anti joins broadcast when the source is small (the
+    common dimension-trickle case); at comparable sizes they shuffle on
+    the merge keys only once. Schemas must align by name
+    (``unionByName``).
     """
     # anti-join on ALL source keys (delete rows included — their target
-    # matches must disappear); delete rows are then excluded from the
-    # inserted/updated side
+    # matches must disappear)
     all_keys = source.select(*keys).distinct()
-    if delete_condition is not None:
-        source = source.filter(~delete_condition)
     survivors = target.join(all_keys, keys, "left_anti")
+    if delete_condition is not None:
+        # matched delete rows drop out entirely; UNMATCHED delete rows
+        # are ordinary inserts (MERGE's delete gates only WHEN MATCHED)
+        del_rows = source.filter(delete_condition)
+        unmatched_del = del_rows.join(
+            target.select(*keys).distinct(), keys, "left_anti"
+        )
+        source = source.filter(~delete_condition).unionByName(unmatched_del)
     return survivors.unionByName(source.select(*target.columns))
 
 

@@ -80,7 +80,13 @@ def dedup_against_corpus(
     corpus scan entirely; the operator takes any digest-projectable
     DataFrame so that table slots straight in.
     """
-    digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    # null-flag prefix, same convention as _collapse_exact_dups and the
+    # streaming content-hash dedup: NULL text and '' are different
+    # contents and must not collapse into one digest group
+    digest = F.concat(
+        F.col("text").isNull().cast("int").cast("string"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+    )
     corpus_digests = corpus.select(digest.alias("text_hash")).distinct()
     batch = incoming.withColumn("text_hash", digest)
     fresh = batch.select(id_col, "text_hash").join(

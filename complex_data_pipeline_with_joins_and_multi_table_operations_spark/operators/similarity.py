@@ -793,10 +793,13 @@ def kmeans_clusters(
             out.setdefault(r["cluster"], []).append((r["pos"], r["val"]))
         return {c: [v for _, v in sorted(vs)] for c, vs in out.items()}
 
-    init = {
-        int(r["vec_id"]): list(r["ev"])
-        for r in corpus.filter(F.col("vec_id") < k).collect()
-    }
+    # the k lowest vec_ids, relabeled densely 0..k-1 — a limit(k), not a
+    # `vec_id < k` filter, so sparse or offset id spaces still seed k
+    # centroids instead of silently seeding fewer (or none)
+    seed_rows = corpus.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_clusters: no vectors to cluster")
+    init = {i: list(r["ev"]) for i, r in enumerate(seed_rows)}
     cents = init
     for _ in range(iters):
         cents = update(assign(cents))

@@ -440,39 +440,35 @@ def approx_top_terms(documents: DataFrame, k: int = 25, capacity: int = 4096) ->
     is the whole point at 100 TB where the exact path's shuffle is
     O(distinct terms).
     """
-    import pandas as pd  # noqa: F401 — schema doc; closure imports its own
-
     def mg_partition(batches):
         # self-contained closure: workers don't share the driver's sys.path
-        import re
-
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for text in pdf["text"]:
-                if text is None:
-                    continue
-                toks = re.split(r"\s+", text.strip()) if text.strip() else []
-                for t in toks:
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < capacity:
-                        counters[t] = 1
-                    else:
-                        # decrement-all step; drop zeros
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
         yield pd.DataFrame({"term": list(counters), "n": list(counters.values())})
 
-    summaries = documents.select("text").mapInPandas(
-        mg_partition, "term string, n long"
-    )
+    # tokenize in the JVM with the SAME tokens_col the exact top_terms
+    # uses (one definition, no silent drift between the bounded pair);
+    # explode is partition-preserving, so the MG summaries still see
+    # whole partitions and the O(partitions × capacity) shuffle bound
+    # holds unchanged
+    terms = documents.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    summaries = terms.mapInPandas(mg_partition, "term string, n long")
     # merging = summing per-partition counter lower bounds; the undercount
     # bound is additive across partitions (mergeable-summaries property)
     return (

@@ -36,15 +36,23 @@ class Warehouse:
     write/read (the reference's SDSIcebergWriter seam, SURVEY.md §2.10)."""
 
     # Temp views registered by ANY Warehouse's .sql() — anything else with
-    # a table's name in the session catalog belongs to the user. Class-level
-    # because temp views are session-global: a second Warehouse over the
-    # same table names must treat a sibling's view as re-registerable, not
-    # as a user view to preserve.
-    _registered: set[str] = set()
+    # a table's name in the session catalog belongs to the user. Shared
+    # across instances because temp views are session-global (a sibling
+    # Warehouse's view is re-registerable, not a user view to preserve) —
+    # but keyed by Spark applicationId, NOT stored class-level raw: a
+    # session restart clears the temp-view catalog while a class-level set
+    # would survive it, and the stale entry would make .sql() clobber a
+    # user view created under that name in the NEW session.
+    _registered_by_app: dict[str, set[str]] = {}
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+
+    @property
+    def _registered(self) -> set[str]:
+        app = self.spark.sparkContext.applicationId
+        return Warehouse._registered_by_app.setdefault(app, set())
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -189,7 +197,10 @@ class Warehouse:
         are left untouched; and a temp view the USER registered under a
         warehouse table's name is never clobbered — it shadows the
         warehouse table, matching Spark's own temp-view-over-catalog
-        resolution order."""
+        resolution order. Known edge: if the user REPLACES a view this
+        warehouse itself registered earlier in the same session, the next
+        .sql() re-shadows it (the catalog API cannot distinguish the two);
+        pick an unclaimed name for user views over warehouse tables."""
         import re
 
         def _versioned(m: "re.Match[str]") -> str:
@@ -212,8 +223,18 @@ class Warehouse:
         ]
         rewritten = "".join(code)
         code_only = " ".join(t for (is_code, _), t in zip(segments, code) if is_code)
+        # backtick-quoted identifiers are LIVE table references (Spark
+        # resolves `name` exactly like name), not string literals — they
+        # must trigger view registration even though the rewrite pass
+        # rightly leaves their text alone
+        backtick_idents = " ".join(
+            t.strip("`")
+            for is_code, t in segments
+            if not is_code and t.startswith("`")
+        )
+        scan_text = f"{code_only} {backtick_idents}"
         for name in self.tables():
-            if not re.search(rf"\b{re.escape(name)}\b", code_only):
+            if not re.search(rf"\b{re.escape(name)}\b", scan_text):
                 continue
             foreign_view = (
                 name not in self._registered

@@ -2848,7 +2848,11 @@ WITH src AS (
 SELECT o.* FROM orders o
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
 UNION ALL
-SELECT * FROM src WHERE o_orderpriority <> '5-LOW'
+-- MERGE's delete gates WHEN MATCHED only: an unmatched delete-flagged
+-- source row is still an insert
+SELECT * FROM src
+WHERE o_orderpriority <> '5-LOW'
+   OR o_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
 
 
@@ -3025,11 +3029,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_INCREMENTAL_DEDUP = """
 WITH corp AS (
-  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  SELECT DISTINCT concat(CAST((text IS NULL) AS INTEGER), md5(coalesce(text, ''))) AS h
   FROM documents WHERE doc_id % 5 <> 4
 ),
 b AS (
-  SELECT doc_id, lang, source, n_chars, md5(coalesce(text, '')) AS h
+  SELECT doc_id, lang, source, n_chars,
+         concat(CAST((text IS NULL) AS INTEGER), md5(coalesce(text, ''))) AS h
   FROM documents WHERE doc_id % 5 = 4
 ),
 fresh AS (SELECT * FROM b WHERE h NOT IN (SELECT h FROM corp)),
@@ -3085,8 +3090,10 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
 
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, ev AS cvec"
-        f" FROM e WHERE vec_id < {k})",
+        # the k LOWEST vec_ids relabeled densely, mirroring the operator's
+        # orderBy(vec_id).limit(k) seed (robust to sparse/offset id spaces)
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
+        f" AS cluster, ev AS cvec FROM e ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(1, iters + 1):
         ctes.append(assign(i, f"c{i - 1}"))

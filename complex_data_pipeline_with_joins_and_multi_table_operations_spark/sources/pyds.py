@@ -268,6 +268,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         log = TableLog(None, self.root)
         for _attempt in range(3):
             cur = log.snapshot() if log.exists() else None
+            if cur and cur.partition_by and not self.overwrite:
+                # same layout guard as TableLog.write: an append must match
+                # the table's partitioning, and this DataSource writer only
+                # produces unpartitioned files — committing them with
+                # partition_by=[] would silently flatten the table's
+                # declared layout and break subsequent partition reloads
+                raise ValueError(
+                    f"table partitioning is {cur.partition_by}; "
+                    "format('txlog') appends only support unpartitioned "
+                    "tables — use TableLog.write(partition_by=...) instead"
+                )
             version = (cur.version if cur else 0) + 1
             removes = list(cur.files) if (self.overwrite and cur) else []
             payload = {

@@ -422,22 +422,33 @@ class TableLog:
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, min_file_age_s: float = 3600.0) -> int:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` — reclaims overwrite/replace garbage; older snapshots
         become unreadable (read() then raises FileNotFoundError). Returns
-        files deleted. The retention window is the time-travel horizon."""
+        files deleted. ``retain_last`` is the time-travel horizon.
+
+        ``min_file_age_s``: files younger than this are never deleted even
+        if unreferenced — an in-flight concurrent writer stages its data
+        files BEFORE its log commit exists, so a vacuum racing a write
+        would otherwise delete them and corrupt the winner's snapshot (the
+        same hazard Delta/Iceberg guard with a modification-time retention
+        window). Set to 0 only when no writer can be running.
+        """
+        import time
+
         versions = self.versions()
         keep_versions = versions[-retain_last:]
         live: set[str] = set()
         for v in keep_versions:
             live.update(self.snapshot(v).files)
         deleted = 0
+        cutoff = time.time() - min_file_age_s
         for dirpath, _dirs, fnames in os.walk(self.data_dir):
             for fname in fnames:
                 full = os.path.join(dirpath, fname)
                 rel = os.path.relpath(full, self.data_dir)
-                if rel not in live:
+                if rel not in live and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted += 1
         return deleted
@@ -458,9 +469,21 @@ def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
     return vals
 
 
+def _hive_str(v: Any) -> str | None:
+    """Render a python literal the way Spark renders it in a hive-style
+    partition directory — str(True) is 'True' but the path says 'true',
+    so a plain str() comparison would silently never match booleans."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _partition_match(pvals: dict, replace_where: dict[str, list]) -> bool:
+    _missing = object()
     return all(
-        str(pvals.get(col)) in {str(v) for v in vals}
+        pvals.get(col, _missing) in {_hive_str(v) for v in vals}
         for col, vals in replace_where.items()
     )
 
@@ -488,19 +511,29 @@ def _may_match(meta: dict, flt: tuple) -> bool:
         pv = pvals[col]
         if pv is None:
             return False  # null partitions satisfy no comparison predicate
-        if op == "==":
-            return _typed(pv, val) == val
-        if op == "<":
-            return _typed(pv, val) < val
-        if op == "<=":
-            return _typed(pv, val) <= val
-        if op == ">":
-            return _typed(pv, val) > val
-        if op == ">=":
-            return _typed(pv, val) >= val
-        if op == "between":
-            lo, hi = val
-            return lo <= _typed(pv, lo) <= hi
+        ref = val[0] if op == "between" else val
+        typed = _typed(pv, ref)
+        if isinstance(typed, str) and not isinstance(ref, str):
+            # literal type _typed cannot coerce (Decimal, …): pruning must
+            # stay conservative — keep the file, Spark re-applies the
+            # filter on the rows anyway
+            return True
+        try:
+            if op == "==":
+                return typed == val
+            if op == "<":
+                return typed < val
+            if op == "<=":
+                return typed <= val
+            if op == ">":
+                return typed > val
+            if op == ">=":
+                return typed >= val
+            if op == "between":
+                lo, hi = val
+                return lo <= typed <= hi
+        except TypeError:
+            return True  # incomparable types — keep the file
         return True
     st = (meta.get("stats") or {}).get(col)
     if not st or st.get("no_stats") or st.get("min") is None:

@@ -273,3 +273,54 @@ def test_stream_pit_enrich_matches_batch_operator(spark, cat, tmp_path):
         for r in batch.collect()
     }
     assert streamed == expected and len(expected) > 0
+
+
+# ---------------------------------------------------------------------------
+# review fixes: MERGE delete scope, dedup null-vs-empty, kmeans sparse ids
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_unmatched_delete_row_still_inserts(spark):
+    # SQL MERGE scopes the delete to WHEN MATCHED: a delete-flagged source
+    # row with no target match falls through to INSERT, never vanishes
+    target = spark.createDataFrame([(1, "keep", 0), (2, "kill", 0)],
+                                   ["k", "flag", "v"])
+    source = spark.createDataFrame(
+        [
+            (2, "kill", 9),   # matched + delete flag -> target row removed
+            (3, "kill", 9),   # UNMATCHED + delete flag -> inserted
+            (4, "keep", 9),   # unmatched, no flag -> inserted
+            (1, "keep", 9),   # matched, no flag -> updated
+        ],
+        ["k", "flag", "v"],
+    )
+    out = sorted(
+        (r.k, r.flag, r.v)
+        for r in changes.merge_upsert(
+            target, source, ["k"], delete_condition=F.col("flag") == "kill"
+        ).collect()
+    )
+    assert out == [(1, "keep", 9), (3, "kill", 9), (4, "keep", 9)]
+
+
+def test_incremental_dedup_null_text_distinct_from_empty(spark):
+    corpus = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    incoming = spark.createDataFrame(
+        [(10, None), (11, "")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_against_corpus(incoming, corpus).collect()
+    )
+    # '' is a known content -> dropped; NULL is NOT the same content -> kept
+    assert kept == [10]
+
+
+def test_kmeans_seeds_k_centroids_with_sparse_ids(spark, cat):
+    # offset id space: a `vec_id < k` init would seed ZERO centroids and
+    # return all-null clusters; the k-lowest-ids init must still work
+    emb = cat.embeddings.withColumn("vec_id", F.col("vec_id") + 100000)
+    out = similarity.kmeans_clusters(emb, k=4, iters=1)
+    rows = out.collect()
+    assert all(r.cluster is not None for r in rows)
+    assert len({r.cluster for r in rows}) == 4

@@ -256,3 +256,12 @@ def test_compact_parquet_swap_is_clean(spark, cat, tmp_path):
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_files
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_sql_backtick_quoted_table_reference_registers(spark, cat, tmp_path):
+    """`name` is a live table reference, not a string literal: Spark
+    resolves it identically to the bare name, so it must trigger view
+    registration even though its text is exempt from rewriting."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(cat.orders.limit(7), "bt_snap")
+    assert wh.sql("SELECT count(*) AS n FROM `bt_snap`").head().n == 7

@@ -181,7 +181,12 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "t"))
     log.write(_df(spark, [(1,)], ["id"]))
     log.write(_df(spark, [(2,)], ["id"]))  # v1 files now garbage-eligible
-    deleted = log.vacuum(retain_last=1)
+    # default retention: freshly-written files are NEVER deleted, even
+    # unreferenced ones — they may belong to an in-flight writer whose
+    # commit doesn't exist yet
+    assert log.vacuum(retain_last=1) == 0
+    assert [r.id for r in log.read(1).collect()] == [1]
+    deleted = log.vacuum(retain_last=1, min_file_age_s=0)
     assert deleted >= 1
     assert [r.id for r in log.read().collect()] == [2]
     with pytest.raises(FileNotFoundError, match="vacuum"):
@@ -225,3 +230,64 @@ def test_commit_log_is_valid_json_with_stats(spark, tmp_path):
     assert add["stats"]["id"]["min"] == 1 and add["stats"]["id"]["max"] == 1
     assert add["stats"]["val"]["min"] == 5.0
     assert add["stats"]["s"]["min"] == "x"
+
+
+def test_replace_where_matches_boolean_partitions(spark, tmp_path):
+    """str(True) is 'True' but hive paths say 'true' — replace_where on a
+    boolean partition column must still hit the old files, or a reload
+    silently duplicates the partition."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    rows = [(1, True), (2, False)]
+    log.write(_df(spark, rows, ["id", "flag"]), partition_by=["flag"])
+    log.write(
+        _df(spark, [(3, True)], ["id", "flag"]),
+        mode="overwrite",
+        partition_by=["flag"],
+        replace_where={"flag": [True]},
+    )
+    got = sorted((r.id, r.flag) for r in log.read().collect())
+    assert got == [(2, False), (3, True)]
+
+
+def test_partition_pruning_conservative_for_uncoercible_literals(spark, tmp_path):
+    """A filter literal _typed cannot coerce (Decimal) must keep the file
+    — pruning it would silently drop matching rows, since Spark's
+    re-applied row filter cannot resurrect an unscanned file."""
+    from decimal import Decimal
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        _df(spark, [(1, 5.0), (2, 7.0)], ["id", "price"]),
+        partition_by=["price"],
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        _may_match,
+    )
+
+    meta = {"partition_values": {"price": "5.0"}}
+    assert _may_match(meta, ("price", "==", Decimal("5.0"))) is True
+    assert _may_match(meta, ("price", "<", Decimal("9.9"))) is True
+    # coercible literals still prune exactly
+    assert _may_match(meta, ("price", "==", 7.0)) is False
+
+
+def test_pyds_append_to_partitioned_table_refuses(spark, tmp_path):
+    """format('txlog') writes are unpartitioned; appending one to a
+    partitioned table must refuse instead of silently flattening the
+    declared layout (which would break later partition reloads)."""
+    import pytest as _pytest
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    path = str(tmp_path / "t")
+    log = TableLog(spark, path)
+    log.write(_df(spark, [(1, "a")], ["id", "part"]), partition_by=["part"])
+    with _pytest.raises(Exception, match="partitioning"):
+        _df(spark, [(2, "b")], ["id", "part"]).write.format("txlog").mode(
+            "append"
+        ).save(path)
+    # layout metadata untouched
+    assert log.snapshot().partition_by == ["part"]
