@@ -827,7 +827,7 @@ def embedding_near_dup_lsh(
     n_planes: int | None = None,
     n_bands: int = 8,
     max_bucket_size: int = 2000,
-    collapse_exact: bool = False,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the 100 TB path): candidate
     pairs must share at least one random-hyperplane band; exact rounded
@@ -853,16 +853,18 @@ def embedding_near_dup_lsh(
     representative before banding, mirroring the text near-dup paths,
     and expands rep pairs back through the long-keyed membership with
     intra-group pairs at cosine 1.0 (zero-norm groups excluded — their
-    cosine is undefined, matching the null-filtered cross path). This is
-    OFF by default on measured evidence: unlike MinHash (where collapsing
-    saved the interpreted per-doc shingle folds, 33.7 s → 6 s), the
-    embedding signature is already one cheap Arrow-batched matmul, so at
-    a 10×-duplicated test corpus the collapse's extra vector-keyed
-    shuffles cost MORE than they save (5.2 s → 7.0 s; 1.5 s → 3.9 s on
-    the dup-free corpus). Flip it on when the dup fraction is large AND
-    the corpus is big enough that band-bucket candidate volume (∝ d²)
-    dominates the fixed shuffle cost — the d² term always wins
-    eventually, but not at every scale. Recall note: at the 10×-dup
+    cosine is undefined, matching the null-filtered cross path). The
+    default (``None``) decides ADAPTIVELY from two metadata-cheap
+    aggregates (count + approx-distinct vector hash): unlike MinHash
+    (where collapsing saves the interpreted per-doc shingle folds
+    unconditionally, 33.7 s → 6 s), the embedding signature is already
+    one cheap Arrow-batched matmul, so at a 10×-duplicated 20 k corpus
+    the collapse's extra vector-keyed shuffles cost MORE than they save
+    (5.2 s → 7.0 s) — but the d² candidate flood of identical-signature
+    groups always wins eventually: at a 100×-duplicated 200 k corpus the
+    direct path ground to 171 s vs 13 s collapsed, measured. The auto
+    rule (collapse when n · dup_factor ≥ 2 M) picks the measured winner
+    at both points; pass an explicit bool to pin it. Recall note: at the 10×-dup
     corpus the collapse mode also emits the 41 900 identical-vector
     pairs that the direct path's bucket cap drops (163 400 vs 121 500);
     those dropped pairs are exactly the exact-dup floods that
@@ -876,6 +878,22 @@ def embedding_near_dup_lsh(
     import math
 
     from .similarity import with_lsh_bands
+
+    if collapse_exact is None:
+        # adaptive default, same spirit as the adaptive geometry: identical
+        # vectors share identical signatures, so a group of d copies floods
+        # its band buckets with d²/2 candidate pairs no matter how large r
+        # is — the collapse's fixed extra shuffles win once n·dup_factor is
+        # big enough for that d² flood to dominate. Measured crossover:
+        # direct wins at n=20k/dup=10 (5.2 s vs 7.0 s), collapse wins 12.7×
+        # at n=200k/dup=100 (171 s vs 13 s). Two metadata-cheap aggregates
+        # (count + approx distinct of a vector hash) pick the side.
+        n_total = embeddings.count()
+        n_distinct = embeddings.agg(
+            F.approx_count_distinct(F.xxhash64("embedding")).alias("d")
+        ).head()["d"]
+        dup_factor = n_total / max(n_distinct, 1)
+        collapse_exact = n_total * dup_factor >= 2_000_000
 
     if collapse_exact:
         # exact-dup collapse: grouping on the raw float array is exact-bit

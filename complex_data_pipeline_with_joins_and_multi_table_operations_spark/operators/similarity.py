@@ -720,16 +720,18 @@ def ann_pq_rerank_topk(
 # k-means document clustering
 # ---------------------------------------------------------------------------
 
-# squared L2 between two array<double> columns, folded as exact decimals:
-# each term is the deterministic DECIMAL(28,12) rounding of a double, and
-# decimal addition is associative — the distance is bit-identical across
-# partitionings AND engines (a plain double fold is neither), which is
-# what lets an iterative clustering be oracle-checked in SQL.
-def _l2sq_dec(a, b):
+# squared L2 between two array<double> columns as a SEQUENTIAL double fold.
+# A fold in array order is deterministic and partition-invariant (unlike a
+# grouped double SUM, whose addend order floats with the partitioning), and
+# DuckDB's list_reduce performs the identical left fold over the identical
+# doubles — so the distance is bit-exact across engines WITHOUT paying for
+# per-element BigDecimal arithmetic, which measured 6× slower in this hot
+# path (the one expression evaluated n·k·dim times per iteration).
+def _l2sq(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(28,12)")),
-        F.lit(0).cast("decimal(28,12)"),
-        lambda s, v: (s + v).cast("decimal(28,12)"),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
     )
 
 
@@ -742,9 +744,11 @@ def kmeans_clusters(
     Fully deterministic, which makes an *iterative* algorithm exactly
     reproducible in a SQL oracle (the DuckDB mirror unrolls the same
     ``iters`` steps): init is the ``k`` lowest vec_ids; assignment is
-    argmin of the exact-decimal squared L2 (ties → lower cluster id);
-    centroid updates use the exact-decimal mean (sum as DECIMAL(28,12),
-    order-independent, then one double division). A cluster that loses
+    argmin of the squared L2 as a sequential double fold — deterministic
+    in array order, bit-mirrored by DuckDB's list_reduce (ties → lower
+    cluster id); centroid updates use the exact-decimal mean (sum as
+    DECIMAL(28,12), order-independent across the shuffle, then one
+    double division). A cluster that loses
     all members drops out — both engines shrink identically.
 
     100 TB shape (same contract as :func:`pq_train`): the centroid table
@@ -771,7 +775,7 @@ def kmeans_clusters(
         scored = F.transform(
             cents_arr,
             lambda cc: F.struct(
-                _l2sq_dec(F.col("ev"), cc["cvec"]).alias("dist"),
+                _l2sq(F.col("ev"), cc["cvec"]).alias("dist"),
                 cc["cluster"].alias("cluster"),
             ),
         )

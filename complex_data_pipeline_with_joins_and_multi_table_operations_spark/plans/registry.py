@@ -3060,11 +3060,12 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     exact-decimal mean update. Centroid components and squared-L2 terms
     go through the same DECIMAL(28,12) grid as the Spark operator, so
     every intermediate is engine-exact, not merely close."""
-    # zipped unnest, not range(len(ev)): DuckDB's range table function
-    # rejects lateral column arguments
+    # a LEFT FOLD in array order, exactly the Spark operator's
+    # aggregate(zip_with(...)) — a grouped SUM would let the engine pick
+    # its own addend order and doubles are not associative
     dist = (
-        "(SELECT sum(CAST((z.x - z.y) * (z.x - z.y) AS DECIMAL(28,12)))"
-        " FROM (SELECT unnest(e.ev) AS x, unnest(c.cvec) AS y) z)"
+        "list_reduce(list_transform(list_zip(e.ev, c.cvec),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (s, x) -> s + x)"
     )
 
     def assign(n: int, prev: str) -> str:
