@@ -208,3 +208,62 @@ def test_embedding_near_dup_matches_numpy(spark, vecs, threshold):
         if keep[r.id_a] and keep[r.id_b]
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # facts: (fact_id implied by index, key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # dim versions: (key, valid_from)
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_point_in_time_join_equals_naive_range_join(spark, facts, versions):
+    """The union-sort PIT shape must agree with the naive
+    join-on-key + `valid_from <= ts < valid_to` formulation for arbitrary
+    key/timestamp patterns — including duplicate valid_froms (zero-width
+    versions), facts before any version, and keys with no versions."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+        point_in_time_join,
+    )
+
+    facts_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(facts)], ["fid", "k", "ts"]
+    )
+    # per-key sequential version_no in valid_from order; duplicate
+    # (key, valid_from) pairs are KEPT — they are the zero-width-version
+    # case (SCD2 change events tying on timestamp) that seq_col resolves
+    dim_rows = []
+    per_key: dict[int, int] = {}
+    for k, vf in sorted(versions):
+        per_key[k] = per_key.get(k, 0) + 1
+        dim_rows.append((k, vf, per_key[k], f"a{k}_{vf}_{per_key[k]}"))
+    dim_df = spark.createDataFrame(
+        dim_rows, ["k", "valid_from", "version_no", "attr"]
+    )
+
+    out = point_in_time_join(
+        facts_df, dim_df, key="k", ts_col="ts", from_col="valid_from",
+        attr_cols=["attr", "version_no"], seq_col="version_no",
+    )
+    got = {(r.fid, r.dim_attr, r.dim_version_no) for r in out.collect()}
+
+    # naive range join: valid_to = next valid_from per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("valid_from", "version_no")
+    ranged = dim_df.withColumn("valid_to", F.lead("valid_from").over(w))
+    naive = facts_df.join(
+        ranged,
+        (facts_df["k"] == ranged["k"])
+        & (facts_df["ts"] >= ranged["valid_from"])
+        & (ranged["valid_to"].isNull() | (facts_df["ts"] < ranged["valid_to"])),
+        "left",
+    )
+    want = {(r.fid, r.attr, r.version_no) for r in naive.collect()}
+    assert got == want
