@@ -98,6 +98,87 @@ def dedup_against_corpus(
     ).drop("text_hash")
 
 
+def near_dedup_against_corpus(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: keep incoming-batch documents that have
+    no near-duplicate (shingle-set Jaccard ≥ ``threshold``) in the
+    standing corpus — the snapshot-over-snapshot upgrade of
+    :func:`dedup_against_corpus`, which only catches byte-identical
+    re-crawls.
+
+    Pipeline: exact pass first (digest anti-join + intra-batch collapse,
+    via dedup_against_corpus), then MinHash band keys on BOTH sides,
+    band-key equi-join for candidates (id-only shuffle), exact Jaccard
+    verification on the candidates' shingle sets, and an anti-join of
+    the batch against the matched ids. The corpus side signatures over
+    its DISTINCT texts only (exact-dup collapse), and the hot-bucket cap
+    polices corpus-side boilerplate keys the same way minhash_lsh_pairs
+    caps its self-join. At 100 TB a production run materializes the
+    corpus signature relation once and reuses it every ingest — the
+    operator takes any (doc_id, text) relation, so a signatures table
+    slots in via a trivial adapter.
+
+    Intra-batch NEAR-dups are deliberately out of scope (exact intra-batch
+    dups are collapsed): symmetric near-dup resolution needs the pair →
+    connected-components → keep-list machinery (minhash_lsh_pairs +
+    near_dup_clusters), which the batch can run on itself afterward.
+    """
+    fresh = dedup_against_corpus(incoming, corpus)
+    inc_sig = (
+        with_minhash(fresh, k)
+        .filter(F.col("minhash").isNotNull())
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    cor_reps, _memb = _collapse_exact_dups(corpus)
+    cor_sig = (
+        with_minhash(cor_reps, k)
+        .filter(F.col("minhash").isNotNull())
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    inc_bands = _minhash_band_keys(inc_sig).select(
+        F.col("doc_id").alias("inc_id"), "band_id", "band_hash"
+    )
+    cor_bands = _minhash_band_keys(cor_sig)
+    hot = (
+        cor_bands.groupBy("band_id", "band_hash")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .drop("count")
+    )
+    cor_bands = cor_bands.join(
+        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+    ).select(F.col("doc_id").alias("cor_id"), "band_id", "band_hash")
+
+    cand = (
+        inc_bands.join(cor_bands, ["band_id", "band_hash"])
+        .select("inc_id", "cor_id")
+        .distinct()
+    )
+    scored = cand.join(
+        inc_sig.select(F.col("doc_id").alias("inc_id"), F.col("shingles").alias("sh_a")),
+        "inc_id",
+    ).join(
+        cor_sig.select(F.col("doc_id").alias("cor_id"), F.col("shingles").alias("sh_b")),
+        "cor_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    matched = (
+        scored.filter(F.round(jac, 4) >= threshold).select("inc_id").distinct()
+    )
+    return fresh.join(
+        matched.select(F.col("inc_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+
 def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Word k-shingles as a distinct array column (single projection)."""
     df = documents.withColumn("toks", tokens_col(F.col("text")))
@@ -106,6 +187,29 @@ def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
         f"i -> concat_ws(' ', slice(toks, i, {k}))))"
     )
     return df.withColumn("shingles", F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(shingles)).drop("toks")
+
+
+def _minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a minhash-signature relation —
+    the banded LSH join key shared by the self-join (minhash_lsh_pairs)
+    and the corpus-vs-batch join (near_dedup_against_corpus). One
+    projection + explode, no shuffle."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.expr(f"slice(minhash, {b * LSH_ROWS + 1}, {LSH_ROWS})")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
 
 def with_minhash(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -246,25 +350,7 @@ def minhash_lsh_pairs(
         .persist()
     )
     shingle_tbl = sig.select("doc_id", "shingles")
-    bands = (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.xxhash64(
-                                F.expr(f"slice(minhash, {b * LSH_ROWS + 1}, {LSH_ROWS})")
-                            ).alias("band_hash"),
-                        )
-                        for b in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select("doc_id", "band.band_id", "band.band_hash")
-    )
+    bands = _minhash_band_keys(sig)
 
     # hard-cap pathological buckets (exact-dup floods) — they're handled by
     # exact_dedup_clusters; near-dup LSH shouldn't quadratically explode.

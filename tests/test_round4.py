@@ -324,3 +324,39 @@ def test_kmeans_seeds_k_centroids_with_sparse_ids(spark, cat):
     rows = out.collect()
     assert all(r.cluster is not None for r in rows)
     assert len({r.cluster for r in rows}) == 4
+
+
+def test_near_dedup_against_corpus(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    near = base.rsplit(" ", 1)[0] + " uniform"   # one word changed at end
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy -> dropped
+            (11, near),                      # near-dup (jaccard ~0.84) -> dropped
+            (12, "completely different words with nothing shared at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.near_dedup_against_corpus(
+            incoming, corpus, threshold=0.5
+        ).collect()
+    )
+    assert kept == [12]
+
+
+def test_near_dedup_against_empty_corpus_keeps_all(spark):
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(1, "some words here for a doc"), (2, "other words there")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.near_dedup_against_corpus(incoming, corpus).collect()
+    )
+    assert kept == [1, 2]
