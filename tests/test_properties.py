@@ -267,3 +267,49 @@ def test_point_in_time_join_equals_naive_range_join(spark, facts, versions):
     )
     want = {(r.fid, r.attr, r.version_no) for r in naive.collect()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=15),
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 99), st.booleans()),
+        max_size=15,
+        unique_by=lambda t: t[0],  # one source row per key, as MERGE requires
+    ),
+)
+def test_merge_upsert_matches_sql_merge_semantics(spark, target, source):
+    """merge_upsert must equal the SQL MERGE reference: WHEN MATCHED AND
+    del THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT — the delete branch gates on MATCHED only."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+        merge_upsert,
+    )
+
+    # target keys unique too (it's a keyed table)
+    tgt = {k: v for k, v in target}
+    target_df = spark.createDataFrame(
+        [(k, v, False) for k, v in tgt.items()], "k long, v long, del boolean"
+    )
+    source_df = spark.createDataFrame(
+        list(source) or [], "k long, v long, del boolean"
+    )
+
+    out = merge_upsert(
+        target_df, source_df, ["k"], delete_condition=F.col("del")
+    )
+    got = {(r.k, r.v, r.del_) if hasattr(r, "del_") else (r.k, r.v, r["del"])
+           for r in out.collect()}
+
+    # python reference MERGE
+    want = dict(tgt)  # k -> v (del flag False for surviving target rows)
+    ref = {k: (v, False) for k, v in want.items()}
+    for k, v, d in source:
+        if k in ref:
+            if d:
+                del ref[k]          # matched + delete
+            else:
+                ref[k] = (v, d)     # matched -> update
+        else:
+            ref[k] = (v, d)         # not matched -> insert (even if d)
+    assert got == {(k, v, d) for k, (v, d) in ref.items()}
