@@ -1,0 +1,90 @@
+"""Three-decade scaling probe: min-of-2 wall times for the scale-sensitive
+query subset at an arbitrary sf directory (see SCALING.md "Three-decade
+probe" for the recorded sf0.1 / sf1 / sf10 table).
+
+Build the scaled inputs first:
+
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 /tmp/sf1 10
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 /tmp/sf10 100
+
+then:
+
+    python tools/bench_scale_probe.py /tmp/sf10 > probe_sf10.json
+
+Unlike bench.py (the per-round driver bench, warm-up + min-of-2 over the
+full suite), this probe skips the warm-up run: at 100× the queries are
+seconds long, so codegen JIT noise is a rounding error and a third
+execution of the heavy LSH queries costs real minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SUBSET = [
+    "star_fact",
+    "agg_pair_daily",
+    "pricing_summary",
+    "priority_shipping",
+    "sole_late_suppliers",
+    "event_funnel",
+    "top_pairs",
+    "dedup_exact",
+    "incremental_dedup",
+    "repeated_spans",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "embedding_near_dup_lsh",
+    "ann_ivf_topk",
+    "kmeans_clusters",
+    "curate_documents",
+    "top_terms",
+    "pack_sequences",
+    "mixture_sample",
+    "scd2_point_in_time",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark import (
+        get_spark,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        QUERIES,
+    )
+
+    spark = get_spark("bench-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    times: dict[str, float] = {}
+    for name in SUBSET:
+        trials = []
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            trials.append(time.time() - t0)
+            spark.catalog.clearCache()
+        times[name] = round(min(trials), 3)
+        print(f"probe {name}: {times[name]}s", file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
