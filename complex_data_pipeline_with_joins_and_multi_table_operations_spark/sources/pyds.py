@@ -252,7 +252,12 @@ class TxLogBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages: list[TxLogWriteMessage]) -> None:
         """Driver-side: one atomic log commit over all task files."""
-        from .txlog import ConcurrentCommitError, TableLog, _snapshot_id
+        from .txlog import (
+            ConcurrentCommitError,
+            TableLog,
+            _merge_schemas,
+            _snapshot_id,
+        )
 
         adds = [
             {
@@ -286,7 +291,13 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "snapshot_id": _snapshot_id(version, adds, removes, cur),
                 "parent_id": cur.snapshot_id if cur else None,
                 "operation": "overwrite" if self.overwrite else "append",
-                "schema": self.schema_json,
+                # appends evolve the schema under the same rules as
+                # TableLog.write (new nullable columns; no type changes)
+                "schema": (
+                    _merge_schemas(cur.schema_json, self.schema_json)
+                    if cur is not None and not self.overwrite
+                    else self.schema_json
+                ),
                 "partition_by": [],
                 "adds": adds,
                 "removes": removes,

@@ -326,6 +326,16 @@ class TableLog:
                 f"table partitioning is {cur.partition_by}; append/"
                 f"replace_where writes must match it, got {partition_by}"
             )
+        # schema evolution: appends/partition-replaces EXTEND the table
+        # schema (new nullable columns append; old files read them as null;
+        # a column the writer omits stays in the schema and reads null for
+        # the new files). Type changes and full overwrites that keep old
+        # files are where corruption hides, so types must match exactly
+        # and only a full overwrite may redefine the schema wholesale.
+        if cur is not None and (mode == "append" or replace_where):
+            schema_json = _merge_schemas(cur.schema_json, df.schema.json())
+        else:
+            schema_json = df.schema.json()
         adds = self._stage(df, partition_by)
 
         for _attempt in range(max_retries):
@@ -346,7 +356,7 @@ class TableLog:
                 "snapshot_id": _snapshot_id(version, adds, removes, cur),
                 "parent_id": cur.snapshot_id if cur else None,
                 "operation": mode if not replace_where else "replace_where",
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "partition_by": list(partition_by or []),
                 "adds": adds,
                 "removes": removes,
@@ -456,6 +466,34 @@ class TableLog:
 
 # ---------------------------------------------------------------------------
 # helpers
+
+def _merge_schemas(old_json: str, new_json: str) -> str:
+    """Schema evolution for append/replace commits: the merged schema keeps
+    every existing column (same position, same type) and appends the
+    writer's NEW columns as nullable. A type mismatch on a shared column
+    raises — silent type drift is how a table format corrupts history
+    (old files would be read under an incompatible reader schema). The
+    writer may omit existing columns (its files simply lack them; the
+    parquet reader fills null), matching Delta's mergeSchema semantics.
+    """
+    old = json.loads(old_json)
+    new = json.loads(new_json)
+    old_types = {f["name"]: f["type"] for f in old["fields"]}
+    for f in new["fields"]:
+        if f["name"] in old_types and f["type"] != old_types[f["name"]]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} from "
+                f"{old_types[f['name']]} to {f['type']}; use a full "
+                "overwrite to redefine the schema"
+            )
+    merged = dict(old)
+    merged["fields"] = list(old["fields"]) + [
+        dict(f, nullable=True)
+        for f in new["fields"]
+        if f["name"] not in old_types
+    ]
+    return json.dumps(merged)
+
 
 def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
     vals: dict[str, str | None] = {}

@@ -291,3 +291,44 @@ def test_pyds_append_to_partitioned_table_refuses(spark, tmp_path):
         ).save(path)
     # layout metadata untouched
     assert log.snapshot().partition_by == ["part"]
+
+
+def test_schema_evolution_append_adds_nullable_column(spark, tmp_path):
+    """Appending with a NEW column evolves the table schema: old files
+    read null for it, and the new file's rows carry it."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, "a")], ["id", "s"]))
+    log.write(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double"),
+        mode="append",
+    )
+    out = {r.id: (r.s, r.score) for r in log.read().collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel keeps the pre-evolution schema
+    assert log.read(1).columns == ["id", "s"]
+
+
+def test_schema_evolution_append_may_omit_columns(spark, tmp_path):
+    """A writer missing an existing column is fine — the column stays in
+    the schema and the new rows read null (Delta mergeSchema semantics)."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, "a")], ["id", "s"]))
+    log.write(spark.createDataFrame([(2,)], "id long"), mode="append")
+    out = {r.id: r.s for r in log.read().collect()}
+    assert out == {1: "a", 2: None}
+    assert log.read().columns == ["id", "s"]
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    """Silent type drift corrupts history: a type change on append must
+    refuse; only a full overwrite may redefine the schema."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.createDataFrame([(1, 5)], "id long, v long"))
+    with pytest.raises(ValueError, match="schema evolution"):
+        log.write(
+            spark.createDataFrame([(2, "x")], "id long, v string"),
+            mode="append",
+        )
+    # overwrite is the sanctioned way
+    log.write(spark.createDataFrame([(3, "y")], "id long, v string"))
+    assert [(r.id, r.v) for r in log.read().collect()] == [(3, "y")]
