@@ -391,21 +391,31 @@ class TxLogDataSource(DataSource):
             raise ValueError("txlog requires a path: .load('/table/root')")
         return path
 
+    def _version(self, log) -> int | None:
+        """versionAsOf / timestampAsOf options -> pinned version (None =
+        latest). timestampAsOf takes epoch milliseconds, Delta-style."""
+        v = self.options.get("versionasof")
+        if v is not None:
+            return int(v)
+        ts = self.options.get("timestampasof")
+        if ts is not None:
+            return log.version_at(int(ts))
+        return None
+
     def schema(self) -> StructType:
         from .txlog import TableLog
 
         log = TableLog(None, self._root())
         if log.exists():
-            v = self.options.get("versionasof")
-            return log.snapshot(int(v) if v is not None else None).schema
+            return log.snapshot(self._version(log)).schema
         raise FileNotFoundError(f"no txlog table at {self._root()}")
 
     def reader(self, schema: StructType) -> TxLogBatchReader:
         from .txlog import TableLog
 
         root = self._root()
-        v = self.options.get("versionasof")
-        snap = TableLog(None, root).snapshot(int(v) if v is not None else None)
+        log = TableLog(None, root)
+        snap = log.snapshot(self._version(log))
         return TxLogBatchReader(root, snap.schema_json, list(snap.files.values()))
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:

@@ -182,6 +182,7 @@ class TableLog:
         optimistic-concurrency primitive (LogStore seam on object stores)."""
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        payload.setdefault("ts_ms", int(__import__("time").time() * 1000))
         with open(tmp, "w") as f:
             json.dump(payload, f)
         try:
@@ -243,11 +244,27 @@ class TableLog:
                     "version": v,
                     "snapshot_id": c["snapshot_id"],
                     "operation": c["operation"],
+                    "ts_ms": c.get("ts_ms"),
                     "n_adds": len(c.get("adds", [])),
                     "n_removes": len(c.get("removes", [])),
                 }
             )
         return out
+
+    def version_at(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the latest version committed at or
+        before ``ts_ms`` (commit wall-clock, recorded in the log). Commits
+        predating the ts_ms field (none in practice; defensive) count as
+        time 0. Raises if the table didn't exist yet at that time."""
+        best = None
+        for h in self.history():
+            if (h["ts_ms"] or 0) <= ts_ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"{self.root} has no version at or before ts_ms={ts_ms}"
+            )
+        return best
 
     # -- write path ---------------------------------------------------------
 
@@ -400,13 +417,19 @@ class TableLog:
         self,
         version: int | None = None,
         filters: list[tuple] | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
         """DataFrame over a snapshot. ``filters`` — [(col, op, value)] with
         op in {"==", "<", "<=", ">", ">=", "between"} — prune files by log
         partition values and footer min/max BEFORE Spark plans the scan,
         then re-apply as real Spark filters (correctness never depends on
         stats; skipping is purely an I/O win, same contract as Iceberg
-        manifest pruning)."""
+        manifest pruning). ``timestamp_ms`` is TIMESTAMP AS OF: the
+        snapshot current at that commit wall-clock time."""
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp_ms, not both")
+            version = self.version_at(timestamp_ms)
         snap = self.snapshot(version)
         metas = list(snap.files.values())
         if filters:

@@ -332,3 +332,49 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
     # overwrite is the sanctioned way
     log.write(spark.createDataFrame([(3, "y")], "id long, v string"))
     assert [(r.id, r.v) for r in log.read().collect()] == [(3, "y")]
+
+
+def test_timestamp_as_of_resolves_commit_time(spark, tmp_path):
+    import time as _time
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    log.write(_df(spark, [(2,)], ["id"]), mode="append")
+    # between the two commits -> version 1 only
+    assert log.version_at(t_between) == 1
+    assert [r.id for r in log.read(timestamp_ms=t_between).collect()] == [1]
+    # now -> latest
+    assert sorted(
+        r.id for r in log.read(timestamp_ms=int(_time.time() * 1000)).collect()
+    ) == [1, 2]
+    # before the table existed -> error
+    with pytest.raises(ValueError, match="no version"):
+        log.version_at(0)
+    with pytest.raises(ValueError, match="not both"):
+        log.read(version=1, timestamp_ms=t_between)
+    assert log.history()[0]["ts_ms"] is not None
+
+
+def test_pyds_timestamp_as_of_option(spark, tmp_path):
+    import time as _time
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    path = str(tmp_path / "t")
+    log = TableLog(spark, path)
+    log.write(_df(spark, [(1,)], ["id"]))
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    log.write(_df(spark, [(2,)], ["id"]), mode="append")
+    got = (
+        spark.read.format("txlog")
+        .option("timestampAsOf", t_between)
+        .load(path)
+        .collect()
+    )
+    assert [r.id for r in got] == [1]
