@@ -179,6 +179,45 @@ class Warehouse:
         flush_code(n)
         return segments
 
+    def version_at_timestamp(self, name: str, ts_ms: int) -> int:
+        """Resolve TIMESTAMP AS OF to a snapshot version. The base parquet
+        warehouse records no commit times — only the txlog backend can
+        answer; callers see a clear error rather than a wrong snapshot."""
+        raise NotImplementedError(
+            "TIMESTAMP AS OF needs commit timestamps; use TxLogWarehouse"
+        )
+
+    def _rewrite_timestamp_as_of(
+        self, segments: list[tuple[bool, str]]
+    ) -> list[tuple[bool, str]]:
+        """``<table> TIMESTAMP AS OF '<iso>'`` spans a code segment (name +
+        keywords) and a string-literal segment (the timestamp) — rewrite
+        the pair into a versioned temp view. Literal-only occurrences of
+        the phrase (inside strings/comments) never match because the
+        keyword part must sit in a CODE segment."""
+        import re
+        from datetime import datetime, timezone
+
+        pat = re.compile(r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s*$", re.IGNORECASE)
+        out = list(segments)
+        for i, (is_code, text) in enumerate(out):
+            if not is_code or i + 1 >= len(out):
+                continue
+            m = pat.search(text)
+            nxt_is_code, nxt = out[i + 1]
+            if not m or nxt_is_code or not nxt.startswith("'"):
+                continue
+            name = m.group(1)
+            ts = datetime.fromisoformat(nxt.strip("'"))
+            if ts.tzinfo is None:  # session timezone is pinned UTC
+                ts = ts.replace(tzinfo=timezone.utc)
+            version = self.version_at_timestamp(name, int(ts.timestamp() * 1000))
+            view = f"__{name}_v{version}"
+            self.read_snapshot(name, version).createOrReplaceTempView(view)
+            out[i] = (True, text[: m.start()] + view)
+            out[i + 1] = (True, "")
+        return out
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point with Iceberg-style time travel (reference
         README.md:143-154 verifies through ``SELECT … VERSION AS OF``).
@@ -210,6 +249,7 @@ class Warehouse:
             return view
 
         segments = self._split_sql_segments(query)
+        segments = self._rewrite_timestamp_as_of(segments)
         code = [
             re.sub(
                 r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
@@ -258,13 +298,17 @@ class TxLogWarehouse(Warehouse):
     unlike the base Warehouse's copy-per-version snapshot dirs), and reads
     prune files by partition values + footer min/max before Spark plans the
     scan. Same seam as the other backends: write/read/exists plus the three
-    snapshot methods swap; stages and ``.sql()`` (`VERSION AS OF`) run
-    unchanged."""
+    snapshot methods swap; stages and ``.sql()`` (`VERSION AS OF`, plus
+    `TIMESTAMP AS OF '<iso>'` — this backend records commit wall-clock)
+    run unchanged."""
 
     def _log(self, name: str):
         from ..sources.txlog import TableLog
 
         return TableLog(self.spark, self.path(name))
+
+    def version_at_timestamp(self, name: str, ts_ms: int) -> int:
+        return self._log(name).version_at(ts_ms)
 
     def write(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

@@ -378,3 +378,39 @@ def test_pyds_timestamp_as_of_option(spark, tmp_path):
         .collect()
     )
     assert [r.id for r in got] == [1]
+
+
+def test_warehouse_sql_timestamp_as_of(spark, tmp_path):
+    """`tbl TIMESTAMP AS OF '<iso>'` resolves through commit wall-clock on
+    the txlog backend; the phrase inside a string literal is untouched;
+    the base parquet warehouse refuses with a clear error."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(_df(spark, [(1,)], ["id"]), "ts_snap")
+    between = datetime.now(timezone.utc).isoformat()
+    _time.sleep(0.05)
+    wh.append(_df(spark, [(2,)], ["id"]), "ts_snap")
+
+    n_then = wh.sql(
+        f"SELECT count(*) AS n FROM ts_snap TIMESTAMP AS OF '{between}'"
+    ).head().n
+    n_now = wh.sql("SELECT count(*) AS n FROM ts_snap").head().n
+    assert (n_then, n_now) == (1, 2)
+    # literal stays a literal
+    row = wh.sql(
+        "SELECT 'ts_snap TIMESTAMP AS OF ''2020-01-01''' AS lit, "
+        "count(*) AS n FROM ts_snap GROUP BY 1"
+    ).head()
+    assert row.lit == "ts_snap TIMESTAMP AS OF '2020-01-01'"
+    assert row.n == 2
+    # base warehouse: clear refusal, not a wrong answer
+    base = Warehouse(spark, str(tmp_path / "wh2"))
+    base.write_snapshot(_df(spark, [(1,)], ["id"]), "b_snap")
+    with pytest.raises(NotImplementedError, match="TIMESTAMP AS OF"):
+        base.sql(f"SELECT * FROM b_snap TIMESTAMP AS OF '{between}'")
