@@ -455,6 +455,80 @@ class TableLog:
 
     # -- maintenance --------------------------------------------------------
 
+    def optimize(
+        self,
+        n_files: int = 8,
+        zorder_by: list[str] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """OPTIMIZE: rewrite the active data files into ``n_files`` larger
+        ones — optionally Z-ORDER clustered (operators/zorder.py) so range
+        predicates on ANY clustered column prune files — and publish the
+        swap as ONE atomic commit (adds = new files, removes = exactly the
+        files that were compacted). Row contents are unchanged: readers
+        before and after see identical data, and time travel still reads
+        the old files until vacuum reclaims them.
+
+        Concurrency: the remove set is FROZEN at the snapshot we compacted
+        (a concurrent append's files must survive — their rows are not in
+        our rewrite). If a concurrent overwrite/replace removed any of
+        those files first, committing would resurrect stale data, so the
+        retry loop verifies the frozen set is still active and aborts
+        with ConcurrentCommitError otherwise.
+
+        Partitioned tables compact within partitions (repartition on the
+        partition columns before the write splits files per partition);
+        Z-ordering is an unpartitioned-table feature here — combining it
+        with hive partitioning re-fragments the z-clusters per partition
+        directory, recreating the small files it was meant to fix.
+        """
+        base = self.snapshot()
+        df = self.read()
+        if zorder_by:
+            if base.partition_by:
+                raise ValueError(
+                    "zorder_by on a partitioned table would re-fragment "
+                    "per partition directory; z-order an unpartitioned "
+                    "table or drop zorder_by"
+                )
+            from ..operators.zorder import z_order
+
+            df = z_order(df, zorder_by, n_files)
+        elif base.partition_by:
+            df = df.repartition(*base.partition_by)
+        else:
+            df = df.repartition(n_files)
+        adds = self._stage(df, base.partition_by or None)
+        removes = list(base.files)
+
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if not set(removes) <= set(cur.files):
+                raise ConcurrentCommitError(
+                    f"optimize of {self.root} lost to a concurrent "
+                    "overwrite/replace: compacted files are no longer active"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "optimize",
+                "schema": cur.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     def vacuum(self, retain_last: int = 1, min_file_age_s: float = 3600.0) -> int:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` — reclaims overwrite/replace garbage; older snapshots

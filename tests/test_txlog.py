@@ -414,3 +414,64 @@ def test_warehouse_sql_timestamp_as_of(spark, tmp_path):
     base.write_snapshot(_df(spark, [(1,)], ["id"]), "b_snap")
     with pytest.raises(NotImplementedError, match="TIMESTAMP AS OF"):
         base.sql(f"SELECT * FROM b_snap TIMESTAMP AS OF '{between}'")
+
+
+def test_optimize_compacts_files_same_rows(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    for i in range(4):  # four appends -> many small files
+        log.write(
+            spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "v"),
+            mode="overwrite" if i == 0 else "append",
+        )
+    before = sorted(r.v for r in log.read().collect())
+    n_before = len(log.snapshot().files)
+    v = log.optimize(n_files=2)
+    assert log.snapshot().version == v
+    assert len(log.snapshot().files) <= 2 < n_before
+    assert sorted(r.v for r in log.read().collect()) == before
+    # time travel still reads the pre-optimize layout
+    assert sorted(r.v for r in log.read(v - 1).collect()) == before
+    assert log.history()[-1]["operation"] == "optimize"
+
+
+def test_optimize_zorder_improves_second_column_pruning(spark, tmp_path):
+    # grid data: a linear sort on x leaves y spanning the full domain in
+    # every file; z-order must make a y-range filter skip files
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(4096)
+        .selectExpr("CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y")
+        .orderBy("x")
+    )
+    log.write(df.repartitionByRange(8, "x"))
+    n_linear = len(log.read(filters=[("y", "between", (0, 7))]).inputFiles())
+    log.optimize(n_files=8, zorder_by=["x", "y"])
+    pruned = log.read(filters=[("y", "between", (0, 7))])
+    assert len(pruned.inputFiles()) < n_linear
+    assert pruned.count() == 8 * 64
+    # full contents unchanged
+    assert log.read().count() == 4096
+
+
+def test_optimize_partitioned_compacts_within_partitions(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        _df(spark, [(i, "a" if i % 2 else "b") for i in range(20)], ["id", "k"]),
+        partition_by=["k"],
+    )
+    log.write(
+        _df(spark, [(100 + i, "a" if i % 2 else "b") for i in range(20)], ["id", "k"]),
+        mode="append",
+        partition_by=["k"],
+    )
+    before = sorted(r.id for r in log.read().collect())
+    n_before = len(log.snapshot().files)
+    log.optimize()
+    assert len(log.snapshot().files) < n_before
+    assert log.snapshot().partition_by == ["k"]
+    assert sorted(r.id for r in log.read().collect()) == before
+    # partition pruning still works on the compacted layout
+    a = log.read(filters=[("k", "==", "a")])
+    assert len(a.inputFiles()) < len(log.read().inputFiles())
+    with pytest.raises(ValueError, match="zorder_by on a partitioned"):
+        log.optimize(zorder_by=["id"])
