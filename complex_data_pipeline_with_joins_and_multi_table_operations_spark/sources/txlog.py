@@ -455,6 +455,82 @@ class TableLog:
 
     # -- maintenance --------------------------------------------------------
 
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Delta-style change data feed at file granularity: the rows added
+        and removed by each commit in ``(from_version, to_version]``,
+        tagged ``_change_type`` ('insert' | 'delete'), ``_commit_version``
+        and ``_commit_ts_ms``. Batch CDC — the complement of the streaming
+        tail (sources/pyds.py), which only carries appends.
+
+        File granularity means an overwrite reports every replaced row as
+        a delete plus every new row as an insert (exactly what downstream
+        incremental consumers must apply); ``optimize`` commits rewrite
+        files WITHOUT changing rows, so they are skipped entirely. Removed
+        rows read from the pre-vacuum files — CDC over vacuumed history
+        raises FileNotFoundError like any time travel would. Commits with
+        evolved schemas union by name (columns appended under the
+        evolution rules read null for older changes).
+        """
+        versions = [
+            v
+            for v in self.versions()
+            if from_version < v <= (to_version or self.versions()[-1])
+        ]
+        parts: list[DataFrame] = []
+        for v in versions:
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            if c["operation"] == "optimize":
+                continue
+            schema = StructType.fromJson(json.loads(c["schema"]))
+            for kind, metas in (
+                ("insert", c.get("adds", [])),
+                ("delete", c.get("removes", [])),
+            ):
+                if not metas:
+                    continue
+                if kind == "delete":
+                    # removed files were written under an ancestor schema;
+                    # the current commit's schema is a superset under the
+                    # evolution rules (parquet fills missing columns null)
+                    paths = [os.path.join(self.data_dir, p) for p in metas]
+                else:
+                    paths = [
+                        os.path.join(self.data_dir, m["path"]) for m in metas
+                    ]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed for v{v} references vacuumed files: "
+                        f"{missing[:3]}…"
+                    )
+                parts.append(
+                    self.spark.read.schema(schema)
+                    .option("basePath", self.data_dir)
+                    .parquet(*paths)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn(
+                        "_commit_ts_ms",
+                        F.lit(c.get("ts_ms")).cast("long"),
+                    )
+                )
+        if not parts:
+            base = self.snapshot(self.versions()[-1]).schema
+            empty = StructType(
+                base.fields
+                + StructType.fromDDL(
+                    "_change_type string, _commit_version long, _commit_ts_ms long"
+                ).fields
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def optimize(
         self,
         n_files: int = 8,

@@ -475,3 +475,44 @@ def test_optimize_partitioned_compacts_within_partitions(spark, tmp_path):
     assert len(a.inputFiles()) < len(log.read().inputFiles())
     with pytest.raises(ValueError, match="zorder_by on a partitioned"):
         log.optimize(zorder_by=["id"])
+
+
+def test_table_changes_reports_inserts_and_deletes(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,), (2,)], ["id"]))                # v1: +1 +2
+    log.write(_df(spark, [(3,)], ["id"]), mode="append")       # v2: +3
+    log.write(_df(spark, [(9,)], ["id"]))                      # v3: -1-2-3 +9
+
+    ch = log.table_changes(0)
+    got = sorted((r.id, r._change_type, r._commit_version) for r in ch.collect())
+    assert got == [
+        (1, "delete", 3), (1, "insert", 1),
+        (2, "delete", 3), (2, "insert", 1),
+        (3, "delete", 3), (3, "insert", 2),
+        (9, "insert", 3),
+    ]
+    # bounded window: only v2's append
+    ch12 = log.table_changes(1, 2).collect()
+    assert [(r.id, r._change_type) for r in ch12] == [(3, "insert")]
+    assert all(r._commit_ts_ms is not None for r in ch12)
+
+
+def test_table_changes_skips_optimize_commits(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    log.write(_df(spark, [(2,)], ["id"]), mode="append")
+    v = log.optimize(n_files=1)
+    ch = log.table_changes(2)  # window contains ONLY the optimize commit
+    assert ch.count() == 0
+    assert log.snapshot().version == v
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, "a")], ["id", "s"]))
+    log.write(
+        spark.createDataFrame([(2, "b", 1.5)], "id long, s string, x double"),
+        mode="append",
+    )
+    ch = {(r.id, r._change_type): r.x for r in log.table_changes(0).collect()}
+    assert ch == {(1, "insert"): None, (2, "insert"): 1.5}
