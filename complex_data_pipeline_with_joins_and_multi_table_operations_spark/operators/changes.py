@@ -155,6 +155,52 @@ def merge_partial_aggregates(
     )
 
 
+def apply_changes_to_summary(
+    summary: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    count_col: str = "cnt",
+    sum_cols: dict[str, int] | None = None,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Incremental view maintenance driven by a change data feed
+    (``sources/txlog.py::table_changes``): inserts fold in as positive
+    partial aggregates, deletes as NEGATIVE ones, so an additive summary
+    tracks a table through overwrites and replaces without ever
+    re-scanning it — :func:`merge_partial_aggregates` extended from
+    append-only deltas to full CDC.
+
+    Same contracts: decomposable measures only (count/sum and anything
+    derived downstream), exact-decimal sums so the fold is
+    order-independent and bit-equal to a from-scratch recompute (asserted
+    in tests against exactly that). Groups whose count reaches zero are
+    dropped — matching what the recompute never produces.
+    """
+    sum_cols = sum_cols or {}
+    sign = F.when(F.col(change_type_col) == "delete", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    delta = changes.withColumn("__sign", sign)
+    delta_summary = delta.groupBy(*keys).agg(
+        F.sum("__sign").alias(count_col),
+        *[
+            F.sum(
+                (F.col(c) * F.col("__sign")).cast(f"decimal(28,{s})")
+            ).cast("double").alias(c)
+            for c, s in sum_cols.items()
+        ],
+    )
+    merged = (
+        summary.unionByName(delta_summary)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[exact_sum(c, s).alias(c) for c, s in sum_cols.items()],
+        )
+    )
+    return merged.filter(F.col(count_col) != 0)
+
+
 def point_in_time_join(
     facts: DataFrame,
     dim: DataFrame,

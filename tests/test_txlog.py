@@ -516,3 +516,40 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     )
     ch = {(r.id, r._change_type): r.x for r in log.table_changes(0).collect()}
     assert ch == {(1, "insert"): None, (2, "insert"): 1.5}
+
+
+def test_apply_changes_maintains_summary_through_overwrite(spark, tmp_path):
+    """CDC-driven incremental view maintenance: folding table_changes into
+    an additive summary must equal a from-scratch recompute of the final
+    table — bit-identical sums, vanished groups dropped."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.aggregates import (
+        exact_sum,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+        apply_changes_to_summary,
+    )
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    rows1 = [("a", 1.25), ("a", 2.50), ("b", 4.00)]
+    log.write(_df(spark, rows1, ["k", "v"]))                       # v1
+    log.write(_df(spark, [("b", 0.75)], ["k", "v"]), mode="append")  # v2
+    # v3 overwrite: group a shrinks, group b vanishes, group c appears
+    rows3 = [("a", 9.00), ("c", 1.10)]
+    log.write(_df(spark, rows3, ["k", "v"]))                       # v3
+
+    def summarize(df):
+        return df.groupBy("k").agg(
+            F.count("*").cast("long").alias("cnt"),
+            exact_sum("v", 2).alias("v"),
+        )
+
+    # summary as of v1, maintained through v2..v3 via the change feed
+    summary = summarize(log.read(1))
+    summary = apply_changes_to_summary(
+        summary, log.table_changes(1, 3), ["k"], sum_cols={"v": 2}
+    )
+    got = sorted((r.k, r.cnt, r.v) for r in summary.collect())
+    want = sorted(
+        (r.k, r.cnt, r.v) for r in summarize(log.read(3)).collect()
+    )
+    assert got == want == [("a", 1, 9.0), ("c", 1, 1.1)]
