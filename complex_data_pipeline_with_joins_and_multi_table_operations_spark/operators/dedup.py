@@ -168,11 +168,8 @@ def near_dedup_against_corpus(
         cor_sig.select(F.col("doc_id").alias("cor_id"), F.col("shingles").alias("sh_b")),
         "cor_id",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     matched = (
-        scored.filter(F.round(jac, 4) >= threshold).select("inc_id").distinct()
+        scored.filter(_jaccard() >= threshold).select("inc_id").distinct()
     )
     return fresh.join(
         matched.select(F.col("inc_id").alias("doc_id")), "doc_id", "left_anti"
@@ -187,6 +184,18 @@ def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
         f"i -> concat_ws(' ', slice(toks, i, {k}))))"
     )
     return df.withColumn("shingles", F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(shingles)).drop("toks")
+
+
+def _jaccard(a: str = "sh_a", b: str = "sh_b"):
+    """round(|A∩B| / |A∪B|, 4) between two shingle-array columns, 0.0 on an
+    empty union — ONE definition shared by every exact-Jaccard
+    verification site (minhash pairs, n-gram pairs, corpus near-dedup) so
+    the rounding grid and zero guard can never drift between operators."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 4
+    )
 
 
 def _minhash_band_keys(sig: DataFrame) -> DataFrame:
@@ -380,11 +389,8 @@ def minhash_lsh_pairs(
         shingle_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     rep_pairs = (
-        pairs.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", _jaccard())
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -555,11 +561,8 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, ["lang", "source", "len_bucket"]).filter(
         F.col("doc_a") < F.col("doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 4))
+        pairs.withColumn("jaccard", _jaccard())
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "source", "jaccard")
     )

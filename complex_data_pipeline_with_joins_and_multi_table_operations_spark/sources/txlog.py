@@ -330,33 +330,39 @@ class TableLog:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
-        cur = self.snapshot() if self.exists() else None
-        if (
-            cur is not None
-            and cur.partition_by != list(partition_by or [])
-            and (mode == "append" or replace_where)
-        ):
-            # appends and partition replaces extend the CURRENT layout; only
-            # a full overwrite may re-partition (it replaces the active set
-            # wholesale, so old-layout files all leave the snapshot)
-            raise ValueError(
-                f"table partitioning is {cur.partition_by}; append/"
-                f"replace_where writes must match it, got {partition_by}"
-            )
-        # schema evolution: appends/partition-replaces EXTEND the table
-        # schema (new nullable columns append; old files read them as null;
-        # a column the writer omits stays in the schema and reads null for
-        # the new files). Type changes and full overwrites that keep old
-        # files are where corruption hides, so types must match exactly
-        # and only a full overwrite may redefine the schema wholesale.
-        if cur is not None and (mode == "append" or replace_where):
-            schema_json = _merge_schemas(cur.schema_json, df.schema.json())
-        else:
-            schema_json = df.schema.json()
         adds = self._stage(df, partition_by)
 
         for _attempt in range(max_retries):
+            # re-resolve EVERYTHING derived from the current snapshot each
+            # attempt — a commit that wins the race between attempts may
+            # have evolved the schema or (via overwrite) changed the
+            # layout; publishing guards computed against the stale parent
+            # would silently erase the winner's evolution
             cur = self.snapshot() if self.exists() else None
+            if (
+                cur is not None
+                and cur.partition_by != list(partition_by or [])
+                and (mode == "append" or replace_where)
+            ):
+                # appends and partition replaces extend the CURRENT layout;
+                # only a full overwrite may re-partition (it replaces the
+                # active set wholesale, so old-layout files all leave the
+                # snapshot)
+                raise ValueError(
+                    f"table partitioning is {cur.partition_by}; append/"
+                    f"replace_where writes must match it, got {partition_by}"
+                )
+            # schema evolution: appends/partition-replaces EXTEND the table
+            # schema (new nullable columns append; old files read them as
+            # null; a column the writer omits stays in the schema and reads
+            # null for the new files). Type changes and full overwrites
+            # that keep old files are where corruption hides, so types
+            # must match exactly and only a full overwrite may redefine
+            # the schema wholesale.
+            if cur is not None and (mode == "append" or replace_where):
+                schema_json = _merge_schemas(cur.schema_json, df.schema.json())
+            else:
+                schema_json = df.schema.json()
             version = (cur.version if cur else 0) + 1
             if mode == "append":
                 removes: list[str] = []
@@ -469,22 +475,29 @@ class TableLog:
         incremental consumers must apply); ``optimize`` commits rewrite
         files WITHOUT changing rows, so they are skipped entirely. Removed
         rows read from the pre-vacuum files — CDC over vacuumed history
-        raises FileNotFoundError like any time travel would. Commits with
-        evolved schemas union by name (columns appended under the
-        evolution rules read null for older changes).
+        raises FileNotFoundError like any time travel would. Deleted rows
+        read under the PARENT snapshot's schema (the schema their files
+        were active under — a full overwrite may have redefined the new
+        commit's schema incompatibly); the union across commits resolves
+        by name, so a dropped column's deleted values survive in the
+        feed. A column whose TYPE differs across the window (a
+        type-redefining overwrite) is emitted as string on every change —
+        Spark's own union coercion would cast-crash at runtime, and
+        losing the window entirely helps no one; consumers that need the
+        typed value read a window that stays on one side of the
+        redefinition.
         """
-        versions = [
-            v
-            for v in self.versions()
-            if from_version < v <= (to_version or self.versions()[-1])
-        ]
+        all_versions = self.versions()
+        if not all_versions:
+            raise FileNotFoundError(f"no table at {self.root}")
+        hi = all_versions[-1] if to_version is None else to_version
+        versions = [v for v in all_versions if from_version < v <= hi]
         parts: list[DataFrame] = []
         for v in versions:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
             if c["operation"] == "optimize":
                 continue
-            schema = StructType.fromJson(json.loads(c["schema"]))
             for kind, metas in (
                 ("insert", c.get("adds", [])),
                 ("delete", c.get("removes", [])),
@@ -492,11 +505,10 @@ class TableLog:
                 if not metas:
                     continue
                 if kind == "delete":
-                    # removed files were written under an ancestor schema;
-                    # the current commit's schema is a superset under the
-                    # evolution rules (parquet fills missing columns null)
+                    schema = self.snapshot(v - 1).schema
                     paths = [os.path.join(self.data_dir, p) for p in metas]
                 else:
+                    schema = StructType.fromJson(json.loads(c["schema"]))
                     paths = [
                         os.path.join(self.data_dir, m["path"]) for m in metas
                     ]
@@ -518,7 +530,7 @@ class TableLog:
                     )
                 )
         if not parts:
-            base = self.snapshot(self.versions()[-1]).schema
+            base = self.snapshot(all_versions[-1]).schema
             empty = StructType(
                 base.fields
                 + StructType.fromDDL(
@@ -526,6 +538,26 @@ class TableLog:
                 ).fields
             )
             return self.spark.createDataFrame([], empty)
+        # stringify type-conflicted columns before the union (see docstring)
+        seen_types: dict[str, Any] = {}
+        conflicted: set[str] = set()
+        for p in parts:
+            for fld in p.schema.fields:
+                t = seen_types.setdefault(fld.name, fld.dataType)
+                if t != fld.dataType:
+                    conflicted.add(fld.name)
+        if conflicted:
+            parts = [
+                p.select(
+                    *[
+                        F.col(fld.name).cast("string").alias(fld.name)
+                        if fld.name in conflicted
+                        else F.col(fld.name)
+                        for fld in p.schema.fields
+                    ]
+                )
+                for p in parts
+            ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -559,7 +591,11 @@ class TableLog:
         directory, recreating the small files it was meant to fix.
         """
         base = self.snapshot()
-        df = self.read()
+        # read the FROZEN version, not latest: a commit landing between
+        # snapshot() and read() would otherwise get its rows copied into
+        # the compacted files while its own files stay active — permanent
+        # row duplication
+        df = self.read(base.version)
         if zorder_by:
             if base.partition_by:
                 raise ValueError(

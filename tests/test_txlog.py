@@ -553,3 +553,89 @@ def test_apply_changes_maintains_summary_through_overwrite(spark, tmp_path):
         (r.k, r.cnt, r.v) for r in summarize(log.read(3)).collect()
     )
     assert got == want == [("a", 1, 9.0), ("c", 1, 1.1)]
+
+
+def test_table_changes_reads_deletes_under_parent_schema(spark, tmp_path):
+    """A full overwrite may redefine the schema; the rows it DELETED were
+    written under the parent schema and must be read with it — not the
+    new one (type clash) — and a dropped column's deleted values survive
+    in the feed."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, 10.0)], ["id", "v"]))        # v1: v double
+    log.write(spark.createDataFrame([(2, "x")], "id long, v string"))  # v2
+    ch = log.table_changes(1, 2).collect()  # v2 only: -1(double) +2(string)
+    got = {(r._change_type, r.id): r.v for r in ch}
+    # the type-conflicted column is emitted as string on every change;
+    # the deleted value is preserved, read under its own (parent) schema
+    assert got == {("delete", 1): "10.0", ("insert", 2): "x"}
+
+    # dropped column: deleted rows still carry it, inserts read null
+    log2 = TableLog(spark, str(tmp_path / "t2"))
+    log2.write(_df(spark, [(1, 7.5)], ["id", "v"]))
+    log2.write(spark.createDataFrame([(2,)], "id long"))
+    ch2 = {(r._change_type, r.id): r.v for r in log2.table_changes(1).collect()}
+    assert ch2 == {("delete", 1): 7.5, ("insert", 2): None}
+
+
+def test_table_changes_window_bounds_and_missing_table(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    # to_version=0 is an explicit empty window, not "latest"
+    assert log.table_changes(-1, 0).count() == 0
+    with pytest.raises(FileNotFoundError):
+        TableLog(spark, str(tmp_path / "missing")).table_changes(0)
+
+
+def test_concurrent_append_during_write_keeps_winner_schema(spark, tmp_path):
+    """A writer that loses a commit race must re-merge its schema against
+    the WINNER's snapshot on retry — not publish the stale pre-race merge,
+    which would erase the winner's schema evolution."""
+    root = str(tmp_path / "t")
+    log_a, log_b = TableLog(spark, root), TableLog(spark, root)
+    log_a.write(_df(spark, [(1,)], ["id"]))
+
+    orig = log_b._commit
+    state = {"raced": False}
+
+    def racy(version, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            # winner lands first WITH a new column, taking this version
+            log_a.write(
+                spark.createDataFrame([(2, "x")], "id long, extra string"),
+                mode="append",
+            )
+        return orig(version, payload)
+
+    log_b._commit = racy
+    log_b.write(_df(spark, [(3,)], ["id"]), mode="append")
+    assert state["raced"]
+    cols = log_b.read().columns
+    assert cols == ["id", "extra"]  # the winner's evolution survived
+    got = {(r.id, r.extra) for r in log_b.read().collect()}
+    assert got == {(1, None), (2, "x"), (3, None)}
+
+
+def test_concurrent_append_during_optimize_survives_exactly_once(spark, tmp_path):
+    """optimize() freezes its remove set and compacts the FROZEN snapshot's
+    rows; an append racing the commit must survive exactly once — never
+    duplicated into the compacted files, never removed."""
+    root = str(tmp_path / "t")
+    log, log_b = TableLog(spark, root), TableLog(spark, root)
+    log.write(spark.range(50).withColumnRenamed("id", "v"))
+    log.write(spark.range(50, 100).withColumnRenamed("id", "v"), mode="append")
+
+    orig = log._commit
+    state = {"raced": False}
+
+    def racy(version, payload):
+        if not state["raced"] and payload["operation"] == "optimize":
+            state["raced"] = True
+            log_b.write(_df(spark, [(999,)], ["v"]), mode="append")
+        return orig(version, payload)
+
+    log._commit = racy
+    log.optimize(n_files=1)
+    assert state["raced"]
+    vals = sorted(r.v for r in log.read().collect())
+    assert vals == sorted(list(range(100)) + [999])  # no dupes, no loss
