@@ -330,39 +330,45 @@ class TableLog:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
-        adds = self._stage(df, partition_by)
 
-        for _attempt in range(max_retries):
-            # re-resolve EVERYTHING derived from the current snapshot each
-            # attempt — a commit that wins the race between attempts may
-            # have evolved the schema or (via overwrite) changed the
-            # layout; publishing guards computed against the stale parent
-            # would silently erase the winner's evolution
-            cur = self.snapshot() if self.exists() else None
+        def validate(cur: Snapshot | None) -> str:
+            """Layout guard + evolved schema against a given snapshot.
+            Runs BEFORE staging (fail before materializing/orphaning
+            df's files) and again per commit attempt — a commit that
+            wins the race between attempts may have evolved the schema
+            or (via overwrite) changed the layout; publishing guards
+            computed against the stale parent would silently erase the
+            winner's evolution."""
             if (
                 cur is not None
                 and cur.partition_by != list(partition_by or [])
                 and (mode == "append" or replace_where)
             ):
-                # appends and partition replaces extend the CURRENT layout;
-                # only a full overwrite may re-partition (it replaces the
-                # active set wholesale, so old-layout files all leave the
-                # snapshot)
+                # appends and partition replaces extend the CURRENT
+                # layout; only a full overwrite may re-partition (it
+                # replaces the active set wholesale, so old-layout files
+                # all leave the snapshot)
                 raise ValueError(
                     f"table partitioning is {cur.partition_by}; append/"
                     f"replace_where writes must match it, got {partition_by}"
                 )
-            # schema evolution: appends/partition-replaces EXTEND the table
-            # schema (new nullable columns append; old files read them as
-            # null; a column the writer omits stays in the schema and reads
-            # null for the new files). Type changes and full overwrites
-            # that keep old files are where corruption hides, so types
-            # must match exactly and only a full overwrite may redefine
-            # the schema wholesale.
+            # schema evolution: appends/partition-replaces EXTEND the
+            # table schema (new nullable columns append; old files read
+            # them as null; a column the writer omits stays in the schema
+            # and reads null for the new files). Type changes and full
+            # overwrites that keep old files are where corruption hides,
+            # so types must match exactly and only a full overwrite may
+            # redefine the schema wholesale.
             if cur is not None and (mode == "append" or replace_where):
-                schema_json = _merge_schemas(cur.schema_json, df.schema.json())
-            else:
-                schema_json = df.schema.json()
+                return _merge_schemas(cur.schema_json, df.schema.json())
+            return df.schema.json()
+
+        validate(self.snapshot() if self.exists() else None)
+        adds = self._stage(df, partition_by)
+
+        for _attempt in range(max_retries):
+            cur = self.snapshot() if self.exists() else None
+            schema_json = validate(cur)
             version = (cur.version if cur else 0) + 1
             if mode == "append":
                 removes: list[str] = []
@@ -490,13 +496,27 @@ class TableLog:
         all_versions = self.versions()
         if not all_versions:
             raise FileNotFoundError(f"no table at {self.root}")
+        if to_version is not None and to_version > all_versions[-1]:
+            # an incremental consumer passing a version that does not exist
+            # yet must hear about it — silently clamping would let it mark
+            # not-yet-committed versions as processed and skip them forever
+            raise ValueError(
+                f"{self.root} has no version {to_version} "
+                f"(latest is {all_versions[-1]})"
+            )
         hi = all_versions[-1] if to_version is None else to_version
         versions = [v for v in all_versions if from_version < v <= hi]
         parts: list[DataFrame] = []
+        # parent schemas resolved incrementally: commits in the window are
+        # consecutive, so after the first snapshot() each commit's schema
+        # IS the next one's parent — one log pass, not one snapshot replay
+        # per remove-bearing commit
+        parent_schema_json: str | None = None
         for v in versions:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
             if c["operation"] == "optimize":
+                parent_schema_json = c["schema"]
                 continue
             for kind, metas in (
                 ("insert", c.get("adds", [])),
@@ -505,7 +525,9 @@ class TableLog:
                 if not metas:
                     continue
                 if kind == "delete":
-                    schema = self.snapshot(v - 1).schema
+                    if parent_schema_json is None:
+                        parent_schema_json = self.snapshot(v - 1).schema_json
+                    schema = StructType.fromJson(json.loads(parent_schema_json))
                     paths = [os.path.join(self.data_dir, p) for p in metas]
                 else:
                     schema = StructType.fromJson(json.loads(c["schema"]))
@@ -529,6 +551,7 @@ class TableLog:
                         F.lit(c.get("ts_ms")).cast("long"),
                     )
                 )
+            parent_schema_json = c["schema"]
         if not parts:
             base = self.snapshot(all_versions[-1]).schema
             empty = StructType(

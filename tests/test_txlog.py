@@ -639,3 +639,31 @@ def test_concurrent_append_during_optimize_survives_exactly_once(spark, tmp_path
     assert state["raced"]
     vals = sorted(r.v for r in log.read().collect())
     assert vals == sorted(list(range(100)) + [999])  # no dupes, no loss
+
+
+def test_table_changes_rejects_future_to_version(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    with pytest.raises(ValueError, match="no version 9"):
+        log.table_changes(0, 9)
+
+
+def test_failed_append_validation_stages_nothing(spark, tmp_path):
+    """A write that fails the layout/schema guard must fail BEFORE
+    materializing df — no orphaned files in the shared data tree."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, "a")], ["id", "k"]), partition_by=["k"])
+
+    def count_files():
+        return sum(len(fs) for _, _, fs in os.walk(log.data_dir))
+
+    n = count_files()
+    with pytest.raises(ValueError, match="partitioning"):
+        log.write(_df(spark, [(2, "b")], ["id", "k"]), mode="append")
+    with pytest.raises(ValueError, match="schema evolution"):
+        log.write(
+            spark.createDataFrame([(3, 7)], "id long, k long"),
+            mode="append",
+            partition_by=["k"],
+        )
+    assert count_files() == n
