@@ -106,13 +106,17 @@ def merge_upsert(
     all_keys = source.select(*keys).distinct()
     survivors = target.join(all_keys, keys, "left_anti")
     if delete_condition is not None:
+        # SQL MERGE's WHEN MATCHED AND <cond> treats an unknown (NULL)
+        # condition as false: those rows take the UPDATE/INSERT path, so
+        # normalize once and branch on the same boolean both ways.
+        cond = F.coalesce(delete_condition, F.lit(False))
         # matched delete rows drop out entirely; UNMATCHED delete rows
-        # are ordinary inserts (MERGE's delete gates only WHEN MATCHED)
-        del_rows = source.filter(delete_condition)
-        unmatched_del = del_rows.join(
-            target.select(*keys).distinct(), keys, "left_anti"
-        )
-        source = source.filter(~delete_condition).unionByName(unmatched_del)
+        # are ordinary inserts (MERGE's delete gates only WHEN MATCHED).
+        # The membership probe is a bare anti join — anti joins ignore
+        # right-side duplicates, so no distinct pass over the target keys.
+        del_rows = source.filter(cond)
+        unmatched_del = del_rows.join(target.select(*keys), keys, "left_anti")
+        source = source.filter(~cond).unionByName(unmatched_del)
     return survivors.unionByName(source.select(*target.columns))
 
 

@@ -968,6 +968,7 @@ def embedding_near_dup_lsh(
 
     from .similarity import with_lsh_bands
 
+    n_reps_hint: int | None = None
     if collapse_exact is None:
         # adaptive default, same spirit as the adaptive geometry: identical
         # vectors share identical signatures, so a group of d copies floods
@@ -975,14 +976,21 @@ def embedding_near_dup_lsh(
         # is — the collapse's fixed extra shuffles win once n·dup_factor is
         # big enough for that d² flood to dominate. Measured crossover:
         # direct wins at n=20k/dup=10 (5.2 s vs 7.0 s), collapse wins 12.7×
-        # at n=200k/dup=100 (171 s vs 13 s). Two metadata-cheap aggregates
-        # (count + approx distinct of a vector hash) pick the side.
-        n_total = embeddings.count()
-        n_distinct = embeddings.agg(
-            F.approx_count_distinct(F.xxhash64("embedding")).alias("d")
-        ).head()["d"]
-        dup_factor = n_total / max(n_distinct, 1)
+        # at n=200k/dup=100 (171 s vs 13 s). Both statistics come from ONE
+        # aggregation job (a single scan of the input — and only the
+        # vec-hash column survives the scan's projection); the same job's
+        # counts also pre-answer the geometry sizing below, so the
+        # adaptive default costs exactly one scan, not three.
+        stats = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64("embedding")).alias("d"),
+        ).head()
+        n_total = stats["n"]
+        n_distinct = max(stats["d"], 1)
+        dup_factor = n_total / n_distinct
         collapse_exact = n_total * dup_factor >= 2_000_000
+        # approx-distinct (~2% err) is plenty for log2-grid geometry sizing
+        n_reps_hint = n_distinct if collapse_exact else n_total
 
     if collapse_exact:
         # exact-dup collapse: grouping on the raw float array is exact-bit
@@ -1007,7 +1015,7 @@ def embedding_near_dup_lsh(
 
     if n_planes is None:
         # geometry sizes to the count of the relation the band join sees
-        n = reps.count()
+        n = n_reps_hint if n_reps_hint is not None else reps.count()
         rows = max(6, math.ceil(math.log2(max(n, 2)) / 2) + 2)
         n_planes = n_bands * rows
     rows = n_planes // n_bands

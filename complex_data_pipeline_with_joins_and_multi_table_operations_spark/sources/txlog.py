@@ -182,7 +182,20 @@ class TableLog:
         optimistic-concurrency primitive (LogStore seam on object stores)."""
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        payload.setdefault("ts_ms", int(__import__("time").time() * 1000))
+        ts_ms = payload.get("ts_ms") or int(__import__("time").time() * 1000)
+        if version > 0:
+            # Clamp to strictly-monotonic per table (Delta does the same):
+            # wall-clock skew between writers, or a retried commit stamped
+            # late, must not give a later version an earlier timestamp —
+            # TIMESTAMP AS OF would resolve to a version committed
+            # logically after the requested instant.
+            try:
+                with open(self._commit_path(version - 1)) as f:
+                    parent_ts = json.load(f).get("ts_ms") or 0
+            except FileNotFoundError:
+                parent_ts = 0
+            ts_ms = max(ts_ms, parent_ts + 1)
+        payload["ts_ms"] = ts_ms
         with open(tmp, "w") as f:
             json.dump(payload, f)
         try:
@@ -502,6 +515,16 @@ class TableLog:
             # not-yet-committed versions as processed and skip them forever
             raise ValueError(
                 f"{self.root} has no version {to_version} "
+                f"(latest is {all_versions[-1]})"
+            )
+        if from_version > all_versions[-1]:
+            # the symmetric bookkeeping guard: from_version == latest
+            # legitimately yields an empty window, but anything ABOVE it
+            # cannot have been processed — a consumer with a corrupted
+            # high-water mark must learn it is skipping history, not get
+            # a silent empty feed forever
+            raise ValueError(
+                f"{self.root} has no version {from_version} to read from "
                 f"(latest is {all_versions[-1]})"
             )
         hi = all_versions[-1] if to_version is None else to_version

@@ -1,0 +1,73 @@
+"""Round-5 regression tests: MERGE's NULL delete-condition semantics,
+txlog timestamp monotonicity under writer clock skew, and the CDC
+high-water-mark guard."""
+
+from __future__ import annotations
+
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    changes,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    TableLog,
+)
+
+
+def test_merge_upsert_null_delete_condition_takes_upsert_path(spark):
+    # SQL MERGE's WHEN MATCHED AND <cond> treats NULL as false: a source
+    # row whose delete condition evaluates to NULL must UPDATE its target
+    # match (or INSERT), never silently delete it and vanish.
+    target = spark.createDataFrame(
+        [(1, "old", 10.0), (2, "keep", 20.0)], ["k", "status", "amount"]
+    )
+    source = spark.createDataFrame(
+        [(1, None, 11.0), (3, None, 30.0), (2, "del", 0.0)],
+        ["k", "status", "amount"],
+    )
+    # status == 'del' is NULL for the NULL-status rows
+    out = changes.merge_upsert(
+        target, source, ["k"], delete_condition=F.col("status") == "del"
+    )
+    got = sorted((r.k, r.status, r.amount) for r in out.collect())
+    # 1: matched, NULL cond -> UPDATE; 3: unmatched, NULL cond -> INSERT;
+    # 2: matched true cond -> DELETE
+    assert got == [(1, None, 11.0), (3, None, 30.0)]
+
+
+def test_txlog_commit_timestamps_strictly_monotonic(spark, tmp_path, monkeypatch):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    real_now_ms = int(_time.time() * 1000)
+    log.write(df, mode="overwrite")  # v0 at the real clock
+
+    # a second writer whose wall clock runs a minute behind
+    monkeypatch.setattr(_time, "time", lambda: (real_now_ms - 60_000) / 1000.0)
+    log.write(df, mode="append")  # v1 — skewed clock
+
+    hist = log.history()
+    ts = [h["ts_ms"] for h in hist]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts), (
+        f"commit timestamps must be strictly monotonic, got {ts}"
+    )
+    # TIMESTAMP AS OF at the first commit's instant must resolve to it,
+    # not skip to the later-but-backdated second commit
+    v_first, v_second = hist[0]["version"], hist[1]["version"]
+    assert log.version_at(ts[0]) == v_first
+    assert log.version_at(ts[1]) == v_second
+
+
+def test_table_changes_from_version_above_latest_raises(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    log.write(df, mode="overwrite")  # v1
+    log.write(df, mode="append")  # v2
+
+    # from_version == latest is a legitimate empty window
+    assert log.table_changes(2).count() == 0
+    # anything above it is a corrupted high-water mark, not an empty feed
+    with pytest.raises(ValueError, match="no version 3 to read from"):
+        log.table_changes(3)
