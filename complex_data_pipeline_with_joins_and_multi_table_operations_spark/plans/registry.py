@@ -3044,6 +3044,74 @@ FROM b WHERE doc_id IN (SELECT doc_id FROM keep)
 """
 
 
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (operators/dedup.py
+    near_dedup_against_corpus): the incoming fifth keeps only documents
+    with no shingle-Jaccard ≥ 0.5 near-duplicate in the standing corpus —
+    exact digest pass first, then MinHash band candidates verified by
+    exact Jaccard. The oracle is the EXHAUSTIVE formulation (every
+    (fresh, corpus) pair exact-Jaccard-scored — affordable at oracle
+    scale); the two agree because LSH precision is 1.0 by construction
+    (candidates pass the same exact-Jaccard threshold) and, on this
+    corpus, recall is 1.0 too: the synthetic near-dup families sit at
+    J ≥ 0.95, where the 4×4-band catch probability is 0.999 per pair and
+    the seeded xxhash64 signatures make each catch deterministic —
+    verified exhaustively at sf0.001 and sf0.01, with no pair anywhere
+    near the 0.5 boundary (next-highest J in the corpus is < 0.3)."""
+    docs = Catalog(spark, sf_dir).documents
+    incoming = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    return dedup.near_dedup_against_corpus(
+        incoming, corpus, k=3, threshold=0.5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_JACCARD_SQL = (
+    "CASE WHEN len({a}) + len({b}) - len(list_intersect({a}, {b})) > 0 "
+    "THEN round(CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+    "/ (len({a}) + len({b}) - len(list_intersect({a}, {b}))), 4) "
+    "ELSE 0.0 END"
+)
+
+SQL_NEAR_DEDUP_INCREMENTAL = f"""
+WITH corp AS (SELECT text FROM documents WHERE doc_id % 5 <> 4),
+corph AS (
+  SELECT DISTINCT concat(CAST((text IS NULL) AS INTEGER),
+                         md5(coalesce(text, ''))) AS h
+  FROM corp
+),
+b AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         concat(CAST((text IS NULL) AS INTEGER),
+                md5(coalesce(text, ''))) AS h
+  FROM documents WHERE doc_id % 5 = 4
+),
+-- exact pass mirror (same as SQL_INCREMENTAL_DEDUP)
+fresh0 AS (SELECT * FROM b WHERE h NOT IN (SELECT h FROM corph)),
+keep AS (SELECT min(doc_id) AS doc_id FROM fresh0 GROUP BY h),
+fresh AS (SELECT * FROM fresh0 WHERE doc_id IN (SELECT doc_id FROM keep)),
+ft AS (
+  SELECT doc_id, lang, source, n_chars,
+         {TOKS_SQL.format(src='text')} AS toks
+  FROM fresh
+),
+fsh AS (SELECT doc_id, lang, source, n_chars, {_SHINGLES_SQL} AS shingles FROM ft),
+-- corpus near side over DISTINCT texts (Jaccard depends on text only)
+ct AS (
+  SELECT {TOKS_SQL.format(src='text')} AS toks
+  FROM (SELECT DISTINCT text FROM corp WHERE text IS NOT NULL)
+),
+csh AS (SELECT {_SHINGLES_SQL} AS shingles FROM ct),
+matched AS (
+  SELECT DISTINCT f.doc_id
+  FROM fsh f JOIN csh c
+    ON {_JACCARD_SQL.format(a='f.shingles', b='c.shingles')} >= 0.5
+)
+SELECT doc_id, lang, source, n_chars
+FROM fsh WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings
     (operators/similarity.py) — an ITERATIVE algorithm with a full SQL
@@ -3119,78 +3187,20 @@ the FIRST 50 entries of ``queries()`` in dict order each round.  Rotation
 invariant: entries are ordered by evidence age, oldest first — every round
 the queries whose newest driver row is oldest (plus anything whose
 implementation changed this round) move into the first-50 window, and
-freshly-verified queries park at the tail.  History: r1 verified the r1
-ordering's first 50; r2 the r2 ordering's; r3 rotated in the never-verified
-round-2 additions + the round-3 fixes (CORRECTNESS_r03: 48 oracled green,
-2 rows-only); r4 rotates in the 38 entries whose newest evidence was r2,
-plus the twelve new round-4 operators (repeated_spans, span_coverage,
-corpus_report, scd2_user_history, merge_upsert, incremental_agg,
-top_terms, ann_pq_topk, scd2_point_in_time, adaptive_quality,
-incremental_dedup, kmeans_clusters)."""
+freshly-verified queries park at the tail.  Queries that are ``no_oracle``
+by design AND frozen-golden (exact-match pytest in tests/test_golden.py,
+re-asserted every round) rotate at LOWER priority: their driver row is
+rows-only, so the golden test — not the window slot — is the binding
+evidence.  That policy is what makes the arithmetic close: ~97 oracled
+queries through 50 slots on a two-round freshness bar needs ≤ ~49 per
+round.  History: r1-r4 as recorded in CORRECTNESS_r0{1-4}; r5 rotates in
+the 48 oracled r3-evidence tail entries plus the two this-round changes
+(merge_upsert — plan reshaped — and the new near_dedup_incremental), and
+parks the r4-verified window plus the golden-frozen rows-only queries at
+the tail."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- window slots 1-35: r2-evidence oracled queries, due a refresh ----
-    "market_share": q_market_share,
-    "nation_trade_volume": q_nation_trade_volume,
-    "important_parts": q_important_parts,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "customer_value_quartiles": q_customer_value_quartiles,
-    "event_funnel": q_event_funnel,
-    "priority_shipping": q_priority_shipping,
-    "user_first_last": q_user_first_last,
-    "trailing_hour_avg": q_trailing_hour_avg,
-    "string_functions": q_string_functions,
-    "ingest_clean": q_ingest_clean,
-    "entity_dim": q_entity_dim,
-    "star_fact": q_star_fact,
-    "agg_pair_daily": q_agg_pair_daily,
-    "agg_time": q_agg_time,
-    "top_pairs": q_top_pairs,
-    "dq_checks": q_dq_checks,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "window_top_orders": q_window_top_orders,
-    "sessionize_events": q_sessionize,
-    "events_tumbling_hour": q_events_tumbling,
-    "pack_sequences": q_pack_sequences,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "text_stats": q_text_stats,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "chunk_tokens": q_chunk_tokens,
-    "repetition_stats": q_repetition_stats,
-    "quota_sample": q_quota_sample,
-    "decontaminate": q_decontaminate,
-    "redact_pii": q_redact_pii,
-    "split_assign": q_split_assign,
-    "boilerplate_segments": q_boilerplate_segments,
-    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
-    # --- window slots 36-38: r2-evidence rows-only queries (driver
-    # records a weaker rows-only row; hard parity now lives in
-    # tests/test_golden.py against tests/golden/*.json) --------------------
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "approx_event_stats": q_approx_event_stats,
-    # --- window slots 39-50: new round-4 operators -----------------------
-    "repeated_spans": q_repeated_spans,
-    "span_coverage": q_span_coverage,
-    "corpus_report": q_corpus_report,
-    "scd2_user_history": q_scd2_user_history,
-    "merge_upsert": q_merge_upsert,
-    "incremental_agg": q_incremental_agg,
-    "top_terms": q_top_terms,
-    "ann_pq_topk": q_ann_pq_topk,
-    "scd2_point_in_time": q_scd2_point_in_time,
-    "adaptive_quality": q_adaptive_quality,
-    "incremental_dedup": q_incremental_dedup,
-    "kmeans_clusters": q_kmeans_clusters,
-    # --- tail (outside the 50-entry window): r3-green and unchanged since;
-    # evidence in CORRECTNESS_r03 (the first four below were displaced
-    # from the window by this round's last four new operators — their r3
-    # evidence is one round old, within the two-round freshness bar). The
-    # window holds exactly 50 entries (35 r2-refresh + 3 r2 rows-only +
-    # 12 new round-4) — re-count whenever entries are inserted above this
-    # line. ---------------------------------------------------------------
+    # --- window slots 1-48: r3-evidence oracled queries, due a refresh ----
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
@@ -3203,8 +3213,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "near_dup_clusters": q_near_dup_clusters,
     "date_dim": q_date_dim,
-    "minhash_lsh_pairs": q_minhash_lsh,
-    "simhash_near_pairs": q_simhash_pairs,
     "asof_view_purchase": q_asof_view_purchase,
     "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
@@ -3241,6 +3249,67 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": q_embedding_near_dup,
     "video_frame_sample": q_video_frame_sample,
     "sole_late_suppliers": q_sole_late_suppliers,
+    # --- window slots 49-50: round-5 additions and changes ----------------
+    "near_dedup_incremental": q_near_dedup_incremental,
+    "merge_upsert": q_merge_upsert,
+    # --- tail (outside the 50-entry window): r4-green (CORRECTNESS_r04)
+    # and unchanged since, plus the golden-frozen rows-only queries
+    # (minhash_lsh_pairs, simhash_near_pairs, ann_lsh_topk,
+    # embedding_near_dup_lsh, approx_event_stats, ann_pq_topk — exact
+    # parity lives in tests/test_golden.py / tests/test_pq.py, re-run
+    # every round).  The window holds exactly 50 entries — re-count
+    # whenever entries are inserted above this line. -----------------------
+    "market_share": q_market_share,
+    "nation_trade_volume": q_nation_trade_volume,
+    "important_parts": q_important_parts,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "customer_value_quartiles": q_customer_value_quartiles,
+    "event_funnel": q_event_funnel,
+    "priority_shipping": q_priority_shipping,
+    "user_first_last": q_user_first_last,
+    "trailing_hour_avg": q_trailing_hour_avg,
+    "string_functions": q_string_functions,
+    "ingest_clean": q_ingest_clean,
+    "entity_dim": q_entity_dim,
+    "star_fact": q_star_fact,
+    "agg_pair_daily": q_agg_pair_daily,
+    "agg_time": q_agg_time,
+    "top_pairs": q_top_pairs,
+    "dq_checks": q_dq_checks,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "window_top_orders": q_window_top_orders,
+    "sessionize_events": q_sessionize,
+    "events_tumbling_hour": q_events_tumbling,
+    "pack_sequences": q_pack_sequences,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "chunk_tokens": q_chunk_tokens,
+    "repetition_stats": q_repetition_stats,
+    "quota_sample": q_quota_sample,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
+    "split_assign": q_split_assign,
+    "boilerplate_segments": q_boilerplate_segments,
+    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
+    "repeated_spans": q_repeated_spans,
+    "span_coverage": q_span_coverage,
+    "corpus_report": q_corpus_report,
+    "scd2_user_history": q_scd2_user_history,
+    "incremental_agg": q_incremental_agg,
+    "top_terms": q_top_terms,
+    "scd2_point_in_time": q_scd2_point_in_time,
+    "adaptive_quality": q_adaptive_quality,
+    "incremental_dedup": q_incremental_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_near_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "approx_event_stats": q_approx_event_stats,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3284,6 +3353,7 @@ ORACLES: dict[str, str] = {
     "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
     "adaptive_quality": SQL_ADAPTIVE_QUALITY,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_stats": SQL_TEXT_STATS,
