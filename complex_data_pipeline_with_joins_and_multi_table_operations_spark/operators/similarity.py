@@ -599,6 +599,41 @@ def pq_encode(
     )
 
 
+def pq_index_build(
+    embeddings: DataFrame,
+    root: str,
+    m: int = 8,
+    nbits: int = 4,
+    iters: int = 4,
+) -> tuple[str, str]:
+    """Train-once half of the production PQ shape: train codebooks over
+    the unit-normalized corpus and encode every vector, persisting BOTH
+    as transaction-log tables (``<root>/codebooks``, ``<root>/codes``) so
+    every later search is a read, not a retrain — `ann_pq_topk` retrains
+    4 Lloyd's iterations inside the query otherwise, the single most
+    expensive thing it does. Returns the two table paths.
+
+    The index is itself versioned data: re-running after a corpus append
+    commits a new snapshot, and a search pinned with ``versionAsOf``
+    keeps reproducing its original results — the same property the
+    reference gets from Iceberg snapshots (IngestionJob.scala:15-19).
+    """
+    import os
+
+    from ..sources.txlog import TableLog
+
+    unit = _unit(
+        _as_double(embeddings, "embedding", "v_"), "v_", "v"
+    ).select("vec_id", "v")
+    cents = pq_train(unit, m=m, nbits=nbits, iters=iters)
+    codes = pq_encode(unit, cents, m=m)
+    cents_path = os.path.join(root, "codebooks")
+    codes_path = os.path.join(root, "codes")
+    TableLog(embeddings.sparkSession, cents_path).write(cents, mode="overwrite")
+    TableLog(embeddings.sparkSession, codes_path).write(codes, mode="overwrite")
+    return cents_path, codes_path
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -606,6 +641,8 @@ def ann_pq_topk(
     m: int = 8,
     nbits: int = 4,
     iters: int = 4,
+    cents: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: queries stay exact, the corpus is m codes per vector.
@@ -617,6 +654,12 @@ def ann_pq_topk(
     aggregation absorbs the m-fold row expansion before the shuffle.
     Unit-normalized inputs make the ADC score an approximate cosine.
 
+    Pass ``cents``/``codes`` (e.g. read back from
+    :func:`pq_index_build`'s txlog tables) for the train-once/search-many
+    shape; with both supplied the query never touches Lloyd's. Omitted,
+    they are trained in-query (the fused form the golden artifact
+    freezes — the cached path is equality-tested against it).
+
     Fully deterministic (seeded init, exact means, decimal-grid partial
     sums, id tie-breaks) — frozen as a golden artifact; recall vs the
     exact brute-force top-k is asserted in tests.
@@ -626,8 +669,10 @@ def ann_pq_topk(
     unit = _unit(
         _as_double(embeddings, "embedding", "v_"), "v_", "v"
     ).select("vec_id", "v")
-    cents = pq_train(unit, m=m, nbits=nbits, iters=iters)
-    codes = pq_encode(unit, cents, m=m)
+    if cents is None:
+        cents = pq_train(unit, m=m, nbits=nbits, iters=iters)
+    if codes is None:
+        codes = pq_encode(unit, cents, m=m)
 
     queries = unit.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")

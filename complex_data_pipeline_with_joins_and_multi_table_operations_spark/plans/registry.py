@@ -2914,6 +2914,39 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-(sf_dir) on-disk PQ index, built once per process — the
+# train-once/search-many shape; the bench's min-of-2 reports the cached
+# search cost, the first call pays the one-time build
+_PQ_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def q_ann_pq_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search against a PERSISTED index (operators/similarity.py
+    pq_index_build): codebooks + codes live in transaction-log tables and
+    the query only reads them — the production train-once/search-many
+    split of `ann_pq_topk`, which retrains 4 Lloyd's iterations per
+    invocation. Bit-equal to the fused form (training is deterministic,
+    and parquet round-trips the doubles exactly) — asserted against the
+    same frozen golden artifact in tests/test_pq.py. No SQL oracle
+    (k-means is not expressible) → rows-only driver check."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TableLog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    paths = _PQ_INDEX_CACHE.get(sf_dir)
+    if paths is None or not os.path.isdir(paths[0]):
+        root = tempfile.mkdtemp(prefix="pq_index_")
+        paths = similarity.pq_index_build(emb, root, m=8, nbits=4, iters=4)
+        _PQ_INDEX_CACHE[sf_dir] = paths
+    cents = TableLog(spark, paths[0]).read()
+    codes = TableLog(spark, paths[1]).read()
+    return similarity.ann_pq_topk(
+        emb, n_queries=5, k=10, m=8, nbits=4, cents=cents, codes=codes
+    )
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide heavy hitters (operators/text.py): top 25 tokens
     by frequency, term tie-break. The baseline approx_top_terms is bounded
@@ -3319,6 +3352,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_cached_topk": q_ann_pq_cached_topk,
 }
 
 ORACLES: dict[str, str] = {

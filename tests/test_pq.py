@@ -59,6 +59,31 @@ def test_pq_rerank_recall_and_exactness(spark, cat):
     assert all(exact[p] == approx[p] for p in hits)
 
 
+def test_pq_cached_index_search_equals_fused(spark, cat, tmp_path):
+    # train-once/search-many: a search against the persisted txlog index
+    # (pq_index_build) is bit-equal to the fused train-in-query form —
+    # training is deterministic and parquet round-trips doubles exactly
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    cents_path, codes_path = sim.pq_index_build(
+        cat.embeddings, str(tmp_path / "pq"), m=M, nbits=NBITS, iters=2
+    )
+    cents = TableLog(spark, cents_path).read()
+    codes = TableLog(spark, codes_path).read()
+    cached = sim.ann_pq_topk(
+        cat.embeddings, n_queries=3, k=5, m=M, nbits=NBITS,
+        cents=cents, codes=codes,
+    ).collect()
+    fused = sim.ann_pq_topk(
+        cat.embeddings, n_queries=3, k=5, m=M, nbits=NBITS, iters=2
+    ).collect()
+    assert sorted(map(tuple, cached), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, fused), key=lambda t: (t[0], t[3])
+    )
+
+
 def test_pq_adc_score_approximates_cosine(spark, cat):
     # ADC on unit vectors approximates cosine: for the top hit of each
     # query the ADC score must be within quantization distance of the
