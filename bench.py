@@ -110,6 +110,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # every registry query gets a regression tripwire: the curated list
+    # above keeps its historical ordering (stable round-over-round
+    # comparisons), anything registered since is appended automatically —
+    # a new query can never silently go unbenched
+    bench_queries = BENCH_QUERIES + [q for q in QUERIES if q not in BENCH_QUERIES]
+
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
@@ -125,7 +131,7 @@ def main() -> None:
     # (LSH signatures) are dropped between trials so every trial pays its
     # full cost and queries stay independent.
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         QUERIES[name](spark, sf_dir).count()
         spark.catalog.clearCache()
         trials = []

@@ -320,6 +320,18 @@ class TableLog:
         _rmtree(staging)
         return adds
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """High-water mark of an idempotent writer (see ``write(txn=…)``):
+        the largest txn version this ``app_id`` has committed, or None if
+        it never has. One log pass over commit metadata — no data I/O."""
+        best = None
+        for v in self.versions():
+            with open(self._commit_path(v)) as f:
+                t = json.load(f).get("txn")
+            if t and t[0] == app_id and (best is None or t[1] > best):
+                best = t[1]
+        return best
+
     def write(
         self,
         df: DataFrame,
@@ -327,6 +339,7 @@ class TableLog:
         partition_by: list[str] | None = None,
         replace_where: dict[str, list] | None = None,
         max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit df as a new table version. Modes:
 
@@ -338,11 +351,22 @@ class TableLog:
           values match are removed (idempotent partition reload, the
           reference-append upgrade of SURVEY.md §4.3.3).
 
+        ``txn=(app_id, version)`` is the Delta-style idempotent-writer
+        token (txnAppId/txnVersion): the pair is recorded in the commit,
+        and a write whose version is ≤ the app's recorded high-water mark
+        is SKIPPED (returns the current table version, commits nothing) —
+        the guard that makes at-least-once producers (foreachBatch
+        replaying a microbatch after a crash) exactly-once at the table.
+
         Data files land once; only the commit is retried on a concurrency
         loss, re-resolving removes against the winner's snapshot.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if txn is not None:
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                return self.versions()[-1]
 
         def validate(cur: Snapshot | None) -> str:
             """Layout guard + evolved schema against a given snapshot.
@@ -383,6 +407,13 @@ class TableLog:
             cur = self.snapshot() if self.exists() else None
             schema_json = validate(cur)
             version = (cur.version if cur else 0) + 1
+            if _attempt and txn is not None:
+                # a lost race may have been lost to OUR OWN replayed twin
+                # (same app_id): re-check the high-water mark before
+                # re-committing the same logical transaction
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return self.versions()[-1]
             if mode == "append":
                 removes: list[str] = []
             elif replace_where and cur:
@@ -402,6 +433,7 @@ class TableLog:
                 "partition_by": list(partition_by or []),
                 "adds": adds,
                 "removes": removes,
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
             }
             try:
                 self._commit(version, payload)

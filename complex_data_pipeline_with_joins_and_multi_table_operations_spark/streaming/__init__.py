@@ -1,15 +1,18 @@
 from .dedup import dedup_documents_stream, dedup_events_stream, run_stream_dedup
 from .enrich import enrich_events_stream, pit_enrich_events_stream, run_stream_enrich
 from .events import run_events_stream, streaming_tumbling_agg
+from .incremental import fold_batch_into_summary, run_incremental_summary
 from .stateful import run_running_totals, running_user_totals
 
 __all__ = [
     "dedup_documents_stream",
     "dedup_events_stream",
     "enrich_events_stream",
+    "fold_batch_into_summary",
     "pit_enrich_events_stream",
     "run_stream_enrich",
     "run_events_stream",
+    "run_incremental_summary",
     "run_running_totals",
     "run_stream_dedup",
     "running_user_totals",
