@@ -891,15 +891,85 @@ def embedding_near_dup_pairs(
     generates the same survivors from band-bucket candidates instead of a
     cross product. Cosine is rounded to 6 decimals BEFORE thresholding so
     the boundary is engine-reproducible.
+
+    The n² scoring site is a two-phase refine-and-verify (108 s → ~1 s at
+    sf0.1). A single 64-term SQL dot product cannot go fast here: Spark's
+    codegen never splits WITHIN one expression tree, so the unrolled dot
+    compiles to one >8 KB method that HotSpot refuses to JIT (measured:
+    32 terms 0.3 s, 48 terms 6 s — the knee is DontCompileHugeMethods),
+    and the higher-order fold is interpreted. So instead:
+
+    1. CANDIDATES — the nested-loop pair stream (cheap compiled
+       ``id_a < id_b`` condition only) feeds ``mapInArrow``, which scores
+       raw cosine vectorized in numpy and keeps pairs with
+       ``cos >= threshold - MARGIN``, emitting ids only. The margin is
+       chosen so this phase can NEVER drop a true pair: a pair passes the
+       exact test iff round6(cos_spark) >= t, i.e. cos_spark >=
+       t - 5e-7 (HALF_UP), and |cos_numpy - cos_spark| <= ~1e-13 (both
+       are within dim·ulp of the real value; Cauchy-Schwarz bounds the
+       relative term sum), so cos_numpy >= t - 5e-7 - 1e-13 >
+       t - MARGIN (1e-6). Numpy is a pre-filter only — its floats never
+       reach the output.
+    2. VERIFY — candidates (≈ the true pair count) join back to the
+       vectors and the PROVEN interpreted fold (similarity.COS_EXPR, the
+       expression the DuckDB oracle is bit-matched against) computes the
+       exact rounded cosine and applies the exact threshold. False
+       candidates die here; survivors carry fold-exact values.
+
+    The left side is repartitioned to the session parallelism first: the
+    nested-loop join streams at the SCAN's partition count (a small
+    parquet file → 1-2 partitions → 2 busy cores) and the n² work is
+    proportional to streamed rows.
     """
     from .similarity import COS_EXPR, _as_double
 
+    MARGIN = 1e-6
     df = _as_double(embeddings, "embedding", "v")
-    a = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv")).repartition(
+        par
+    )
     b = df.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    floor = float(threshold) - MARGIN
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            qv = np.asarray(tbl.column("qv").combine_chunks().flatten())
+            cv = np.asarray(tbl.column("cv").combine_chunks().flatten())
+            n = batch.num_rows
+            q = qv.reshape(n, -1)
+            c = cv.reshape(n, -1)
+            cos = np.einsum("ij,ij->i", q, c) / (
+                np.sqrt(np.einsum("ij,ij->i", q, q))
+                * np.sqrt(np.einsum("ij,ij->i", c, c))
+            )
+            keep = cos >= floor
+            if keep.any():
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        tbl.column("id_a").combine_chunks().take(
+                            pa.array(np.flatnonzero(keep))
+                        ),
+                        tbl.column("id_b").combine_chunks().take(
+                            pa.array(np.flatnonzero(keep))
+                        ),
+                    ],
+                    ["id_a", "id_b"],
+                )
+
+    cand = pairs.mapInArrow(_score, "id_a long, id_b long")
+    va = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
+    vb = df.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
     return (
-        pairs.withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
         .filter(F.col("cosine") >= threshold)
         .select(
             "id_a",

@@ -47,6 +47,14 @@ SUBSET = [
     "pack_sequences",
     "mixture_sample",
     "scd2_point_in_time",
+    # round-5 additions: the worst sf1 scalers not previously probed,
+    # plus the queries round 5 touched
+    "market_share",
+    "returned_items",
+    "local_supplier_volume",
+    "scd2_user_history",
+    "merge_upsert",
+    "near_dedup_incremental",
 ]
 
 
