@@ -3267,7 +3267,6 @@ QUERIES: dict[str, QueryFn] = {
     "raw_stats": q_raw_stats,
     "union_all_counts": q_union_all_counts,
     "user_median_value": q_user_median,
-    "user_median_builtin": q_user_median_builtin,
     "events_sliding_30m": q_sliding_agg,
     "session_window_agg": q_session_window,
     "except_intersect": q_except_intersect,
@@ -3291,9 +3290,14 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": q_embedding_near_dup,
     "video_frame_sample": q_video_frame_sample,
     "sole_late_suppliers": q_sole_late_suppliers,
-    # --- window slots 49-50: round-5 additions and changes ----------------
+    # --- window slots 48-50: round-5 additions and changes ----------------
     "near_dedup_incremental": q_near_dedup_incremental,
     "merge_upsert": q_merge_upsert,
+    # new this round (split-PQ search over the persisted txlog index): gets
+    # its first driver row now; displaced user_median_builtin to the tail
+    # (its operator twin user_median_value stays in-window and both share
+    # SQL_USER_MEDIAN, so the builtin keeps r3 oracle evidence + pytest)
+    "ann_pq_cached_topk": q_ann_pq_cached_topk,
     # --- tail (outside the 50-entry window): r4-green (CORRECTNESS_r04)
     # and unchanged since, plus the golden-frozen rows-only queries
     # (minhash_lsh_pairs, simhash_near_pairs, ann_lsh_topk,
@@ -3352,7 +3356,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
     "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_cached_topk": q_ann_pq_cached_topk,
+    "user_median_builtin": q_user_median_builtin,
 }
 
 ORACLES: dict[str, str] = {
