@@ -893,77 +893,98 @@ def embedding_near_dup_pairs(
     the boundary is engine-reproducible.
 
     The n² scoring site is a two-phase refine-and-verify (108 s → ~1 s at
-    sf0.1). A single 64-term SQL dot product cannot go fast here: Spark's
-    codegen never splits WITHIN one expression tree, so the unrolled dot
-    compiles to one >8 KB method that HotSpot refuses to JIT (measured:
-    32 terms 0.3 s, 48 terms 6 s — the knee is DontCompileHugeMethods),
-    and the higher-order fold is interpreted. So instead:
+    sf0.1, and the only formulation that survived the 10× probe). A
+    single 64-term SQL dot product cannot go fast: Spark's codegen never
+    splits WITHIN one expression tree, so the unrolled dot compiles to
+    one >8 KB method that HotSpot refuses to JIT (measured: 32 terms
+    0.3 s, 48 terms 6 s — the knee is DontCompileHugeMethods), and the
+    higher-order fold is interpreted. A first cut streamed the
+    nested-loop join's pair rows into ``mapInArrow`` — fast at 2 k
+    vectors, but a pair row carries BOTH vectors (~1 KB), so 20 k
+    vectors meant 200 M pairs ≈ 200 GB through Arrow: the 10× probe hung
+    on it. So neither the scoring nor the data movement may be per-pair:
 
-    1. CANDIDATES — the nested-loop pair stream (cheap compiled
-       ``id_a < id_b`` condition only) feeds ``mapInArrow``, which scores
-       raw cosine vectorized in numpy and keeps pairs with
-       ``cos >= threshold - MARGIN``, emitting ids only. The margin is
-       chosen so this phase can NEVER drop a true pair: a pair passes the
-       exact test iff round6(cos_spark) >= t, i.e. cos_spark >=
-       t - 5e-7 (HALF_UP), and |cos_numpy - cos_spark| <= ~1e-13 (both
-       are within dim·ulp of the real value; Cauchy-Schwarz bounds the
-       relative term sum), so cos_numpy >= t - 5e-7 - 1e-13 >
-       t - MARGIN (1e-6). Numpy is a pre-filter only — its floats never
-       reach the output.
+    1. CANDIDATES — the corpus matrix is broadcast ONCE (ids + a dense
+       n×dim float64 block — the exact bytes a BroadcastNestedLoopJoin's
+       BuildRight would ship; an O(n²) exact scorer is only tractable
+       while this fits an executor, which is the same bound, and beyond
+       it the scale path is :func:`embedding_near_dup_lsh`). Each
+       partition of the streamed side scores its rows against the whole
+       corpus with blocked numpy matmuls and keeps (id_a < id_b) pairs
+       with ``cos >= threshold - MARGIN``, emitting ids only — data
+       movement is O(n) in, O(true pairs) out. The margin makes this
+       phase unable to drop a true pair: passing the exact test means
+       round6(cos_spark) >= t, i.e. cos_spark >= t - 5e-7 (HALF_UP),
+       and |cos_numpy - cos_spark| <= ~1e-13 (both are within dim·ulp
+       of the real value; Cauchy-Schwarz bounds the term sum; BLAS
+       reassociation shifts nothing anywhere near 1e-6), so cos_numpy >
+       t - MARGIN. Numpy floats never reach the output.
     2. VERIFY — candidates (≈ the true pair count) join back to the
        vectors and the PROVEN interpreted fold (similarity.COS_EXPR, the
        expression the DuckDB oracle is bit-matched against) computes the
        exact rounded cosine and applies the exact threshold. False
        candidates die here; survivors carry fold-exact values.
 
-    The left side is repartitioned to the session parallelism first: the
-    nested-loop join streams at the SCAN's partition count (a small
-    parquet file → 1-2 partitions → 2 busy cores) and the n² work is
-    proportional to streamed rows.
+    The streamed side is repartitioned to the session parallelism first:
+    a small parquet scan yields 1-2 partitions and the n² scoring work
+    is proportional to streamed rows.
     """
     from .similarity import COS_EXPR, _as_double
 
     MARGIN = 1e-6
+    spark = embeddings.sparkSession
     df = _as_double(embeddings, "embedding", "v")
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv")).repartition(
-        par
-    )
-    b = df.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
 
-    floor = float(threshold) - MARGIN
-
-    def _score(batches):
+    corpus = df.select("vec_id", "v").toPandas()
+    if len(corpus) == 0:
+        cand = spark.createDataFrame([], "id_a long, id_b long")
+    else:
         import numpy as np
-        import pyarrow as pa
 
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            qv = np.asarray(tbl.column("qv").combine_chunks().flatten())
-            cv = np.asarray(tbl.column("cv").combine_chunks().flatten())
-            n = batch.num_rows
-            q = qv.reshape(n, -1)
-            c = cv.reshape(n, -1)
-            cos = np.einsum("ij,ij->i", q, c) / (
-                np.sqrt(np.einsum("ij,ij->i", q, q))
-                * np.sqrt(np.einsum("ij,ij->i", c, c))
-            )
-            keep = cos >= floor
-            if keep.any():
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        tbl.column("id_a").combine_chunks().take(
-                            pa.array(np.flatnonzero(keep))
-                        ),
-                        tbl.column("id_b").combine_chunks().take(
-                            pa.array(np.flatnonzero(keep))
-                        ),
-                    ],
-                    ["id_a", "id_b"],
-                )
+        b_ids = corpus["vec_id"].to_numpy(dtype="int64")
+        b_mat = np.array(corpus["v"].to_list(), dtype="float64")
+        b_norm = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+        bcast = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
 
-    cand = pairs.mapInArrow(_score, "id_a long, id_b long")
+        floor = float(threshold) - MARGIN
+        par = spark.sparkContext.defaultParallelism
+        a = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
+        a = a.repartition(par)
+
+        def _score(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            ids_b, mat_b, norm_b = bcast.value
+            n_corpus = len(ids_b)
+            # block the streamed rows so the cosine block stays ~256 MB
+            # regardless of corpus size
+            block = max(1, (1 << 25) // max(n_corpus, 1))
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                ids_a = np.asarray(tbl.column("id_a")).astype("int64")
+                q = np.asarray(
+                    tbl.column("qv").combine_chunks().flatten()
+                ).reshape(len(ids_a), -1)
+                qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+                for s in range(0, len(ids_a), block):
+                    qb = q[s : s + block]
+                    ib = ids_a[s : s + block]
+                    # zero-norm vectors: 0/0 → nan, nan >= floor is False,
+                    # matching the exact phase's nullif-guarded drop
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (qb @ mat_b.T) / (
+                            qn[s : s + block, None] * norm_b[None, :]
+                        )
+                    mask = (cos >= floor) & (ib[:, None] < ids_b[None, :])
+                    ra, rb = np.nonzero(mask)
+                    if len(ra):
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(ib[ra]), pa.array(ids_b[rb])],
+                            ["id_a", "id_b"],
+                        )
+
+        cand = a.mapInArrow(_score, "id_a long, id_b long")
     va = df.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
     vb = df.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
     return (
