@@ -1001,6 +1001,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_clusters(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Connected components over EXACT embedding near-dup pairs —
+    collapse-first: bit-identical vectors always pair at cosine 1.0, so a
+    d-copy group is a clique contributing d²/2 of the edge list while
+    adding nothing to the component structure. Resolving over one
+    representative per distinct vector and re-expanding membership gives
+    the IDENTICAL (member_id, cluster_id) result (cluster_id is the min
+    member id; each rep is its group's min, so the component min over
+    reps is the min over all members) while the iterative resolution
+    touches |distinct| nodes instead of |corpus| — at the 10×-duplicated
+    probe corpus the full-graph resolve was 16 s over 503 k edges vs
+    ~4 k rep-level edges here. Same collapse argument as
+    ``embedding_near_dup_lsh``'s adaptive path and the MinHash family's
+    ``_collapse_exact_dups``.
+
+    Membership: a group of ≥2 copies is a cluster even when its rep pairs
+    with no other rep (its members pair with each other); a unique vector
+    joins a cluster only through a rep-level pair — exactly the node set
+    ``resolve_clusters(embedding_near_dup_pairs(...))`` emits.
+    """
+    groups = embeddings.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    memb = (
+        embeddings.select("vec_id", "embedding")
+        .join(groups, "embedding")
+        .select("vec_id", "rep_id", "gsize")
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    comp = resolve_clusters(embedding_near_dup_pairs(reps, threshold))
+    return (
+        memb.join(comp, memb["rep_id"] == comp["member_id"], "left")
+        .withColumn(
+            "cluster",
+            F.coalesce(
+                F.col("cluster_id"),
+                F.when(F.col("gsize") >= 2, F.col("rep_id")),
+            ),
+        )
+        .filter(F.col("cluster").isNotNull())
+        .select(
+            F.col("vec_id").alias("member_id"),
+            F.col("cluster").alias("cluster_id"),
+        )
+    )
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,

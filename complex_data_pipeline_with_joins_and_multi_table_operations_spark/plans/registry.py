@@ -2043,14 +2043,14 @@ FROM v
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over embedding near-dup pairs (iterative
-    min-label propagation, operators/dedup.resolve_clusters). The oracle
-    computes the same components with a recursive transitive-closure CTE
-    — tractable at oracle scale, quadratic in cluster size at corpus
-    scale (which is why the engine side iterates instead)."""
-    pairs = dedup.embedding_near_dup_pairs(
+    min-label propagation, operators/dedup.resolve_clusters, collapse-
+    first over distinct vectors — embedding_near_dup_clusters). The
+    oracle computes the same components with a recursive transitive-
+    closure CTE — tractable at oracle scale, quadratic in cluster size at
+    corpus scale (which is why the engine side iterates instead)."""
+    return dedup.embedding_near_dup_clusters(
         Catalog(spark, sf_dir).embeddings, threshold=0.35
     )
-    return dedup.resolve_clusters(pairs)
 
 
 SQL_NEAR_DUP_CLUSTERS = """
@@ -2081,8 +2081,7 @@ def q_kept_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster membership comes from connected components; the keep rule is
     min-id per cluster; survivors = anti-join against the drop list."""
     emb = Catalog(spark, sf_dir).embeddings
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.35)
-    clusters = dedup.resolve_clusters(pairs)
+    clusters = dedup.embedding_near_dup_clusters(emb, threshold=0.35)
     drops = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
         F.col("member_id").alias("drop_id")
     )

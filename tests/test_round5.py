@@ -135,3 +135,41 @@ def test_table_changes_from_version_above_latest_raises(spark, tmp_path):
     # anything above it is a corrupted high-water mark, not an empty feed
     with pytest.raises(ValueError, match="no version 3 to read from"):
         log.table_changes(3)
+
+
+def test_embedding_cluster_collapse_first_equals_full_graph(spark):
+    # A heavily-duplicated corpus: exact-dup groups are cliques at cosine
+    # 1.0, so collapse-first resolution over one rep per distinct vector
+    # must reproduce the full-graph components exactly — including the
+    # ≥2-copy group whose rep pairs with no other rep (a cluster of its
+    # own) and the unique vector joining a cluster through a rep pair.
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]  # cosine(base, near) ≈ 0.994
+    far = [0.0, 0.0, 1.0, 0.0]  # orthogonal to both
+    lone_pair = [0.0, 1.0, 0.0, 0.0]
+    rows = (
+        [(i, base) for i in range(0, 5)]  # 5 copies of base
+        + [(10, near)]  # unique, near base
+        + [(20, far), (21, far)]  # isolated 2-copy group
+        + [(30, lone_pair)]  # unique, no neighbors → not in output
+    )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    fast = sorted(
+        map(tuple, dedup.embedding_near_dup_clusters(emb, 0.9).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            dedup.resolve_clusters(
+                dedup.embedding_near_dup_pairs(emb, 0.9)
+            ).collect(),
+        )
+    )
+    assert fast == full
+    assert (20, 20) in fast and (21, 20) in fast  # isolated dup group kept
+    assert (10, 0) in fast  # unique vector joined via rep pair
+    assert all(m != 30 for m, _ in fast)  # true singleton excluded
