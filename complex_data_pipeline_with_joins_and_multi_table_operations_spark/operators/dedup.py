@@ -952,8 +952,32 @@ def embedding_near_dup_pairs(
         a = a.repartition(par)
 
         def _score(batches):
+            # 32 concurrent workers each defaulting to an ncpu-thread
+            # OpenBLAS pool oversubscribe the box ~64×: this pass swung
+            # 0.9 s ↔ 15 s run-to-run until pinned to one BLAS thread
+            # per worker (the partition grid already uses every core).
+            # Env var covers a fresh worker; the ctypes call covers a
+            # reused worker whose numpy (bundled OpenBLAS) is loaded.
+            import ctypes
+            import glob
+            import os
+
+            os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
             import numpy as np
             import pyarrow as pa
+
+            for _so in glob.glob(
+                os.path.dirname(np.__file__) + ".libs/*openblas*"
+            ):
+                try:
+                    _lib = ctypes.CDLL(_so)
+                    _set = getattr(
+                        _lib, "openblas_set_num_threads64_", None
+                    ) or getattr(_lib, "openblas_set_num_threads", None)
+                    if _set is not None:
+                        _set(1)
+                except OSError:
+                    pass
 
             ids_b, mat_b, norm_b = bcast.value
             n_corpus = len(ids_b)

@@ -233,9 +233,28 @@ def with_lsh_signature(
 
     @pandas_udf("long")
     def _sig(ev):
-        # self-contained: imports inside, no module globals
+        # self-contained: imports inside, no module globals. BLAS pinned
+        # to one thread per worker — concurrent workers with default
+        # ncpu-thread OpenBLAS pools oversubscribe the box (see
+        # dedup.embedding_near_dup_pairs for the measured swing).
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
         import numpy as np
         import pandas as pd
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
 
         planes = (
             np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)
@@ -268,9 +287,26 @@ def with_lsh_bands(
 
     @pandas_udf("array<long>")
     def _bands(ev):
-        # self-contained: imports inside, no module globals
+        # self-contained: imports inside, no module globals. BLAS pinned
+        # to one thread per worker (see _sig / dedup's scorer).
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
         import numpy as np
         import pandas as pd
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
 
         planes = (
             np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)

@@ -55,6 +55,9 @@ SUBSET = [
     "scd2_user_history",
     "merge_upsert",
     "near_dedup_incremental",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    "kept_vectors",
 ]
 
 
