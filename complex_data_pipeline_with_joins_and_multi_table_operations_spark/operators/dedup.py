@@ -878,13 +878,14 @@ def remove_boilerplate_segments(
     )
 
 
-def embedding_near_dup_pairs(
+def _near_dup_pairs_direct(
     embeddings: DataFrame, threshold: float = 0.35
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, EXACT: every (a, b) with
-    ``a.vec_id < b.vec_id`` and ``cosine(a, b) >= threshold``, plus the
-    pair's dedup-cluster representative (the lower id — the row a
-    keep-one-per-cluster pass would retain).
+    """All-pairs exact scorer over a relation of (mostly) DISTINCT
+    vectors — the scoring core of :func:`embedding_near_dup_pairs`,
+    which collapses exact duplicates before calling this and re-expands
+    membership after (a d-copy group makes d² of every candidate list
+    without changing any cosine).
 
     This is the oracle-checkable baseline: an all-pairs comparison
     (O(n²·dim)); at corpus scale run :func:`embedding_near_dup_lsh`, which
@@ -1025,6 +1026,75 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT: every (a, b) with
+    ``a.vec_id < b.vec_id`` and ``cosine(a, b) >= threshold``, plus the
+    pair's dedup-cluster representative (the lower id — the row a
+    keep-one-per-cluster pass would retain). This is the oracle-checkable
+    baseline: semantically an all-pairs comparison (O(n²·dim)); at corpus
+    scale run :func:`embedding_near_dup_lsh`.
+
+    Collapse-first: only DISTINCT vectors are scored
+    (:func:`_near_dup_pairs_direct` — broadcast-corpus blocked matmuls
+    with a margin pre-filter, then the proven fold expression on
+    candidates). Member pairs inherit their representatives' fold-exact
+    cosine — members share the reps' exact bytes, and the fold is a pure
+    function of the two vectors — so the expansion is bit-identical to
+    scoring every pair directly. A d-copy group otherwise multiplies the
+    candidate list by d² without changing a single cosine: at the
+    100×-duplicated probe corpus the direct form ran 51 M verify folds
+    (334 s); this form runs ~6 k and re-expands (the ~51 M OUTPUT rows
+    are the contract — they carry 24-byte ids+cosine, not vectors).
+    Expansion orientation is by member id (``least``/``greatest``), and
+    intra-group pairs carry the group's self-cosine (cosine(v, v) via the
+    same fold — ≥ any threshold ≤ 1 after rounding; zero-norm vectors
+    stay null → dropped, matching the direct form).
+    """
+    from .similarity import COS_EXPR, _as_double
+
+    groups = embeddings.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    memb = (
+        embeddings.select("vec_id", "embedding")
+        .join(groups.select("embedding", "rep_id"), "embedding")
+        .select("vec_id", "rep_id")
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    rep_pairs = _near_dup_pairs_direct(reps, threshold)
+
+    selfs = (
+        _as_double(groups.filter(F.col("gsize") >= 2), "embedding", "v")
+        .withColumn("qv", F.col("v"))
+        .withColumn("cv", F.col("v"))
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("rep_id", "cosine")
+    )
+    ma = memb.select(F.col("rep_id").alias("ra"), F.col("vec_id").alias("va"))
+    mb = memb.select(F.col("rep_id").alias("rb"), F.col("vec_id").alias("vb"))
+    cross = (
+        rep_pairs.join(ma, F.col("id_a") == F.col("ra"))
+        .join(mb, F.col("id_b") == F.col("rb"))
+        .select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            "cosine",
+        )
+    )
+    intra = (
+        selfs.join(ma, F.col("rep_id") == F.col("ra"))
+        .join(mb, F.col("rep_id") == F.col("rb"))
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("id_a"), F.col("vb").alias("id_b"), "cosine")
+    )
+    return cross.unionByName(intra).select(
+        "id_a", "id_b", F.col("id_a").alias("keep_id"), "cosine"
+    )
+
+
 def embedding_near_dup_clusters(
     embeddings: DataFrame, threshold: float = 0.35
 ) -> DataFrame:
@@ -1056,7 +1126,7 @@ def embedding_near_dup_clusters(
         .select("vec_id", "rep_id", "gsize")
     )
     reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
-    comp = resolve_clusters(embedding_near_dup_pairs(reps, threshold))
+    comp = resolve_clusters(_near_dup_pairs_direct(reps, threshold))
     return (
         memb.join(comp, memb["rep_id"] == comp["member_id"], "left")
         .withColumn(
