@@ -313,3 +313,58 @@ def test_merge_upsert_matches_sql_merge_semantics(spark, target, source):
         else:
             ref[k] = (v, d)         # not matched -> insert (even if d)
     assert got == {(k, v, d) for k, (v, d) in ref.items()}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-1.0, 1.0, width=32), min_size=4, max_size=4),
+            st.integers(1, 4),  # copies — exact-dup groups are the point
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.floats(0.1, 0.9),
+)
+def test_embedding_near_dup_collapse_expand_matches_numpy(spark, groups, threshold):
+    """The collapse-first pairs formulation must agree with the NumPy
+    all-pairs reference when the corpus is dominated by exact duplicates
+    — the intra-group (self-cosine) expansion, cross-group orientation by
+    member id, and zero-vector drops all exercised with interleaved ids."""
+    import numpy as np
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    # interleave group members across the id space so member ids do NOT
+    # follow rep order (the least/greatest orientation case)
+    flat = []
+    for g, (v, copies) in enumerate(groups):
+        for c in range(copies):
+            flat.append((g + 97 * c, v))
+    ids = [i for i, _ in flat]
+    assert len(set(ids)) == len(ids)
+    arr = np.array([v for _, v in flat], dtype=np.float32).astype(np.float64)
+    norms = np.linalg.norm(arr, axis=1)
+    keep = norms > 1e-9
+    expected = set()
+    for i in range(len(flat)):
+        for j in range(len(flat)):
+            a, b = ids[i], ids[j]
+            if a < b and keep[i] and keep[j]:
+                c = round(float(arr[i] @ arr[j] / (norms[i] * norms[j])), 6)
+                if c >= threshold:
+                    expected.add((a, b))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in flat],
+        "vec_id long, embedding array<float>, label int",
+    )
+    zero = {ids[i] for i in range(len(flat)) if not keep[i]}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold).collect()
+        if r.id_a not in zero and r.id_b not in zero
+    }
+    assert got == expected
