@@ -2473,7 +2473,38 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs, exact-Jaccard verified
+    (operators/dedup.minhash_lsh_pairs). Oracled by the EXHAUSTIVE
+    exact-Jaccard formulation (same technique as near_dedup_incremental):
+    the two agree because LSH precision is 1.0 by construction (every
+    candidate passes the exact _jaccard filter) and, on this corpus,
+    recall is too — near-dup families sit at J ≥ 0.95 where the
+    4-band × 4-row catch probability is 0.999/pair and the seeded
+    xxhash64 permutations make each catch deterministic, and no band
+    bucket or dup group reaches the 1000 cap at oracle scale. Equality
+    verified pair-for-pair at sf0.001 AND sf0.01 and pinned by
+    tests/test_round5.py::test_minhash_lsh_equals_exhaustive_jaccard, so
+    a geometry or corpus change that breaks total recall fails pytest
+    before it can reach a driver row."""
     return dedup.minhash_lsh_pairs(Catalog(spark, sf_dir).documents, threshold=0.3)
+
+
+SQL_MINHASH_LSH = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
+         AS jaccard
+FROM p
+WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
+        >= 0.3
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3402,6 +3433,7 @@ ORACLES: dict[str, str] = {
     "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

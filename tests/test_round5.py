@@ -173,3 +173,32 @@ def test_embedding_cluster_collapse_first_equals_full_graph(spark):
     assert (20, 20) in fast and (21, 20) in fast  # isolated dup group kept
     assert (10, 0) in fast  # unique vector joined via rep pair
     assert all(m != 30 for m, _ in fast)  # true singleton excluded
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_minhash_lsh_equals_exhaustive_jaccard(spark, sf_dir):
+    # The minhash_lsh_pairs ORACLE is the exhaustive exact-Jaccard
+    # formulation; they agree iff banded recall is total on this corpus
+    # (precision is 1.0 by construction). This pins that equality at both
+    # driver scales so a geometry/corpus change that opens a recall gap
+    # fails here before it can reach a CORRECTNESS row.
+    import duckdb
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans import (
+        ORACLES,
+        QUERIES,
+    )
+
+    eng = sorted(
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    ora = sorted(
+        (a, b, float(j))
+        for a, b, j in con.execute(ORACLES["minhash_lsh_pairs"]).fetchall()
+    )
+    assert eng == ora
