@@ -894,7 +894,11 @@ p AS (
 SELECT doc_a, doc_b, lang, source,
        round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4) AS jaccard
 FROM p
-WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.2
+-- threshold the ROUNDED value, like the engine's _jaccard filter: a raw
+-- ratio in [0.19995, 0.2) rounds up across the boundary, and both
+-- engines must make the same call on it
+WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
+        >= 0.2
 """
 
 
