@@ -934,7 +934,10 @@ def _near_dup_pairs_direct(
 
     MARGIN = 1e-6
     spark = embeddings.sparkSession
-    df = _as_double(embeddings, "embedding", "v")
+    # NULL embeddings can never pair (the fold yields NULL → dropped);
+    # drop them before the matrix build, where a None would make
+    # np.array raise instead
+    df = _as_double(embeddings, "embedding", "v").filter(F.col("v").isNotNull())
 
     corpus = df.select("vec_id", "v").toPandas()
     if len(corpus) == 0:
@@ -995,13 +998,20 @@ def _near_dup_pairs_direct(
                 for s in range(0, len(ids_a), block):
                     qb = q[s : s + block]
                     ib = ids_a[s : s + block]
-                    # zero-norm vectors: 0/0 → nan, nan >= floor is False,
-                    # matching the exact phase's nullif-guarded drop
                     with np.errstate(divide="ignore", invalid="ignore"):
                         cos = (qb @ mat_b.T) / (
                             qn[s : s + block, None] * norm_b[None, :]
                         )
-                    mask = (cos >= floor) & (ib[:, None] < ids_b[None, :])
+                    # nan cosines stay CANDIDATES — the exact phase, not
+                    # numpy, decides them: a zero-norm pair folds to NULL
+                    # there (nullif guard) and is dropped, while a vector
+                    # with a NaN COMPONENT folds to NaN, and Spark/DuckDB
+                    # order NaN above every number, so `NaN >= t` keeps
+                    # the pair — dropping it here would break the
+                    # "cannot drop a true pair" invariant.
+                    mask = ((cos >= floor) | np.isnan(cos)) & (
+                        ib[:, None] < ids_b[None, :]
+                    )
                     ra, rb = np.nonzero(mask)
                     if len(ra):
                         yield pa.RecordBatch.from_arrays(
@@ -1023,6 +1033,47 @@ def _near_dup_pairs_direct(
             F.col("id_a").alias("keep_id"),
             "cosine",
         )
+    )
+
+
+def _collapse_exact_vectors(embeddings: DataFrame):
+    """``(groups, memb, reps)`` for exact-vector collapse — the shared
+    first step of the embedding near-dup family. ``groups`` is one row
+    per distinct embedding (bit equality) with its min-id representative
+    and copy count; ``memb`` maps every vec_id to its rep (NULL
+    embeddings drop out here — the equi-join never matches NULL — so
+    they can never appear in an expansion, matching the scorer's
+    isNotNull drop); ``reps`` is the distinct-vector relation the
+    scorers run on."""
+    groups = embeddings.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("gsize")
+    )
+    memb = (
+        embeddings.select("vec_id", "embedding")
+        .join(groups.select("embedding", "rep_id", "gsize"), "embedding")
+        .select("vec_id", "rep_id", "gsize")
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    return groups, memb, reps
+
+
+def _self_pairing_reps(groups: DataFrame, threshold: float) -> DataFrame:
+    """(rep_id, cosine) for multi-copy groups whose members genuinely
+    PAIR with each other: round6(cosine(v, v)) >= threshold via the same
+    fold as every other exact cosine. Zero-norm vectors fold to NULL and
+    are excluded (two zero vectors have no defined cosine — the direct
+    scorer drops that pair too); vectors with NaN components fold to NaN,
+    which Spark orders above every number, so they stay — again matching
+    the direct scorer."""
+    from .similarity import COS_EXPR, _as_double
+
+    return (
+        _as_double(groups.filter(F.col("gsize") >= 2), "embedding", "v")
+        .withColumn("qv", F.col("v"))
+        .withColumn("cv", F.col("v"))
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("rep_id", "cosine")
     )
 
 
@@ -1052,27 +1103,9 @@ def embedding_near_dup_pairs(
     same fold — ≥ any threshold ≤ 1 after rounding; zero-norm vectors
     stay null → dropped, matching the direct form).
     """
-    from .similarity import COS_EXPR, _as_double
-
-    groups = embeddings.groupBy("embedding").agg(
-        F.min("vec_id").alias("rep_id"), F.count("*").alias("gsize")
-    )
-    memb = (
-        embeddings.select("vec_id", "embedding")
-        .join(groups.select("embedding", "rep_id"), "embedding")
-        .select("vec_id", "rep_id")
-    )
-    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    groups, memb, reps = _collapse_exact_vectors(embeddings)
     rep_pairs = _near_dup_pairs_direct(reps, threshold)
-
-    selfs = (
-        _as_double(groups.filter(F.col("gsize") >= 2), "embedding", "v")
-        .withColumn("qv", F.col("v"))
-        .withColumn("cv", F.col("v"))
-        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("rep_id", "cosine")
-    )
+    selfs = _self_pairing_reps(groups, threshold)
     ma = memb.select(F.col("rep_id").alias("ra"), F.col("vec_id").alias("va"))
     mb = memb.select(F.col("rep_id").alias("rb"), F.col("vec_id").alias("vb"))
     cross = (
@@ -1113,27 +1146,26 @@ def embedding_near_dup_clusters(
     ``_collapse_exact_dups``.
 
     Membership: a group of ≥2 copies is a cluster even when its rep pairs
-    with no other rep (its members pair with each other); a unique vector
-    joins a cluster only through a rep-level pair — exactly the node set
+    with no other rep (its members pair with each other — gated on the
+    group's SELF-pair actually existing: a duplicated zero-norm vector
+    has a NULL self-cosine, so its members pair with nothing and must
+    not become a cluster); a unique vector joins a cluster only through
+    a rep-level pair — exactly the node set
     ``resolve_clusters(embedding_near_dup_pairs(...))`` emits.
     """
-    groups = embeddings.groupBy("embedding").agg(
-        F.min("vec_id").alias("rep_id"), F.count("*").alias("gsize")
-    )
-    memb = (
-        embeddings.select("vec_id", "embedding")
-        .join(groups, "embedding")
-        .select("vec_id", "rep_id", "gsize")
-    )
-    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    groups, memb, reps = _collapse_exact_vectors(embeddings)
     comp = resolve_clusters(_near_dup_pairs_direct(reps, threshold))
+    eligible = _self_pairing_reps(groups, threshold).select(
+        F.col("rep_id").alias("erep"), F.lit(True).alias("self_ok")
+    )
     return (
         memb.join(comp, memb["rep_id"] == comp["member_id"], "left")
+        .join(eligible, memb["rep_id"] == F.col("erep"), "left")
         .withColumn(
             "cluster",
             F.coalesce(
                 F.col("cluster_id"),
-                F.when(F.col("gsize") >= 2, F.col("rep_id")),
+                F.when(F.col("self_ok"), F.col("rep_id")),
             ),
         )
         .filter(F.col("cluster").isNotNull())

@@ -236,7 +236,11 @@ def with_lsh_signature(
         # self-contained: imports inside, no module globals. BLAS pinned
         # to one thread per worker — concurrent workers with default
         # ncpu-thread OpenBLAS pools oversubscribe the box (see
-        # dedup.embedding_near_dup_pairs for the measured swing).
+        # dedup._near_dup_pairs_direct for the measured swing). The pin
+        # block is DELIBERATELY duplicated across the three matmul
+        # closures rather than shared: a module-level helper would be
+        # pickled by reference and the worker processes cannot import
+        # this package (driver-sim runs from a foreign cwd).
         import ctypes
         import glob
         import os

@@ -3276,7 +3276,7 @@ parks the r4-verified window plus the golden-frozen rows-only queries at
 the tail."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- window slots 1-48: r3-evidence oracled queries, due a refresh ----
+    # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,

@@ -323,14 +323,20 @@ class TableLog:
     def last_txn_version(self, app_id: str) -> int | None:
         """High-water mark of an idempotent writer (see ``write(txn=…)``):
         the largest txn version this ``app_id`` has committed, or None if
-        it never has. One log pass over commit metadata — no data I/O."""
-        best = None
-        for v in self.versions():
+        it never has. Scans commit metadata NEWEST-FIRST and stops at the
+        first commit carrying the app_id — an app's txn versions commit
+        in strictly increasing order (``write`` skips any replay at or
+        below the high-water mark), so the newest occurrence IS the max.
+        A continuously-folding writer (one summary commit per microbatch)
+        calls this on every write; the full-log scan made that O(n²) in
+        total commit-file I/O over the stream's life, this is O(1) per
+        write for the common tail-writer case."""
+        for v in reversed(self.versions()):
             with open(self._commit_path(v)) as f:
                 t = json.load(f).get("txn")
-            if t and t[0] == app_id and (best is None or t[1] > best):
-                best = t[1]
-        return best
+            if t and t[0] == app_id:
+                return t[1]
+        return None
 
     def write(
         self,

@@ -105,4 +105,15 @@ def run_incremental_summary(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a drain slower than the budget must not return as if caught up
+        # (the caller would read a partial summary, and the still-running
+        # query would collide with the next drain's checkpoint); stop it
+        # — the txn token makes the interrupted microbatch safe to replay
+        # — and say so
+        q.stop()
+        raise TimeoutError(
+            f"incremental summary drain exceeded {timeout_s}s; stopped — "
+            "completed microbatches are committed, re-run to resume from "
+            "the checkpoint"
+        )

@@ -151,11 +151,14 @@ def test_embedding_cluster_collapse_first_equals_full_graph(spark):
     near = [0.9, 0.1, 0.0, 0.0]  # cosine(base, near) ≈ 0.994
     far = [0.0, 0.0, 1.0, 0.0]  # orthogonal to both
     lone_pair = [0.0, 1.0, 0.0, 0.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
     rows = (
         [(i, base) for i in range(0, 5)]  # 5 copies of base
         + [(10, near)]  # unique, near base
         + [(20, far), (21, far)]  # isolated 2-copy group
         + [(30, lone_pair)]  # unique, no neighbors → not in output
+        + [(40, zero), (41, zero)]  # duplicated ZERO vectors: NULL
+        # self-cosine → their members pair with nothing → no cluster
     )
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     fast = sorted(
@@ -173,6 +176,7 @@ def test_embedding_cluster_collapse_first_equals_full_graph(spark):
     assert (20, 20) in fast and (21, 20) in fast  # isolated dup group kept
     assert (10, 0) in fast  # unique vector joined via rep pair
     assert all(m != 30 for m, _ in fast)  # true singleton excluded
+    assert all(m not in (40, 41) for m, _ in fast)  # zero dup group excluded
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
