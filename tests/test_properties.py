@@ -190,7 +190,10 @@ def test_embedding_near_dup_matches_numpy(spark, vecs, threshold):
 
     arr = np.array(vecs, dtype=np.float32).astype(np.float64)
     norms = np.linalg.norm(arr, axis=1)
-    keep = norms > 1e-9
+    # the engine's only drop is an EXACTLY-zero norm (cosine folds to
+    # NULL); a tiny-but-nonzero vector still has cosine(v, v) = 1.0 and
+    # must pair — mirror that, no epsilon window
+    keep = norms > 0.0
     expected = set()
     for i in range(len(vecs)):
         for j in range(i + 1, len(vecs)):
@@ -348,7 +351,10 @@ def test_embedding_near_dup_collapse_expand_matches_numpy(spark, groups, thresho
     assert len(set(ids)) == len(ids)
     arr = np.array([v for _, v in flat], dtype=np.float32).astype(np.float64)
     norms = np.linalg.norm(arr, axis=1)
-    keep = norms > 1e-9
+    # the engine's only drop is an EXACTLY-zero norm (cosine folds to
+    # NULL); a tiny-but-nonzero vector still has cosine(v, v) = 1.0 and
+    # must pair — mirror that, no epsilon window
+    keep = norms > 0.0
     expected = set()
     for i in range(len(flat)):
         for j in range(len(flat)):
