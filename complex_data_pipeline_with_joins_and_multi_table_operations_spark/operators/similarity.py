@@ -820,8 +820,110 @@ def _l2sq(a, b):
     )
 
 
+def _assign_blas(corpus: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """BLAS twin of the fold assignment, BIT-IDENTICAL by construction:
+    distances come from one blocked matmul (||q||^2 - 2 q.C^T + ||c||^2),
+    and a row's argmin is trusted only when the runner-up is outside an
+    error margin that provably covers BLAS reassociation AND the
+    cancellation of the expanded form (absolute, scaled by the squared
+    norms — the expansion loses ~eps*||.||^2 where the fold's direct
+    (x-y)^2 sum does not). Rows with >=2 clusters inside the margin — or
+    any NaN distance — are re-decided in Python by the EXACT left fold
+    ((x-y)*(x-y) accumulated in array order over IEEE doubles, the very
+    op sequence of the SQL aggregate/zip_with), with Spark's ordering for
+    the tie-break (NaN above every number, ties to the lower cluster id).
+    Ambiguity is rare (centroids equidistant from a point), so the Python
+    loop sees a handful of rows while BLAS does the n*k*dim work —
+    the same refine-and-verify contract as the near-dup matmul scorer
+    (operators/dedup.py _near_dup_pairs_direct)."""
+    spark = corpus.sparkSession
+    import numpy as np
+
+    k_ids = np.array(sorted(cents), dtype="int64")
+    c_mat = np.array([cents[c] for c in sorted(cents)], dtype="float64")
+    bcast = spark.sparkContext.broadcast((k_ids, c_mat))
+
+    def _score(batches):
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        import numpy as np
+        import pyarrow as pa
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
+
+        ids_c, mat_c = bcast.value
+        c2 = np.einsum("ij,ij->i", mat_c, mat_c)
+
+        def fold_dist(q, c):
+            # the SQL fold, op for op: term then left accumulation
+            s = 0.0
+            for x, y in zip(q, c):
+                d = x - y
+                s = s + d * d
+            return s
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids_q = np.asarray(tbl.column("vec_id")).astype("int64")
+            if len(ids_q) == 0:
+                continue
+            q = np.asarray(
+                tbl.column("ev").combine_chunks().flatten()
+            ).reshape(len(ids_q), -1)
+            q2 = np.einsum("ij,ij->i", q, q)
+            with np.errstate(invalid="ignore"):
+                dist = q2[:, None] - 2.0 * (q @ mat_c.T) + c2[None, :]
+            # absolute margin: reassociation + expansion cancellation are
+            # both bounded by ~dim*eps*(||q||^2 + ||c||^2); 1e-9*(scale+1)
+            # is orders wider (per row, against the largest centroid norm)
+            margin = 1e-9 * (q2 + (c2.max() if len(c2) else 0.0) + 1.0)
+            nan_rows = np.isnan(dist).any(axis=1)
+            best = np.argmin(np.where(np.isnan(dist), np.inf, dist), axis=1)
+            best_d = dist[np.arange(len(ids_q)), best]
+            n_close = (dist <= best_d[:, None] + margin[:, None]).sum(axis=1)
+            ambiguous = nan_rows | (n_close > 1)
+            out = ids_c[best]
+            for i in np.nonzero(ambiguous)[0]:
+                # exact fold over every cluster; Spark ordering: NaN sorts
+                # above all numbers, NaN ties with NaN, lower cluster wins
+                scored = []
+                for ci in range(len(ids_c)):
+                    dv = fold_dist(q[i], mat_c[ci])
+                    isn = dv != dv
+                    scored.append((1 if isn else 0, 0.0 if isn else dv, ids_c[ci]))
+                out[i] = min(scored)[2]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_q),
+                    pa.array(out.astype("int32")),
+                    tbl.column("ev").combine_chunks(),
+                ],
+                ["vec_id", "cluster", "ev"],
+            )
+
+    return corpus.mapInArrow(
+        _score, "vec_id long, cluster int, ev array<double>"
+    )
+
+
 def kmeans_clusters(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, keep_vector: bool = False
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    keep_vector: bool = False,
+    method: str = "fold",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column → final
     cluster assignment ``(vec_id, cluster)``.
@@ -844,10 +946,24 @@ def kmeans_clusters(
     after map-side combine. Lineage restarts from literals each
     iteration, so no checkpoint is needed. Cost: (iters + 1) corpus
     scans; vectors never move.
-    """
-    corpus = _as_double(embeddings, "embedding", "ev").select("vec_id", "ev")
 
-    def assign(cents: dict[int, list[float]]) -> DataFrame:
+    ``method="blas"`` swaps the fold assignment for the matmul
+    refine-and-verify twin (:func:`_assign_blas` — bit-identical results,
+    asserted by equality tests): the fold's n·k·dim interpreted/codegen
+    terms become one BLAS GEMM per batch, which is what makes LARGE k
+    tractable (adaptive-k semantic_dedup needs k ≈ √n; at n = 200 k that
+    is k ≈ 450, where the literal-array fold plan is both megabytes of
+    constants and ~50× slower). Seeds, updates, and the tie rule are
+    shared; NULL embeddings are dropped by both methods (a null vector
+    has no distance to anything).
+    """
+    corpus = (
+        _as_double(embeddings, "embedding", "ev")
+        .filter(F.col("ev").isNotNull())
+        .select("vec_id", "ev")
+    )
+
+    def assign_fold(cents: dict[int, list[float]]) -> DataFrame:
         cents_arr = F.array(
             *[
                 F.struct(
@@ -865,6 +981,13 @@ def kmeans_clusters(
             ),
         )
         return corpus.withColumn("cluster", F.array_min(scored)["cluster"])
+
+    if method == "fold":
+        assign = assign_fold
+    elif method == "blas":
+        assign = lambda cents: _assign_blas(corpus, cents)  # noqa: E731
+    else:
+        raise ValueError(f"kmeans_clusters: unknown method {method!r}")
 
     def update(assigned: DataFrame) -> dict[int, list[float]]:
         comp = (
@@ -901,11 +1024,100 @@ def kmeans_clusters(
     return final.select("vec_id", "cluster")
 
 
+def _cluster_kept_blas(clustered: DataFrame, threshold: float) -> DataFrame:
+    """Grouped-matmul twin of semantic_dedup's fold pairing, BIT-IDENTICAL
+    by the refine-and-verify contract: each cluster's pairwise cosines
+    come from one numpy GEMM; a vector is DEFINITELY dropped when some
+    smaller-id cluster-mate scores >= threshold + 2e-6 and definitely kept
+    when every one scores < threshold - 2e-6 (|cos_blas - cos_fold| is
+    ~1e-13 and F.round moves at most 5e-7, so neither verdict can flip);
+    only pairs inside the +/-2e-6 boundary band — or NaN (zero-norm or
+    NaN-component vectors) — go to the SQL fold for the exact rounded
+    verdict. Cost: one shuffle of the vectors on the cluster key, c^2
+    BLAS work per cluster, and a near-empty verify join."""
+    t = float(threshold)
+
+    def _group(pdf):
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        import numpy as np
+        import pandas as pd
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy("int64")
+        cl = int(pdf["cluster"].iloc[0])
+        m = np.array(pdf["ev"].to_list(), dtype="float64")
+        n = len(ids)
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (m @ m.T) / (nrm[:, None] * nrm[None, :])
+        lower = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i
+        hi = lower & (cos >= t + 2e-6)
+        dropped = hi.any(axis=1)
+        band = lower & (np.isnan(cos) | (np.abs(cos - t) <= 2e-6))
+        band[dropped, :] = False  # verdict already certain
+        ai, aj = np.nonzero(band)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([ids, ids[ai]]),
+                "cluster": np.full(n + len(ai), cl, dtype="int32"),
+                "dropped": np.concatenate(
+                    [dropped, np.zeros(len(ai), dtype=bool)]
+                ),
+                "id_b": np.concatenate(
+                    [np.full(n, -1, dtype="int64"), ids[aj]]
+                ),
+            }
+        )
+
+    out = clustered.groupBy("cluster").applyInPandas(
+        _group, "id_a long, cluster int, dropped boolean, id_b long"
+    )
+    base = out.filter(F.col("id_b") == -1)
+    amb = out.filter(F.col("id_b") != -1).select("id_a", "id_b")
+    va = clustered.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"))
+    vb = clustered.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("cv"))
+    verified = (
+        amb.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .filter(F.col("cosine") >= t)
+        .select(F.col("id_a").alias("vid"))
+        .distinct()
+        .withColumn("vdrop", F.lit(True))
+    )
+    return (
+        base.join(verified, base["id_a"] == verified["vid"], "left")
+        .select(
+            F.col("id_a").alias("vec_id"),
+            "cluster",
+            (~(F.col("dropped") | F.coalesce(F.col("vdrop"), F.lit(False)))).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.35,
+    method: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering the embedding space and pruning
@@ -927,18 +1139,46 @@ def semantic_dedup(
     rows-checked. Zero-norm vectors have NULL cosine with everything and
     are always kept, matching the near-dup family's drop semantics.
 
-    100 TB shape: in production k scales with n (SemDeDup used 50 k
-    clusters for LAION at n≈5 B, keeping clusters ~1e5) so within-cluster
-    pair volume is ~n·c̄, never n²; the pairing below shuffles on the
-    cluster key only, and vectors move once (the assignment scan is
-    partition-local against centroid literals). For fat clusters swap the
-    per-pair fold for the broadcast-matmul margin-then-verify scorer in
-    ``operators/dedup.py`` (same contract, measured 100× on dup floods);
-    at the registry's scale the fold wins by skipping Arrow round-trips.
+    100 TB shape: k MUST scale with n (SemDeDup used 50 k clusters for
+    LAION at n≈5 B) or within-cluster pairing degenerates quadratic —
+    measured: fixed k=8 at the 100×-dup probe corpus (n = 200 k) needs
+    ~5e9 pair folds. The adaptive default (``k=None``) therefore picks
+    k = max(8, ceil(sqrt(n))), balancing assignment work (n·k) against
+    pair work (n²/k) — both O(n^1.5). ``method`` picks the execution
+    strategy per stage: ``"fold"`` is the pure-SQL form the oracle
+    mirrors (centroid-literal assignment + per-pair fold join);
+    ``"blas"`` runs assignment through :func:`_assign_blas` and pairing
+    through :func:`_cluster_kept_blas` — both refine-and-verify twins
+    that are BIT-IDENTICAL to the fold form (equality-tested), with the
+    n·k·dim and c²·dim inner loops in numpy GEMMs. The default
+    (``None``) chooses "blas" when n·k or n²/k exceeds ~5e6 terms.
+    NOTE: resolving ``k=None`` or ``method=None`` runs ONE count() job
+    at plan-build time (ids only, metadata-cheap relative to the
+    (iters+1) corpus scans that follow); pass both explicitly to keep
+    plan construction lazy.
     """
+    import math
+
+    if k is None or method is None:
+        n = embeddings.count()
+    if k is None:
+        k = max(8, math.ceil(math.sqrt(n)))
+    if method is None:
+        # the fold assignment's cost knee is k itself, not n*k: one
+        # distance expression per centroid LITERAL makes a >8 KB method
+        # HotSpot refuses to JIT past ~32-48 terms (SCALING.md, the
+        # codegen-knee finding) — so any adaptive k beyond that goes to
+        # the GEMM twins, as does volume on either side of the balance
+        method = (
+            "blas"
+            if (k > 16 or n * k >= 5e6 or n * n / k >= 5e6)
+            else "fold"
+        )
     clustered = kmeans_clusters(
-        embeddings, k=k, iters=iters, keep_vector=True
+        embeddings, k=k, iters=iters, keep_vector=True, method=method
     )
+    if method == "blas":
+        return _cluster_kept_blas(clustered, threshold)
     a = clustered.select(
         F.col("vec_id").alias("id_a"), F.col("ev").alias("qv"), "cluster"
     )

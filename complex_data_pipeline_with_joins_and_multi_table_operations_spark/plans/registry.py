@@ -3267,7 +3267,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic, so the whole pipeline is hash-checked against the
     DuckDB unroll, not rows-only."""
     return similarity.semantic_dedup(
-        Catalog(spark, sf_dir).embeddings, k=8, iters=2, threshold=0.35
+        Catalog(spark, sf_dir).embeddings,
+        k=8,
+        iters=2,
+        threshold=0.35,
+        # pinned: the oracle unrolls k=8 fold SQL, and an explicit method
+        # keeps plan construction lazy (no adaptive count() job)
+        method="fold",
     )
 
 

@@ -271,3 +271,88 @@ def test_semantic_dedup_zero_norm_always_kept(spark):
     }
     assert out[0] and out[1]          # zero-norm: kept despite duplication
     assert out[2] and not out[3]      # near-identical pair: lowest id wins
+
+
+def test_semantic_dedup_blas_equals_fold(spark):
+    # the refine-and-verify twins (matmul assignment + grouped-matmul
+    # pairing) must be BIT-identical to the pure-fold form on real data
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            emb, k=8, iters=2, threshold=0.35, method="fold"
+        ).collect()
+    )
+    blas = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            emb, k=8, iters=2, threshold=0.35, method="blas"
+        ).collect()
+    )
+    assert fold == blas
+    assert any(not kept for _, _, kept in fold)  # non-trivial corpus
+
+
+def test_semantic_dedup_blas_boundary_band_uses_exact_fold(spark):
+    # a pair whose cosine sits WITHIN the blas +/-2e-6 margin of the
+    # threshold must be decided by the SQL fold, and agree with the pure
+    # fold path: cos([1,0],[1,1]) = 0.707107 (rounded), threshold equal
+    # to that exact rounded value -> the pair drops in both forms
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 1.0], 0),
+        (7, [-1.0, 0.5], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {}
+    for method in ("fold", "blas"):
+        out[method] = sorted(
+            tuple(r)
+            for r in similarity.semantic_dedup(
+                emb, k=1, iters=1, threshold=0.707107, method=method
+            ).collect()
+        )
+    assert out["fold"] == out["blas"]
+    kept = {v: keep for v, _, keep in out["blas"]}
+    assert kept == {0: True, 1: False, 7: True}
+
+
+def test_kmeans_blas_resolves_identical_centroid_tie_like_fold(spark):
+    # duplicated seed vectors -> two identical centroids -> every
+    # vector's best distance ties across clusters; the blas twin's exact
+    # python fold must break the tie to the LOWER cluster id, exactly as
+    # array_min over (dist, cluster) structs does
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),  # duplicate of 0: centroid 1 == centroid 0
+        (2, [0.9, 0.1], 0),
+        (3, [-1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fold = sorted(
+        tuple(r)
+        for r in similarity.kmeans_clusters(emb, k=2, iters=1).collect()
+    )
+    blas = sorted(
+        tuple(r)
+        for r in similarity.kmeans_clusters(
+            emb, k=2, iters=1, method="blas"
+        ).collect()
+    )
+    assert fold == blas

@@ -61,6 +61,24 @@ SUBSET = [
 ]
 
 
+def _extra_probes():
+    """Scale-sensitive operators whose REGISTRY query pins oracle-friendly
+    parameters that are wrong at probe scale: semantic_dedup's registry
+    entry pins k=8 + the fold pairing (what the DuckDB unroll mirrors),
+    which is quadratic at a 100x corpus — the production contract is the
+    adaptive default (k = ceil(sqrt(n)), GEMM twins), so that is what the
+    probe measures."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    def semantic_dedup_adaptive(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return similarity.semantic_dedup(emb)
+
+    return {"semantic_dedup_adaptive": semantic_dedup_adaptive}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -74,12 +92,14 @@ def main() -> None:
     spark = get_spark("bench-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    runners = {name: QUERIES[name] for name in SUBSET}
+    runners.update(_extra_probes())
     times: dict[str, float] = {}
-    for name in SUBSET:
+    for name, fn in runners.items():
         trials = []
         for _ in range(2):
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             trials.append(time.time() - t0)
             spark.catalog.clearCache()
         times[name] = round(min(trials), 3)
