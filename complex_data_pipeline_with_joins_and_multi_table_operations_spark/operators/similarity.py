@@ -508,9 +508,15 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     This is the repo's standing rule — built-ins until dense linear
     algebra appears, then one Arrow-batched numpy kernel.
 
-    Deterministic: distances rounded to 9 dp, numpy argmin takes the
-    first minimum, codebook columns sorted by code ⇒ lowest code wins
-    ties — same contract the JVM version had."""
+    Deterministic AND SQL-mirrorable, by the refine-and-verify contract
+    of :func:`_assign_blas`: the BLAS distance matrix nominates an
+    argmin, which is trusted only when every competitor is outside an
+    error margin covering reassociation + expansion cancellation;
+    ambiguous rows are re-decided by the EXACT sequential left fold
+    ((x-y)*(x-y) accumulated in array order — the op sequence DuckDB's
+    ``list_reduce`` performs on the same doubles), ties to the lowest
+    code, NaN above every number. Assignments are therefore bit-identical
+    to the fold formulation an oracle can run."""
     return _pq_assign_rows(sub, cents.collect(), id_col)
 
 
@@ -533,8 +539,32 @@ def _pq_assign_rows(sub: DataFrame, rows: list, id_col: str) -> DataFrame:
 
     def assign(batches):
         # self-contained: workers don't share the driver's sys.path
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
         import numpy as np
         import pandas as pd
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
+
+        def fold_dist(q, c):
+            # the SQL fold, op for op: term then left accumulation
+            s = 0.0
+            for x, y in zip(q, c):
+                d = x - y
+                s = s + d * d
+            return s
 
         for pdf in batches:
             if not len(pdf):
@@ -545,8 +575,32 @@ def _pq_assign_rows(sub: DataFrame, rows: list, id_col: str) -> DataFrame:
             for j in np.unique(js):
                 mask = js == j
                 codes_j, cents_j = books[int(j)]
-                d2 = ((svs[mask][:, None, :] - cents_j[None, :, :]) ** 2).sum(-1)
-                out[mask] = codes_j[np.argmin(np.round(d2, 9), axis=1)]
+                q = svs[mask]
+                q2 = np.einsum("ij,ij->i", q, q)
+                c2 = np.einsum("ij,ij->i", cents_j, cents_j)
+                with np.errstate(invalid="ignore"):
+                    dist = q2[:, None] - 2.0 * (q @ cents_j.T) + c2[None, :]
+                # absolute margin bounding reassociation + the expanded
+                # form's cancellation (~dim*eps*(||q||^2+||c||^2)); same
+                # derivation as _assign_blas
+                margin = 1e-9 * (q2 + (c2.max() if len(c2) else 0.0) + 1.0)
+                nan_rows = np.isnan(dist).any(axis=1)
+                best = np.argmin(np.where(np.isnan(dist), np.inf, dist), axis=1)
+                best_d = dist[np.arange(len(q)), best]
+                n_close = (dist <= best_d[:, None] + margin[:, None]).sum(axis=1)
+                sel = codes_j[best]
+                for i in np.nonzero(nan_rows | (n_close > 1))[0]:
+                    # exact fold over every code; Spark ordering: NaN
+                    # sorts above all numbers, lower code wins ties
+                    scored = []
+                    for ci in range(len(codes_j)):
+                        dv = fold_dist(q[i], cents_j[ci])
+                        isn = dv != dv
+                        scored.append(
+                            (1 if isn else 0, 0.0 if isn else dv, int(codes_j[ci]))
+                        )
+                    sel[i] = min(scored)[2]
+                out[mask] = sel
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -592,17 +646,29 @@ def pq_train(
     """Train PQ codebooks with Lloyd's k-means per subspace, fully
     distributed: no vector ever reaches the driver.
 
-    Init is the deterministic random-partition variant (code =
-    xxhash64(id) mod 2^nbits, then one mean step); each iteration is one
-    assign (broadcast codebook) + one exact-decimal mean job.
-    ``localCheckpoint`` truncates the growing lineage per iteration —
-    the same guard the connected-components loop uses. A cell that loses
-    all members simply drops out of the codebook (standard k-means
-    behavior; the effective codebook shrinks).
+    Init is the deterministic random-partition variant — code = the
+    first two hex digits of md5(id) mod 2^nbits, then one mean step.
+    md5 (not xxhash64) is the cross-engine hash: DuckDB computes the
+    identical digest, which together with the fold-exact assignment
+    (:func:`_pq_assign`) and exact-decimal means makes the ENTIRE
+    iterative training mirrorable by an unrolled SQL oracle — the same
+    property :func:`kmeans_clusters` has. 2^nbits divides 256, so the
+    two-digit value is uniform over codes. Each iteration is one assign
+    (codebook in the closure) + one exact-decimal mean job; a cell that
+    loses all members simply drops out of the codebook (standard
+    k-means behavior; the effective codebook shrinks).
     """
     k = 1 << nbits
+    assert 256 % k == 0, "nbits must be <= 8 for the md5 two-digit init"
     sub = _pq_subvectors(vectors, id_col, vec_col, m)
-    seeded = sub.withColumn("code", F.pmod(F.xxhash64(id_col), F.lit(k)).cast("int"))
+    seeded = sub.withColumn(
+        "code",
+        F.expr(
+            f"CAST((instr('0123456789abcdef', substring(md5(CAST({id_col} AS STRING)), 1, 1)) * 16"
+            f" + instr('0123456789abcdef', substring(md5(CAST({id_col} AS STRING)), 2, 1)) - 17)"
+            f" % {k} AS INT)"
+        ),
+    )
     # the codebook stays driver-side between iterations (m × 2^nbits rows
     # — metadata-sized, the same payload every broadcast of it would
     # ship); each iteration is ONE job: scan → vectorized assign →

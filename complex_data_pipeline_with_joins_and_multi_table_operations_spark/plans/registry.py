@@ -2940,12 +2940,152 @@ GROUP BY l_returnflag, l_linestatus
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN, production shape (operators/similarity.py):
     distributed deterministic k-means codebooks, ADC shortlist over
-    12-byte codes, exact cosine rerank. No SQL oracle (k-means is not
-    expressible); hard parity via the frozen golden artifact
-    (tests/golden/ann_pq_topk.json) + recall bounds in tests/test_pq.py."""
+    12-byte codes, exact cosine rerank. FULLY SQL-oracled since round 5:
+    md5 two-hex-digit init (the cross-engine hash), fold-exact
+    assignments (refine-and-verify, bit-identical to the sequential
+    left fold DuckDB's list_reduce performs), exact-decimal centroid
+    means and ADC partial sums — so `_pq_sql` unrolls the ENTIRE
+    iterative training + encode + ADC + rerank pipeline and must land on
+    identical rows. Golden artifact + recall bounds remain in
+    tests/test_pq.py as belt-and-braces."""
     return similarity.ann_pq_rerank_topk(
         Catalog(spark, sf_dir).embeddings, n_queries=5, k=10
     )
+
+
+def _pq_sql(
+    m: int,
+    nbits: int,
+    iters: int,
+    n_queries: int = 5,
+    k: int = 10,
+    shortlist: int | None = None,
+) -> str:
+    """DuckDB mirror of the PQ family (similarity.py pq_train /
+    pq_encode / ann_pq_topk / ann_pq_rerank_topk), unrolled like
+    `_kmeans_sql`: a{i} assigns subvectors against codebook c{i-1} via
+    the IDENTICAL sequential left fold (list_reduce, 0.0-seeded to match
+    Spark's aggregate init op for op), c{i} is the exact-decimal
+    (28,14) mean; init codes come from the shared md5 hash. ``shortlist``
+    None → the ADC search output (q_id, c_id, adc_score, rank);
+    set → the rerank form (exact cosine over the shortlist)."""
+    kk = 1 << nbits
+    fold0 = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (s, x) -> s + x)"
+    l2 = fold0.format(
+        terms="list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+    )
+    dot = fold0.format(terms="list_transform(list_zip(s.sv, c.cv), p -> p[1] * p[2])")
+    sumsq = fold0.format(terms="list_transform(ev, x -> x * x)")
+    init = (
+        "CAST((instr('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) * 16"
+        " + instr('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 17)"
+        f" % {kk} AS INTEGER)"
+    )
+
+    def assign(n: int, prev: str) -> str:
+        return f"""a{n} AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT s.vec_id, s.j, s.sv, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY {l2}, c.code) AS rn
+    FROM sub s JOIN {prev} c ON s.j = c.j
+  ) WHERE rn = 1
+)"""
+
+    def update(n: int) -> str:
+        return f"""c{n} AS (
+  SELECT j, code, list(val ORDER BY pos) AS cv FROM (
+    SELECT j, code, pos,
+           CAST(sum(CAST(e2 AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS val
+    FROM (SELECT j, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS e2
+          FROM a{n})
+    GROUP BY j, code, pos
+  ) GROUP BY j, code
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)",
+        f"""u AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0.0 THEN ev
+              ELSE list_transform(ev, x -> x / nrm) END AS v
+  FROM (SELECT vec_id, ev, sqrt({sumsq}) AS nrm FROM e)
+)""",
+        f"""sub AS (
+  SELECT vec_id, CAST(jj.j AS INTEGER) AS j,
+         list_slice(v, jj.j * ds + 1, jj.j * ds + ds) AS sv
+  FROM (SELECT vec_id, v, len(v) // {m} AS ds FROM u)
+  CROSS JOIN (SELECT unnest(range({m})) AS j) jj
+)""",
+        f"a0 AS (SELECT vec_id, j, sv, {init} AS code FROM sub)",
+        update(0),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(i, f"c{i - 1}"))
+        ctes.append(update(i))
+    final_cb = f"c{iters}"
+    ctes.append(
+        f"""enc AS (
+  SELECT vec_id AS c_id, j, code FROM (
+    SELECT s.vec_id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY {l2}, c.code) AS rn
+    FROM sub s JOIN {final_cb} c ON s.j = c.j
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""lut AS (
+  SELECT s.vec_id AS q_id, s.j, c.code, round({dot}, 9) AS dot
+  FROM sub s JOIN {final_cb} c ON s.j = c.j
+  WHERE s.vec_id < {n_queries}
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT q_id, c_id,
+         CAST(sum(CAST(dot AS DECIMAL(28,12))) AS DOUBLE) AS adc_score
+  FROM enc JOIN lut USING (j, code)
+  WHERE c_id <> q_id
+  GROUP BY q_id, c_id
+)"""
+    )
+    ctes.append(
+        """r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_score DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)"""
+    )
+    if shortlist is None:
+        tail = (
+            f"SELECT q_id, c_id, round(adc_score, 6) AS adc_score, rank"
+            f" FROM r WHERE rank <= {k}"
+        )
+    else:
+        ctes.append(f"cand AS (SELECT q_id, c_id FROM r WHERE rank <= {shortlist})")
+        ctes.append(
+            """resc AS (
+  SELECT cand.q_id, cand.c_id, ec.label AS c_label,
+         round(list_cosine_similarity(eq.ev, ec.ev), 6) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.q_id
+  JOIN e ec ON ec.vec_id = cand.c_id
+)"""
+        )
+        ctes.append(
+            """rr AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM resc
+)"""
+        )
+        tail = f"SELECT q_id, c_id, c_label, cosine, rank FROM rr WHERE rank <= {k}"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+SQL_ANN_PQ_TOPK = _pq_sql(16, 6, 4, 5, 10, shortlist=50)
+SQL_ANN_PQ_CACHED_TOPK = _pq_sql(8, 4, 4, 5, 10)
 
 
 # per-(sf_dir) on-disk PQ index, built once per process — the
@@ -2960,9 +3100,13 @@ def q_ann_pq_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query only reads them — the production train-once/search-many
     split of `ann_pq_topk`, which retrains 4 Lloyd's iterations per
     invocation. Bit-equal to the fused form (training is deterministic,
-    and parquet round-trips the doubles exactly) — asserted against the
-    same frozen golden artifact in tests/test_pq.py. No SQL oracle
-    (k-means is not expressible) → rows-only driver check."""
+    and parquet round-trips the doubles exactly) — asserted in
+    tests/test_pq.py. FULLY SQL-oracled since round 5: the oracle
+    (`_pq_sql`) re-derives the identical codebooks from the raw
+    embeddings (md5 init + fold-exact assign + exact-decimal means are
+    all engine-exact), so reading them back from the txlog index must
+    produce the same rows the from-scratch SQL does — the persistence
+    round-trip is part of what the hash check proves."""
     import os
     import tempfile
 
@@ -3307,14 +3451,18 @@ rows-only, so the golden test — not the window slot — is the binding
 evidence.  That policy is what makes the arithmetic close: ~97 oracled
 queries through 50 slots on a two-round freshness bar needs ≤ ~49 per
 round.  History: r1-r4 as recorded in CORRECTNESS_r0{1-4}; r5 rotates in
-the oracled r3-evidence tail entries plus the this-round changes
-(merge_upsert — plan reshaped — the new near_dedup_incremental,
-ann_pq_cached_topk and semantic_dedup, and minhash_lsh_pairs whose
-exhaustive exact-Jaccard oracle replaced its rows-only golden this
-round), parks the r4-verified window plus the golden-frozen rows-only
-queries at the tail, and displaces global_minmax + union_all_counts
-(trivial, unchanged, r3-green, pytest-pinned) to exactly-two-rounds
-evidence — first in line for r6."""
+the oracled r3-evidence tail entries plus the this-round changes (the
+new near_dedup_incremental, semantic_dedup, and the THREE queries whose
+rows-only driver checks were upgraded to full SQL oracles this round:
+minhash_lsh_pairs via the exhaustive exact-Jaccard formulation, and
+ann_pq_topk + ann_pq_cached_topk via the md5-init + fold-exact-assign
+rework that made PQ training mirrorable), parks the r4-verified window
+plus the remaining golden-frozen rows-only queries at the tail, and
+displaces global_minmax + union_all_counts (trivial, unchanged,
+r3-green, pytest-pinned) to exactly-two-rounds evidence — first in line
+for r6.  merge_upsert also parks at the tail (r4 hash-green; this
+round's NULL-delete-condition fix is invisible to its registry query —
+non-null flags — and is pinned by the MERGE property suite)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3371,7 +3519,14 @@ QUERIES: dict[str, QueryFn] = {
     "sole_late_suppliers": q_sole_late_suppliers,
     # --- window slots 48-50: round-5 additions and changes ----------------
     "near_dedup_incremental": q_near_dedup_incremental,
-    "merge_upsert": q_merge_upsert,
+    # newly SQL-oracled this round (md5 init + fold-exact assignment made
+    # the whole PQ pipeline mirrorable): both PQ queries take window slots
+    # for their first hash-checked rows.  merge_upsert moved to the tail
+    # to make room — it keeps its r4 hash-green row, and this round's
+    # NULL-delete-condition fix is invisible to its registry query (whose
+    # delete flags are non-null) while being pinned by the MERGE property
+    # suite (tests/test_properties.py) + tests/test_changes.py.
+    "ann_pq_topk": q_ann_pq_topk,
     # new this round (split-PQ search over the persisted txlog index): gets
     # its first driver row now; displaced user_median_builtin to the tail
     # (its operator twin user_median_value stays in-window and both share
@@ -3440,7 +3595,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
-    "ann_pq_topk": q_ann_pq_topk,
+    "merge_upsert": q_merge_upsert,
     "user_median_builtin": q_user_median_builtin,
 }
 
@@ -3487,6 +3642,8 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "near_dedup_incremental": SQL_NEAR_DEDUP_INCREMENTAL,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "ann_pq_cached_topk": SQL_ANN_PQ_CACHED_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
