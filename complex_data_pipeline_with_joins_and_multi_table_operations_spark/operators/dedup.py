@@ -409,18 +409,32 @@ def minhash_lsh_pairs(
 
 
 def with_simhash(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bit votes.
+    """64-bit SimHash per document from token md5 bit votes.
 
     aggregate() folds token hashes into a 64-slot vote vector (+1/-1 per
     bit), then the sign pattern packs back into one long. Pure built-in
     higher-order functions, single projection.
+
+    md5 (not xxhash64) is the token hash since round 5 — the
+    cross-engine choice that lets DuckDB reproduce the identical bits
+    (see SQL_SIMHASH_NEAR_PAIRS): bit b of a token's 64-bit hash is bit
+    ``b % 4`` of hex digit ``b // 4`` of its md5. The 16 digit values
+    are extracted ONCE per token (inner transform), then fan out to 64
+    ±1 votes with integer ops only — not 64 substring probes.
     """
     df = documents.withColumn("toks", tokens_col(F.col("text")))
     votes = (
-        "aggregate(transform(toks, t -> xxhash64(t)), "
+        "aggregate(transform(toks, t -> md5(t)), "
         "  array_repeat(0, 64), "
-        "  (acc, h) -> zip_with(acc, transform(sequence(0, 63), "
-        "    b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x, y) -> x + y))"
+        "  (acc, m) -> zip_with(acc, "
+        "    flatten(transform(transform(sequence(0, 15), "
+        "      i -> instr('0123456789abcdef', substring(m, i + 1, 1)) - 1), "
+        "      d -> array("
+        "        CASE WHEN d % 2 = 1 THEN 1 ELSE -1 END, "
+        "        CASE WHEN shiftright(d, 1) % 2 = 1 THEN 1 ELSE -1 END, "
+        "        CASE WHEN shiftright(d, 2) % 2 = 1 THEN 1 ELSE -1 END, "
+        "        CASE WHEN shiftright(d, 3) % 2 = 1 THEN 1 ELSE -1 END))), "
+        "    (x, y) -> x + y))"
     )
     df = df.withColumn("votes", F.expr(votes))
     # pack references `votes` exactly ONCE: Catalyst's CollapseProject may
@@ -1339,22 +1353,44 @@ def embedding_near_dup_lsh(
 
     # pair scoring is a batched numpy dot (one einsum per Arrow batch) —
     # the interpreted zip_with fold costs ~64 lambda evals per pair and
-    # dominated the runtime at millions of candidates
+    # dominated the runtime at millions of candidates. Refine-and-verify
+    # makes it SQL-mirrorable: a pair whose einsum cosine sits within the
+    # reassociation-error margin of a 0.5e-6 rounding boundary (the only
+    # place einsum-vs-fold could change the ROUNDED value downstream) is
+    # re-scored by the exact sequential fold, so the double that reaches
+    # round() is bit-identical to what DuckDB's list_reduce divides.
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _dot(qv, cv):
+    def _dot(qv, cv, denom):
         # self-contained: imports inside, no module globals
         import numpy as np
         import pandas as pd
 
         q = np.stack(qv.to_numpy())
         c = np.stack(cv.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", q, c))
+        dots = np.einsum("ij,ij->i", q, c)
+        dn = denom.to_numpy(dtype="float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(dn != 0.0, dots / dn, np.nan)
+        # distance of cos*1e6 to the nearest half-integer; flip risk only
+        # inside ~1.4e-14 (dim*eps) — 1e-10 is a 7000x-wide guard
+        frac = np.abs(cos * 1e6 - np.floor(cos * 1e6) - 0.5)
+        amb = np.isfinite(cos) & (frac * 1e-6 <= 1e-10)
+        for i in np.nonzero(amb)[0]:
+            s = 0.0  # the SQL fold, op for op
+            for x, y in zip(q[i], c[i]):
+                s = s + x * y
+            dots[i] = s
+        return pd.Series(dots)
 
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("nrm_a") * F.col("nrm_b")), 6),
+        F.round(
+            _dot(F.col("qv"), F.col("cv"), F.col("nrm_a") * F.col("nrm_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+            6,
+        ),
     ).filter(F.col("cosine") >= threshold)
     if memb is None:
         return scored.select(

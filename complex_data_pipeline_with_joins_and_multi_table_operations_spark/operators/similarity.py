@@ -210,8 +210,25 @@ def ann_ivf_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+    """md5-derived hyperplanes, component (p, d) = (2m - 2^32) / 2^32
+    with m the first 8 hex digits of md5("{seed}:{p}:{d}") — uniform in
+    [-1, 1), EXACT in IEEE doubles (integer < 2^33, power-of-two
+    divisor: no rounding step at all), and reproducible by any engine
+    with md5 — which is the point: DuckDB rebuilds the identical plane
+    matrix in SQL (see SQL_ANN_LSH_TOPK), where a numpy RandomState
+    Gaussian could never be mirrored. Uniform components lose the exact
+    angle-preservation constant of Gaussian planes but keep the
+    sign-hash locality property this LSH family needs."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            m = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((2.0 * m - 4294967296.0) / 4294967296.0)
+        out.append(row)
+    return out
 
 
 def with_lsh_signature(
@@ -225,8 +242,12 @@ def with_lsh_signature(
     20 k vectors vs <1 s for the matmul — the textbook wide-vector case
     where an Arrow pandas UDF beats JVM expression trees. Planes are
     derived from the seed inside the (self-contained) closure, identical
-    to :func:`_hyperplanes`. Capped at 63 planes by the long packing —
-    use :func:`with_lsh_bands` for wider geometries."""
+    to :func:`_hyperplanes` (md5-derived, SQL-reproducible); sign bits
+    follow the refine-and-verify contract — a dot within the error
+    margin of zero is re-decided by the exact sequential fold DuckDB's
+    list_reduce mirrors, so every bit is the fold formulation's bit.
+    Capped at 63 planes by the long packing — use
+    :func:`with_lsh_bands` for wider geometries."""
     if n_planes > 63:
         raise ValueError("packed signature holds <= 63 planes; use with_lsh_bands")
     from pyspark.sql.functions import pandas_udf
@@ -243,6 +264,7 @@ def with_lsh_signature(
         # this package (driver-sim runs from a foreign cwd).
         import ctypes
         import glob
+        import hashlib
         import os
 
         os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
@@ -260,11 +282,24 @@ def with_lsh_signature(
             except OSError:
                 pass
 
-        planes = (
-            np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)
-        )
+        planes = np.empty((n_planes, dim))
+        for p in range(n_planes):
+            for d in range(dim):
+                hv = int(
+                    hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16
+                )
+                planes[p, d] = (2.0 * hv - 4294967296.0) / 4294967296.0
+        pnorm_max = float(np.sqrt(np.einsum("ij,ij->i", planes, planes)).max())
         m = np.stack(ev.to_numpy())
-        bits = (m @ planes.T) > 0
+        dots = m @ planes.T
+        vnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        margin = (1e-9 * (1.0 + vnorm * pnorm_max))[:, None]
+        for i, j in zip(*np.nonzero(np.abs(dots) <= margin)):
+            s = 0.0  # the SQL fold, op for op
+            for x, y in zip(m[i], planes[j]):
+                s = s + x * y
+            dots[i, j] = s
+        bits = dots > 0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
@@ -282,9 +317,11 @@ def with_lsh_bands(
     """Banded hyperplane LSH keys without the 63-bit packing limit:
     ``lsh_bands[b]`` = the ``rows_per_band`` sign bits of band b packed
     into a long, from the same seeded plane matrix as
-    :func:`with_lsh_signature` (one Arrow-batched matmul). Geometry can
-    then scale with corpus size (r must track log2(√n)) past the point
-    where a single packed long runs out of bits."""
+    :func:`with_lsh_signature` (one Arrow-batched matmul; md5-derived
+    planes + refine-and-verify sign bits, so every band key is the
+    SQL fold formulation's key). Geometry can then scale with corpus
+    size (r must track log2(√n)) past the point where a single packed
+    long runs out of bits."""
     from pyspark.sql.functions import pandas_udf
 
     n_planes = n_bands * rows_per_band
@@ -295,6 +332,7 @@ def with_lsh_bands(
         # to one thread per worker (see _sig / dedup's scorer).
         import ctypes
         import glob
+        import hashlib
         import os
 
         os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
@@ -312,11 +350,24 @@ def with_lsh_bands(
             except OSError:
                 pass
 
-        planes = (
-            np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)
-        )
+        planes = np.empty((n_planes, dim))
+        for p in range(n_planes):
+            for d in range(dim):
+                hv = int(
+                    hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16
+                )
+                planes[p, d] = (2.0 * hv - 4294967296.0) / 4294967296.0
+        pnorm_max = float(np.sqrt(np.einsum("ij,ij->i", planes, planes)).max())
         m = np.stack(ev.to_numpy())
-        bits = (m @ planes.T) > 0
+        dots = m @ planes.T
+        vnorm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        margin = (1e-9 * (1.0 + vnorm * pnorm_max))[:, None]
+        for i, j in zip(*np.nonzero(np.abs(dots) <= margin)):
+            s = 0.0  # the SQL fold, op for op
+            for x, y in zip(m[i], planes[j]):
+                s = s + x * y
+            dots[i, j] = s
+        bits = dots > 0
         grouped = bits.reshape(len(m), n_bands, rows_per_band)
         weights = 1 << np.arange(rows_per_band, dtype=np.int64)
         vals = (grouped * weights).sum(axis=2).astype(np.int64)

@@ -2462,8 +2462,8 @@ FROM g LEFT JOIN top USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
-# queries without a SQL oracle (non-SQL-expressible: hash-seeded LSH)
-# rows-only checks from the driver.
+# the one query without a SQL oracle (genuinely approximate sketches:
+# HLL++/GK) — rows-only check from the driver; error bounds in pytest.
 # ---------------------------------------------------------------------------
 
 
@@ -2471,10 +2471,94 @@ def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.approx_event_stats(Catalog(spark, sf_dir).events)
 
 
+# md5 hyperplane geometry shared by the engine call and its SQL mirror.
+# 56 planes (8 bands × 7 rows) is exactly what the adaptive rule picks at
+# the driver's n=500 corpus; pinning it (and the collapse decision, whose
+# adaptive form reads an approx_count_distinct no SQL engine can mirror)
+# keeps the registry query a pure function of the data. The adaptive
+# defaults themselves stay covered by pytest + the sf10 scaling probe.
+_LSH_PLANE_SQL = """
+  SELECT CAST(pp.p AS INTEGER) AS p, CAST(dd.d AS INTEGER) AS d,
+         (2.0 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(8), i -> CAST(instr('0123456789abcdef',
+               substring(md5(concat('42:', CAST(pp.p AS VARCHAR), ':',
+                                    CAST(dd.d AS VARCHAR))),
+                 CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),
+            (s, x) -> s * 16 + x) - 4294967296.0) / 4294967296.0 AS comp
+  FROM range({n_planes}) pp(p) CROSS JOIN range(64) dd(d)
+"""
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), (s, x) -> s + x)"
+)
+_FOLD_SUMSQ = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({a}, x -> x * x)), (s, x) -> s + x)"
+)
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (operators/dedup.py). FULLY
+    SQL-oracled since round 5: hyperplanes are md5-derived ((2m-2^32)/2^32
+    from the digest's first 8 hex digits — exact IEEE doubles both
+    engines construct identically), sign bits and the pair cosine follow
+    the refine-and-verify contract (fold-exact where it could matter),
+    so DuckDB mirrors planes, band keys, the bucket cap, and the rounded
+    verification cosine structurally. Geometry pinned to the adaptive
+    rule's choice at this scale (see _LSH_PLANE_SQL note)."""
     return dedup.embedding_near_dup_lsh(
-        Catalog(spark, sf_dir).embeddings, threshold=0.35
+        Catalog(spark, sf_dir).embeddings,
+        threshold=0.35,
+        n_planes=56,
+        collapse_exact=False,
     )
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+pl AS ({_LSH_PLANE_SQL.format(n_planes=56)}),
+pv AS (SELECT p, list(comp ORDER BY d) AS pvec FROM pl GROUP BY p),
+bits AS (
+  SELECT e.vec_id, pv.p,
+         {_FOLD_DOT.format(a='e.ev', b='pv.pvec')} > 0 AS bit
+  FROM e CROSS JOIN pv
+),
+bk AS (
+  SELECT vec_id, CAST(p // 7 AS INTEGER) AS band_id,
+         sum(CASE WHEN bit THEN 1 << CAST(p % 7 AS INTEGER) ELSE 0 END)
+           AS band_bits
+  FROM bits GROUP BY vec_id, p // 7
+),
+hot AS (
+  SELECT band_id, band_bits FROM bk
+  GROUP BY band_id, band_bits HAVING count(*) > 2000
+),
+ck AS (
+  SELECT bk.* FROM bk
+  LEFT JOIN hot ON bk.band_id = hot.band_id AND bk.band_bits = hot.band_bits
+  WHERE hot.band_id IS NULL
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ck a JOIN ck b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+n AS (SELECT vec_id, ev, sqrt({_FOLD_SUMSQ.format(a='ev')}) AS nrm FROM e),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         round({_FOLD_DOT.format(a='ea.ev', b='eb.ev')}
+               / (ea.nrm * eb.nrm), 6) AS cosine
+  FROM cand
+  JOIN n ea ON ea.vec_id = cand.id_a
+  JOIN n eb ON eb.vec_id = cand.id_b
+  WHERE ea.nrm > 0 AND eb.nrm > 0
+)
+SELECT id_a, id_b, id_a AS keep_id, cosine
+FROM scored WHERE cosine >= 0.35
+"""
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, exact-Jaccard verified
@@ -2512,11 +2596,156 @@ WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.simhash_near_pairs).
+    FULLY SQL-oracled since round 5: the token hash moved from xxhash64
+    to md5 (the cross-engine hash), so DuckDB reproduces the identical
+    64 bit votes, 16-bit pigeonhole chunk keys, capped buckets, hamming
+    verification, and exact-dup collapse/expand — a complete structural
+    mirror, not an exhaustive reformulation (pigeonhole recall above
+    hamming 3 is best-effort, so only the banding itself defines the
+    output). The oracle compares chunk values and hammings derived from
+    per-bit vote signs rather than the packed long — bit 63's
+    shiftleft(1L, 63) wraps in Java but overflows DuckDB's BIGINT sum
+    into HUGEINT, so the pack is the one thing deliberately NOT
+    mirrored (it is engine-internal; every output value is)."""
     return dedup.simhash_near_pairs(Catalog(spark, sf_dir).documents, max_hamming=8)
 
 
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH d0 AS (
+  SELECT doc_id, text,
+         concat(CAST((text IS NULL) AS INTEGER), md5(coalesce(text, ''))) AS h
+  FROM documents
+),
+reps AS (
+  SELECT h, min(doc_id) AS rep_id, count(*) AS gsize,
+         min_by(text, doc_id) AS text
+  FROM d0 GROUP BY h
+),
+memb AS (
+  SELECT d0.doc_id, r.rep_id, r.gsize FROM d0 JOIN reps r ON d0.h = r.h
+),
+t AS (SELECT rep_id AS doc_id, {TOKS_SQL.format(src='text')} AS toks FROM reps),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk FROM t WHERE len(toks) > 0
+),
+-- one row per (doc, bit): vote = sum over token occurrences of +-1,
+-- bit b of a token's hash = bit (b % 4) of hex digit (b // 4) of md5
+v AS (
+  SELECT doc_id, bb.b,
+         sum(CASE WHEN ((instr('0123456789abcdef',
+                    substring(md5(tk), CAST(bb.b // 4 AS INTEGER) + 1, 1)) - 1)
+                  >> CAST(bb.b % 4 AS INTEGER)) & 1 = 1
+             THEN 1 ELSE -1 END) AS vote
+  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+chunkv AS (
+  SELECT doc_id, CAST(b // 16 AS INTEGER) AS chunk_id,
+         sum(CASE WHEN vote > 0 THEN 1 << CAST(b % 16 AS INTEGER) ELSE 0 END)
+           AS chunk_val
+  FROM v GROUP BY doc_id, b // 16
+),
+hot AS (
+  SELECT chunk_id, chunk_val FROM chunkv
+  GROUP BY chunk_id, chunk_val HAVING count(*) > 1000
+),
+ch AS (
+  SELECT c.* FROM chunkv c
+  LEFT JOIN hot ON c.chunk_id = hot.chunk_id AND c.chunk_val = hot.chunk_val
+  WHERE hot.chunk_id IS NULL
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+rep_pairs AS (
+  SELECT doc_a, doc_b, hamming FROM (
+    SELECT doc_a, doc_b,
+           CAST(sum(CASE WHEN (va.vote > 0) <> (vb.vote > 0) THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+    FROM cand
+    JOIN v va ON va.doc_id = cand.doc_a
+    JOIN v vb ON vb.doc_id = cand.doc_b AND vb.b = va.b
+    GROUP BY doc_a, doc_b
+  ) WHERE hamming <= 8
+),
+dup_reps AS (
+  SELECT DISTINCT rep_id FROM memb
+  WHERE gsize >= 2 AND gsize <= 1000
+    AND rep_id IN (SELECT doc_id FROM tok)
+),
+cross_p AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.hamming
+  FROM rep_pairs rp
+  JOIN memb ma ON ma.rep_id = rp.doc_a
+  JOIN memb mb ON mb.rep_id = rp.doc_b
+),
+intra AS (
+  SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+  FROM dup_reps dr
+  JOIN memb m1 ON m1.rep_id = dr.rep_id
+  JOIN memb m2 ON m2.rep_id = dr.rep_id
+  WHERE m1.doc_id < m2.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cross_p
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM intra
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane ANN (operators/similarity.ann_lsh_topk).
+    FULLY SQL-oracled since round 5: md5-derived planes + fold-verified
+    sign bits make the 16-bit signature, 4×4 band keys, candidate join,
+    and the JVM fold cosine (COS_EXPR — already a sequential fold, no
+    refine step needed) all structurally mirrorable."""
     return similarity.ann_lsh_topk(Catalog(spark, sf_dir).embeddings, n_queries=5, k=10)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+pl AS ({_LSH_PLANE_SQL.format(n_planes=16)}),
+pv AS (SELECT p, list(comp ORDER BY d) AS pvec FROM pl GROUP BY p),
+bits AS (
+  SELECT e.vec_id, pv.p,
+         {_FOLD_DOT.format(a='e.ev', b='pv.pvec')} > 0 AS bit
+  FROM e CROSS JOIN pv
+),
+bk AS (
+  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band_id,
+         sum(CASE WHEN bit THEN 1 << CAST(p % 4 AS INTEGER) ELSE 0 END)
+           AS band_bits
+  FROM bits GROUP BY vec_id, p // 4
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM bk q JOIN bk c
+    ON q.band_id = c.band_id AND q.band_bits = c.band_bits
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id, ec.label AS c_label,
+         round({_FOLD_DOT.format(a='eq.ev', b='ec.ev')}
+               / nullif(sqrt({_FOLD_SUMSQ.format(a='eq.ev')})
+                        * sqrt({_FOLD_SUMSQ.format(a='ec.ev')}), 0.0),
+               6) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.q_id
+  JOIN e ec ON ec.vec_id = cand.c_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, c_label, cosine, rank FROM r WHERE rank <= 10
+"""
 
 
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3452,17 +3681,21 @@ evidence.  That policy is what makes the arithmetic close: ~97 oracled
 queries through 50 slots on a two-round freshness bar needs ≤ ~49 per
 round.  History: r1-r4 as recorded in CORRECTNESS_r0{1-4}; r5 rotates in
 the oracled r3-evidence tail entries plus the this-round changes (the
-new near_dedup_incremental, semantic_dedup, and the THREE queries whose
+new near_dedup_incremental and semantic_dedup, and the SIX queries whose
 rows-only driver checks were upgraded to full SQL oracles this round:
-minhash_lsh_pairs via the exhaustive exact-Jaccard formulation, and
+minhash_lsh_pairs via the exhaustive exact-Jaccard formulation;
 ann_pq_topk + ann_pq_cached_topk via the md5-init + fold-exact-assign
-rework that made PQ training mirrorable), parks the r4-verified window
-plus the remaining golden-frozen rows-only queries at the tail, and
-displaces global_minmax + union_all_counts (trivial, unchanged,
-r3-green, pytest-pinned) to exactly-two-rounds evidence — first in line
-for r6.  merge_upsert also parks at the tail (r4 hash-green; this
-round's NULL-delete-condition fix is invisible to its registry query —
-non-null flags — and is pinned by the MERGE property suite)."""
+rework that made PQ training mirrorable; simhash_near_pairs via md5
+token bits; ann_lsh_topk + embedding_near_dup_lsh via md5-derived
+hyperplanes + fold-verified signs — leaving approx_event_stats, the
+genuinely approximate HLL++/GK sketch, as the ONLY no_oracle query).
+Parked at the tail with at-bar evidence, first in line for r6:
+global_minmax, union_all_counts, raw_stats, user_median_value,
+vector_norms (trivial, unchanged, r3-green, operator-pytest-pinned;
+user_median_value also by its equality-tested builtin twin) and
+merge_upsert (r4 hash-green; this round's NULL-delete-condition fix is
+invisible to its registry query — non-null flags — and is pinned by the
+MERGE property suite)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3490,17 +3723,23 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg3": q_moving_avg,
     "salted_event_type_agg": q_salted_event_agg,
     "quantity_range_join": q_quantity_range_join,
-    "raw_stats": q_raw_stats,
+    # newly SQL-oracled this round (md5 token hash / md5 hyperplanes +
+    # fold-exact verification made all three mirrorable): each takes a
+    # window slot for its first hash-checked row.  Displaced to the tail:
+    # raw_stats, user_median_value, vector_norms — trivial, unchanged,
+    # r3-green, and pinned by operator pytest (user_median_value
+    # additionally by its equality-tested builtin twin).
+    "simhash_near_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     # new this round: SemDeDup over the deterministic k-means — first row
     "semantic_dedup": q_semantic_dedup,
-    "user_median_value": q_user_median,
     "events_sliding_30m": q_sliding_agg,
     "session_window_agg": q_session_window,
     "except_intersect": q_except_intersect,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "label_centroids": q_label_centroids,
-    "vector_norms": q_vector_norms,
     "media_features": q_media_features,
     "cube_order_counts": q_cube_order_counts,
     "grouping_sets_revenue": q_grouping_sets_revenue,
@@ -3591,12 +3830,12 @@ QUERIES: dict[str, QueryFn] = {
     "adaptive_quality": q_adaptive_quality,
     "incremental_dedup": q_incremental_dedup,
     "kmeans_clusters": q_kmeans_clusters,
-    "simhash_near_pairs": q_simhash_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "approx_event_stats": q_approx_event_stats,
     "merge_upsert": q_merge_upsert,
     "user_median_builtin": q_user_median_builtin,
+    "raw_stats": q_raw_stats,
+    "user_median_value": q_user_median,
+    "vector_norms": q_vector_norms,
 }
 
 ORACLES: dict[str, str] = {
@@ -3644,6 +3883,9 @@ ORACLES: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "ann_pq_cached_topk": SQL_ANN_PQ_CACHED_TOPK,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
