@@ -1844,7 +1844,8 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution of any superset key), so the whole query shuffles
     lineitem exactly once — the earlier formulation joined and shuffled
     the lineitem relation twice (stats + probe) with a countDistinct
-    Expand on top: 5.9 s → ~2 s at sf1, 20.1 s → ~6 s at sf10."""
+    Expand on top: 5.9 s → 3.5 s at sf1, 20.1 s → 12.6 s at sf10
+    (SCALING.md probe, min across sittings)."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
         cat.orders.select("o_orderkey", "o_orderdate"),
