@@ -356,3 +356,96 @@ def test_kmeans_blas_resolves_identical_centroid_tie_like_fold(spark):
         ).collect()
     )
     assert fold == blas
+
+
+def test_md5_hyperplanes_match_sql_derivation(spark):
+    # the cross-engine plane contract: component (p, d) is
+    # (2m - 2^32) / 2^32 with m = first 8 md5 hex digits of "seed:p:d".
+    # _hyperplanes (and the worker closures that inline the same
+    # derivation) must agree bit-for-bit with the SQL formulation the
+    # oracles run — asserted against DuckDB directly.
+    import duckdb
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    planes = similarity._hyperplanes(dim=5, n_planes=3, seed=42)  # noqa: SLF001
+    rows = duckdb.connect().execute(
+        """
+        SELECT CAST(pp.p AS INTEGER), CAST(dd.d AS INTEGER),
+               (2.0 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(8), i -> CAST(instr('0123456789abcdef',
+                     substring(md5(concat('42:', CAST(pp.p AS VARCHAR), ':',
+                                          CAST(dd.d AS VARCHAR))),
+                       CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),
+                  (s, x) -> s * 16 + x) - 4294967296.0) / 4294967296.0
+        FROM range(3) pp(p) CROSS JOIN range(5) dd(d)
+        """
+    ).fetchall()
+    for p, d, comp in rows:
+        assert planes[p][d] == comp  # exact, not approx
+
+
+def test_simhash_md5_bits_match_reference(spark):
+    # bit b of a token's 64-bit hash = bit (b % 4) of hex digit (b // 4)
+    # of its md5 — pinned against an independent hashlib reference,
+    # including the vote fold and the packed long
+    import hashlib
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma")], "doc_id long, text string"
+    )
+    got = dedup.with_simhash(docs).select("simhash").head()[0]
+
+    votes = [0] * 64
+    for tok in "alpha beta beta gamma".split():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for b in range(64):
+            bit = (int(h[b // 4], 16) >> (b % 4)) & 1
+            votes[b] += 1 if bit else -1
+    # Java long wrap-around for bit 63, same as shiftleft(1L, 63)
+    expected = sum((1 << b) for b in range(64) if votes[b] > 0)
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert got == expected
+
+
+def test_pq_assign_exact_tie_resolves_to_lower_code(spark):
+    # a subvector exactly equidistant from two codebook entries lands
+    # inside the refine margin; the exact-fold re-decision must break
+    # the tie to the LOWER code, the contract the SQL oracle's
+    # row_number(ORDER BY dist, code) implements
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    sub = spark.createDataFrame(
+        [(7, 0, [1.0, 0.0])], "vec_id long, j int, sv array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, 5, [2.0, 0.0]), (0, 3, [0.0, 0.0])], "j int, code int, cv array<double>"
+    )
+    out = similarity._pq_assign(sub, cents, "vec_id").collect()  # noqa: SLF001
+    assert len(out) == 1 and out[0].code == 3
+
+
+def test_lsh_signature_zero_vector_all_bits_clear(spark):
+    # a zero vector's dots are exactly 0 against every plane — inside
+    # the verify margin, re-decided by the exact fold to 0.0, and
+    # 0.0 > 0 is false in both engines: signature must be 0
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 8, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    sig = similarity.with_lsh_signature(emb, dim=8, n_planes=12).select(
+        "lsh_sig"
+    ).head()[0]
+    assert sig == 0
