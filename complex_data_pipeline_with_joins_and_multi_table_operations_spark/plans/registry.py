@@ -2500,25 +2500,42 @@ _FOLD_SUMSQ = (
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (operators/dedup.py). FULLY
-    SQL-oracled since round 5: hyperplanes are md5-derived ((2m-2^32)/2^32
-    from the digest's first 8 hex digits — exact IEEE doubles both
-    engines construct identically), sign bits and the pair cosine follow
-    the refine-and-verify contract (fold-exact where it could matter),
-    so DuckDB mirrors planes, band keys, the bucket cap, and the rounded
-    verification cosine structurally. Geometry pinned to the adaptive
-    rule's choice at this scale (see _LSH_PLANE_SQL note)."""
+    """LSH-bucketed embedding near-dup (operators/dedup.py), in its
+    production ADAPTIVE shape (geometry + collapse decided from the
+    data — the form the bench and the scaling probe exercise). FULLY
+    SQL-oracled since round 5: hyperplanes are md5-derived
+    ((2m-2^32)/2^32 from the digest's first 8 hex digits — exact IEEE
+    doubles both engines construct identically), sign bits and the pair
+    cosine follow the refine-and-verify contract (fold-exact where it
+    could matter), and the oracle re-derives the ADAPTIVE row count
+    from the same exact COUNT(*) the engine uses (r = max(6,
+    ceil(log2(n)/2)+2); log2-parity is safe — ceil can only flip at
+    exact powers of 4, where log2 is IEEE-exact in both engines). The
+    one adaptive input the SQL does not re-derive is the collapse
+    decision (engine: approx_count_distinct, a sketch): the oracle
+    assumes collapse=False, valid while n * dup_factor is far below the
+    2M crossover — true by orders of magnitude at every oracle scale
+    (n <= 2000, all-distinct vectors)."""
     return dedup.embedding_near_dup_lsh(
-        Catalog(spark, sf_dir).embeddings,
-        threshold=0.35,
-        n_planes=56,
-        collapse_exact=False,
+        Catalog(spark, sf_dir).embeddings, threshold=0.35
     )
 
 
 SQL_EMBEDDING_NEAR_DUP_LSH = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-pl AS ({_LSH_PLANE_SQL.format(n_planes=56)}),
+-- adaptive rows-per-band from the exact count, mirroring the engine's
+-- r = max(6, ceil(log2(max(n, 2)) / 2) + 2); 8 bands
+g AS (
+  SELECT greatest(6, CAST(ceil(log2(greatest(count(*), 2)) / 2) AS INTEGER) + 2)
+           AS r
+  FROM embeddings
+),
+-- range() takes only constants: over-generate 1024 plane slots (128
+-- rows/band covers any corpus below 2^504 vectors) and keep p < 8*r
+pl AS (
+  SELECT * FROM ({_LSH_PLANE_SQL.format(n_planes=1024)}) pall, g
+  WHERE pall.p < 8 * g.r
+),
 pv AS (SELECT p, list(comp ORDER BY d) AS pvec FROM pl GROUP BY p),
 bits AS (
   SELECT e.vec_id, pv.p,
@@ -2526,10 +2543,10 @@ bits AS (
   FROM e CROSS JOIN pv
 ),
 bk AS (
-  SELECT vec_id, CAST(p // 7 AS INTEGER) AS band_id,
-         sum(CASE WHEN bit THEN 1 << CAST(p % 7 AS INTEGER) ELSE 0 END)
+  SELECT vec_id, CAST(p // g.r AS INTEGER) AS band_id,
+         sum(CASE WHEN bit THEN 1 << CAST(p % g.r AS INTEGER) ELSE 0 END)
            AS band_bits
-  FROM bits GROUP BY vec_id, p // 7
+  FROM bits, g GROUP BY vec_id, p // g.r
 ),
 hot AS (
   SELECT band_id, band_bits FROM bk

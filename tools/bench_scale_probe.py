@@ -39,10 +39,7 @@ SUBSET = [
     "repeated_spans",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
-    # embedding_near_dup_lsh is probed via its _adaptive extra (see
-    # _extra_probes): the registry entry pins driver-scale geometry for
-    # the static SQL mirror, which by design does NOT scale to the
-    # 100x-dup probe corpus (measured 23.9 s at sf1 vs 2.5 s adaptive)
+    "embedding_near_dup_lsh",
     "ann_ivf_topk",
     "kmeans_clusters",
     "curate_documents",
@@ -70,13 +67,11 @@ def _extra_probes():
     entry pins k=8 + the fold pairing (what the DuckDB unroll mirrors),
     which is quadratic at a 100x corpus — the production contract is the
     adaptive default (k = ceil(sqrt(n)), GEMM twins), so that is what the
-    probe measures.  Same story for embedding_near_dup_lsh since round 5:
-    the registry pins n_planes=56 / collapse_exact=False (the adaptive
-    choices at driver scale, kept static so the DuckDB mirror is static
-    SQL); at a 100x-duplicated probe corpus the production contract is
-    the adaptive geometry + adaptive collapse, so that is what scales."""
+    probe measures.  (embedding_near_dup_lsh needs no such twin: its
+    registry query IS the adaptive production form — the round-5 oracle
+    re-derives the adaptive geometry from the same exact count, so the
+    mirror did not force a pin.)"""
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
-        dedup,
         similarity,
     )
 
@@ -84,14 +79,7 @@ def _extra_probes():
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return similarity.semantic_dedup(emb)
 
-    def embedding_near_dup_lsh_adaptive(spark, sf_dir):
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return dedup.embedding_near_dup_lsh(emb, threshold=0.35)
-
-    return {
-        "semantic_dedup_adaptive": semantic_dedup_adaptive,
-        "embedding_near_dup_lsh_adaptive": embedding_near_dup_lsh_adaptive,
-    }
+    return {"semantic_dedup_adaptive": semantic_dedup_adaptive}
 
 
 def main() -> None:
