@@ -375,3 +375,130 @@ def test_embedding_near_dup_collapse_expand_matches_numpy(spark, groups, thresho
         for r in dedup.embedding_near_dup_pairs(emb, threshold).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=10), st.integers(1, 4))
+def test_simhash_matches_hashlib_model(spark, texts, parts):
+    """with_simhash's md5 bit votes equal an independent hashlib model on
+    arbitrary word-soup corpora under any partitioning — the full
+    cross-engine contract (bit b = bit b%4 of md5 hex digit b//4, ±1
+    votes per token occurrence, Java-wrap packed long, NULL for
+    token-less docs), not just the one pinned example."""
+    import hashlib
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r.doc_id: r.simhash for r in dedup.with_simhash(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert got[i] is None
+            continue
+        votes = [0] * 64
+        for tok in toks:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(64):
+                votes[b] += 1 if (int(h[b // 4], 16) >> (b % 4)) & 1 else -1
+        exp = sum((1 << b) for b in range(64) if votes[b] > 0)
+        if exp >= 1 << 63:
+            exp -= 1 << 64
+        assert got[i] == exp
+
+
+_vec8 = st.lists(
+    st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=8, max_size=8
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_vec8, min_size=1, max_size=8), st.integers(1, 3))
+def test_lsh_bands_match_pure_fold_model(spark, vecs, parts):
+    """The refine-and-verify sign bits equal a pure sequential-fold
+    model (the op sequence the SQL oracle runs) on arbitrary vectors —
+    i.e. the GEMM + margin + exact-fold re-decision is indistinguishable
+    from folding every dot, which is the whole contract."""
+    import hashlib
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    n_bands, rows = 2, 4
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).repartition(parts)
+    got = {
+        r.vec_id: list(r.lsh_bands)
+        for r in similarity.with_lsh_bands(emb, n_bands, rows, dim=8).collect()
+    }
+    planes = []
+    for p in range(n_bands * rows):
+        row = []
+        for d in range(8):
+            m = int(hashlib.md5(f"42:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((2.0 * m - 4294967296.0) / 4294967296.0)
+        planes.append(row)
+    for i, v in enumerate(vecs):
+        # width=32 floats are float32-exact, so the engine's
+        # array<float> -> array<double> cast is the identity here
+        dv = [float(x) for x in v]
+        bits = []
+        for p in range(n_bands * rows):
+            s = 0.0
+            for x, y in zip(dv, planes[p]):
+                s = s + x * y
+            bits.append(s > 0.0)
+        exp = [
+            sum((1 << j) for j in range(rows) if bits[b * rows + j])
+            for b in range(n_bands)
+        ]
+        assert got[i] == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32),
+                      min_size=4, max_size=4), min_size=1, max_size=6),
+    st.integers(1, 3),
+)
+def test_pq_assign_matches_pure_fold_model(spark, svs, parts):
+    """_pq_assign's GEMM + margin + exact-fold re-decision equals the
+    pure fold argmin (min by (dist, code), the SQL formulation) on
+    arbitrary subvectors and a fixed 4-entry codebook containing exact
+    ties and near-ties."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    book = {5: [1.0, 0.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0, 0.0],
+            7: [1.0, 0.0, 0.0, 0.0], 0: [-1.0, 0.0, 0.5, 0.0]}
+    sub = spark.createDataFrame(
+        [(i, 0, v) for i, v in enumerate(svs)],
+        "vec_id long, j int, sv array<double>",
+    ).repartition(parts)
+    cents = spark.createDataFrame(
+        [(0, c, v) for c, v in book.items()], "j int, code int, cv array<double>"
+    )
+    got = {
+        r.vec_id: r.code
+        for r in similarity._pq_assign(sub, cents, "vec_id").collect()  # noqa: SLF001
+    }
+    for i, v in enumerate(svs):
+        dv = [float(x) for x in v]
+        scored = []
+        for c in sorted(book):
+            s = 0.0
+            for x, y in zip(dv, book[c]):
+                d = x - y
+                s = s + d * d
+            scored.append((s, c))
+        assert got[i] == min(scored)[1]
