@@ -35,6 +35,12 @@ HEADLINE = [
     "adaptive_quality",
     "incremental_dedup",
     "kmeans_clusters",
+    # round-5 additions: the newly-oracled LSH/PQ family + SemDeDup
+    "simhash_near_pairs",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "semantic_dedup",
+    "near_dedup_incremental",
 ]
 
 CLAIMS = {
@@ -75,6 +81,17 @@ CLAIMS = {
     "incremental_dedup": [("LeftAnti", True), ("LeftSemi", True)],
     # final assignment is scan + literal-centroid argmin: no join at all
     "kmeans_clusters": [("Join", False), ("Scan parquet", True)],
+    # hot-chunk cap is a broadcast anti-join; the 16-bit pigeonhole
+    # candidate join shuffles id-keyed rows only
+    "simhash_near_pairs": [("BroadcastHashJoin LeftAnti", True)],
+    # query bands broadcast against the corpus scan; never sort-merge
+    "ann_lsh_topk": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # ADC LUT and the shortlist both broadcast; partial agg absorbs the
+    # m-fold code expansion before any Exchange
+    "ann_pq_topk": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # corpus band keys join incoming band keys on id-only rows; the
+    # text re-attach for Jaccard verification is hash-keyed
+    "near_dedup_incremental": [("BroadcastHashJoin LeftAnti", True)],
 }
 
 
