@@ -1,3 +1,4 @@
+from .curation import dedup_batch_into_corpus, run_incremental_curation
 from .dedup import dedup_documents_stream, dedup_events_stream, run_stream_dedup
 from .enrich import enrich_events_stream, pit_enrich_events_stream, run_stream_enrich
 from .events import run_events_stream, streaming_tumbling_agg
@@ -5,11 +6,13 @@ from .incremental import fold_batch_into_summary, run_incremental_summary
 from .stateful import run_running_totals, running_user_totals
 
 __all__ = [
+    "dedup_batch_into_corpus",
     "dedup_documents_stream",
     "dedup_events_stream",
     "enrich_events_stream",
     "fold_batch_into_summary",
     "pit_enrich_events_stream",
+    "run_incremental_curation",
     "run_stream_enrich",
     "run_events_stream",
     "run_incremental_summary",

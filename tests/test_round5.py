@@ -449,3 +449,67 @@ def test_lsh_signature_zero_vector_all_bits_clear(spark):
         "lsh_sig"
     ).head()[0]
     assert sig == 0
+
+
+def test_incremental_curation_pipeline_over_txlog_stream(spark, tmp_path):
+    """End-to-end continuous curation: landing commits → txlog stream tail
+    → exactly-once near-dedup against the growing corpus. After each
+    drain the corpus equals the batch formulation applied commit by
+    commit: intra-batch exact dups collapse, exact re-crawls and
+    near-duplicates (Jaccard ≥ 0.5) of already-admitted documents are
+    rejected, genuinely new documents are admitted."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        run_incremental_curation,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base + " today"          # high-overlap shingle sets → near-dup
+    fresh = "completely different subject matter about spark query planning internals"
+
+    landing = str(tmp_path / "landing")
+    corpus_root = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+    land_log = TableLog(spark, landing)
+
+    # commit 1: two exact copies + one distinct → 2 admitted
+    land_log.write(
+        spark.createDataFrame(
+            [(0, base), (1, base), (2, fresh)], "doc_id long, text string"
+        ),
+        mode="append",
+    )
+    run_incremental_curation(spark, landing, corpus_root, chk)
+    admitted = {r.doc_id for r in TableLog(spark, corpus_root).read().collect()}
+    assert admitted == {0, 2}
+
+    # commit 2: exact re-crawl of 0, near-dup of 0, and a new doc
+    land_log.write(
+        spark.createDataFrame(
+            [(10, base), (11, near), (12, "unrelated novel text about txlog commit protocols and snapshots entirely")],
+            "doc_id long, text string",
+        ),
+        mode="append",
+    )
+    run_incremental_curation(spark, landing, corpus_root, chk)
+    admitted = {r.doc_id for r in TableLog(spark, corpus_root).read().collect()}
+    assert admitted == {0, 2, 12}
+
+    # re-drain with no new commits: corpus unchanged (exactly-once)
+    v = TableLog(spark, corpus_root).versions()[-1]
+    run_incremental_curation(spark, landing, corpus_root, chk)
+    assert TableLog(spark, corpus_root).versions()[-1] == v
+
+    # crash-replay: re-running a step with an already-committed txn token
+    # is a no-op even outside the checkpointed stream
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        dedup_batch_into_corpus,
+    )
+
+    replay = spark.createDataFrame([(99, "another brand new document")],
+                                   "doc_id long, text string")
+    app = f"incremental-curation:{corpus_root}"
+    v1 = dedup_batch_into_corpus(spark, replay, corpus_root, txn=(app, 1))
+    v2 = dedup_batch_into_corpus(spark, replay, corpus_root, txn=(app, 1))
+    assert v1 == v2
+    admitted = {r.doc_id for r in TableLog(spark, corpus_root).read().collect()}
+    assert admitted == {0, 2, 12}  # txn 1 <= checkpoint high-water: skipped
