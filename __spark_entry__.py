@@ -34,6 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query; LSH queries are omitted
-    (hash-function-seeded, not SQL-expressible) → rows-only check."""
+    """DuckDB-runnable ANSI SQL oracle per query — 102 of 103 queries,
+    including the iterative/hash-seeded families (k-means, PQ, SimHash,
+    hyperplane LSH: md5 is the shared hash, folds and exact-decimal sums
+    the shared arithmetic). The single omission is approx_event_stats
+    (HLL++/GK sketches — genuinely approximate) → rows-only check,
+    golden-frozen with error bounds in pytest."""
     return dict(ORACLES)
