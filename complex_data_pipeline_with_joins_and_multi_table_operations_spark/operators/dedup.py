@@ -104,6 +104,7 @@ def near_dedup_against_corpus(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: keep incoming-batch documents that have
     no near-duplicate (shingle-set Jaccard ≥ ``threshold``) in the
@@ -127,6 +128,13 @@ def near_dedup_against_corpus(
     dups are collapsed): symmetric near-dup resolution needs the pair →
     connected-components → keep-list machinery (minhash_lsh_pairs +
     near_dup_clusters), which the batch can run on itself afterward.
+
+    ``persist_tracker``: the operator persists its two signature
+    relations for multi-branch reuse inside the one query; a one-shot
+    caller can ignore that, but a LOOPING caller (the streaming curation
+    tail runs this every microbatch) must release them or cached blocks
+    accumulate for the stream's lifetime — pass a list and unpersist its
+    contents after the action that consumes the result.
     """
     fresh = dedup_against_corpus(incoming, corpus)
     inc_sig = (
@@ -142,6 +150,8 @@ def near_dedup_against_corpus(
         .select("doc_id", "shingles", "minhash")
         .persist()
     )
+    if persist_tracker is not None:
+        persist_tracker.extend([inc_sig, cor_sig])
     inc_bands = _minhash_band_keys(inc_sig).select(
         F.col("doc_id").alias("inc_id"), "band_id", "band_hash"
     )

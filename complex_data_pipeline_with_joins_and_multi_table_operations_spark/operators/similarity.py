@@ -299,7 +299,10 @@ def with_lsh_signature(
             for x, y in zip(m[i], planes[j]):
                 s = s + x * y
             dots[i, j] = s
-        bits = dots > 0
+        # NaN sets the bit: DuckDB's total order evaluates NaN > 0 as
+        # true (NaN above every number), numpy as False — align with the
+        # SQL mirror so a NaN component cannot flip band keys cross-engine
+        bits = (dots > 0) | np.isnan(dots)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
@@ -367,7 +370,8 @@ def with_lsh_bands(
             for x, y in zip(m[i], planes[j]):
                 s = s + x * y
             dots[i, j] = s
-        bits = dots > 0
+        # NaN sets the bit — DuckDB's total order, see with_lsh_signature
+        bits = (dots > 0) | np.isnan(dots)
         grouped = bits.reshape(len(m), n_bands, rows_per_band)
         weights = 1 << np.arange(rows_per_band, dtype=np.int64)
         vals = (grouped * weights).sum(axis=2).astype(np.int64)

@@ -2472,12 +2472,13 @@ def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.approx_event_stats(Catalog(spark, sf_dir).events)
 
 
-# md5 hyperplane geometry shared by the engine call and its SQL mirror.
-# 56 planes (8 bands × 7 rows) is exactly what the adaptive rule picks at
-# the driver's n=500 corpus; pinning it (and the collapse decision, whose
-# adaptive form reads an approx_count_distinct no SQL engine can mirror)
-# keeps the registry query a pure function of the data. The adaptive
-# defaults themselves stay covered by pytest + the sf10 scaling probe.
+# md5 hyperplane plane-matrix template shared by the LSH oracles.
+# ann_lsh_topk instantiates it at its fixed 16 planes;
+# embedding_near_dup_lsh's oracle over-generates slots and filters to
+# the ADAPTIVE plane count it re-derives from the same exact COUNT(*)
+# the engine reads (only the collapse decision — an
+# approx_count_distinct sketch — is assumed False rather than mirrored;
+# see q_embedding_near_dup_lsh).
 _LSH_PLANE_SQL = """
   SELECT CAST(pp.p AS INTEGER) AS p, CAST(dd.d AS INTEGER) AS d,
          (2.0 * list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2531,7 +2532,7 @@ g AS (
   FROM embeddings
 ),
 -- range() takes only constants: over-generate 1024 plane slots (128
--- rows/band covers any corpus below 2^504 vectors) and keep p < 8*r
+-- rows/band covers any corpus below 2^252 vectors) and keep p < 8*r
 pl AS (
   SELECT * FROM ({_LSH_PLANE_SQL.format(n_planes=1024)}) pall, g
   WHERE pall.p < 8 * g.r
@@ -3311,10 +3312,19 @@ def _pq_sql(
         )
     else:
         ctes.append(f"cand AS (SELECT q_id, c_id FROM r WHERE rank <= {shortlist})")
+        # rerank cosine mirrors the engine's COS_EXPR op for op (fold dot
+        # over a nullif-guarded product of fold norms) rather than leaning
+        # on list_cosine_similarity, which returns -1.0 for a zero-norm
+        # vector where the engine yields NULL
+        rerank_cos = (
+            f"{_FOLD_DOT.format(a='eq.ev', b='ec.ev')}"
+            f" / nullif(sqrt({_FOLD_SUMSQ.format(a='eq.ev')})"
+            f" * sqrt({_FOLD_SUMSQ.format(a='ec.ev')}), 0.0)"
+        )
         ctes.append(
-            """resc AS (
+            f"""resc AS (
   SELECT cand.q_id, cand.c_id, ec.label AS c_label,
-         round(list_cosine_similarity(eq.ev, ec.ev), 6) AS cosine
+         round({rerank_cos}, 6) AS cosine
   FROM cand
   JOIN e eq ON eq.vec_id = cand.q_id
   JOIN e ec ON ec.vec_id = cand.c_id

@@ -51,10 +51,18 @@ def dedup_batch_into_corpus(
     corpus)."""
     log = TableLog(spark, corpus_root)
     corpus = log.read() if log.exists() else batch.limit(0)
+    # track the operator's internal persists and release them once the
+    # append has consumed the plan — a stream runs this every microbatch,
+    # and unreleased signature caches would accumulate for its lifetime
+    persisted: list = []
     survivors = near_dedup_against_corpus(
-        batch, corpus, k=k, threshold=threshold
+        batch, corpus, k=k, threshold=threshold, persist_tracker=persisted
     )
-    return log.write(survivors, mode="append", txn=txn)
+    try:
+        return log.write(survivors, mode="append", txn=txn)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def run_incremental_curation(

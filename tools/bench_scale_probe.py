@@ -103,6 +103,12 @@ def main() -> None:
     runners = {name: QUERIES[name] for name in SUBSET}
     runners.update(_extra_probes())
     if only:
+        unknown = only - set(runners)
+        if unknown:
+            # a typo must not silently emit an empty probe record (a
+            # value-0 total reads as a dramatic speedup in a run-total
+            # comparison)
+            raise SystemExit(f"unknown probe name(s): {sorted(unknown)}")
         runners = {n: f for n, f in runners.items() if n in only}
     times: dict[str, float] = {}
     for name, fn in runners.items():
