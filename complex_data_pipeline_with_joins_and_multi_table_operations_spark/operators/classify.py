@@ -1,0 +1,144 @@
+"""Model-based curation: distributed classifier training + scoring over
+the embedding corpus.
+
+The modern pretraining-curation loop scores documents with a LEARNED
+model (a small classifier over embeddings — the FineWeb-Edu recipe), not
+only heuristics. This module supplies that component in the engine's
+determinism discipline: full-batch gradient-descent logistic regression
+whose every iteration is bit-reproducible AND mirrorable by a SQL
+oracle, the supervised counterpart of :func:`similarity.kmeans_clusters`
+(which proved the pattern for unsupervised training).
+
+Determinism recipe (same three moves as k-means, plus one):
+
+- the margin ``z`` is a sequential left fold over the (1 ⊕ x) · w
+  products — array-ordered, partition-invariant, op-for-op identical to
+  DuckDB's ``list_reduce`` (0.0-seeded);
+- the activation is **quantized**: ``p = round(sigmoid(z), 6)``. libm
+  ``exp`` is NOT bit-identical across engines (JVM vs DuckDB differ in
+  the last ulp), so raw sigmoid values would poison the gradient sums;
+  the 1e-6 grid absorbs ulp noise (a flip needs the true value within
+  ~1e-16 of a grid boundary — odds ~1e-10 per term) and costs nothing
+  against fp32 embeddings;
+- gradient components sum through DECIMAL(28,14) — order-independent
+  across the shuffle, so the update is partition-invariant;
+- the weight vector is driver-side metadata (d+1 doubles) between
+  iterations, exactly like the k-means centroids: each iteration is ONE
+  job (scan → fold margin → quantized residual → d+1 partial decimal
+  sums), no vector ever reaches the driver.
+
+100 TB shape: per iteration the shuffle carries d+1 partial states after
+map-side combine; weights broadcast in the closure as literals. The fold
+margin evaluates interpreted (HOFs are outside codegen) — at probe scale
+that is the measured-but-acceptable cost, and the refine-and-verify GEMM
+twin (`similarity._assign_blas` pattern) is the documented upgrade path
+when n·d·iters turns hot.
+
+Reference parity note: the reference pipeline has no model-based
+filtering; this extends SURVEY §2's north-star set (quality scoring)
+with its learned form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_features(embeddings: DataFrame, target_label: int) -> DataFrame:
+    """(vec_id, label, y, xv): binary target + the 1-prepended feature
+    vector (intercept as feature 0, so the gradient job needs no special
+    case)."""
+    return (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            (F.col("label") == target_label).cast("double").alias("y"),
+            F.expr(
+                "concat(array(CAST(1.0 AS DOUBLE)), CAST(embedding AS ARRAY<DOUBLE>))"
+            ).alias("xv"),
+        )
+    )
+
+
+def _margin_expr(w: list[float]) -> str:
+    """z = sequential fold of xv · w (0.0-seeded, array order) — the op
+    sequence DuckDB's list_reduce(list_prepend(0.0, …)) mirrors. Weight
+    literals are shortest-round-trip reprs: both engines' literal
+    parsers are correctly-rounded, so the closure's doubles reconstruct
+    exactly."""
+    arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in w)
+    return (
+        f"aggregate(zip_with(xv, array({arr}), (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def logreg_train(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 2.0,
+) -> list[float]:
+    """Full-batch GD logistic regression for ``P(label == target_label)``
+    over the embedding corpus; returns the trained weights (intercept
+    first, d+1 doubles — driver-side metadata, the same thing a model
+    registry would store). Deterministic per the module recipe, so the
+    whole training run unrolls into the SQL oracle (`_logreg_sql` in
+    plans/registry.py)."""
+    x = _with_features(embeddings, target_label).persist()
+    try:
+        n = x.count()
+        dim = len(x.select("xv").head()[0])
+        w = [0.0] * dim
+        for _ in range(iters):
+            p = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
+            grads = (
+                x.select(
+                    (p - F.col("y")).alias("r"),
+                    F.posexplode("xv").alias("pos", "v"),
+                )
+                .groupBy("pos")
+                .agg(
+                    F.sum((F.col("r") * F.col("v")).cast("decimal(28,14)"))
+                    .cast("double")
+                    .alias("gsum")
+                )
+                .collect()
+            )
+            by_pos = {r.pos: r.gsum for r in grads}
+            w = [w[j] - lr * (by_pos[j] / n) for j in range(dim)]
+        return w
+    finally:
+        x.unpersist()
+
+
+def logreg_score(
+    embeddings: DataFrame, w: list[float], target_label: int = 0
+) -> DataFrame:
+    """Scan-local scoring under trained weights: (vec_id, label, score,
+    pred). The weights ride as literals — no join, no shuffle; the
+    filter a curation pipeline puts on ``score`` pushes to the scan."""
+    x = _with_features(embeddings, target_label)
+    score = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
+    return x.withColumn("score", score).select(
+        "vec_id",
+        "label",
+        "score",
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+    )
+
+
+def classifier_scores(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Train-then-score in one call — the registry/oracle surface. A
+    production pipeline splits this exactly like PQ (train once, persist
+    weights, score many); fused here so the driver's hash check covers
+    the ENTIRE training trajectory, not just the final scores."""
+    w = logreg_train(embeddings, target_label, iters, lr)
+    return logreg_score(embeddings, w, target_label)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     aggregates,
     changes,
+    classify,
     cleaning,
     custom,
     dedup,
@@ -3661,6 +3662,84 @@ def _kmeans_sql(k: int = 8, iters: int = 2, tail: str | None = None) -> str:
 SQL_KMEANS_CLUSTERS = _kmeans_sql(k=8, iters=2)
 
 
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SUPERVISED training (operators/classify.py): full-batch
+    GD logistic regression over the embeddings for P(label == 0), then
+    scan-local scoring — the learned-model curation component (the
+    FineWeb-style classifier filter) in the engine's determinism
+    discipline. Fold margins, a 1e-6-quantized sigmoid (libm exp is not
+    cross-engine bit-stable; the grid absorbs ulp noise), exact-decimal
+    gradient sums, and driver-side-metadata weights make the ENTIRE
+    training trajectory bit-deterministic, so `_logreg_sql` unrolls all
+    three GD iterations and the hash check covers training, not just
+    inference — the supervised counterpart of `kmeans_clusters`."""
+    return classify.classifier_scores(
+        Catalog(spark, sf_dir).embeddings, target_label=0, iters=3, lr=2.0
+    )
+
+
+def _logreg_sql(iters: int = 3, lr: float = 2.0, t: int = 0, dim1: int = 65) -> str:
+    """Unrolled full-batch GD mirror: p{i} quantizes the sigmoid of the
+    0.0-seeded fold margin under weights w{i}; g{i} is the exact-decimal
+    gradient; w{i+1} applies the identical update op order
+    (w - lr * (g / n)). Weight state is relational (j, val), re-listed
+    per iteration so the fold sees the array the engine's literal
+    carries."""
+    fold_z = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(xv, (SELECT w FROM wa{i})),"
+        " z -> z[1] * z[2])), (s, v) -> s + v)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
+        f"""x AS (
+  SELECT vec_id, label,
+         CASE WHEN label = {t} THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y,
+         list_prepend(CAST(1.0 AS DOUBLE), ev) AS xv
+  FROM e
+)""",
+        "n AS (SELECT count(*) AS n FROM x)",
+        f"w0 AS (SELECT CAST(t.j AS INTEGER) AS j, CAST(0.0 AS DOUBLE) AS val"
+        f" FROM range({dim1}) t(j))",
+    ]
+    for i in range(iters):
+        ctes.append(f"wa{i} AS (SELECT list(val ORDER BY j) AS w FROM w{i})")
+        ctes.append(
+            f"""p{i} AS (
+  SELECT vec_id, y, xv,
+         round(1.0 / (1.0 + exp(-({fold_z.format(i=i)}))), 6) AS p
+  FROM x
+)"""
+        )
+        ctes.append(
+            f"""g{i} AS (
+  SELECT CAST(pos - 1 AS INTEGER) AS j,
+         CAST(sum(CAST((p - y) * v AS DECIMAL(28,14))) AS DOUBLE) AS gsum
+  FROM (SELECT p, y, generate_subscripts(xv, 1) AS pos, unnest(xv) AS v
+        FROM p{i})
+  GROUP BY pos
+)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+  SELECT w.j, w.val - {lr} * (g.gsum / (SELECT n FROM n)) AS val
+  FROM w{i} w JOIN g{i} g ON g.j = w.j
+)"""
+        )
+    ctes.append(f"wa{iters} AS (SELECT list(val ORDER BY j) AS w FROM w{iters})")
+    tail = f"""SELECT vec_id, label,
+       round(1.0 / (1.0 + exp(-({fold_z.format(i=iters)}))), 6) AS score,
+       CAST(round(1.0 / (1.0 + exp(-({fold_z.format(i=iters)}))), 6) >= 0.5
+            AS INTEGER) AS pred
+FROM x"""
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+SQL_CLASSIFIER_SCORES = _logreg_sql(iters=3, lr=2.0)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup): k-means
     partition of the embedding space, then keep-lowest-id pruning of
@@ -3717,13 +3796,14 @@ rework that made PQ training mirrorable; simhash_near_pairs via md5
 token bits; ann_lsh_topk + embedding_near_dup_lsh via md5-derived
 hyperplanes + fold-verified signs — leaving approx_event_stats, the
 genuinely approximate HLL++/GK sketch, as the ONLY no_oracle query).
-Parked at the tail with at-bar evidence, first in line for r6:
-global_minmax, union_all_counts, raw_stats, user_median_value,
-vector_norms (trivial, unchanged, r3-green, operator-pytest-pinned;
-user_median_value also by its equality-tested builtin twin) and
-merge_upsert (r4 hash-green; this round's NULL-delete-condition fix is
-invisible to its registry query — non-null flags — and is pinned by the
-MERGE property suite)."""
+A third brand-new query, classifier_scores (distributed supervised
+training, fully oracled), also takes a slot.  Parked at the tail with
+at-bar evidence, first in line for r6: global_minmax, union_all_counts,
+raw_stats, user_median_value, vector_norms, moving_avg3 (trivial,
+unchanged, r3-green, operator-pytest-pinned; user_median_value also by
+its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
+round's NULL-delete-condition fix is invisible to its registry query —
+non-null flags — and is pinned by the MERGE property suite)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3748,7 +3828,12 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "promo_revenue": q_promo_revenue,
     "order_priority_count": q_order_priority_count,
-    "moving_avg3": q_moving_avg,
+    # NEW this round: distributed supervised training (GD logistic
+    # regression, fully SQL-oracled — the kmeans discipline extended to
+    # gradient descent via the quantized-sigmoid recipe); takes the slot
+    # moving_avg3 vacates (trivial window fn, r3-green, pytest-pinned —
+    # parked at the tail, in line for the r6 rotation)
+    "classifier_scores": q_classifier_scores,
     "salted_event_type_agg": q_salted_event_agg,
     "quantity_range_join": q_quantity_range_join,
     # newly SQL-oracled this round (md5 token hash / md5 hyperplanes +
@@ -3864,6 +3949,7 @@ QUERIES: dict[str, QueryFn] = {
     "raw_stats": q_raw_stats,
     "user_median_value": q_user_median,
     "vector_norms": q_vector_norms,
+    "moving_avg3": q_moving_avg,
 }
 
 ORACLES: dict[str, str] = {
@@ -3914,6 +4000,7 @@ ORACLES: dict[str, str] = {
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
+    "classifier_scores": SQL_CLASSIFIER_SCORES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,

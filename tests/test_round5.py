@@ -513,3 +513,69 @@ def test_incremental_curation_pipeline_over_txlog_stream(spark, tmp_path):
     assert v1 == v2
     admitted = {r.doc_id for r in TableLog(spark, corpus_root).read().collect()}
     assert admitted == {0, 2, 12}  # txn 1 <= checkpoint high-water: skipped
+
+
+def test_lsh_signature_nan_component_sets_bits(spark):
+    # DuckDB's total order evaluates NaN > 0 as true; the closures align
+    # (a NaN dot sets the bit), so a NaN embedding component cannot flip
+    # band keys between the engine and the SQL mirror
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [float("nan")] + [0.0] * 7, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sig = similarity.with_lsh_signature(emb, dim=8, n_planes=12).select(
+        "lsh_sig"
+    ).head()[0]
+    assert sig == (1 << 12) - 1
+
+
+def test_logreg_training_descends_and_is_partition_invariant(spark, cat):
+    """The distributed GD actually learns (log-loss strictly decreases
+    over iterations) and the trained weights are bit-identical across
+    input partitionings — the property the exact-decimal gradient sums
+    + quantized sigmoid exist to buy."""
+    import math
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+    )
+
+    emb = cat.embeddings
+
+    def loss(w):
+        rows = classify.logreg_score(emb, w).collect()
+        eps = 1e-9
+        y = [(1.0 if r.label == 0 else 0.0) for r in rows]
+        p = [min(max(r.score, eps), 1 - eps) for r in rows]
+        return -sum(
+            yi * math.log(pi) + (1 - yi) * math.log(1 - pi)
+            for yi, pi in zip(y, p)
+        ) / len(rows)
+
+    losses = [
+        loss(classify.logreg_train(emb, iters=i, lr=2.0)) for i in (0, 1, 3)
+    ]
+    assert losses[0] > losses[1] > losses[2], losses
+
+    w1 = classify.logreg_train(emb.repartition(1), iters=2, lr=2.0)
+    w32 = classify.logreg_train(emb.repartition(32), iters=2, lr=2.0)
+    assert w1 == w32  # bit-identical, not merely close
+
+
+def test_logreg_score_null_embedding_dropped(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.25], 0), (2, None, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    w = classify.logreg_train(emb, iters=1, lr=2.0)
+    assert len(w) == 3  # intercept + 2 features
+    out = classify.logreg_score(emb, w).collect()
+    assert [r.vec_id for r in out] == [1]
