@@ -45,6 +45,8 @@ SUBSET = [
     # min-of-2 reports the cached ADC search — both paths scale-relevant
     "ann_pq_cached_topk",
     "ann_ivf_topk",
+    # iterative supervised training: 3 GD jobs, d+1-state shuffles
+    "classifier_scores",
     "kmeans_clusters",
     "curate_documents",
     "top_terms",
