@@ -138,7 +138,45 @@ def classifier_scores(
 ) -> DataFrame:
     """Train-then-score in one call — the registry/oracle surface. A
     production pipeline splits this exactly like PQ (train once, persist
-    weights, score many); fused here so the driver's hash check covers
-    the ENTIRE training trajectory, not just the final scores."""
+    weights, score many — :func:`model_build` / :func:`model_score`);
+    fused here so the driver's hash check covers the ENTIRE training
+    trajectory, not just the final scores."""
     w = logreg_train(embeddings, target_label, iters, lr)
+    return logreg_score(embeddings, w, target_label)
+
+
+def model_build(
+    embeddings: DataFrame,
+    root: str,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 2.0,
+) -> str:
+    """Train-once half of the production split (the pq_index_build
+    pattern): train and persist the weights as a transaction-log table
+    ``(j, val)`` — versioned model registry for free: re-training after
+    a corpus append commits a new snapshot, and scoring pinned with
+    ``versionAsOf`` keeps reproducing its original outputs. Returns the
+    model table path."""
+    from ..sources.txlog import TableLog
+
+    w = logreg_train(embeddings, target_label, iters, lr)
+    spark = embeddings.sparkSession
+    model = spark.createDataFrame(
+        [(j, float(v)) for j, v in enumerate(w)], "j int, val double"
+    )
+    TableLog(spark, root).write(model, mode="overwrite")
+    return root
+
+
+def model_score(
+    embeddings: DataFrame, root: str, target_label: int = 0
+) -> DataFrame:
+    """Score-many half: read the persisted weights back (parquet
+    round-trips doubles exactly, so scores are bit-equal to the fused
+    form — asserted in tests) and score scan-locally."""
+    from ..sources.txlog import TableLog
+
+    rows = TableLog(embeddings.sparkSession, root).read().collect()
+    w = [r.val for r in sorted(rows, key=lambda r: r.j)]
     return logreg_score(embeddings, w, target_label)

@@ -579,3 +579,19 @@ def test_logreg_score_null_embedding_dropped(spark):
     assert len(w) == 3  # intercept + 2 features
     out = classify.logreg_score(emb, w).collect()
     assert [r.vec_id for r in out] == [1]
+
+
+def test_classifier_model_roundtrip_equals_fused(spark, cat, tmp_path):
+    # train-once/score-many: scoring against the persisted txlog model is
+    # bit-equal to the fused train-in-query form (parquet round-trips the
+    # weight doubles exactly) — the PQ index split, for the classifier
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+    )
+
+    root = classify.model_build(cat.embeddings, str(tmp_path / "m"), iters=2)
+    cached = sorted(map(tuple, classify.model_score(cat.embeddings, root).collect()))
+    fused = sorted(
+        map(tuple, classify.classifier_scores(cat.embeddings, iters=2).collect())
+    )
+    assert cached == fused

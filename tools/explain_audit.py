@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_pq_topk",
     "semantic_dedup",
     "near_dedup_incremental",
+    "classifier_scores",
 ]
 
 CLAIMS = {
@@ -92,6 +93,8 @@ CLAIMS = {
     # corpus band keys join incoming band keys on id-only rows; the
     # text re-attach for Jaccard verification is hash-keyed
     "near_dedup_incremental": [("BroadcastHashJoin LeftAnti", True)],
+    # scoring under trained weight literals: pure scan + project, no join
+    "classifier_scores": [("Join", False), ("Scan parquet", True)],
 }
 
 
