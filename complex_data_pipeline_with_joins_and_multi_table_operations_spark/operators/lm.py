@@ -1,0 +1,167 @@
+"""Statistical language-model curation: distributed n-gram LM training +
+perplexity scoring.
+
+The classic CCNet recipe (also LLaMA's data pipeline): train a small
+n-gram language model on a reference corpus, score every candidate
+document by perplexity, and filter or bucket on the score — documents a
+simple LM finds "surprising" are disproportionately boilerplate, OCR
+noise, or gibberish. This module supplies the bigram form in the
+engine's determinism discipline, the third member of the trained-model
+family (k-means: unsupervised; logistic regression: supervised; n-gram
+LM: generative).
+
+Determinism recipe (the `classify.py` quantization move, applied to
+``ln``):
+
+- counts are exact integers (one shuffle per n-gram order);
+- each conditional log-probability is **quantized**:
+  ``logp = round(ln((cnt + 1) / (ctx + V)), 6)`` — libm ``ln`` differs
+  across engines in the last ulp, the 1e-6 grid absorbs it (the
+  argument is a ratio of exact integers, identical in both engines);
+- per-document sums of the quantized logps go through DECIMAL(28,14) —
+  order-independent across the shuffle (a round-6 double is exact at
+  14 decimal places);
+- perplexity re-exponentiates a quantized average —
+  ``round(exp(-avg), 4)`` — so the final grid again absorbs libm noise.
+
+Add-1 (Laplace) smoothing over the exact vocabulary size keeps unseen
+bigrams finite: p(w2|w1) = (cnt(w1 w2) + 1) / (ctx(w1) + V), with
+ctx(w1) = occurrences of w1 as a PRECEDING token and V the exact
+distinct-token count (an eager metadata aggregate at plan build, like
+the classifier's n — one scan, documented).
+
+100 TB shape: training is one tokenize-explode pass + a (w1, w2)
+shuffle whose partial counts combine map-side; the LM relation is
+vocabulary-sized, not corpus-sized — broadcast when small, an ordinary
+hash join on (w1, w2) when not. Scoring is one pass over the candidate
+corpus joined against the LM; the per-doc aggregation reuses the
+bigram explode's doc_id partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def _bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2): consecutive token pairs per document;
+    documents with fewer than two tokens contribute nothing (guarded
+    BEFORE the sequence — Spark's sequence(1, 0) steps DOWNWARD)."""
+    return (
+        documents.withColumn("toks", tokens_col(F.col("text")))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "bg.w1", "bg.w2")
+    )
+
+
+def vocab_size(documents: DataFrame) -> int:
+    """Exact distinct-token count over the corpus (the smoothing
+    denominator's V)."""
+    return (
+        documents.withColumn("toks", tokens_col(F.col("text")))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .head()[0]
+    )
+
+
+def train_bigram_lm(documents: DataFrame, v: int | None = None) -> DataFrame:
+    """(w1, w2, cnt, ctx, logp): add-1-smoothed bigram conditionals with
+    quantized log-probabilities. ``v`` overrides the vocabulary size
+    (pass it when scoring a different corpus than the training one)."""
+    if v is None:
+        v = vocab_size(documents)
+    bg = _bigrams(documents)
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    return (
+        counts.join(ctx, "w1")
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1.0)) / (F.col("ctx") + F.lit(float(v)))
+                ),
+                6,
+            ),
+        )
+        .select("w1", "w2", "cnt", "ctx", "logp")
+    )
+
+
+def perplexity_scores(
+    documents: DataFrame,
+    lm: DataFrame | None = None,
+    v: int | None = None,
+) -> DataFrame:
+    """(doc_id, lang, n_bigrams, avg_logp, ppl): per-document perplexity
+    under the bigram LM (trained on ``documents`` itself when ``lm`` is
+    None — the fused registry form; pass a persisted LM for the
+    production train-once/score-many split). Unseen bigrams back off to
+    the smoothed floor 1 / (ctx + V) (or 1 / V for an unseen context).
+    Only documents with at least one bigram appear."""
+    if v is None:
+        v = vocab_size(documents)
+    if lm is None:
+        lm = train_bigram_lm(documents, v=v)
+    ctx = lm.groupBy("w1").agg(F.first("ctx").alias("ctx"))
+    scored = (
+        _bigrams(documents)
+        .join(lm.select("w1", "w2", "logp"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .withColumn(
+            "logp",
+            F.coalesce(
+                F.col("logp"),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(float(v)))
+                    ),
+                    6,
+                ),
+            ),
+        )
+    )
+    # The per-doc average is rounded in EXACT INTEGER space, not with
+    # round(double, 6): every logp is an exact multiple of 1e-6 (the
+    # quantization grid survives the DECIMAL(28,14) cast exactly), so
+    # dsum/n lands EXACTLY ON a 0.5e-6 boundary for many documents —
+    # where Spark's shortest-repr HALF_UP and DuckDB's binary-scaled
+    # rint disagree (observed: 2 of 5000 docs at sf0.1). Half-away-from-
+    # zero on integers ((2m + n) div 2n) is engine-independent.
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("logp").cast("decimal(28,14)")).alias("dsum"),
+    )
+    micro = (F.col("dsum") * 1000000).cast("long")
+    avg_micro = F.when(
+        micro >= 0, F.expr("(2 * micro + n) div (2 * n)")
+    ).otherwise(-F.expr("(2 * -micro + n) div (2 * n)"))
+    return (
+        agg.withColumn("micro", micro)
+        .withColumn("avg_micro", avg_micro)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("int").alias("n_bigrams"),
+            (F.col("avg_micro").cast("double") / 1000000.0).alias("avg_logp"),
+            F.round(
+                F.exp(-(F.col("avg_micro").cast("double") / 1000000.0)), 4
+            ).alias("ppl"),
+        )
+    )

@@ -23,6 +23,7 @@ from ..operators import (
     aggregates,
     changes,
     classify,
+    lm,
     cleaning,
     custom,
     dedup,
@@ -3740,6 +3741,65 @@ FROM x"""
 SQL_CLASSIFIER_SCORES = _logreg_sql(iters=3, lr=2.0)
 
 
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM curation (operators/lm.py): add-1-smoothed bigram
+    language model trained on the corpus, every document scored by
+    perplexity — the CCNet/LLaMA filtering recipe, third member of the
+    trained-model family (k-means unsupervised, logreg supervised,
+    n-gram LM generative). Exact integer counts, 1e-6-quantized ln
+    (libm parity via the classifier's grid move), exact-decimal per-doc
+    sums, and a re-quantized exp make training + scoring fully
+    hash-oracled."""
+    return lm.perplexity_scores(Catalog(spark, sf_dir).documents)
+
+
+SQL_PERPLEXITY_SCORES = f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL.format(src='text')} AS toks
+           FROM documents),
+vv AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(toks) AS tok FROM t)),
+bg AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+cnts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt) AS ctx FROM cnts GROUP BY w1),
+lm AS (
+  SELECT c.w1, c.w2,
+         round(ln((c.cnt + 1.0) / (x.ctx + (SELECT v FROM vv))), 6) AS logp
+  FROM cnts c JOIN ctx x ON c.w1 = x.w1
+),
+sc AS (
+  SELECT bg.doc_id, bg.lang,
+         coalesce(lm.logp,
+                  round(ln(1.0 / (coalesce(x.ctx, 0) + (SELECT v FROM vv))),
+                        6)) AS logp
+  FROM bg
+  LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+  LEFT JOIN ctx x ON bg.w1 = x.w1
+),
+agg AS (
+  SELECT doc_id, lang, count(*) AS n,
+         CAST(sum(CAST(logp AS DECIMAL(28,14))) * 1000000 AS BIGINT) AS micro
+  FROM sc GROUP BY doc_id, lang
+),
+-- integer-space half-away-from-zero average: every logp is an exact
+-- 1e-6 multiple, so micro/n hits exact 0.5e-6 boundaries where
+-- round(double, 6) is engine-divergent; (2m + n) // (2n) is not
+am AS (
+  SELECT doc_id, lang, n,
+         CASE WHEN micro >= 0 THEN (2 * micro + n) // (2 * n)
+              ELSE -((2 * -micro + n) // (2 * n)) END AS avg_micro
+  FROM agg
+)
+SELECT doc_id, lang, CAST(n AS INTEGER) AS n_bigrams,
+       CAST(avg_micro AS DOUBLE) / 1000000.0 AS avg_logp,
+       round(exp(-(CAST(avg_micro AS DOUBLE) / 1000000.0)), 4) AS ppl
+FROM am
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup): k-means
     partition of the embedding space, then keep-lowest-id pruning of
@@ -3796,14 +3856,16 @@ rework that made PQ training mirrorable; simhash_near_pairs via md5
 token bits; ann_lsh_topk + embedding_near_dup_lsh via md5-derived
 hyperplanes + fold-verified signs — leaving approx_event_stats, the
 genuinely approximate HLL++/GK sketch, as the ONLY no_oracle query).
-A third brand-new query, classifier_scores (distributed supervised
-training, fully oracled), also takes a slot.  Parked at the tail with
+Two more brand-new fully-oracled queries also take slots:
+classifier_scores (distributed supervised training) and
+perplexity_scores (bigram-LM filtering).  Parked at the tail with
 at-bar evidence, first in line for r6: global_minmax, union_all_counts,
-raw_stats, user_median_value, vector_norms, moving_avg3 (trivial,
-unchanged, r3-green, operator-pytest-pinned; user_median_value also by
-its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
-round's NULL-delete-condition fix is invisible to its registry query —
-non-null flags — and is pinned by the MERGE property suite)."""
+raw_stats, user_median_value, vector_norms, moving_avg3, date_dim
+(trivial, unchanged, r3-green, operator-pytest-pinned;
+user_median_value also by its equality-tested builtin twin) and
+merge_upsert (r4 hash-green; this round's NULL-delete-condition fix is
+invisible to its registry query — non-null flags — and is pinned by
+the MERGE property suite)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3818,7 +3880,10 @@ QUERIES: dict[str, QueryFn] = {
     "hash_sample": q_hash_sample,
     "dedup_exact": q_dedup_exact,
     "near_dup_clusters": q_near_dup_clusters,
-    "date_dim": q_date_dim,
+    # NEW this round: bigram-LM perplexity scoring (fully SQL-oracled —
+    # the quantized-ln recipe); takes the slot date_dim vacates (trivial
+    # spine, r3-green, pytest-pinned — parked at the tail for r6)
+    "perplexity_scores": q_perplexity_scores,
     "asof_view_purchase": q_asof_view_purchase,
     "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
@@ -3950,6 +4015,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_median_value": q_user_median,
     "vector_norms": q_vector_norms,
     "moving_avg3": q_moving_avg,
+    "date_dim": q_date_dim,
 }
 
 ORACLES: dict[str, str] = {
@@ -4001,6 +4067,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "classifier_scores": SQL_CLASSIFIER_SCORES,
+    "perplexity_scores": SQL_PERPLEXITY_SCORES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,

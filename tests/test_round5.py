@@ -595,3 +595,52 @@ def test_classifier_model_roundtrip_equals_fused(spark, cat, tmp_path):
         map(tuple, classify.classifier_scores(cat.embeddings, iters=2).collect())
     )
     assert cached == fused
+
+
+def test_perplexity_orders_repetitive_below_novel(spark):
+    """The LM assigns LOWER perplexity to text made of corpus-frequent
+    bigrams than to text of unseen ones — the signal CCNet-style
+    filtering relies on; docs with <2 tokens never appear; an entirely
+    out-of-vocabulary doc scores exactly the smoothed floor V/(0+V)."""
+    import math
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        lm,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common, "en") for i in range(8)]
+        + [(100, "zq xv qj zq xv", "en"), (200, "the", "en"), (300, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in lm.perplexity_scores(docs).collect()}
+    assert 200 not in out and 300 not in out  # <2 tokens → no bigrams
+    assert out[0].ppl < out[100].ppl  # frequent bigrams → less surprise
+    # doc 100's bigrams: (zq,xv)×2 with cnt=2 ctx(zq)=2, (xv,qj) and
+    # (qj,zq) with cnt=1 ctx=1 — exact values mirror the add-1 formula
+    v = lm.vocab_size(docs)
+    expected = [
+        round(math.log(3 / (2 + v)), 6),
+        round(math.log(2 / (1 + v)), 6),
+        round(math.log(2 / (1 + v)), 6),
+        round(math.log(3 / (2 + v)), 6),
+    ]
+    micro = round(sum(expected) * 1e6)
+    n = 4
+    avg_micro = (2 * -(-micro) + n) // (2 * n) if micro >= 0 else -(
+        (2 * -micro + n) // (2 * n)
+    )
+    assert out[100].avg_logp == avg_micro / 1e6
+    assert out[100].n_bigrams == 4
+
+
+def test_perplexity_partition_invariant(spark, cat):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        lm,
+    )
+
+    docs = cat.documents
+    a = sorted(map(tuple, lm.perplexity_scores(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, lm.perplexity_scores(docs.repartition(32)).collect()))
+    assert a == b

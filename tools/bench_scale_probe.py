@@ -47,6 +47,8 @@ SUBSET = [
     "ann_ivf_topk",
     # iterative supervised training: 3 GD jobs, d+1-state shuffles
     "classifier_scores",
+    # bigram-LM train + perplexity score: two (w1[,w2]) count shuffles
+    "perplexity_scores",
     "kmeans_clusters",
     "curate_documents",
     "top_terms",
