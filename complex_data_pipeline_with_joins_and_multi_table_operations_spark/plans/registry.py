@@ -3741,6 +3741,46 @@ FROM x"""
 SQL_CLASSIFIER_SCORES = _logreg_sql(iters=3, lr=2.0)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per event_type
+    (operators/aggregates.kmv_distinct) — the cross-engine-exact member
+    of the sketch family: the estimate is a pure function of md5, so an
+    APPROXIMATE algorithm gets a full hash oracle (where HLL++/GK in
+    approx_event_stats are engine-specific and bounds-tested only).
+    Error vs exact distinct is bounded in tests."""
+    return aggregates.kmv_distinct(Catalog(spark, sf_dir).events, k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+u AS (
+  SELECT event_type, k,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(13), i -> CAST(instr('0123456789abcdef',
+               substring(md5(k), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),
+            (s, x) -> s * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+  FROM h
+),
+r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u, k) AS rn
+  FROM u
+),
+agg AS (
+  SELECT event_type, count(*) AS n_seen,
+         max(CASE WHEN rn = 64 THEN u END) AS uk
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN uk IS NOT NULL THEN round(63 / uk, 4)
+            ELSE CAST(n_seen AS DOUBLE) END AS kmv_distinct
+FROM agg
+"""
+
+
 def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical LM curation (operators/lm.py): add-1-smoothed bigram
     language model trained on the corpus, every document scored by
@@ -3856,16 +3896,16 @@ rework that made PQ training mirrorable; simhash_near_pairs via md5
 token bits; ann_lsh_topk + embedding_near_dup_lsh via md5-derived
 hyperplanes + fold-verified signs — leaving approx_event_stats, the
 genuinely approximate HLL++/GK sketch, as the ONLY no_oracle query).
-Two more brand-new fully-oracled queries also take slots:
-classifier_scores (distributed supervised training) and
-perplexity_scores (bigram-LM filtering).  Parked at the tail with
-at-bar evidence, first in line for r6: global_minmax, union_all_counts,
-raw_stats, user_median_value, vector_norms, moving_avg3, date_dim
-(trivial, unchanged, r3-green, operator-pytest-pinned;
-user_median_value also by its equality-tested builtin twin) and
-merge_upsert (r4 hash-green; this round's NULL-delete-condition fix is
-invisible to its registry query — non-null flags — and is pinned by
-the MERGE property suite)."""
+Three more brand-new fully-oracled queries also take slots:
+classifier_scores (distributed supervised training), perplexity_scores
+(bigram-LM filtering), and kmv_distinct (the oracle-checkable sketch).
+Parked at the tail with at-bar evidence, first in line for r6:
+global_minmax, union_all_counts, raw_stats, user_median_value,
+vector_norms, moving_avg3, date_dim, asof_view_purchase (trivial,
+unchanged, r3-green, operator-pytest-pinned; user_median_value also by
+its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
+round's NULL-delete-condition fix is invisible to its registry query —
+non-null flags — and is pinned by the MERGE property suite)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
@@ -3884,7 +3924,9 @@ QUERIES: dict[str, QueryFn] = {
     # the quantized-ln recipe); takes the slot date_dim vacates (trivial
     # spine, r3-green, pytest-pinned — parked at the tail for r6)
     "perplexity_scores": q_perplexity_scores,
-    "asof_view_purchase": q_asof_view_purchase,
+    # NEW this round: the oracle-checkable sketch (KMV over md5) — takes
+    # the slot asof_view_purchase vacates (r3-green, pytest-pinned)
+    "kmv_distinct": q_kmv_distinct,
     "user_value_zscore": q_user_zscore,
     "rollup_revenue": q_rollup_revenue,
     # minhash_lsh_pairs gained its exhaustive exact-Jaccard oracle THIS
@@ -4016,6 +4058,7 @@ QUERIES: dict[str, QueryFn] = {
     "vector_norms": q_vector_norms,
     "moving_avg3": q_moving_avg,
     "date_dim": q_date_dim,
+    "asof_view_purchase": q_asof_view_purchase,
 }
 
 ORACLES: dict[str, str] = {
@@ -4068,6 +4111,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "classifier_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
+    "kmv_distinct": SQL_KMV_DISTINCT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,

@@ -644,3 +644,31 @@ def test_perplexity_partition_invariant(spark, cat):
     a = sorted(map(tuple, lm.perplexity_scores(docs.repartition(1)).collect()))
     b = sorted(map(tuple, lm.perplexity_scores(docs.repartition(32)).collect()))
     assert a == b
+
+
+def test_kmv_estimate_within_relative_error(spark, cat):
+    """KMV's estimate concentrates around the exact distinct count with
+    relative error ~1/sqrt(k-2); assert a generous 4-sigma band at k=64
+    (±52%%) plus exactness for groups under k distinct keys."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        aggregates,
+    )
+
+    ev = cat.events
+    exact = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r.event_type: r.kmv_distinct
+        for r in aggregates.kmv_distinct(ev, k=64).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        if n < 64:
+            assert est[t] == float(n)  # under-k groups are exact
+        else:
+            assert abs(est[t] - n) / n < 0.52, (t, est[t], n)
