@@ -2,12 +2,18 @@
 and its oracle on DuckDB over the same parquet tables, compare row count,
 schema (column names), and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT] [sf_dir] [query ...]
+
+With --json OUT, every query's result is also written to OUT in the
+driver's CORRECTNESS_r{N}.json row format — the committed SWEEP_r{N}.json
+artifacts are produced this way, giving full-registry evidence each round
+even though the driver's own gate only samples the first 50 queries().
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -42,8 +48,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark import (
@@ -63,6 +74,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -71,16 +83,28 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=None, oracle_rows=None, err=f"spark: {str(e)[:200]}",
+            )
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         sql = ORACLES.get(name)
         if sql is None:
+            results[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=len(sdf), oracle_rows=None, err="no_oracle",
+            )
             print(f"rows  {name}: {len(sdf)} rows (rows-only, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.sql(sql).df()
         except Exception as e:
             failures.append(name)
+            results[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=len(sdf), oracle_rows=None, err=f"duckdb: {str(e)[:200]}",
+            )
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         problems = []
@@ -97,6 +121,12 @@ def main() -> int:
                 print(f"      spark-only: {r[:220]}")
             for r in list(sb - sa)[:3]:
                 print(f"      duck-only:  {r[:220]}")
+        results[name] = dict(
+            rows_match=len(sdf) == len(odf),
+            schema_match=sorted(sdf.columns) == sorted(odf.columns),
+            hash_match=not problems,
+            spark_rows=len(sdf), oracle_rows=len(odf), err=None,
+        )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
@@ -104,6 +134,10 @@ def main() -> int:
             print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     spark.stop()
     return 1 if failures else 0
 
