@@ -227,3 +227,57 @@ def mixture_sample(
             F.round("keep_rate", 4).alias("keep_rate"),
         )
     )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_col: str = "n_chars",
+    per_group: int = 50,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement, per group (Efraimidis &
+    Spirakis 2006, "algorithm A-ES"): keep each group's ``per_group``
+    rows with the largest key ln(u)/w, where u is a deterministic
+    uniform draw from md5(id) and w the row's weight. The kept set is
+    a true w-proportional sample — a row with twice the weight is
+    (exactly) twice as likely to beat any given rival — yet fully
+    re-runnable: membership is a pure function of (id, weight), stable
+    across runs, engines, partitionings and incremental re-ingests,
+    the same property :func:`hash_sample` gives the unweighted case.
+    Training-data use: token-budgeted corpus downsampling where longer
+    (or higher-quality-weighted) documents should be proportionally
+    likelier to survive, per source so no domain is squeezed out.
+
+    Cross-engine determinism (the kmv_distinct recipe): u = (m + 0.5) /
+    2^52 with m the first 13 md5 hex digits — exact in a double, never
+    0 — then ln is QUANTIZED to the 1e-6 grid before the division
+    (libm's last-ulp differences are absorbed by the grid; the quotient
+    of two bit-identical doubles is bit-identical), and ties break on
+    id. Rows with NULL or non-positive weight are excluded — their key
+    is undefined (ln(u)/0) or order-inverted (negative w flips the
+    negative ln), matching the "no mass, no chance" reading.
+
+    Scale shape: one projection computes the key scan-side, one shuffle
+    on the group key for the row_number window; output is bounded at
+    groups x per_group rows. (At extreme per-group cardinality the
+    window becomes a top-k accumulator, same as top_terms' note.)
+    """
+    m = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (m + F.lit(0.5)) / F.lit(float(16**13))
+    key = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("samp_key"), F.col(id_col)
+    )
+    return (
+        documents.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .select(group_col, id_col, weight_col)
+        .withColumn("samp_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_group)
+        .drop("_rn", "samp_key")
+    )

@@ -477,3 +477,60 @@ def approx_top_terms(documents: DataFrame, k: int = 25, capacity: int = 4096) ->
         .orderBy(F.desc("n"), "term")
         .limit(k)
     )
+
+
+def cms_heavy_hitters(
+    documents: DataFrame, depth: int = 4, width: int = 1024, k: int = 50
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    the third member of the heavy-hitter family and, like
+    :func:`~..aggregates.kmv_distinct`, a CROSS-ENGINE-EXACT sketch:
+    every counter is a pure function of md5, so DuckDB rebuilds the
+    identical sketch and the driver hash-checks an approximate algorithm
+    exactly (where Misra-Gries' :func:`approx_top_terms` is
+    partitioning-dependent and only bounds-testable).
+
+    Sketch: ``depth`` hash rows x ``width`` cells; token t increments
+    cell (r, md5(r:t) mod width) in every row; est(t) = min over rows of
+    its cells. Guarantees: est >= true count always (counters only ever
+    over-count), and est <= true + e*N/width with prob 1-exp(-depth)
+    (N = total tokens) — both asserted in tests.
+
+    Scale shape: the token stream is exploded xdepth, but map-side
+    combine collapses each partition's contribution to at most
+    depth*width rows before the shuffle, and the finished sketch is a
+    <= depth*width-row relation — fixed memory regardless of corpus
+    size, the whole point at 100 TB. Estimates then come from ONE
+    broadcast join of the distinct-term vocabulary against the sketch
+    (no second pass over the token stream). Mergeable by construction:
+    counters are sums, so sketches of two corpora add cell-wise.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{r}:"), F.col("term"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(width),
+                ).alias("cell"),
+            )
+            for r in range(depth)
+        ]
+    )
+    terms = documents.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    hashed = terms.withColumn("rc", F.explode(cells)).select("term", "rc.r", "rc.cell")
+    sketch = hashed.groupBy("r", "cell").agg(F.count("*").alias("cnt"))
+    vocab = hashed.select("term", "r", "cell").distinct()
+    return (
+        vocab.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cms_count"))
+        .orderBy(F.desc("cms_count"), "term")
+        .limit(k)
+    )

@@ -3907,6 +3907,82 @@ its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
 round's NULL-delete-condition fix is invisible to its registry query —
 non-null flags — and is pinned by the MERGE property suite)."""
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/text.py
+    cms_heavy_hitters): depth=4 x width=1024 md5 sketch over the token
+    stream, top 50 terms by estimate. The third heavy-hitter formulation
+    (exact top_terms / partition-adaptive Misra-Gries / fixed-memory
+    CMS) and, like kmv_distinct, an APPROXIMATE algorithm the driver
+    hash-checks exactly: every counter is a pure md5 function, so the
+    oracle rebuilds the identical sketch (CROSS JOIN range(depth) + the
+    hex-digit fold) and the estimates match bit-for-bit."""
+    return text.cms_heavy_hitters(Catalog(spark, sf_dir).documents)
+
+
+_CMS_HEX8 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(8), i -> CAST(instr('0123456789abcdef',
+           substring(md5(concat(CAST(r.range AS VARCHAR), ':', t.term)),
+                     CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),
+        (s, x) -> s * 16 + x)"""
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL.format(src='text')}) AS term FROM documents
+),
+cells AS (
+  SELECT t.term, CAST(r.range AS INTEGER) AS r,
+         {_CMS_HEX8} % 1024 AS cell
+  FROM toks t CROSS JOIN range(4) r
+),
+sketch AS (
+  SELECT r, cell, count(*) AS cnt FROM cells GROUP BY r, cell
+),
+vocab AS (
+  SELECT DISTINCT term, r, cell FROM cells
+)
+SELECT term, min(cnt) AS cms_count
+FROM vocab JOIN sketch USING (r, cell)
+GROUP BY term
+ORDER BY cms_count DESC, term
+LIMIT 50
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (operators/sampling.py
+    weighted_sample): per source, the 50 documents with the largest
+    ln(u)/n_chars keys — a length-proportional deterministic sample
+    (the token-budgeted corpus downsampler). u is the kmv_distinct
+    52-bit md5 uniform, ln is quantized to the 1e-6 grid before the
+    division (the perplexity_scores libm-parity recipe), so the ranking
+    is cross-engine bit-stable and the kept set hash-checks exactly."""
+    return sampling.weighted_sample(Catalog(spark, sf_dir).documents)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT source, doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+k AS (
+  SELECT source, doc_id, n_chars,
+    round(ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(13), i -> CAST(instr('0123456789abcdef',
+           substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER) + 1, 1))
+           - 1 AS BIGINT))),
+        (s, x) -> s * 16 + x) AS DOUBLE) + 0.5) / 4503599627370496.0), 6)
+      / CAST(n_chars AS DOUBLE) AS skey
+  FROM d
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS rn
+  FROM k
+)
+SELECT source, doc_id, n_chars FROM r WHERE rn <= 50
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
     "forecast_revenue": q_forecast_revenue,
@@ -4059,6 +4135,12 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg3": q_moving_avg,
     "date_dim": q_date_dim,
     "asof_view_purchase": q_asof_view_purchase,
+    # --- added AFTER the r5 window was fixed (late round 5): no driver
+    # row this round by construction — first evidence is SWEEP_r05.json
+    # (full-registry sweep, hash-green) + their pytest suites; FIRST in
+    # line for r6 window slots alongside the r4-evidence tail above.
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4089,6 +4171,8 @@ ORACLES: dict[str, str] = {
     "session_window_agg": SQL_SESSION_WINDOW,
     "except_intersect": SQL_EXCEPT_INTERSECT,
     "asof_view_purchase": SQL_ASOF_VIEW_PURCHASE,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,
     "user_value_zscore": SQL_USER_ZSCORE,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -1,0 +1,98 @@
+"""Late-round-5 additions: count-min-sketch heavy hitters and A-ES
+weighted sampling — the over-count guarantee, partition invariance, and
+weight-proportional membership."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    sampling,
+    text,
+)
+
+
+def _exact_counts(documents):
+    return {
+        r.term: r.n
+        for r in documents.select(
+            F.explode(text.tokens_col(F.col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_cms_never_undercounts_and_error_is_bounded(cat):
+    docs = cat.documents
+    exact = _exact_counts(docs)
+    n_tokens = sum(exact.values())
+    width = 1024
+    est = {
+        r.term: r.cms_count
+        for r in text.cms_heavy_hitters(docs, width=width).collect()
+    }
+    assert est, "sketch returned nothing"
+    for term, e in est.items():
+        assert e >= exact[term], f"{term}: CMS under-counted {e} < {exact[term]}"
+        # e*N/width Markov bound per row, driven to ~certainty by the
+        # min over depth=4 independent rows; 4x slack keeps it stable
+        assert e - exact[term] <= max(4, 4 * n_tokens / width), (
+            f"{term}: over-count {e - exact[term]} breaches the CMS bound"
+        )
+
+
+def test_cms_contains_the_true_top_term_and_is_partition_invariant(cat):
+    docs = cat.documents
+    exact = _exact_counts(docs)
+    top_true = max(exact, key=lambda t: (exact[t], t))
+    base = text.cms_heavy_hitters(docs).collect()
+    assert top_true in {r.term for r in base}, (
+        "CMS never under-counts, so the true #1 term cannot drop out"
+    )
+    shuffled = text.cms_heavy_hitters(docs.repartition(7)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_weighted_sample_caps_groups_and_is_partition_invariant(cat):
+    docs = cat.documents
+    out = sampling.weighted_sample(docs, per_group=20)
+    sizes = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    avail = {
+        r.source: r.n
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for src, n in sizes.items():
+        assert n == min(20, avail[src])
+    again = sampling.weighted_sample(docs.repartition(11), per_group=20)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 200 rows in one group: 10 with weight 1000, 190 with weight 1.
+    # Under A-ES a weight-1000 row beats a weight-1 row w.p. 1000/1001,
+    # so with 20 slots essentially all heavy rows survive; the draw is
+    # a fixed function of md5(id), making the assertion deterministic.
+    rows = [(i, "s", 1000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = {
+        r.doc_id
+        for r in sampling.weighted_sample(df, per_group=20).collect()
+    }
+    heavy_kept = sum(1 for i in range(10) if i in kept)
+    assert heavy_kept >= 9, f"only {heavy_kept}/10 heavy rows survived"
+    assert len(kept) == 20
+
+
+def test_weighted_sample_drops_nonpositive_and_null_weights(spark):
+    rows = [(1, "s", 100), (2, "s", 0), (3, "s", -5), (4, "s", None), (5, "s", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = sorted(
+        r.doc_id for r in sampling.weighted_sample(df, per_group=10).collect()
+    )
+    assert kept == [1, 5]
