@@ -66,6 +66,11 @@ SUBSET = [
     "embedding_near_dup",
     "near_dup_clusters",
     "kept_vectors",
+    # late-round-5 additions: the fixed-memory CMS sketch (shuffle bounded
+    # at partitions x depth x width regardless of corpus size) and the
+    # per-source A-ES weighted sample (one window shuffle, capped output)
+    "cms_heavy_hitters",
+    "weighted_sample",
 ]
 
 
