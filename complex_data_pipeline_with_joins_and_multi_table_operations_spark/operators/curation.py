@@ -104,3 +104,73 @@ def curate_documents(
     if token_budget is not None:
         out = out.filter(F.col("cum_tokens") <= token_budget)
     return out
+
+
+def rank_fusion_curation(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    per_group: int = 25,
+    target_label: int = 0,
+) -> DataFrame:
+    """Model-ensemble curation by Borda rank fusion — the multi-signal
+    selection step of a DataComp/FineWeb-style pipeline: three
+    INDEPENDENT quality models each rank every document within its
+    (lang, source) slice, and the per-slice winners are the documents
+    with the best summed rank. Signals: the distributed-GD logistic
+    classifier's P(target-class | embedding) (classify.classifier_scores),
+    the bigram-LM average log-probability (lm.perplexity_scores — higher
+    = more fluent under the corpus LM), and the heuristic quality score
+    (text.quality_cols). Rank fusion deliberately works in RANK space:
+    the three scores live on incomparable scales (a probability, a
+    log-prob, a 0-1 heuristic), and ranks are integers — so the fused
+    ordering needs no cross-signal normalization and the whole output is
+    integer-exact for the oracle (the float scores only ever feed
+    row_number ORDER BYs, where the engine's quantized-score recipes
+    already guarantee cross-engine bit-identical ordering; doc_id breaks
+    ties).
+
+    Joins are inner on doc_id (= vec_id: the embedding of that
+    document): a document missing any signal — no bigrams, no embedding
+    — can't be fairly fused and is excluded, mirrored by the oracle.
+
+    Scale shape: each signal is its operator's own (probed) cost; fusion
+    adds ONE shuffle on (lang, source) under which all four window
+    functions run (same partitioning → one Exchange, asserted by the
+    plan audit), output capped at slices × per_group. Hot slices at
+    corpus scale take the pack_sequences two-level treatment; the
+    per-slice form here matches quota_sample's granularity.
+    """
+    from . import classify, lm
+    from .text import quality_cols as _qc
+
+    cls = classify.classifier_scores(embeddings, target_label=target_label).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    ppl = lm.perplexity_scores(documents).select("doc_id", "avg_logp")
+    _, quality = _qc(F.col("text"))
+    q = documents.select("doc_id", "lang", "source", quality.alias("quality"))
+    joined = q.join(ppl, "doc_id").join(cls, "doc_id")
+    slice_by = [F.col("lang"), F.col("source")]
+    r_cls = F.row_number().over(
+        Window.partitionBy(*slice_by).orderBy(F.desc("score"), F.col("doc_id"))
+    )
+    r_ppl = F.row_number().over(
+        Window.partitionBy(*slice_by).orderBy(F.desc("avg_logp"), F.col("doc_id"))
+    )
+    r_q = F.row_number().over(
+        Window.partitionBy(*slice_by).orderBy(F.desc("quality"), F.col("doc_id"))
+    )
+    ranked = (
+        joined.withColumn("r_cls", r_cls)
+        .withColumn("r_ppl", r_ppl)
+        .withColumn("r_q", r_q)
+        .withColumn("borda", F.col("r_cls") + F.col("r_ppl") + F.col("r_q"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*slice_by).orderBy(F.col("borda"), F.col("doc_id"))
+    )
+    return (
+        ranked.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= per_group)
+        .select("lang", "source", "doc_id", "r_cls", "r_ppl", "r_q", "borda")
+    )

@@ -3907,6 +3907,67 @@ its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
 round's NULL-delete-condition fix is invisible to its registry query —
 non-null flags — and is pinned by the MERGE property suite)."""
 
+def q_rank_fusion_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ensemble curation by Borda rank fusion
+    (operators/curation.py rank_fusion_curation): the GD classifier, the
+    bigram LM, and the heuristic quality score each rank documents
+    within their (lang, source) slice; the fused (integer) Borda sum
+    picks 25 winners per slice. The oracle COMPOSES the classifier and
+    perplexity mirrors as nested-WITH subqueries plus the curate
+    pipeline's quality CTE — the float scores only feed ORDER BYs where
+    the quantized-score recipes already guarantee bit-identical
+    ordering, so the fused output is integer-exact end to end."""
+    cat = Catalog(spark, sf_dir)
+    from ..operators import curation
+
+    return curation.rank_fusion_curation(cat.documents, cat.embeddings)
+
+
+SQL_RANK_FUSION_CURATION = f"""
+WITH qsrc AS (
+  SELECT doc_id, lang, source,
+         len(toks) AS nt, length(text) AS nc,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+         len(list_filter(toks,
+             x -> x IN ('the','a','an','of','and','is','to','in'))) AS ns
+  FROM (SELECT *, {TOKS_SQL.format(src='text')} AS toks FROM documents)
+),
+q AS (
+  SELECT doc_id, lang, source,
+         round(CASE WHEN nt BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN nt > 0 THEN ns / CAST(nt AS DOUBLE) ELSE 0.0 END) > 0.05
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0.0 END) < 0.2
+                    THEN 0.2 ELSE 0.0 END, 2) AS quality
+  FROM qsrc
+),
+cls AS (SELECT vec_id AS doc_id, score FROM ({SQL_CLASSIFIER_SCORES}) c),
+ppl AS (SELECT doc_id, avg_logp FROM ({SQL_PERPLEXITY_SCORES}) p),
+j AS (
+  SELECT q.doc_id, q.lang, q.source, q.quality, cls.score, ppl.avg_logp
+  FROM q JOIN ppl USING (doc_id) JOIN cls USING (doc_id)
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY score DESC, doc_id) AS r_cls,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY avg_logp DESC, doc_id) AS r_ppl,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY quality DESC, doc_id) AS r_q
+  FROM j
+),
+b AS (SELECT *, r_cls + r_ppl + r_q AS borda FROM r),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, source
+                               ORDER BY borda, doc_id) AS rn
+  FROM b
+)
+SELECT lang, source, doc_id, r_cls, r_ppl, r_q, borda
+FROM f WHERE rn <= 25
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (operators/text.py
     cms_heavy_hitters): depth=4 x width=1024 md5 sketch over the token
@@ -4141,6 +4202,7 @@ QUERIES: dict[str, QueryFn] = {
     # line for r6 window slots alongside the r4-evidence tail above.
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
+    "rank_fusion_curation": q_rank_fusion_curation,
 }
 
 ORACLES: dict[str, str] = {
@@ -4173,6 +4235,7 @@ ORACLES: dict[str, str] = {
     "asof_view_purchase": SQL_ASOF_VIEW_PURCHASE,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "rank_fusion_curation": SQL_RANK_FUSION_CURATION,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,
     "user_value_zscore": SQL_USER_ZSCORE,
     "dedup_exact": SQL_DEDUP_EXACT,
