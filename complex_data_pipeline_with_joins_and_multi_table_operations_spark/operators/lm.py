@@ -165,3 +165,41 @@ def perplexity_scores(
             ).alias("ppl"),
         )
     )
+
+
+def lm_build(documents: DataFrame, root: str) -> str:
+    """Train-once half of the production split (the model_build /
+    pq_index_build pattern): persist the bigram table AND the vocabulary
+    size (the smoothing denominator — without it a scorer would have to
+    re-scan the training corpus) as transaction-log tables under
+    ``root``. Versioned for free: retraining after a corpus append
+    commits a new snapshot; ``versionAsOf`` pins old scores."""
+    import os
+
+    from ..sources.txlog import TableLog
+
+    spark = documents.sparkSession
+    v = vocab_size(documents)
+    TableLog(spark, os.path.join(root, "lm")).write(
+        train_bigram_lm(documents, v=v), mode="overwrite"
+    )
+    TableLog(spark, os.path.join(root, "meta")).write(
+        spark.createDataFrame([(int(v),)], "v long"), mode="overwrite"
+    )
+    return root
+
+
+def perplexity_cached(documents: DataFrame, root: str) -> DataFrame:
+    """Score-many half: read the persisted LM + vocabulary size back and
+    score without touching the training pipeline. logp is a quantized
+    double and parquet round-trips doubles exactly, so scores are
+    bit-equal to the fused :func:`perplexity_scores` (asserted in
+    tests)."""
+    import os
+
+    from ..sources.txlog import TableLog
+
+    spark = documents.sparkSession
+    lm = TableLog(spark, os.path.join(root, "lm")).read()
+    v = int(TableLog(spark, os.path.join(root, "meta")).read().head()["v"])
+    return perplexity_scores(documents, lm=lm, v=v)

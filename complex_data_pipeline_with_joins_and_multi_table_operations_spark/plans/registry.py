@@ -3907,6 +3907,60 @@ its equality-tested builtin twin) and merge_upsert (r4 hash-green; this
 round's NULL-delete-condition fix is invisible to its registry query —
 non-null flags — and is pinned by the MERGE property suite)."""
 
+_CLS_MODEL_CACHE: dict[str, str] = {}
+
+
+def q_classifier_cached_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring against a PERSISTED classifier (operators/classify.py
+    model_build / model_score): the weights live in a transaction-log
+    table — a versioned model registry — and the query only reads them
+    back and scores scan-locally; the production train-once/score-many
+    split of `classifier_scores`, exactly the ann_pq_cached_topk
+    treatment. Bit-equal to the fused form (training is deterministic
+    and parquet round-trips doubles exactly), so the oracle is the SAME
+    unrolled-GD SQL — the hash check proves the txlog persistence
+    round-trip on top of the trajectory."""
+    import os
+    import tempfile
+
+    from ..operators import classify
+
+    emb = Catalog(spark, sf_dir).embeddings
+    root = _CLS_MODEL_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = classify.model_build(
+            emb, tempfile.mkdtemp(prefix="cls_model_"), iters=3, lr=2.0
+        )
+        _CLS_MODEL_CACHE[sf_dir] = root
+    return classify.model_score(emb, root)
+
+
+_LM_MODEL_CACHE: dict[str, str] = {}
+
+
+def q_perplexity_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity scoring against a PERSISTED bigram LM
+    (operators/lm.py lm_build / perplexity_cached): the bigram table and
+    the vocabulary size live in transaction-log tables and scoring never
+    touches the training pipeline — the train-once/score-many split of
+    `perplexity_scores`, completing the pattern across all three trained
+    models (PQ: ann_pq_cached_topk; classifier: classifier_cached_scores).
+    Bit-equal to the fused form (quantized logp doubles round-trip
+    parquet exactly), so the oracle is the SAME LM SQL — the hash check
+    proves the persistence round-trip."""
+    import os
+    import tempfile
+
+    from ..operators import lm as lm_mod
+
+    docs = Catalog(spark, sf_dir).documents
+    root = _LM_MODEL_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = lm_mod.lm_build(docs, tempfile.mkdtemp(prefix="lm_model_"))
+        _LM_MODEL_CACHE[sf_dir] = root
+    return lm_mod.perplexity_cached(docs, root)
+
+
 def q_rank_fusion_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-ensemble curation by Borda rank fusion
     (operators/curation.py rank_fusion_curation): the GD classifier, the
@@ -4203,6 +4257,8 @@ QUERIES: dict[str, QueryFn] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
     "rank_fusion_curation": q_rank_fusion_curation,
+    "classifier_cached_scores": q_classifier_cached_scores,
+    "perplexity_cached": q_perplexity_cached,
 }
 
 ORACLES: dict[str, str] = {
@@ -4236,6 +4292,8 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rank_fusion_curation": SQL_RANK_FUSION_CURATION,
+    "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
+    "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,
     "user_value_zscore": SQL_USER_ZSCORE,
     "dedup_exact": SQL_DEDUP_EXACT,

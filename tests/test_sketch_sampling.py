@@ -96,3 +96,18 @@ def test_weighted_sample_drops_nonpositive_and_null_weights(spark):
         r.doc_id for r in sampling.weighted_sample(df, per_group=10).collect()
     )
     assert kept == [1, 5]
+
+
+def test_perplexity_cached_is_bit_equal_to_fused(cat, tmp_path):
+    # train-once/score-many for the bigram LM: scoring against the
+    # persisted txlog (lm, meta) tables is bit-equal to the fused
+    # train-in-query form — quantized logp doubles round-trip parquet
+    # exactly, and the persisted vocabulary size pins the smoothing floor
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        lm,
+    )
+
+    root = lm.lm_build(cat.documents, str(tmp_path / "lm_model"))
+    cached = sorted(map(tuple, lm.perplexity_cached(cat.documents, root).collect()))
+    fused = sorted(map(tuple, lm.perplexity_scores(cat.documents).collect()))
+    assert cached == fused
