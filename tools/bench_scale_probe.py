@@ -71,6 +71,13 @@ SUBSET = [
     # per-source A-ES weighted sample (one window shuffle, capped output)
     "cms_heavy_hitters",
     "weighted_sample",
+    # the ensemble fusion (three in-query model trainings + one fused
+    # window shuffle) and the train-once/score-many splits of the
+    # classifier and the bigram LM (txlog-persisted models; first trial
+    # pays the build, min-of-2 reports the cached scoring path)
+    "rank_fusion_curation",
+    "classifier_cached_scores",
+    "perplexity_cached",
 ]
 
 
