@@ -4099,12 +4099,16 @@ SELECT source, doc_id, n_chars FROM r WHERE rn <= 50
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- window slots 1-47: r3-evidence oracled queries, due a refresh ----
-    "forecast_revenue": q_forecast_revenue,
-    "product_type_profit": q_product_type_profit,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
+    # --- window slots 1-42: r3-evidence oracled queries, due a refresh ----
+    # (late-round-5 re-rotation: the session kept running after the window
+    # was first fixed, so the five late additions below — cms_heavy_hitters,
+    # weighted_sample, rank_fusion_curation, classifier_cached_scores,
+    # perplexity_cached — were promoted INTO the window to get their first
+    # driver rows this round; displaced to the tail to make room:
+    # forecast_revenue, product_type_profit, customer_distribution,
+    # top_supplier, supplier_part_counts — all trivial single-shape SQL
+    # aggregates, unchanged since r3, r3-driver-green, hash-green in this
+    # round's full-registry SWEEP_r05.json, first in line for r6.)
     "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
@@ -4182,6 +4186,15 @@ QUERIES: dict[str, QueryFn] = {
     # (its operator twin user_median_value stays in-window and both share
     # SQL_USER_MEDIAN, so the builtin keeps r3 oracle evidence + pytest)
     "ann_pq_cached_topk": q_ann_pq_cached_topk,
+    # --- window slots 46-50: late-round-5 additions, promoted from the
+    # tail once it was clear the round was still running — each gets its
+    # first driver hash-checked row this round (all five are already
+    # hash-green in SWEEP_r05.json and pytest-pinned).
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "rank_fusion_curation": q_rank_fusion_curation,
+    "classifier_cached_scores": q_classifier_cached_scores,
+    "perplexity_cached": q_perplexity_cached,
     # --- tail (outside the 50-entry window): r4-green (CORRECTNESS_r04)
     # and unchanged since, plus the golden-frozen rows-only queries
     # (simhash_near_pairs, ann_lsh_topk, embedding_near_dup_lsh,
@@ -4250,15 +4263,14 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg3": q_moving_avg,
     "date_dim": q_date_dim,
     "asof_view_purchase": q_asof_view_purchase,
-    # --- added AFTER the r5 window was fixed (late round 5): no driver
-    # row this round by construction — first evidence is SWEEP_r05.json
-    # (full-registry sweep, hash-green) + their pytest suites; FIRST in
-    # line for r6 window slots alongside the r4-evidence tail above.
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "weighted_sample": q_weighted_sample,
-    "rank_fusion_curation": q_rank_fusion_curation,
-    "classifier_cached_scores": q_classifier_cached_scores,
-    "perplexity_cached": q_perplexity_cached,
+    # --- displaced late round 5 to give the five newest queries their
+    # first driver rows: trivial aggregates, r3-driver-green, hash-green
+    # in SWEEP_r05.json, first in line for the r6 rotation.
+    "forecast_revenue": q_forecast_revenue,
+    "product_type_profit": q_product_type_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
 }
 
 ORACLES: dict[str, str] = {
