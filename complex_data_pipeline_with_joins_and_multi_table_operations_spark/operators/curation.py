@@ -111,6 +111,8 @@ def rank_fusion_curation(
     embeddings: DataFrame,
     per_group: int = 25,
     target_label: int = 0,
+    cls_scores: DataFrame | None = None,
+    ppl_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Model-ensemble curation by Borda rank fusion — the multi-signal
     selection step of a DataComp/FineWeb-style pipeline: three
@@ -139,14 +141,23 @@ def rank_fusion_curation(
     plan audit), output capped at slices × per_group. Hot slices at
     corpus scale take the pack_sequences two-level treatment; the
     per-slice form here matches quota_sample's granularity.
+
+    ``cls_scores`` / ``ppl_scores`` accept pre-computed signal frames
+    (classifier: ``(vec_id, score)``-shaped; LM: ``(doc_id, avg_logp)``)
+    so the production path can fuse against persisted models instead of
+    retraining both inside the query — see :func:`rank_fusion_cached`.
     """
     from . import classify, lm
     from .text import quality_cols as _qc
 
-    cls = classify.classifier_scores(embeddings, target_label=target_label).select(
-        F.col("vec_id").alias("doc_id"), "score"
-    )
-    ppl = lm.perplexity_scores(documents).select("doc_id", "avg_logp")
+    if cls_scores is None:
+        cls_scores = classify.classifier_scores(
+            embeddings, target_label=target_label
+        )
+    cls = cls_scores.select(F.col("vec_id").alias("doc_id"), "score")
+    if ppl_scores is None:
+        ppl_scores = lm.perplexity_scores(documents)
+    ppl = ppl_scores.select("doc_id", "avg_logp")
     _, quality = _qc(F.col("text"))
     q = documents.select("doc_id", "lang", "source", quality.alias("quality"))
     joined = q.join(ppl, "doc_id").join(cls, "doc_id")
@@ -173,4 +184,38 @@ def rank_fusion_curation(
         ranked.withColumn("_rn", rn)
         .filter(F.col("_rn") <= per_group)
         .select("lang", "source", "doc_id", "r_cls", "r_ppl", "r_q", "borda")
+    )
+
+
+def rank_fusion_cached(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    cls_root: str,
+    lm_root: str,
+    per_group: int = 25,
+    target_label: int = 0,
+) -> DataFrame:
+    """:func:`rank_fusion_curation` against PERSISTED models — the
+    production shape. The fused form retrains the GD classifier and the
+    bigram LM on every invocation (deliberately, so the driver's hash
+    check covers both training trajectories); here both models are read
+    back from their transaction-log tables (``classify.model_build`` /
+    ``lm.lm_build``) and the query only scores and fuses. Scores are
+    bit-equal to the fused form (both cached scorers are — asserted in
+    tests), ranks are integers over those scores, so the output is
+    bit-identical: same oracle, and its hash check proves BOTH model
+    round-trips through one composed query. At 100 TB this is the only
+    sane shape — training amortizes across every curation run, and the
+    per-run cost drops to three scans + one (lang, source) Exchange."""
+    from . import classify, lm
+
+    cls = classify.model_score(embeddings, cls_root, target_label=target_label)
+    ppl = lm.perplexity_cached(documents, lm_root)
+    return rank_fusion_curation(
+        documents,
+        embeddings,
+        per_group=per_group,
+        target_label=target_label,
+        cls_scores=cls,
+        ppl_scores=ppl,
     )

@@ -3977,6 +3977,36 @@ def q_rank_fusion_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rank_fusion_curation(cat.documents, cat.embeddings)
 
 
+def q_rank_fusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank fusion against the PERSISTED classifier + LM
+    (operators/curation.py rank_fusion_cached): the production
+    train-once/fuse-many shape. Both models are read back from their
+    transaction-log tables; scores — and therefore the integer ranks and
+    Borda sums — are bit-equal to the fused `rank_fusion_curation`, so
+    the oracle is the SAME composed SQL and its hash check proves both
+    model round-trips inside one query."""
+    import os
+    import tempfile
+
+    from ..operators import classify, curation
+    from ..operators import lm as lm_mod
+
+    cat = Catalog(spark, sf_dir)
+    cls_root = _CLS_MODEL_CACHE.get(sf_dir)
+    if cls_root is None or not os.path.isdir(cls_root):
+        cls_root = classify.model_build(
+            cat.embeddings, tempfile.mkdtemp(prefix="cls_model_"), iters=3, lr=2.0
+        )
+        _CLS_MODEL_CACHE[sf_dir] = cls_root
+    lm_root = _LM_MODEL_CACHE.get(sf_dir)
+    if lm_root is None or not os.path.isdir(lm_root):
+        lm_root = lm_mod.lm_build(cat.documents, tempfile.mkdtemp(prefix="lm_model_"))
+        _LM_MODEL_CACHE[sf_dir] = lm_root
+    return curation.rank_fusion_cached(
+        cat.documents, cat.embeddings, cls_root, lm_root
+    )
+
+
 SQL_RANK_FUSION_CURATION = f"""
 WITH qsrc AS (
   SELECT doc_id, lang, source,
@@ -4271,6 +4301,10 @@ QUERIES: dict[str, QueryFn] = {
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
+    # --- added after the final r5 window rotation: first evidence is
+    # SWEEP_r05.json + the fused/cached bit-equality pytest; in line for
+    # an r6 window slot.
+    "rank_fusion_cached": q_rank_fusion_cached,
 }
 
 ORACLES: dict[str, str] = {
@@ -4304,6 +4338,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rank_fusion_curation": SQL_RANK_FUSION_CURATION,
+    "rank_fusion_cached": SQL_RANK_FUSION_CURATION,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -47,6 +47,21 @@ def test_rank_fusion_is_partition_invariant(spark, cat):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_rank_fusion_cached_is_bit_equal_to_fused(spark, cat, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+        lm,
+    )
+
+    cls_root = classify.model_build(cat.embeddings, str(tmp_path / "cls"))
+    lm_root = lm.lm_build(cat.documents, str(tmp_path / "lm"))
+    fused = curation.rank_fusion_curation(cat.documents, cat.embeddings).collect()
+    cached = curation.rank_fusion_cached(
+        cat.documents, cat.embeddings, cls_root, lm_root
+    ).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, cached))
+
+
 def test_rank_fusion_windows_share_one_exchange(spark, cat):
     df = curation.rank_fusion_curation(cat.documents, cat.embeddings)
     plan = df._jdf.queryExecution().executedPlan().toString()
