@@ -78,6 +78,9 @@ SUBSET = [
     "rank_fusion_curation",
     "classifier_cached_scores",
     "perplexity_cached",
+    # fusion against the persisted models (first trial pays both model
+    # builds, min-of-2 reports the score-and-fuse path)
+    "rank_fusion_cached",
 ]
 
 
