@@ -4128,6 +4128,100 @@ SELECT source, doc_id, n_chars FROM r WHERE rn <= 50
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train):
+    8 merge rules learned from the documents corpus — one corpus scan
+    collapses to the distinct-word frequency table, then every round is
+    a pair-count partial aggregate over that vocabulary-sized relation
+    plus a TakeOrdered(1) argmax collected as driver metadata (the
+    kmeans discipline applied to tokenizer training). Integer counts +
+    binary-order tie-breaks + literal leftmost replace make the whole
+    trajectory bit-deterministic; the oracle unrolls the 8 rounds."""
+    from ..operators import bpe
+
+    return bpe.bpe_train(Catalog(spark, sf_dir).documents, merges=8)
+
+
+def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting under the corpus-trained BPE
+    vocabulary (operators/bpe.py bpe_subword_counts): train the 8
+    merges, broadcast the per-word subword length (vocabulary-sized),
+    and aggregate per document — the price a training run actually pays
+    per document, vs bpe_token_counts' fixed-regex estimate."""
+    from ..operators import bpe
+
+    return bpe.bpe_subword_counts(Catalog(spark, sf_dir).documents, merges=8)
+
+
+def _bpe_sql(k: int, tail: str) -> str:
+    """DuckDB mirror of the k-round BPE training trajectory: the same
+    distinct-word table, the same overlap-counted pair statistic, the
+    same (cnt DESC, lhs, rhs) binary-order argmax, and the same literal
+    leftmost-non-overlapping replace, unrolled round by round (the
+    _kmeans_sql / _logreg_sql pattern for iterative algorithms)."""
+    parts = [
+        f"""w0 AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT lower(tok) AS word FROM (
+      SELECT unnest({TOKS_SQL.format(src='text')}) AS tok FROM documents
+    )
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS sym
+  FROM w0
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq,
+               unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+        FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM s{r-1}))
+  GROUP BY pr[1], pr[2]
+),
+m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(sym,
+                 ' ' || (SELECT a FROM m{r}) || ' ' || (SELECT b FROM m{r}) || ' ',
+                 ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' ') AS sym
+  FROM s{r-1}
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+SQL_BPE_TRAIN_MERGES = _bpe_sql(
+    8,
+    "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, a AS lhs, b AS rhs, a || b AS merged,"
+        f" cnt AS freq FROM m{r}"
+        for r in range(1, 9)
+    ),
+)
+
+SQL_BPE_SUBWORD_COUNTS = _bpe_sql(
+    8,
+    f""", lens AS (
+  SELECT word, len(string_split(trim(sym), ' ')) AS n_sub FROM s8
+),
+dw AS (
+  SELECT doc_id, lower(tok) AS word FROM (
+    SELECT doc_id, unnest({TOKS_SQL.format(src='text')}) AS tok FROM documents
+  ) WHERE regexp_matches(lower(tok), '^[a-z]+$')
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(lens.n_sub) AS BIGINT) AS n_subwords
+FROM dw JOIN lens ON dw.word = lens.word
+GROUP BY dw.doc_id""",
+)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-42: r3-evidence oracled queries, due a refresh ----
     # (late-round-5 re-rotation: the session kept running after the window
@@ -4305,6 +4399,11 @@ QUERIES: dict[str, QueryFn] = {
     # SWEEP_r05.json + the fused/cached bit-equality pytest; in line for
     # an r6 window slot.
     "rank_fusion_cached": q_rank_fusion_cached,
+    # --- distributed BPE tokenizer training (late round 5): first
+    # evidence is SWEEP_r05.json + tests/test_bpe.py (pure-Python
+    # reference parity); in line for r6 window slots.
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_subword_counts": q_bpe_subword_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -4339,6 +4438,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rank_fusion_curation": SQL_RANK_FUSION_CURATION,
     "rank_fusion_cached": SQL_RANK_FUSION_CURATION,
+    "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
+    "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

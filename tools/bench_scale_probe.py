@@ -81,6 +81,11 @@ SUBSET = [
     # fusion against the persisted models (first trial pays both model
     # builds, min-of-2 reports the score-and-fuse path)
     "rank_fusion_cached",
+    # distributed BPE training: one corpus scan to the distinct-word
+    # table, then 8 pair-count rounds over that vocabulary-sized
+    # relation — cost should track distinct words, not corpus size
+    "bpe_train_merges",
+    "bpe_subword_counts",
 ]
 
 
