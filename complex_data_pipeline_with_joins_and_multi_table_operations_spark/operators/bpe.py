@@ -143,6 +143,33 @@ def apply_merges(symbols: DataFrame, merge_rows: list) -> DataFrame:
     return cur
 
 
+def bpe_build(documents: DataFrame, root: str, merges: int = 8) -> str:
+    """Train-once half of the production split (the model_build /
+    lm_build / pq_index_build pattern): persist the ordered merge table
+    as a transaction-log table — a versioned tokenizer registry, the
+    artifact every downstream token count, budget cut and packing run
+    must agree on.  Retraining after a corpus append commits a new
+    snapshot; ``versionAsOf`` pins old tokenizations — exactly the
+    reproducibility contract a real pretraining pipeline needs from its
+    tokenizer.  Returns the model table path."""
+    from ..sources.txlog import TableLog
+
+    TableLog(documents.sparkSession, root).write(
+        bpe_train(documents, merges=merges), mode="overwrite"
+    )
+    return root
+
+
+def subword_counts_cached(documents: DataFrame, root: str) -> DataFrame:
+    """Apply-many half: read the persisted merge rules back (strings and
+    integers round-trip parquet exactly, so the rewrite is bit-equal to
+    the fused form — asserted in tests) and count without retraining."""
+    from ..sources.txlog import TableLog
+
+    merge_rows = TableLog(documents.sparkSession, root).read().collect()
+    return _subword_counts(documents, merge_rows)
+
+
 def bpe_subword_counts(
     documents: DataFrame, merges: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -154,6 +181,12 @@ def bpe_subword_counts(
     document; only ``^[a-z]+$`` words are counted, mirroring training.
     """
     merge_rows = bpe_train(documents, merges=merges).collect()
+    return _subword_counts(documents, merge_rows, id_col=id_col)
+
+
+def _subword_counts(
+    documents: DataFrame, merge_rows: list, id_col: str = "doc_id"
+) -> DataFrame:
     wf = word_freqs(documents)
     lens = apply_merges(_base_symbols(wf), merge_rows).select(
         "word", F.size(F.split(F.trim("sym"), " ")).alias("n_sub")

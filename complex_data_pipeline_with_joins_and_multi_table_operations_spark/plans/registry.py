@@ -4153,6 +4153,33 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_subword_counts(Catalog(spark, sf_dir).documents, merges=8)
 
 
+_BPE_MODEL_CACHE: dict[str, str] = {}
+
+
+def q_bpe_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting against the PERSISTED tokenizer
+    (operators/bpe.py bpe_build / subword_counts_cached): the merge
+    table lives in a transaction-log table — a versioned tokenizer
+    registry — and the query only reads the 8 rules back and rewrites
+    scan-locally; the train-once/apply-many split of
+    bpe_subword_counts, completing the pattern across all FOUR trained
+    models (PQ, classifier, bigram LM, tokenizer). Strings/integers
+    round-trip parquet exactly, so the output is bit-equal to the fused
+    form and the oracle is the SAME unrolled-rounds SQL — the hash
+    check proves the persistence round-trip."""
+    import os
+    import tempfile
+
+    from ..operators import bpe
+
+    docs = Catalog(spark, sf_dir).documents
+    root = _BPE_MODEL_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = bpe.bpe_build(docs, tempfile.mkdtemp(prefix="bpe_model_"), merges=8)
+        _BPE_MODEL_CACHE[sf_dir] = root
+    return bpe.subword_counts_cached(docs, root)
+
+
 def _bpe_sql(k: int, tail: str) -> str:
     """DuckDB mirror of the k-round BPE training trajectory: the same
     distinct-word table, the same overlap-counted pair statistic, the
@@ -4404,6 +4431,7 @@ QUERIES: dict[str, QueryFn] = {
     # reference parity); in line for r6 window slots.
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_subword_counts": q_bpe_subword_counts,
+    "bpe_counts_cached": q_bpe_counts_cached,
 }
 
 ORACLES: dict[str, str] = {
@@ -4440,6 +4468,7 @@ ORACLES: dict[str, str] = {
     "rank_fusion_cached": SQL_RANK_FUSION_CURATION,
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
+    "bpe_counts_cached": SQL_BPE_SUBWORD_COUNTS,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

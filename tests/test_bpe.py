@@ -116,6 +116,27 @@ def test_bpe_merges_reduce_token_counts(cat):
     assert any(merged[d] < base[d] for d in base)
 
 
+def test_bpe_cached_counts_are_bit_equal_to_fused(cat, tmp_path):
+    root = bpe.bpe_build(cat.documents, str(tmp_path / "bpe"), merges=6)
+    fused = bpe.bpe_subword_counts(cat.documents, merges=6).collect()
+    cached = bpe.subword_counts_cached(cat.documents, root).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, cached))
+
+
+def test_bpe_model_registry_is_versioned(spark, cat, tmp_path):
+    """Retraining commits a snapshot; versionAsOf pins the old rules."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    root = str(tmp_path / "bpe")
+    bpe.bpe_build(cat.documents, root, merges=3)
+    bpe.bpe_build(cat.documents, root, merges=6)
+    log = TableLog(spark, root)
+    assert log.read(version=1).count() == 3
+    assert log.read().count() == 6
+
+
 def test_bpe_train_stops_when_no_repeated_pairs(spark):
     docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     assert bpe.bpe_train(docs, merges=5).count() == 0

@@ -86,6 +86,9 @@ SUBSET = [
     # relation — cost should track distinct words, not corpus size
     "bpe_train_merges",
     "bpe_subword_counts",
+    # token accounting against the txlog-persisted tokenizer (first
+    # trial pays the build, min-of-2 reports the apply path)
+    "bpe_counts_cached",
 ]
 
 
