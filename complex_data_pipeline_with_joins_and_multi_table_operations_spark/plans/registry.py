@@ -4180,6 +4180,63 @@ def q_bpe_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.subword_counts_cached(docs, root)
 
 
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    customer↔supplier trade graph (an edge per distinct pair connected
+    by a lineitem, both directions — a bipartite random walk): 3 rounds
+    of join-aggregate over the persisted edge list, all-BIGINT masses
+    (mass div outdeg contributions, 17/20 damping, floor teleport), so
+    the iterative trajectory is bit-deterministic with NO quantization
+    grid at all and the oracle unrolls it exactly."""
+    from ..operators import graph
+
+    cat = Catalog(spark, sf_dir)
+    return graph.pagerank(
+        graph.trade_graph(cat.orders, cat.lineitem),
+        iters=3,
+        edges_distinct=True,
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    """DuckDB mirror of the fixed-point PageRank trajectory: same
+    distinct edge set, same integer floor divisions, unrolled round by
+    round (MATERIALIZED so the chain evaluates once per level)."""
+    parts = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs UNION SELECT s AS src, c AS dst FROM pairs
+),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+m0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS mass FROM n)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""i{r} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(m.mass // od.outdeg) AS BIGINT) AS insum
+  FROM e JOIN od USING (src) JOIN m{r-1} m ON e.src = m.node
+  GROUP BY e.dst
+),
+m{r} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(150000000 + (17 * COALESCE(i.insum, 0)) // 20 AS BIGINT) AS mass
+  FROM n LEFT JOIN i{r} i ON n.node = i.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, mass FROM m{iters}"
+    )
+
+
+SQL_TRADE_PAGERANK = _pagerank_sql(3)
+
+
 def _bpe_sql(k: int, tail: str) -> str:
     """DuckDB mirror of the k-round BPE training trajectory: the same
     distinct-word table, the same overlap-counted pair statistic, the
@@ -4432,6 +4489,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_subword_counts": q_bpe_subword_counts,
     "bpe_counts_cached": q_bpe_counts_cached,
+    # --- iterative graph centrality (late round 5): first evidence is
+    # SWEEP_r05.json + tests/test_graph.py; in line for an r6 slot.
+    "trade_pagerank": q_trade_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4469,6 +4529,7 @@ ORACLES: dict[str, str] = {
     "bpe_train_merges": SQL_BPE_TRAIN_MERGES,
     "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
     "bpe_counts_cached": SQL_BPE_SUBWORD_COUNTS,
+    "trade_pagerank": SQL_TRADE_PAGERANK,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -1,0 +1,72 @@
+"""Fixed-point integer PageRank: pure-Python reference parity,
+partition invariance, mass conservation, and centrality sanity."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+    graph,
+)
+
+
+def _ref_pagerank(edges: list[tuple[str, str]], iters: int) -> dict[str, int]:
+    edges = sorted(set(edges))
+    outdeg = Counter(s for s, _ in edges)
+    mass = {n: graph.SCALE for p in edges for n in p}
+    for _ in range(iters):
+        ins: Counter = Counter()
+        for s, d in edges:
+            ins[d] += mass[s] // outdeg[s]
+        mass = {n: graph.TELEPORT + 17 * ins.get(n, 0) // 20 for n in mass}
+    return mass
+
+
+EDGES = [
+    ("a", "b"),
+    ("b", "a"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "a"),  # d is a source-only node; c->a makes a a hub
+    ("a", "d"),
+]
+
+
+def test_pagerank_matches_python_reference(spark):
+    df = spark.createDataFrame(EDGES + EDGES[:2], "src string, dst string")
+    got = {r.node: r.mass for r in graph.pagerank(df, iters=4).collect()}
+    assert got == _ref_pagerank(EDGES, 4)
+
+
+def test_pagerank_is_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, graph.pagerank(df, iters=3).collect()))
+    b = sorted(map(tuple, graph.pagerank(df.repartition(7), iters=3).collect()))
+    assert a == b
+
+
+def test_pagerank_mass_is_bounded_and_hub_wins(spark):
+    # star: every leaf points at the hub and back
+    edges = [("hub", f"l{i}") for i in range(10)] + [
+        (f"l{i}", "hub") for i in range(10)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.mass for r in graph.pagerank(df, iters=3).collect()}
+    assert max(out, key=out.get) == "hub"
+    # floors only ever LEAK mass; teleport injects a fixed floor
+    assert sum(out.values()) <= len(out) * graph.SCALE
+    assert min(out.values()) >= graph.TELEPORT
+
+
+def test_trade_graph_pagerank_on_tpch(spark, cat):
+    pr = graph.pagerank(
+        graph.trade_graph(cat.orders, cat.lineitem), iters=2, edges_distinct=True
+    )
+    rows = pr.collect()
+    suppliers = [r for r in rows if r.node % 2 == 1]
+    customers = [r for r in rows if r.node % 2 == 0]
+    assert suppliers and customers
+    assert len({r.node for r in rows}) == len(rows)
+    # suppliers are the scarce side of the bipartite walk: each carries
+    # more mass than any customer on this corpus
+    assert min(r.mass for r in suppliers) > max(r.mass for r in customers)

@@ -89,6 +89,9 @@ SUBSET = [
     # token accounting against the txlog-persisted tokenizer (first
     # trial pays the build, min-of-2 reports the apply path)
     "bpe_counts_cached",
+    # iterative graph centrality: edge build + 3 join-aggregate rounds
+    # over the src-partitioned cached edge list
+    "trade_pagerank",
 ]
 
 
