@@ -4237,6 +4237,78 @@ m{r} AS MATERIALIZED (
 SQL_TRADE_PAGERANK = _pagerank_sql(3)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    every document scored by how much more likely the target-domain
+    (lang='en') hashed-ngram multinomial finds it than the raw-pool
+    model — log weight as an exact micro-unit BIGINT (quantized-ln
+    micro terms, then pure integer arithmetic), so the whole statistic
+    hash-matches across engines."""
+    from ..operators import dsir
+
+    return dsir.dsir_weights(
+        Catalog(spark, sf_dir).documents, F.col("lang") == "en"
+    )
+
+
+_DSIR_HEX52 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(13), i -> CAST(instr('0123456789abcdef',"
+    " substring(md5(feat), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),"
+    " (s, x) -> s * 16 + x)"
+)
+
+
+def _dsir_micro(v: str) -> str:
+    return (
+        f"CAST(CAST(round(ln({v}), 6) AS DECIMAL(28,14)) * 1000000 AS BIGINT)"
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, (lang = 'en') AS tflag,
+         {TOKS_SQL.format(src='text')} AS toks
+  FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, tflag, ({_DSIR_HEX52}) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, tflag,
+           unnest(list_concat(toks,
+             list_transform(range(len(toks) - 1),
+               i -> toks[CAST(i AS INTEGER) + 1] || ' ' ||
+                    toks[CAST(i AS INTEGER) + 2]))) AS feat
+    FROM t
+  )
+),
+cells AS MATERIALIZED (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN tflag THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM occ GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+  FROM cells
+),
+lr AS MATERIALIZED (
+  SELECT bucket,
+         {_dsir_micro('ct + 1')}
+       - {_dsir_micro('cr + 1')}
+       + {_dsir_micro('nr + 4096')}
+       - {_dsir_micro('nt + 4096')} AS lr_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT occ.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(lr.lr_micro) AS BIGINT) AS weight_micro,
+       CAST(SUM(lr.lr_micro) AS BIGINT) / 1000000.0 AS weight
+FROM occ JOIN lr USING (bucket)
+GROUP BY occ.doc_id
+"""
+
+
 def _bpe_sql(k: int, tail: str) -> str:
     """DuckDB mirror of the k-round BPE training trajectory: the same
     distinct-word table, the same overlap-counted pair statistic, the
@@ -4492,6 +4564,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- iterative graph centrality (late round 5): first evidence is
     # SWEEP_r05.json + tests/test_graph.py; in line for an r6 slot.
     "trade_pagerank": q_trade_pagerank,
+    # --- DSIR importance weighting (late round 5): first evidence is
+    # SWEEP_r05.json + tests/test_dsir.py; in line for an r6 slot.
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES: dict[str, str] = {
@@ -4530,6 +4605,7 @@ ORACLES: dict[str, str] = {
     "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
     "bpe_counts_cached": SQL_BPE_SUBWORD_COUNTS,
     "trade_pagerank": SQL_TRADE_PAGERANK,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -92,6 +92,9 @@ SUBSET = [
     # iterative graph centrality: edge build + 3 join-aggregate rounds
     # over the src-partitioned cached edge list
     "trade_pagerank",
+    # DSIR importance weights: two passes over corpus tokens + a
+    # B-bounded cell shuffle + a broadcast log-ratio table
+    "dsir_weights",
 ]
 
 
