@@ -78,6 +78,65 @@ def _feature_occurrences(base: DataFrame, buckets: int) -> DataFrame:
     )
 
 
+def ratio_table(
+    documents: DataFrame,
+    target: Column,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """(bucket, lr_micro): the per-cell log importance ratio — the
+    entire DSIR "model" (B rows).  A cell unseen in training scores
+    the constant ``micro(ln(nr+B)) − micro(ln(nt+B))`` (both counts
+    smooth to 1); scorers coalesce misses to that value, which
+    :func:`dsir_build` persists alongside the table."""
+    base = documents.select("doc_id", "text", target.alias("_t"))
+    occ = _feature_occurrences(base, buckets)
+    cells = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = cells.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # broadcast scalar bind (the sampling.py/text.py pattern)
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _micro_qln(F.col("ct") + 1)
+            - _micro_qln(F.col("cr") + 1)
+            + _micro_qln(F.col("nr") + buckets)
+            - _micro_qln(F.col("nt") + buckets)
+        ).alias("lr_micro"),
+    )
+
+
+def _score(
+    documents: DataFrame,
+    lr: DataFrame,
+    buckets: int,
+    default_micro: Column | None = None,
+) -> DataFrame:
+    occ = _feature_occurrences(
+        documents.select("doc_id", "text", F.lit(False).alias("_t")), buckets
+    )
+    joined = occ.join(F.broadcast(lr), "bucket", "left")
+    contrib = (
+        F.coalesce(F.col("lr_micro"), default_micro)
+        if default_micro is not None
+        else F.col("lr_micro")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(contrib).alias("weight_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_micro",
+            (F.col("weight_micro").cast("double") / 1000000.0).alias("weight"),
+        )
+    )
+
+
 def dsir_weights(
     documents: DataFrame,
     target: Column,
@@ -88,38 +147,67 @@ def dsir_weights(
     double, derived from the integer).  ``target`` is a boolean Column
     over the documents' columns selecting the target-domain seed set.
     Resample by weight (or weight + Gumbel noise, per the paper) to
-    taste — the scoring is the distributed part."""
+    taste — the scoring is the distributed part.  Fused train-and-score
+    (every cell the pool can hit exists in the table, so no default is
+    needed); the production split is :func:`dsir_build` /
+    :func:`dsir_weights_cached`."""
+    return _score(documents, ratio_table(documents, target, buckets), buckets)
+
+
+def dsir_build(
+    documents: DataFrame,
+    target: Column,
+    root: str,
+    buckets: int = BUCKETS,
+) -> str:
+    """Train-once half of the production split (the fifth persisted
+    model after PQ, classifier, LM, tokenizer): commit the B-row ratio
+    table and its metadata (buckets, the unseen-cell default) to
+    transaction-log tables — re-deriving the seed set commits a new
+    snapshot, ``versionAsOf`` pins old selections."""
+    import os
+
+    from ..sources.txlog import TableLog
+
+    spark = documents.sparkSession
+    lr = ratio_table(documents, target, buckets)
     base = documents.select("doc_id", "text", target.alias("_t"))
     occ = _feature_occurrences(base, buckets)
-
-    cells = occ.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    totals = occ.agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
     )
-    totals = cells.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
-    # broadcast scalar bind (the sampling.py/text.py pattern)
-    lr = cells.crossJoin(F.broadcast(totals)).select(
-        "bucket",
+    default = totals.select(
         (
-            _micro_qln(F.col("ct") + 1)
-            - _micro_qln(F.col("cr") + 1)
-            + _micro_qln(F.col("nr") + buckets)
-            - _micro_qln(F.col("nt") + buckets)
-        ).alias("lr_micro"),
+            _micro_qln(F.col("nr") + buckets) - _micro_qln(F.col("nt") + buckets)
+        ).alias("default_micro")
+    ).head()["default_micro"]
+    TableLog(spark, os.path.join(root, "lr")).write(lr, mode="overwrite")
+    TableLog(spark, os.path.join(root, "meta")).write(
+        spark.createDataFrame(
+            [(int(buckets), int(default))], "buckets long, default_micro long"
+        ),
+        mode="overwrite",
     )
-    return (
-        occ.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lr_micro").alias("weight_micro"),
-        )
-        .select(
-            "doc_id",
-            "n_feats",
-            "weight_micro",
-            (F.col("weight_micro").cast("double") / 1000000.0).alias("weight"),
-        )
+    return root
+
+
+def dsir_weights_cached(documents: DataFrame, root: str) -> DataFrame:
+    """Score-many half: read the persisted ratio table back (BIGINTs
+    round-trip parquet exactly, so scores over the training pool are
+    bit-equal to the fused form — asserted in tests) and score any
+    corpus scan-locally; cells the training pool never saw coalesce to
+    the persisted smoothed default."""
+    import os
+
+    from ..sources.txlog import TableLog
+
+    spark = documents.sparkSession
+    lr = TableLog(spark, os.path.join(root, "lr")).read()
+    meta = TableLog(spark, os.path.join(root, "meta")).read().head()
+    return _score(
+        documents,
+        lr,
+        int(meta["buckets"]),
+        default_micro=F.lit(int(meta["default_micro"])),
     )

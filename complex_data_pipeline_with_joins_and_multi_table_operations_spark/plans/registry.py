@@ -4309,6 +4309,33 @@ GROUP BY occ.doc_id
 """
 
 
+_DSIR_MODEL_CACHE: dict[str, str] = {}
+
+
+def q_dsir_weights_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring against the PERSISTED ratio table
+    (operators/dsir.py dsir_build / dsir_weights_cached): the B-row
+    model and its unseen-cell default live in transaction-log tables —
+    the FIFTH trained model with the train-once/score-many split (PQ,
+    classifier, LM, tokenizer, DSIR). BIGINTs round-trip parquet
+    exactly, so scores over the training pool are bit-equal to the
+    fused form and the oracle is the SAME SQL — the hash check proves
+    the persistence round-trip."""
+    import os
+    import tempfile
+
+    from ..operators import dsir
+
+    docs = Catalog(spark, sf_dir).documents
+    root = _DSIR_MODEL_CACHE.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = dsir.dsir_build(
+            docs, F.col("lang") == "en", tempfile.mkdtemp(prefix="dsir_model_")
+        )
+        _DSIR_MODEL_CACHE[sf_dir] = root
+    return dsir.dsir_weights_cached(docs, root)
+
+
 def _bpe_sql(k: int, tail: str) -> str:
     """DuckDB mirror of the k-round BPE training trajectory: the same
     distinct-word table, the same overlap-counted pair statistic, the
@@ -4567,6 +4594,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- DSIR importance weighting (late round 5): first evidence is
     # SWEEP_r05.json + tests/test_dsir.py; in line for an r6 slot.
     "dsir_weights": q_dsir_weights,
+    "dsir_weights_cached": q_dsir_weights_cached,
 }
 
 ORACLES: dict[str, str] = {
@@ -4606,6 +4634,7 @@ ORACLES: dict[str, str] = {
     "bpe_counts_cached": SQL_BPE_SUBWORD_COUNTS,
     "trade_pagerank": SQL_TRADE_PAGERANK,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_weights_cached": SQL_DSIR_WEIGHTS,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -97,6 +97,30 @@ def test_dsir_is_partition_invariant(cat):
     assert a == b
 
 
+def test_dsir_cached_is_bit_equal_to_fused(cat, tmp_path):
+    root = dsir.dsir_build(cat.documents, F.col("lang") == "en", str(tmp_path / "m"))
+    fused = dsir.dsir_weights(cat.documents, F.col("lang") == "en").collect()
+    cached = dsir.dsir_weights_cached(cat.documents, root).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, cached))
+
+
+def test_dsir_cached_scores_unseen_cells_with_default(spark, tmp_path):
+    """A scoring corpus with features the training pool never hashed
+    coalesces those cells to the persisted smoothed default instead of
+    dropping them (an inner join would silently shrink n_feats)."""
+    train = spark.createDataFrame(
+        [(0, "aa bb", "en"), (1, "cc dd", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    root = dsir.dsir_build(train, F.col("lang") == "en", str(tmp_path / "m"), buckets=8)
+    score = spark.createDataFrame(
+        [(9, "zz qq totally unseen tokens", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    rows = dsir.dsir_weights_cached(score, root).collect()
+    assert len(rows) == 1 and rows[0].n_feats == 9  # 5 unigrams + 4 bigrams
+
+
 def test_dsir_degenerate_seed_sets(spark):
     df = spark.createDataFrame(
         [(i, t, "en" if flag else "xx") for i, t, flag in DOCS],

@@ -95,6 +95,9 @@ SUBSET = [
     # DSIR importance weights: two passes over corpus tokens + a
     # B-bounded cell shuffle + a broadcast log-ratio table
     "dsir_weights",
+    # scoring against the persisted ratio table (first trial pays the
+    # build, min-of-2 reports the single scoring pass)
+    "dsir_weights_cached",
 ]
 
 
