@@ -73,6 +73,13 @@ def main() -> int:
     for t in TPCH_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo (or a misplaced --json flag, which must PRECEDE the
+        # positional sf_dir) must not silently match nothing and print
+        # a vacuous "0 failures"
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
+
     failures = []
     results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
