@@ -137,6 +137,28 @@ def test_bpe_model_registry_is_versioned(spark, cat, tmp_path):
     assert log.read().count() == 6
 
 
+def test_bpe_plans(cat):
+    """The argmax is a TakeOrderedAndProject (per-partition heap, no
+    global sort) over a partial-aggregated pair count; the apply side
+    broadcasts the per-word lengths (never a SortMergeJoin)."""
+    wf = bpe.word_freqs(cat.documents)
+    argmax = (
+        bpe._pair_counts(bpe._base_symbols(wf))
+        .orderBy("cnt", ascending=False)
+        .limit(1)
+    )
+    plan = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    apply_plan = (
+        bpe.bpe_subword_counts(cat.documents, merges=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in apply_plan
+    assert "SortMergeJoin" not in apply_plan
+
+
 def test_bpe_train_stops_when_no_repeated_pairs(spark):
     docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     assert bpe.bpe_train(docs, merges=5).count() == 0

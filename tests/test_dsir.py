@@ -121,6 +121,13 @@ def test_dsir_cached_scores_unseen_cells_with_default(spark, tmp_path):
     assert len(rows) == 1 and rows[0].n_feats == 9  # 5 unigrams + 4 bigrams
 
 
+def test_dsir_plan_broadcasts_ratio_table(cat):
+    df = dsir.dsir_weights(cat.documents, F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dsir_degenerate_seed_sets(spark):
     df = spark.createDataFrame(
         [(i, t, "en" if flag else "xx") for i, t, flag in DOCS],

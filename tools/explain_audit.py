@@ -42,6 +42,12 @@ HEADLINE = [
     "semantic_dedup",
     "near_dedup_incremental",
     "classifier_scores",
+    # late-round-5 additions (trade_pagerank is omitted: its result is
+    # an eager localCheckpoint, so the interesting plans execute inside
+    # pagerank() — the probe and tests/test_graph.py cover it)
+    "rank_fusion_cached",
+    "bpe_subword_counts",
+    "dsir_weights",
 ]
 
 CLAIMS = {
@@ -95,6 +101,13 @@ CLAIMS = {
     "near_dedup_incremental": [("BroadcastHashJoin LeftAnti", True)],
     # scoring under trained weight literals: pure scan + project, no join
     "classifier_scores": [("Join", False), ("Scan parquet", True)],
+    # fusion over persisted models: the three signal joins broadcast;
+    # the four windows share one (lang, source) Exchange — never SMJ
+    "rank_fusion_cached": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # per-word subword lengths broadcast onto the word explode
+    "bpe_subword_counts": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # the B-row log-ratio table broadcasts back onto the feature explode
+    "dsir_weights": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
 }
 
 
