@@ -77,3 +77,62 @@ def observed_quality(
         F.count(F.when((r <= range_lo) | (r >= range_hi), 1)).alias("invalid_range"),
     )
     return observed, obs
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, vmin, vmax): the ANALYZE-
+    style per-column profile every ingestion pipeline runs before
+    trusting a new drop — null rates, cardinalities, numeric/date
+    ranges — computed in ONE aggregation pass over ONE scan (the same
+    single-pass discipline as quality_counts: k columns never mean k
+    jobs).  vmin/vmax are doubles for numeric and date columns (dates
+    as epoch days — a cross-engine-stable numeric; string formatting of
+    doubles/timestamps is NOT engine-stable, so string columns profile
+    nulls/cardinality only and range comes back NULL).
+
+    100 TB note: n_distinct here is exact (count distinct compiles to
+    one Expand + partial aggregation — k× the scan's rows through the
+    shuffle, fine for profiling runs); swap in approx_count_distinct
+    (HLL++, fixed memory, one pass) when profiling petabyte drops where
+    the exact expand is not worth it — same output shape.
+    """
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        if isinstance(dt, NumericType):
+            num = F.col(c).cast("double")
+        elif isinstance(dt, DateType):
+            num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            # whole epoch seconds (truncation is monotonic, so min/max
+            # commute with it — and integer seconds are cross-engine
+            # exact where fractional epoch() doubles are not); NTZ casts
+            # through the UTC session timezone, matching DuckDB's
+            # naive-as-UTC epoch()
+            num = F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.min(num).alias(f"{c}__min"))
+        aggs.append(F.max(num).alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_rows, n_nulls, n_distinct, vmin, vmax)"
+        )
+    )

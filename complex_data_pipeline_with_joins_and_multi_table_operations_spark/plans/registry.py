@@ -4309,6 +4309,51 @@ GROUP BY occ.doc_id
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of the orders table
+    (operators/quality.py column_profile): null counts, exact
+    cardinalities, numeric/date ranges — ONE aggregation pass over ONE
+    scan for all columns (k columns never mean k jobs: the reference's
+    re-scan-per-check anti-pattern, inverted again)."""
+    from ..operators.quality import column_profile
+
+    return column_profile(Catalog(spark, sf_dir).orders)
+
+
+def _profile_sql_for(table: str, cols: list[tuple[str, str]]) -> str:
+    parts = []
+    for c, kind in cols:
+        if kind == "num":
+            vmin, vmax = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+        elif kind == "ts":
+            vmin = f"CAST(floor(epoch(min({c}))) AS DOUBLE)"
+            vmax = f"CAST(floor(epoch(max({c}))) AS DOUBLE)"
+        else:
+            vmin = vmax = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {vmin} AS vmin, {vmax} AS vmax
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_COLUMN_PROFILE = _profile_sql_for(
+    "orders",
+    [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+)
+
+
 _DSIR_MODEL_CACHE: dict[str, str] = {}
 
 
@@ -4595,6 +4640,9 @@ QUERIES: dict[str, QueryFn] = {
     # SWEEP_r05.json + tests/test_dsir.py; in line for an r6 slot.
     "dsir_weights": q_dsir_weights,
     "dsir_weights_cached": q_dsir_weights_cached,
+    # --- ANALYZE-style profiling (late round 5): SWEEP + pytest
+    # evidence; in line for an r6 slot.
+    "column_profile": q_column_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -4635,6 +4683,7 @@ ORACLES: dict[str, str] = {
     "trade_pagerank": SQL_TRADE_PAGERANK,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_weights_cached": SQL_DSIR_WEIGHTS,
+    "column_profile": SQL_COLUMN_PROFILE,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -242,3 +242,24 @@ def test_mixture_sample_near_full_rate_rounds_to_full_keep(spark):
     weights = {"src_a": 1.0, "src_b": 1.0 - 7.5e-6}
     out = sampling.mixture_sample(docs, weights)
     assert out.count() == 100, "both groups round to full keep"
+
+
+def test_column_profile_single_pass_and_values(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.quality import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, None), (2, "a", -1.0, None), (None, None, 2.5, None)],
+        "k long, s string, v double, t timestamp",
+    )
+    out = {r.column: r for r in column_profile(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 1 and out["k"].n_distinct == 2
+    assert out["k"].vmin == 1.0 and out["k"].vmax == 2.0
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 1
+    assert out["s"].vmin is None and out["s"].vmax is None  # strings: no range
+    assert out["v"].vmin == -1.0 and out["v"].vmax == 2.5 and out["v"].n_distinct == 2
+    assert out["t"].n_nulls == 3 and out["t"].n_distinct == 0
+    # one scan, no joins: all k columns profile in a single aggregation pass
+    plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
