@@ -364,3 +364,20 @@ def test_curate_documents_stages(spark):
         token_budget=first.cum_tokens,
     ).collect()
     assert [r.doc_id for r in budget_out] == [first.doc_id]
+
+
+def test_variant_extraction_handles_missing_and_malformed(spark):
+    """The VARIANT path (parse_json + try_variant_get) must degrade to
+    NULL — not error — on a missing key, a type mismatch, and (via
+    try_parse_json) malformed JSON, so one bad event can't kill a
+    100 TB scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"other": 1}',), ('{"k": "notanint"}',), ("{broken",)],
+        "props string",
+    )
+    out = df.select(
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
+    ).collect()
+    assert [r.k for r in out] == [7, None, None, None]
