@@ -25,9 +25,22 @@ tie-break is (count DESC, left ASC, right ASC) under binary string
 ordering, identical in the JVM and DuckDB; symbol strings use literal
 leftmost-non-overlapping ``replace`` which Java ``String.replace``,
 DuckDB ``replace()`` and Python ``str.replace`` all implement
-identically (asserted against a pure-Python reference in tests).  The
-whole k-round trajectory is therefore bit-deterministic and the DuckDB
-oracle unrolls it round by round (``plans/registry.py::_bpe_sql``).
+identically (asserted against a pure-Python reference in tests,
+including hypothesis-random corpora).  The whole k-round trajectory is
+therefore bit-deterministic and the DuckDB oracle unrolls it round by
+round (``plans/registry.py::_bpe_sql``).
+
+Merge-application spec — one documented deviation from Sennrich's
+symbol-LIST formulation: on back-to-back occurrences of the winning
+pair inside one word (``a b a b``), the space-delimited replace merges
+only the FIRST occurrence that round (the shared middle space is
+consumed by the match), where the list form merges both.  The leftover
+pair keeps counting in later rounds and merges if (a, b) wins again.
+This is the price of a merge step that is a single scan-local
+codegen'd ``replace`` on every engine rather than an interpreted
+per-word fold; counts, argmax, and the oracle all share the exact same
+spec, so correctness is unaffected — only the (rare: a repeated-pair
+word) learned-rule sequence differs from a list-based trainer's.
 
 Words are lowercased whitespace tokens restricted to ``^[a-z]+$`` —
 the alphabetic core an LLM tokenizer spends its merges on — which also

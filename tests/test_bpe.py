@@ -24,16 +24,21 @@ def _ref_word_freqs(texts: list[str]) -> Counter:
 
 
 def _ref_bpe(texts: list[str], k: int):
-    """Reference trainer on symbol LISTS with leftmost-non-overlapping
-    merge application — the semantics `str.replace`/Java
-    `String.replace`/DuckDB `replace()` all share."""
+    """Reference trainer using the ENGINE'S merge-application spec:
+    literal leftmost-non-overlapping replace on the space-delimited
+    symbol string (`str.replace` — the exact semantics Java
+    `String.replace` and DuckDB `replace()` share). Deliberately NOT
+    the symbol-list formulation: on back-to-back occurrences inside one
+    word ('a b a b') the string form merges only the first per round
+    (the shared middle space is consumed), which is the engine's
+    documented deviation from Sennrich's list semantics."""
     wf = _ref_word_freqs(texts)
-    syms = {w: list(w) + ["</w>"] for w in wf}
+    syms = {w: " " + " ".join(list(w) + ["</w>"]) + " " for w in wf}
     out = []
     for step in range(1, k + 1):
         pairs: Counter = Counter()
         for w, freq in wf.items():
-            s = syms[w]
+            s = syms[w].split()
             for i in range(len(s) - 1):
                 pairs[(s[i], s[i + 1])] += freq
         if not pairs:
@@ -43,17 +48,9 @@ def _ref_bpe(texts: list[str], k: int):
         if cnt < 2:
             break
         out.append((step, a, b, a + b, cnt))
-        for w, s in syms.items():
-            merged, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(s[i])
-                    i += 1
-            syms[w] = merged
-    return out, syms, wf
+        for w in syms:
+            syms[w] = syms[w].replace(f" {a} {b} ", f" {a + b} ")
+    return out, {w: s.split() for w, s in syms.items()}, wf
 
 
 TEXTS = [

@@ -502,3 +502,79 @@ def test_pq_assign_matches_pure_fold_model(spark, svs, parts):
                 s = s + d * d
             scored.append((s, c))
         assert got[i] == min(scored)[1]
+
+
+# ---- late-round-5 algorithm families vs their pure-Python references ----
+
+_word = st.text(alphabet="ab", min_size=1, max_size=4)
+_sentence = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_sentence, min_size=1, max_size=10), st.integers(1, 6))
+def test_bpe_train_matches_reference_on_random_corpora(spark, texts, k):
+    """Random tiny-alphabet corpora maximize merge-rule tie-breaking and
+    overlapping-pair edge cases ('a a a'); the trainer must match the
+    reference trajectory exactly, including early stops."""
+    from tests.test_bpe import _ref_bpe
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe.bpe_train(docs, merges=k).collect()]
+    want, _, _ = _ref_bpe(texts, k)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 4),
+)
+def test_pagerank_matches_reference_on_random_graphs(spark, pairs, iters):
+    """Random directed graphs (dangling nodes, self-loop-free multi-
+    edges, disconnected components) must reproduce the reference's
+    integer trajectory exactly."""
+    from tests.test_graph import _ref_pagerank
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        graph,
+    )
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.mass for r in graph.pagerank(df, iters=iters).collect()}
+    assert got == _ref_pagerank(edges, iters)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_sentence, st.booleans()), min_size=1, max_size=8
+    )
+)
+def test_dsir_matches_reference_on_random_corpora(spark, rows):
+    """Random corpora with random seed-set membership: weights (exact
+    micro-unit integers) must match the reference, including hash-cell
+    collisions forced by the tiny bucket count."""
+    from tests.test_dsir import _ref_weights
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        dsir,
+    )
+
+    docs = [(i, t, flag) for i, (t, flag) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(i, t, "en" if flag else "xx") for i, t, flag in docs],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.weight_micro)
+        for r in dsir.dsir_weights(df, F.col("lang") == "en", buckets=16).collect()
+    }
+    assert got == _ref_weights(docs, 16)
