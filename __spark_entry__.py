@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query — 119 of 120 queries,
+    """DuckDB-runnable ANSI SQL oracle per query — 120 of 121 queries,
     including the iterative/hash-seeded families (k-means, PQ, SimHash,
     hyperplane LSH: md5 is the shared hash, folds and exact-decimal sums
     the shared arithmetic). The single omission is approx_event_stats

@@ -149,3 +149,58 @@ def kmv_distinct(
             .alias("kmv_distinct"),
         )
     )
+
+
+def hll_distinct(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """From-scratch HyperLogLog per event_type (Flajolet et al. 2007,
+    m = 256 registers) — the second CROSS-ENGINE-EXACT approximate
+    sketch: every register is a pure function of md5 (bucket = the
+    first 8 hash bits, rho = leading-zero count of the next 44 + 1 via
+    the binary-string length both engines compute identically), the
+    harmonic-mean denominator is an exact BIGINT (sum of
+    ``1 << (45 - rho)`` — at most 256·2^45 < 2^53, so even its double
+    image is exact), and the final estimate is one IEEE division of
+    exact operands.  DuckDB rebuilds the identical sketch and the
+    driver hash-checks an approximate algorithm exactly — the KMV
+    move applied to the registers-and-harmonic-mean family that
+    production HLL++ belongs to.
+
+    Shape: one shuffle to (event_type, bucket) register maxima
+    (map-side combine absorbs repeats), then a 256-row-per-group
+    aggregate.  Registers merge by max, so sketches are mergeable
+    across partitions/snapshots by construction.  Small-range
+    correction (linear counting over empty registers) applies below
+    2.5·m, with the quantized-ln recipe keeping the log cross-engine.
+    """
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m >= 128
+    h = F.md5(F.col("k"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 11), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(45)).otherwise(
+        45 - F.length(F.conv(v.cast("string"), 10, 2))
+    )
+    regs = (
+        events.filter(F.col(key_col).isNotNull())
+        .select("event_type", F.col(key_col).cast("string").alias("k"))
+        .select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per_group = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 45 - r)")).alias("s_used"),
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    s = F.col("s_used") + zeros.cast("long") * F.lit(1 << 45)
+    raw = F.lit(alpha * m * m * float(1 << 45)) / s.cast("double")
+    # linear counting below 2.5m when empty registers remain: the ln
+    # argument m/V is a ratio of exact integers, identical in both
+    # engines; round(,6) absorbs libm's last ulp
+    linear = F.round(F.log(F.lit(float(m)) / zeros.cast("double")), 6) * m
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return per_group.select(
+        "event_type",
+        F.col("n_used").alias("hll_registers_used"),
+        F.round(est, 4).alias("hll_distinct"),
+    )

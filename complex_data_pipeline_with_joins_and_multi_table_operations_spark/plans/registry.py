@@ -4397,6 +4397,71 @@ GROUP BY event_type
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct per event type
+    (operators/aggregates.py hll_distinct): m=256 md5-derived registers,
+    exact-BIGINT harmonic denominator, quantized-ln linear counting —
+    the registers-and-harmonic-mean sketch family made cross-engine
+    exact, so the driver hash-checks an APPROXIMATE algorithm (the KMV
+    move applied to HLL; Spark's native HLL++ stays as the rows-only
+    engine-specific twin in approx_event_stats)."""
+    from ..operators.aggregates import hll_distinct
+
+    return hll_distinct(Catalog(spark, sf_dir).events)
+
+
+def _hex_fold(expr: str, start: int, n: int) -> str:
+    """DuckDB fold turning ``n`` hex digits of ``expr`` (1-based
+    ``start``) into a BIGINT — the KMV/DSIR mirror primitive."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range({n}), i -> CAST(instr('0123456789abcdef',"
+        f" substring({expr}, CAST(i AS INTEGER) + {start}, 1)) - 1 AS BIGINT))),"
+        " (s, x) -> s * 16 + x)"
+    )
+
+
+_HLL_NUM = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 45))
+
+SQL_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+br AS (
+  SELECT event_type,
+         {_hex_fold('hx', 1, 2)} AS bucket,
+         {_hex_fold('hx', 3, 11)} AS v
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN v = 0 THEN 45
+                  ELSE 45 - length(bin(CAST(v AS BIGINT))) END) AS r
+  FROM br GROUP BY event_type, bucket
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(CAST(1 AS BIGINT) << (45 - r)) AS BIGINT) AS s_used
+  FROM regs GROUP BY event_type
+),
+e AS (
+  SELECT event_type, n_used,
+         (256 - n_used) AS zeros,
+         {_HLL_NUM} / CAST(s_used + (256 - n_used) * (CAST(1 AS BIGINT) << 45)
+                           AS DOUBLE) AS raw
+  FROM g
+)
+SELECT event_type,
+       n_used AS hll_registers_used,
+       round(CASE WHEN raw <= 640.0 AND zeros > 0
+                  THEN round(ln(256.0 / CAST(zeros AS DOUBLE)), 6) * 256
+                  ELSE raw END, 4) AS hll_distinct
+FROM e
+"""
+
+
 _DSIR_MODEL_CACHE: dict[str, str] = {}
 
 
@@ -4688,6 +4753,8 @@ QUERIES: dict[str, QueryFn] = {
     "column_profile": q_column_profile,
     # --- Spark 4 VARIANT semi-structured path (late round 5)
     "json_props_stats": q_json_props_stats,
+    # --- from-scratch oracle-exact HLL (late round 5)
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4730,6 +4797,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights_cached": SQL_DSIR_WEIGHTS,
     "column_profile": SQL_COLUMN_PROFILE,
     "json_props_stats": SQL_JSON_PROPS_STATS,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

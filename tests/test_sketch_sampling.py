@@ -111,3 +111,36 @@ def test_perplexity_cached_is_bit_equal_to_fused(cat, tmp_path):
     cached = sorted(map(tuple, lm.perplexity_cached(cat.documents, root).collect()))
     fused = sorted(map(tuple, lm.perplexity_scores(cat.documents).collect()))
     assert cached == fused
+
+
+def test_hll_distinct_error_bound_and_merge_semantics(spark, cat):
+    """From-scratch HLL (m=256): estimate within the standard-error
+    envelope of exact (3·1.04/√m ≈ 20%), invariant to duplication (the
+    registers are maxima) and to partitioning."""
+    from pyspark.sql import functions as F
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.aggregates import (
+        hll_distinct,
+    )
+
+    e = cat.events
+    est = {r.event_type: r.hll_distinct for r in hll_distinct(e).collect()}
+    exact = {
+        r.event_type: r.d
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for t, d in exact.items():
+        assert abs(est[t] - d) <= 0.2 * d + 2, (t, est[t], d)
+    # duplication invariance: registers are maxima, so a 3x-replicated
+    # stream yields the bit-identical sketch
+    tripled = e.union(e).union(e)
+    est3 = {r.event_type: r.hll_distinct for r in hll_distinct(tripled).collect()}
+    assert est3 == est
+    # partition invariance
+    est_p = {
+        r.event_type: r.hll_distinct
+        for r in hll_distinct(e.repartition(13)).collect()
+    }
+    assert est_p == est
