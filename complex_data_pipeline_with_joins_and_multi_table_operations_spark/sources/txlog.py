@@ -725,6 +725,152 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def delete(self, filters: list[tuple], max_retries: int = 3) -> dict:
+        """Row-level DELETE via copy-on-write — the Delta/Iceberg v1
+        semantics the format was missing: only files whose log stats say
+        they MAY contain matching rows are rewritten (everything else
+        keeps its file untouched, path and all), matching rows are
+        dropped, and the swap publishes as ONE atomic commit
+        (operation='delete', removes = the rewritten candidates, adds =
+        their survivors). Time travel still reads the pre-delete files;
+        the change feed reports the commit at file granularity (deleted
+        rows as 'delete'; surviving co-located rows as a
+        delete+insert pair, which cancels in any additive consumer —
+        exactly Delta CDF without deletion vectors).
+
+        ``filters`` is the read()-style [(col, op, value)] conjunction:
+        one representation drives BOTH the stats-based candidate pruning
+        and the row predicate, so skipping can never disagree with
+        semantics. Rows where the predicate is NULL are KEPT (SQL
+        DELETE's WHERE semantics — the merge_upsert NULL lesson).
+
+        Returns {'version', 'rows_deleted', 'files_rewritten',
+        'files_skipped'}; a delete that matches nothing commits nothing.
+        """
+        return self._rewrite_rows(filters, None, max_retries)
+
+    def update(
+        self,
+        filters: list[tuple],
+        set_exprs: dict[str, str],
+        max_retries: int = 3,
+    ) -> dict:
+        """Row-level UPDATE via the same copy-on-write machinery:
+        ``set_exprs`` maps column name → SQL expression, applied to rows
+        matching ``filters`` (NULL predicate = not matched, like SQL
+        UPDATE). Updated values are cast back to the column's declared
+        type — an UPDATE can never drift the table schema. New file
+        stats are harvested on the rewrite, so skipping stays correct
+        for the post-update values."""
+        return self._rewrite_rows(filters, set_exprs, max_retries)
+
+    def _rewrite_rows(
+        self,
+        filters: list[tuple],
+        set_exprs: dict[str, str] | None,
+        max_retries: int,
+    ) -> dict:
+        from pyspark.sql import functions as F
+
+        if not filters:
+            raise ValueError(
+                "row-level delete/update requires filters; a full-table "
+                "delete is write(empty_df, mode='overwrite')"
+            )
+        op = "delete" if set_exprs is None else "update"
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
+            if unknown:
+                raise ValueError(f"update sets unknown columns {unknown}")
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in filters)
+            }
+            skipped = len(base.files) - len(cand)
+            if not cand:
+                return {
+                    "version": base.version,
+                    ("rows_deleted" if op == "delete" else "rows_updated"): 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            paths = [os.path.join(self.data_dir, m["path"]) for m in cand.values()]
+            df = (
+                self.spark.read.schema(base.schema)
+                .option("basePath", self.data_dir)
+                .parquet(*paths)
+            )
+            cond = _as_column(filters[0])
+            for f in filters[1:]:
+                cond = cond & _as_column(f)
+            cond = F.coalesce(cond, F.lit(False))
+            n_matched = df.filter(cond).count()
+            if n_matched == 0:
+                # stats said "maybe", the data says no: nothing to commit
+                return {
+                    "version": base.version,
+                    ("rows_deleted" if op == "delete" else "rows_updated"): 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            if set_exprs is None:
+                new_df = df.filter(~cond)
+            else:
+                cols = []
+                for fld in base.schema.fields:
+                    if fld.name in set_exprs:
+                        cols.append(
+                            F.when(
+                                cond,
+                                F.expr(set_exprs[fld.name]).cast(fld.dataType),
+                            )
+                            .otherwise(F.col(fld.name))
+                            .alias(fld.name)
+                        )
+                    else:
+                        cols.append(F.col(fld.name))
+                new_df = df.select(*cols)
+            adds = self._stage(new_df, base.partition_by or None)
+            removes = list(cand)
+            cur = self.snapshot()
+            if not set(removes) <= set(cur.files):
+                # same hazard as optimize: committing would resurrect rows
+                # a concurrent overwrite/replace already removed
+                raise ConcurrentCommitError(
+                    f"{op} of {self.root} lost to a concurrent "
+                    "overwrite/replace: candidate files are no longer active"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": op,
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                # a commit landed between our snapshot and ours: re-resolve
+                # candidates from scratch (the staged files orphan until
+                # vacuum, like any lost write() race)
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                ("rows_deleted" if op == "delete" else "rows_updated"): n_matched,
+                "files_rewritten": len(removes),
+                "files_skipped": skipped,
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     def vacuum(self, retain_last: int = 1, min_file_age_s: float = 3600.0) -> int:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` — reclaims overwrite/replace garbage; older snapshots

@@ -667,3 +667,89 @@ def test_failed_append_validation_stages_nothing(spark, tmp_path):
             partition_by=["k"],
         )
     assert count_files() == n
+
+
+# ---- row-level DELETE / UPDATE (copy-on-write) --------------------------
+
+
+def _rowops_table(spark, path):
+    log = TableLog(spark, path)
+    a = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("grp"), (F.col("id") * 10).alias("v")
+    )
+    b = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") % 4).alias("grp"), (F.col("id") * 10).alias("v")
+    )
+    log.write(a, mode="overwrite")
+    log.write(b, mode="append")
+    return log
+
+
+def test_delete_rewrites_only_candidate_files(spark, tmp_path):
+    log = _rowops_table(spark, str(tmp_path / "t"))
+    before = set(log.snapshot().files)
+    res = log.delete([("id", "between", (150, 159))])
+    assert res["rows_deleted"] == 10
+    after = log.snapshot()
+    # files whose id-range stats exclude [150,159] keep their exact paths
+    kept_paths = before & set(after.files)
+    assert res["files_skipped"] == len(kept_paths) and kept_paths
+    assert after.version == res["version"]
+    ids = {r.id for r in log.read().collect()}
+    assert ids == set(range(0, 150)) | set(range(160, 200))
+    # time travel still sees the pre-delete rows
+    assert log.read(version=2).count() == 200
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, tag string"
+    )
+    log.write(df, mode="overwrite")
+    res = log.delete([("tag", "==", "a")])
+    assert res["rows_deleted"] == 1
+    assert sorted(r.id for r in log.read().collect()) == [2, 3]
+
+
+def test_delete_matching_nothing_commits_nothing(spark, tmp_path):
+    log = _rowops_table(spark, str(tmp_path / "t"))
+    v = log.snapshot().version
+    res = log.delete([("id", "==", 10_000)])
+    assert res["rows_deleted"] == 0 and log.snapshot().version == v
+
+
+def test_update_rewrites_values_keeps_schema_and_stats(spark, tmp_path):
+    log = _rowops_table(spark, str(tmp_path / "t"))
+    res = log.update([("id", "<", 10)], {"v": "v + 1000000"})
+    assert res["rows_updated"] == 10
+    out = {r.id: r.v for r in log.read().collect()}
+    assert out[0] == 1000000 and out[5] == 1000050 and out[10] == 100
+    # schema unchanged (the cast-back guard)
+    assert log.read().schema == log.read(version=2).schema
+    # rewritten file stats reflect the post-update values, so skipping
+    # still prunes correctly on v
+    hits = log.read(filters=[("v", ">=", 1000000)]).count()
+    assert hits == 10
+
+
+def test_delete_feeds_the_change_feed(spark, tmp_path):
+    log = _rowops_table(spark, str(tmp_path / "t"))
+    v0 = log.snapshot().version
+    log.delete([("id", "==", 7)])
+    ch = log.table_changes(v0).filter(F.col("_change_type") == "delete")
+    deleted = {r.id for r in ch.collect()}
+    assert 7 in deleted
+    # net effect (inserts - deletes) for any surviving row is zero
+    net = (
+        log.table_changes(v0)
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") != 0)
+        .collect()
+    )
+    assert {r.id for r in net} == {7}
