@@ -339,6 +339,18 @@ class TxLogWarehouse(Warehouse):
     ) -> int:
         return self._log(name).write(df, partition_by=partition_by)
 
+    def delete(self, name: str, filters: list[tuple]) -> dict:
+        """Row-level DELETE on a warehouse table (copy-on-write; see
+        TableLog.delete) — only this backend supports it, the snapshot
+        and catalog backends raise AttributeError by construction."""
+        return self._log(name).delete(filters)
+
+    def update(
+        self, name: str, filters: list[tuple], set_exprs: dict[str, str]
+    ) -> dict:
+        """Row-level UPDATE on a warehouse table (see TableLog.update)."""
+        return self._log(name).update(filters, set_exprs)
+
     def versions(self, name: str) -> list[int]:
         return self._log(name).versions()
 

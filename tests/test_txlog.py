@@ -753,3 +753,16 @@ def test_delete_feeds_the_change_feed(spark, tmp_path):
         .collect()
     )
     assert {r.id for r in net} == {7}
+
+
+def test_warehouse_row_level_ops(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write(spark.range(10).selectExpr("id", "id * 2 AS v"), "t")
+    assert wh.delete("t", [("id", "<", 3)])["rows_deleted"] == 3
+    assert wh.update("t", [("id", "==", 5)], {"v": "999"})["rows_updated"] == 1
+    out = {r.id: r.v for r in wh.read("t").collect()}
+    assert set(out) == set(range(3, 10)) and out[5] == 999
