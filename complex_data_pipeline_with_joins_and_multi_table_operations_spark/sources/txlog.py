@@ -871,6 +871,159 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_condition: str | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
+        INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
+        the operators/changes.py merge_upsert semantics, including the
+        NULL-condition and unmatched-delete-row rules) with stats-based
+        file pruning: only files whose per-key min/max INTERSECT the
+        source's key bounds are rewritten; every other file provably
+        contains no source key, keeps its path, and — crucially — cannot
+        host a match, so insert detection against the candidate subset
+        alone is exact. The swap (removes = candidates, adds = merged
+        candidates ∪ inserts) publishes as one atomic commit with the
+        copy-on-write frozen-set concurrency guard; ``rows_written``
+        comes free from the staged files' harvested stats.
+
+        ``source`` may carry extra columns (e.g. the delete flag) — the
+        output projects to the table schema; shared columns must be
+        type-compatible."""
+        from pyspark.sql import functions as F
+
+        from ..operators.changes import merge_upsert
+
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+            bounds = source.agg(*aggs).head()
+            filters = [
+                (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                for k in keys
+                if bounds[f"mn_{k}"] is not None
+            ]
+            if not filters:
+                # empty source (or all-null keys): MERGE is a no-op
+                return {
+                    "version": base.version,
+                    "files_rewritten": 0,
+                    "files_skipped": len(base.files),
+                    "rows_written": 0,
+                }
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in filters)
+            }
+            # global key bounds are coarse for scattered keys (a trickle
+            # touching ids 5 and 2000 spans every file); for single-key
+            # merges with a broadcast-sized key set, prune per file by
+            # bisecting the sorted distinct keys against its [min, max] —
+            # the same answer a stats⋈keys join would give, driver-side
+            cand = self._refine_by_key_membership(cand, source, keys)
+            if cand:
+                paths = [
+                    os.path.join(self.data_dir, m["path"]) for m in cand.values()
+                ]
+                tgt = (
+                    self.spark.read.schema(base.schema)
+                    .option("basePath", self.data_dir)
+                    .parquet(*paths)
+                )
+            else:
+                tgt = self.spark.createDataFrame([], base.schema)
+            merged = merge_upsert(
+                tgt,
+                source,
+                keys,
+                delete_condition=(
+                    F.expr(delete_condition)
+                    if delete_condition is not None
+                    else None
+                ),
+            )
+            adds = self._stage(merged, base.partition_by or None)
+            removes = list(cand)
+            cur = self.snapshot()
+            if not set(removes) <= set(cur.files):
+                raise ConcurrentCommitError(
+                    f"merge of {self.root} lost to a concurrent "
+                    "overwrite/replace: candidate files are no longer active"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "merge",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_rewritten": len(removes),
+                "files_skipped": len(base.files) - len(removes),
+                "rows_written": sum(a["rows"] for a in adds),
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    _MERGE_KEYSET_CAP = 100_000
+
+    def _refine_by_key_membership(
+        self, cand: dict, source: DataFrame, keys: list[str]
+    ) -> dict:
+        """Drop candidate files whose [min, max] contains NO source key.
+        Single-key only, and only while the distinct key set fits a
+        driver-side list (cap = _MERGE_KEYSET_CAP — the same size class a
+        broadcast join would ship); larger sources keep the conservative
+        bounds-based candidate set. Ordering relies on the key's natural
+        Python order matching the engine's (ints/floats/strings — the
+        types _file_stats records)."""
+        import bisect
+
+        from pyspark.sql import functions as F
+
+        if len(keys) != 1 or not cand:
+            return cand
+        k = keys[0]
+        rows = (
+            source.select(k)
+            .filter(F.col(k).isNotNull())
+            .distinct()
+            .limit(self._MERGE_KEYSET_CAP + 1)
+            .collect()
+        )
+        if len(rows) > self._MERGE_KEYSET_CAP:
+            return cand
+        vals = sorted(r[0] for r in rows)
+        out = {}
+        for p, m in cand.items():
+            st = (m.get("stats") or {}).get(k)
+            if not st or st.get("min") is None or st.get("max") is None:
+                out[p] = m  # no stats: must stay a candidate
+                continue
+            lo, hi = _dec_key(st["min"]), _dec_key(st["max"])
+            i = bisect.bisect_left(vals, lo)
+            if i < len(vals) and vals[i] <= hi:
+                out[p] = m
+        return out
+
     def vacuum(self, retain_last: int = 1, min_file_age_s: float = 3600.0) -> int:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` — reclaims overwrite/replace garbage; older snapshots

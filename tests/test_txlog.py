@@ -766,3 +766,67 @@ def test_warehouse_row_level_ops(spark, tmp_path):
     assert wh.update("t", [("id", "==", 5)], {"v": "999"})["rows_updated"] == 1
     out = {r.id: r.v for r in wh.read("t").collect()}
     assert set(out) == set(range(3, 10)) and out[5] == 999
+
+
+def test_merge_into_prunes_updates_inserts_and_deletes(spark, tmp_path):
+    """MERGE with file pruning: the equality oracle is merge_upsert over
+    the FULL table, which the pruned commit must reproduce exactly."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+        merge_upsert,
+    )
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    # range-partitioned files give disjoint id stats so pruning can bite
+    log.write(
+        spark.range(1000)
+        .selectExpr("id", "id * 10 AS v")
+        .repartitionByRange(8, "id")
+    )
+    n_files = len(log.snapshot().files)
+    src = spark.createDataFrame(
+        [(5, 999, False), (7, 777, True), (2000, 1, False), (5000, 0, True)],
+        "id long, v long, del boolean",
+    )
+    expected = sorted(
+        map(
+            tuple,
+            merge_upsert(
+                log.read(), src, ["id"], delete_condition=F.col("del")
+            ).collect(),
+        )
+    )
+    res = log.merge(src, ["id"], delete_condition="del")
+    assert res["files_rewritten"] < n_files  # stats pruning bit
+    assert res["files_skipped"] == n_files - res["files_rewritten"]
+    got = sorted(map(tuple, log.read().collect()))
+    assert got == expected
+    # semantics spot-checks: update won, matched-delete dropped,
+    # unmatched-delete row inserted (SQL MERGE's WHEN MATCHED gate)
+    out = dict(got)
+    # update won; matched delete dropped; plain insert landed; the
+    # UNMATCHED delete-flagged row inserted (MERGE gates delete on
+    # WHEN MATCHED)
+    assert out[5] == 999 and 7 not in out and out[2000] == 1 and out[5000] == 0
+    assert res["rows_written"] > 0
+    # time travel: version 1 unchanged
+    assert log.read(1).count() == 1000
+
+
+def test_merge_empty_source_is_a_noop(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(10).selectExpr("id", "id AS v"))
+    v = log.snapshot().version
+    src = spark.createDataFrame([], "id long, v long")
+    res = log.merge(src, ["id"])
+    assert res["files_rewritten"] == 0 and log.snapshot().version == v
+
+
+def test_merge_insert_only_when_no_candidates(spark, tmp_path):
+    """Source keys entirely outside every file's range: zero rewrites,
+    pure insert commit."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(100).selectExpr("id", "id AS v"))
+    src = spark.createDataFrame([(10_000, 1), (10_001, 2)], "id long, v long")
+    res = log.merge(src, ["id"])
+    assert res["files_rewritten"] == 0 and res["rows_written"] == 2
+    assert log.read().count() == 102
