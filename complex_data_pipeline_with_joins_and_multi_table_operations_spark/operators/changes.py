@@ -81,6 +81,7 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     delete_condition: Column | None = None,
+    insert_unmatched_deletes: bool = True,
 ) -> DataFrame:
     """MERGE INTO as a batch operator: WHEN MATCHED THEN UPDATE (source row
     wins), WHEN NOT MATCHED THEN INSERT, and optionally WHEN MATCHED AND
@@ -100,6 +101,11 @@ def merge_upsert(
     common dimension-trickle case); at comparable sizes they shuffle on
     the merge keys only once. Schemas must align by name
     (``unionByName``).
+
+    ``insert_unmatched_deletes=False`` switches the unmatched-delete rule
+    from SQL MERGE's (falls through to INSERT) to CDC apply's (a delete
+    record for a key the table never had is a NO-OP) — and drops the
+    membership probe with it.
     """
     # anti-join on ALL source keys (delete rows included — their target
     # matches must disappear)
@@ -110,13 +116,18 @@ def merge_upsert(
         # condition as false: those rows take the UPDATE/INSERT path, so
         # normalize once and branch on the same boolean both ways.
         cond = F.coalesce(delete_condition, F.lit(False))
-        # matched delete rows drop out entirely; UNMATCHED delete rows
-        # are ordinary inserts (MERGE's delete gates only WHEN MATCHED).
-        # The membership probe is a bare anti join — anti joins ignore
-        # right-side duplicates, so no distinct pass over the target keys.
-        del_rows = source.filter(cond)
-        unmatched_del = del_rows.join(target.select(*keys), keys, "left_anti")
-        source = source.filter(~cond).unionByName(unmatched_del)
+        if insert_unmatched_deletes:
+            # matched delete rows drop out entirely; UNMATCHED delete rows
+            # are ordinary inserts (MERGE's delete gates only WHEN MATCHED).
+            # The membership probe is a bare anti join — anti joins ignore
+            # right-side duplicates, so no distinct pass over the target keys.
+            del_rows = source.filter(cond)
+            unmatched_del = del_rows.join(
+                target.select(*keys), keys, "left_anti"
+            )
+            source = source.filter(~cond).unionByName(unmatched_del)
+        else:
+            source = source.filter(~cond)
     return survivors.unionByName(source.select(*target.columns))
 
 

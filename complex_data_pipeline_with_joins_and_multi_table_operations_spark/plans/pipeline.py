@@ -351,6 +351,16 @@ class TxLogWarehouse(Warehouse):
         """Row-level UPDATE on a warehouse table (see TableLog.update)."""
         return self._log(name).update(filters, set_exprs)
 
+    def merge(
+        self,
+        source: DataFrame,
+        name: str,
+        keys: list[str],
+        delete_condition: str | None = None,
+    ) -> dict:
+        """MERGE INTO a warehouse table (see TableLog.merge)."""
+        return self._log(name).merge(source, keys, delete_condition)
+
     def versions(self, name: str) -> list[int]:
         return self._log(name).versions()
 

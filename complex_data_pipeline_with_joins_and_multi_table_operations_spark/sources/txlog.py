@@ -877,6 +877,8 @@ class TableLog:
         keys: list[str],
         delete_condition: str | None = None,
         max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
+        insert_unmatched_deletes: bool = True,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -897,6 +899,20 @@ class TableLog:
         from pyspark.sql import functions as F
 
         from ..operators.changes import merge_upsert
+
+        if txn is not None:
+            # the write() idempotent-writer token, for streaming CDC
+            # apply: a replayed microbatch merge at or below the app's
+            # high-water mark commits nothing
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                v = self.versions()[-1]
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "files_skipped": len(self.snapshot().files),
+                    "rows_written": 0,
+                }
 
         for _attempt in range(max_retries):
             base = self.snapshot()
@@ -948,6 +964,7 @@ class TableLog:
                     if delete_condition is not None
                     else None
                 ),
+                insert_unmatched_deletes=insert_unmatched_deletes,
             )
             adds = self._stage(merged, base.partition_by or None)
             removes = list(cand)
@@ -967,6 +984,7 @@ class TableLog:
                 "partition_by": list(base.partition_by or []),
                 "adds": adds,
                 "removes": removes,
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
             }
             try:
                 self._commit(version, payload)

@@ -4,8 +4,10 @@ from .enrich import enrich_events_stream, pit_enrich_events_stream, run_stream_e
 from .events import run_events_stream, streaming_tumbling_agg
 from .incremental import fold_batch_into_summary, run_incremental_summary
 from .stateful import run_running_totals, running_user_totals
+from .upsert import apply_changes_batch, run_cdc_apply
 
 __all__ = [
+    "apply_changes_batch",
     "dedup_batch_into_corpus",
     "dedup_documents_stream",
     "dedup_events_stream",
@@ -15,6 +17,7 @@ __all__ = [
     "run_incremental_curation",
     "run_stream_enrich",
     "run_events_stream",
+    "run_cdc_apply",
     "run_incremental_summary",
     "run_running_totals",
     "run_stream_dedup",

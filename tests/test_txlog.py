@@ -830,3 +830,63 @@ def test_merge_insert_only_when_no_candidates(spark, tmp_path):
     res = log.merge(src, ["id"])
     assert res["files_rewritten"] == 0 and res["rows_written"] == 2
     assert log.read().count() == 102
+
+
+def test_cdc_apply_stream_materializes_change_feed(spark, tmp_path):
+    """Continuous CDC apply: a txlog change-stream tail merged into a
+    target table exactly-once; slicing a time-ordered feed at different
+    batch boundaries yields the bit-identical table; delete records for
+    absent keys are no-ops (CDC semantics, not SQL MERGE's)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        apply_changes_batch,
+        run_cdc_apply,
+    )
+
+    register_txlog(spark)
+    changes = [
+        # (key, value, lsn, deleted)
+        (1, "a1", 1, False),
+        (2, "b1", 2, False),
+        (1, "a2", 3, False),   # later update wins
+        (3, "c1", 4, False),
+        (2, None, 5, True),    # delete existing
+        (9, None, 6, True),    # delete absent key: no-op
+        (4, "d1", 7, False),
+    ]
+    schema = "k long, val string, lsn long, deleted boolean"
+
+    def run(slices, root_name):
+        feed = TableLog(spark, str(tmp_path / f"feed_{root_name}"))
+        target = str(tmp_path / root_name)
+        chk = str(tmp_path / f"chk_{root_name}")
+        for sl in slices:
+            feed.write(spark.createDataFrame(sl, schema), mode="append")
+            run_cdc_apply(
+                spark,
+                spark.readStream.format("txlog").load(feed.root),
+                target,
+                chk,
+                keys=["k"],
+                order_col="lsn",
+                delete_col="deleted",
+            )
+        return target
+
+    t1 = run([changes[:3], changes[3:5], changes[5:]], "one")
+    t2 = run([changes[:1], changes[1:6], changes[6:]], "two")
+    rows1 = sorted(map(tuple, TableLog(spark, t1).read().select("k", "val", "lsn").collect()))
+    rows2 = sorted(map(tuple, TableLog(spark, t2).read().select("k", "val", "lsn").collect()))
+    assert rows1 == rows2 == [(1, "a2", 3), (3, "c1", 4), (4, "d1", 7)]
+
+    # replay idempotence outside the checkpoint: same txn token = no-op
+    log = TableLog(spark, t1)
+    v = log.versions()[-1]
+    app = f"cdc-apply:{t1}"
+    replay = spark.createDataFrame([(1, "stale", 0, False)], schema)
+    apply_changes_batch(
+        spark, replay, t1, ["k"], "lsn", delete_col="deleted", txn=(app, 0)
+    )
+    assert log.versions()[-1] == v
