@@ -1001,6 +1001,136 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def merge_latest(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        order_col: str,
+        delete_col: str | None = None,
+        max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Out-of-order-safe upsert: WHEN MATCHED AND source.order >=
+        target.order semantics — the strong CDC apply for feeds that can
+        deliver old changes late. Candidate files prune exactly like
+        :meth:`merge`; within them the target rows and the source
+        records compete per key under ``order_col`` (ties broken by the
+        remaining columns, so replays of the identical record are
+        harmless) and the winner stands. A stale source record — lower
+        ``order_col`` than the standing row — loses and changes nothing.
+
+        Deletes are TOMBSTONES, not removals: ``delete_col`` must be a
+        column of the table itself, the winning record keeps its flag,
+        and readers filter ``delete_col = false`` for the live view.
+        This is not an implementation convenience — it is what makes the
+        apply invariant to ARBITRARY batch slicing (property-tested): a
+        hard removal forgets the delete's order, so an OLDER update
+        arriving in a later batch would resurrect the key. Reclaiming
+        old tombstones is a retention decision (a periodic
+        ``delete([(delete_col, '==', True), (order_col, '<', horizon)])``
+        once the feed's lateness bound has passed)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if txn is not None:
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                v = self.versions()[-1]
+                return {
+                    "version": v,
+                    "files_rewritten": 0,
+                    "files_skipped": len(self.snapshot().files),
+                    "rows_written": 0,
+                }
+
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+            bounds = source.agg(*aggs).head()
+            filters = [
+                (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                for k in keys
+                if bounds[f"mn_{k}"] is not None
+            ]
+            if not filters:
+                return {
+                    "version": base.version,
+                    "files_rewritten": 0,
+                    "files_skipped": len(base.files),
+                    "rows_written": 0,
+                }
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in filters)
+            }
+            cand = self._refine_by_key_membership(cand, source, keys)
+            if cand:
+                paths = [
+                    os.path.join(self.data_dir, m["path"]) for m in cand.values()
+                ]
+                tgt = (
+                    self.spark.read.schema(base.schema)
+                    .option("basePath", self.data_dir)
+                    .parquet(*paths)
+                )
+            else:
+                tgt = self.spark.createDataFrame([], base.schema)
+            table_cols = [f.name for f in base.schema.fields]
+            if delete_col is not None and delete_col not in table_cols:
+                raise ValueError(
+                    f"merge_latest tombstones require {delete_col!r} to be "
+                    "a table column (hard removals would forget the "
+                    "delete's order and let stale updates resurrect keys)"
+                )
+            src_proj = source.select(*table_cols)
+            tie = [c for c in table_cols if c not in keys and c != order_col]
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(order_col), *[F.desc(c) for c in tie]
+            )
+            merged = (
+                tgt.unionByName(src_proj)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(*table_cols)
+            )
+            adds = self._stage(merged, base.partition_by or None)
+            removes = list(cand)
+            cur = self.snapshot()
+            if not set(removes) <= set(cur.files):
+                raise ConcurrentCommitError(
+                    f"merge_latest of {self.root} lost to a concurrent "
+                    "overwrite/replace: candidate files are no longer active"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "merge_latest",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "adds": adds,
+                "removes": removes,
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_rewritten": len(removes),
+                "files_skipped": len(base.files) - len(removes),
+                "rows_written": sum(a["rows"] for a in adds),
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     _MERGE_KEYSET_CAP = 100_000
 
     def _refine_by_key_membership(

@@ -25,9 +25,11 @@ deleted, continuously materialized as a queryable table). With
   follow every earlier batch's — what a log tail delivers) this makes
   the apply batch-boundary invariant: slicing the stream at any
   boundaries yields the bit-identical table (tested). A feed that can
-  deliver old changes in later batches needs the stronger
-  compare-against-target apply (WHEN MATCHED AND source.order >=
-  target.order), which is a different operator contract — not this one.
+  deliver old changes in later batches takes ``out_of_order=True`` —
+  the tombstone-retaining ``TableLog.merge_latest`` apply (WHEN MATCHED
+  AND source.order >= target.order; deletes persist as flagged rows so
+  a stale update can never resurrect a deleted key), invariant to
+  ARBITRARY slicing (tested); its live view filters the flag.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ def apply_changes_batch(
     order_col: str,
     delete_col: str | None = None,
     txn: tuple[str, int] | None = None,
+    out_of_order: bool = False,
 ) -> dict:
     """Apply one slice of a change stream: keep the last change per key
     (``order_col`` descending, ties broken by the change columns for
@@ -61,6 +64,19 @@ def apply_changes_batch(
         .drop("_rn")
     )
     log = TableLog(spark, target_root)
+    if out_of_order:
+        # tombstone-retaining apply (TableLog.merge_latest): the delete
+        # flag IS a table column; readers filter it for the live view
+        if not log.exists():
+            v = log.write(latest, mode="overwrite", txn=txn)
+            return {
+                "version": v,
+                "files_rewritten": 0,
+                "rows_written": latest.count(),
+            }
+        return log.merge_latest(
+            latest, keys, order_col, delete_col=delete_col, txn=txn
+        )
     if not log.exists():
         cols = [c for c in latest.columns if c != delete_col]
         first = latest.select(*cols)
@@ -90,10 +106,13 @@ def run_cdc_apply(
     order_col: str,
     delete_col: str | None = None,
     timeout_s: int = 120,
+    out_of_order: bool = False,
 ) -> None:
     """Drain a change stream into the target table exactly once:
     availableNow trigger, per-microbatch :func:`apply_changes_batch`
-    with the checkpoint's batch id as the idempotent-writer token."""
+    with the checkpoint's batch id as the idempotent-writer token.
+    ``out_of_order=True`` switches to the tombstone-retaining
+    merge_latest apply for feeds that can deliver old changes late."""
     app_id = f"cdc-apply:{target_root}"
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -105,6 +124,7 @@ def run_cdc_apply(
             order_col,
             delete_col=delete_col,
             txn=(app_id, batch_id),
+            out_of_order=out_of_order,
         )
 
     q = (

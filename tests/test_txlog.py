@@ -890,3 +890,61 @@ def test_cdc_apply_stream_materializes_change_feed(spark, tmp_path):
         spark, replay, t1, ["k"], "lsn", delete_col="deleted", txn=(app, 0)
     )
     assert log.versions()[-1] == v
+
+
+def test_merge_latest_is_invariant_to_arbitrary_slicing(spark, tmp_path):
+    """Out-of-order CDC apply (tombstone-retaining merge_latest): ANY
+    slicing of the change set into batches — including deliveries that
+    put old changes in later batches — yields the bit-identical table;
+    a stale update never resurrects a deleted key."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        apply_changes_batch,
+    )
+
+    schema = "k long, val string, lsn long, deleted boolean"
+    changes = [
+        (1, "a1", 1, False),
+        (1, "a3", 5, False),
+        (2, "b1", 2, False),
+        (2, None, 6, True),   # delete k=2 at lsn 6
+        (2, "b2", 4, False),  # STALE update, may arrive after the delete
+        (3, "c1", 3, False),
+    ]
+    slicings = [
+        [changes],                                  # one batch
+        [changes[:2], changes[2:4], changes[4:]],   # stale b2 after delete
+        [[c] for c in changes],                     # one change per batch
+        [changes[4:], changes[:4]],                 # wildly out of order
+    ]
+    results = []
+    for i, slices in enumerate(slicings):
+        root = str(tmp_path / f"t{i}")
+        for j, sl in enumerate(slices):
+            apply_changes_batch(
+                spark,
+                spark.createDataFrame(sl, schema),
+                root,
+                ["k"],
+                "lsn",
+                delete_col="deleted",
+                out_of_order=True,
+            )
+        live = (
+            TableLog(spark, root)
+            .read()
+            .filter(~F.col("deleted"))
+            .select("k", "val", "lsn")
+        )
+        results.append(sorted(map(tuple, live.collect())))
+    assert all(r == results[0] for r in results)
+    assert results[0] == [(1, "a3", 5), (3, "c1", 3)]  # k=2 stays deleted
+
+
+def test_merge_latest_requires_tombstone_column(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.createDataFrame([(1, "a", 1)], "k long, v string, lsn long"))
+    src = spark.createDataFrame(
+        [(1, "b", 2, True)], "k long, v string, lsn long, gone boolean"
+    )
+    with pytest.raises(ValueError, match="tombstone"):
+        log.merge_latest(src, ["k"], "lsn", delete_col="gone")
