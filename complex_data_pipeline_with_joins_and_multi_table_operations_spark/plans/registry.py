@@ -4569,12 +4569,6 @@ QUERIES: dict[str, QueryFn] = {
     # top_supplier, supplier_part_counts — all trivial single-shape SQL
     # aggregates, unchanged since r3, r3-driver-green, hash-green in this
     # round's full-registry SWEEP_r05.json, first in line for r6.)
-    "promotable_suppliers": q_promotable_suppliers,
-    "bm25_topk": q_bm25_topk,
-    "mixture_sample": q_mixture_sample,
-    "hash_sample": q_hash_sample,
-    "dedup_exact": q_dedup_exact,
-    "near_dup_clusters": q_near_dup_clusters,
     # NEW this round: bigram-LM perplexity scoring (fully SQL-oracled —
     # the quantized-ln recipe); takes the slot date_dim vacates (trivial
     # spine, r3-green, pytest-pinned — parked at the tail for r6)
@@ -4582,14 +4576,10 @@ QUERIES: dict[str, QueryFn] = {
     # NEW this round: the oracle-checkable sketch (KMV over md5) — takes
     # the slot asof_view_purchase vacates (r3-green, pytest-pinned)
     "kmv_distinct": q_kmv_distinct,
-    "user_value_zscore": q_user_zscore,
-    "rollup_revenue": q_rollup_revenue,
     # minhash_lsh_pairs gained its exhaustive exact-Jaccard oracle THIS
     # round (it was golden rows-only through r4) — the new oracle's first
     # driver hash check needs a window slot
     "minhash_lsh_pairs": q_minhash_lsh,
-    "promo_revenue": q_promo_revenue,
-    "order_priority_count": q_order_priority_count,
     # NEW this round: distributed supervised training (GD logistic
     # regression, fully SQL-oracled — the kmeans discipline extended to
     # gradient descent via the quantized-sigmoid recipe); takes the slot
@@ -4646,6 +4636,22 @@ QUERIES: dict[str, QueryFn] = {
     # (its operator twin user_median_value stays in-window and both share
     # SQL_USER_MEDIAN, so the builtin keeps r3 oracle evidence + pytest)
     "ann_pq_cached_topk": q_ann_pq_cached_topk,
+    # --- second late-r5 re-rotation (the round kept running): the ten
+    # newest queries take window slots for their first driver rows;
+    # displaced to the tail (r3 driver evidence + hash-green SWEEP_r05
+    # rows): promotable_suppliers, bm25_topk, mixture_sample,
+    # hash_sample, dedup_exact, near_dup_clusters, user_value_zscore,
+    # rollup_revenue, promo_revenue, order_priority_count.
+    "rank_fusion_cached": q_rank_fusion_cached,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_subword_counts": q_bpe_subword_counts,
+    "bpe_counts_cached": q_bpe_counts_cached,
+    "trade_pagerank": q_trade_pagerank,
+    "dsir_weights": q_dsir_weights,
+    "dsir_weights_cached": q_dsir_weights_cached,
+    "column_profile": q_column_profile,
+    "json_props_stats": q_json_props_stats,
+    "hll_distinct": q_hll_distinct,
     # --- window slots 46-50: late-round-5 additions, promoted from the
     # tail once it was clear the round was still running — each gets its
     # first driver hash-checked row this round (all five are already
@@ -4723,6 +4729,16 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg3": q_moving_avg,
     "date_dim": q_date_dim,
     "asof_view_purchase": q_asof_view_purchase,
+    "promotable_suppliers": q_promotable_suppliers,
+    "bm25_topk": q_bm25_topk,
+    "mixture_sample": q_mixture_sample,
+    "hash_sample": q_hash_sample,
+    "dedup_exact": q_dedup_exact,
+    "near_dup_clusters": q_near_dup_clusters,
+    "user_value_zscore": q_user_zscore,
+    "rollup_revenue": q_rollup_revenue,
+    "promo_revenue": q_promo_revenue,
+    "order_priority_count": q_order_priority_count,
     # --- displaced late round 5 to give the five newest queries their
     # first driver rows: trivial aggregates, r3-driver-green, hash-green
     # in SWEEP_r05.json, first in line for the r6 rotation.
@@ -4731,30 +4747,6 @@ QUERIES: dict[str, QueryFn] = {
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
-    # --- added after the final r5 window rotation: first evidence is
-    # SWEEP_r05.json + the fused/cached bit-equality pytest; in line for
-    # an r6 window slot.
-    "rank_fusion_cached": q_rank_fusion_cached,
-    # --- distributed BPE tokenizer training (late round 5): first
-    # evidence is SWEEP_r05.json + tests/test_bpe.py (pure-Python
-    # reference parity); in line for r6 window slots.
-    "bpe_train_merges": q_bpe_train_merges,
-    "bpe_subword_counts": q_bpe_subword_counts,
-    "bpe_counts_cached": q_bpe_counts_cached,
-    # --- iterative graph centrality (late round 5): first evidence is
-    # SWEEP_r05.json + tests/test_graph.py; in line for an r6 slot.
-    "trade_pagerank": q_trade_pagerank,
-    # --- DSIR importance weighting (late round 5): first evidence is
-    # SWEEP_r05.json + tests/test_dsir.py; in line for an r6 slot.
-    "dsir_weights": q_dsir_weights,
-    "dsir_weights_cached": q_dsir_weights_cached,
-    # --- ANALYZE-style profiling (late round 5): SWEEP + pytest
-    # evidence; in line for an r6 slot.
-    "column_profile": q_column_profile,
-    # --- Spark 4 VARIANT semi-structured path (late round 5)
-    "json_props_stats": q_json_props_stats,
-    # --- from-scratch oracle-exact HLL (late round 5)
-    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
