@@ -948,3 +948,32 @@ def test_merge_latest_requires_tombstone_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="tombstone"):
         log.merge_latest(src, ["k"], "lsn", delete_col="gone")
+
+
+def test_rowop_aborts_when_concurrent_overwrite_removes_candidates(
+    spark, tmp_path, monkeypatch
+):
+    """The frozen-set guard: if a concurrent overwrite lands while a
+    row-level op is staging, committing would resurrect rows the winner
+    removed — the op must abort, not publish."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(100).selectExpr("id", "id AS v"))
+
+    original_stage = TableLog._stage
+
+    def stage_with_concurrent_overwrite(self, df, partition_by):
+        adds = original_stage(self, df, partition_by)
+        # restore FIRST: the concurrent writer below must stage normally
+        monkeypatch.setattr(TableLog, "_stage", original_stage)
+        # another writer overwrites the table AFTER we staged but BEFORE
+        # we commit — our candidate files leave the active set
+        TableLog(spark, self.root).write(
+            spark.range(5).selectExpr("id", "id AS v")
+        )
+        return adds
+
+    monkeypatch.setattr(TableLog, "_stage", stage_with_concurrent_overwrite)
+    with pytest.raises(ConcurrentCommitError, match="no longer active"):
+        log.delete([("id", "<", 10)])
+    # the winner's table is intact — nothing resurrected
+    assert log.read().count() == 5
