@@ -107,27 +107,33 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     aggs = []
     for c in cols:
         dt = df.schema[c].dataType
+        # backtick-quote the reference: a bare dotted name would resolve
+        # as a struct-field path
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(col).alias(f"{c}__distinct"))
         if isinstance(dt, NumericType):
-            num = F.col(c).cast("double")
+            num = col.cast("double")
         elif isinstance(dt, DateType):
-            num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            num = F.datediff(col, F.lit("1970-01-01")).cast("double")
         elif isinstance(dt, (TimestampType, TimestampNTZType)):
             # whole epoch seconds (truncation is monotonic, so min/max
             # commute with it — and integer seconds are cross-engine
             # exact where fractional epoch() doubles are not); NTZ casts
             # through the UTC session timezone, matching DuckDB's
             # naive-as-UTC epoch()
-            num = F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+            num = F.unix_timestamp(col.cast("timestamp")).cast("double")
         else:
             num = F.lit(None).cast("double")
         aggs.append(F.min(num).alias(f"{c}__min"))
         aggs.append(F.max(num).alias(f"{c}__max"))
     wide = df.agg(*aggs)
+    # identifiers backtick-quoted (and name literals escaped) so columns
+    # with dots/spaces/quotes profile like any other
     stack = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        "'{lit}', `{c}__rows`, `{c}__nulls`, `{c}__distinct`,"
+        " `{c}__min`, `{c}__max`".format(lit=c.replace("'", "''"), c=c)
         for c in cols
     )
     return wide.select(

@@ -263,3 +263,14 @@ def test_column_profile_single_pass_and_values(spark):
     # one scan, no joins: all k columns profile in a single aggregation pass
     plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_column_profile_handles_awkward_column_names(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.quality import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2.0), (None, 3.5)], ["a.dotted", "with space"])
+    out = {r.column: r for r in column_profile(df).collect()}
+    assert out["a.dotted"].n_nulls == 1 and out["a.dotted"].vmax == 1.0
+    assert out["with space"].n_distinct == 2 and out["with space"].vmin == 2.0
