@@ -519,7 +519,10 @@ class TableLog:
     # -- maintenance --------------------------------------------------------
 
     def table_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        net: bool = False,
     ) -> DataFrame:
         """Delta-style change data feed at file granularity: the rows added
         and removed by each commit in ``(from_version, to_version]``,
@@ -645,6 +648,38 @@ class TableLog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if net:
+            # collapse each commit to its NET row changes: copy-on-write
+            # commits (row-level delete/update/merge) re-add every
+            # surviving co-located row, so at file granularity they
+            # appear as delete+insert pairs — additive consumers cancel
+            # them, but non-additive consumers want the true diff. The
+            # multiset difference per commit: group on every data column,
+            # count inserts minus deletes, re-emit |net| copies with the
+            # surviving sign. Nulls group as equal (SQL GROUP BY), which
+            # is exactly multiset semantics.
+            data_cols = [
+                c
+                for c in out.columns
+                if c not in ("_change_type", "_commit_version", "_commit_ts_ms")
+            ]
+            signed = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            agg = (
+                out.groupBy("_commit_version", "_commit_ts_ms", *data_cols)
+                .agg(F.sum(signed).alias("_net"))
+                .filter(F.col("_net") != 0)
+            )
+            out = agg.select(
+                *data_cols,
+                F.when(F.col("_net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                "_commit_version",
+                "_commit_ts_ms",
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("_net")))
+                ).alias("_dup"),
+            ).drop("_dup")
         return out
 
     def optimize(

@@ -977,3 +977,32 @@ def test_rowop_aborts_when_concurrent_overwrite_removes_candidates(
         log.delete([("id", "<", 10)])
     # the winner's table is intact — nothing resurrected
     assert log.read().count() == 5
+
+
+def test_table_changes_net_mode_collapses_rewrite_pairs(spark, tmp_path):
+    """net=True reports the TRUE row diff of copy-on-write commits:
+    surviving co-located rows (delete+insert pairs at file granularity)
+    vanish; an update shows its pre-image as delete and post-image as
+    insert; duplicate rows keep multiset counts."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    # ONE file: co-located survivors are the whole point of net mode
+    log.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (2, 20), (3, 30)], "id long, v long"
+        ).coalesce(1)
+    )
+    v0 = log.snapshot().version
+    log.update([("id", "==", 2)], {"v": "21"})
+    log.delete([("id", "==", 3)])
+    net = log.table_changes(v0, net=True).collect()
+    got = sorted((r.id, r.v, r._change_type, r._commit_version) for r in net)
+    assert got == [
+        (2, 20, "delete", v0 + 1),
+        (2, 20, "delete", v0 + 1),
+        (2, 21, "insert", v0 + 1),
+        (2, 21, "insert", v0 + 1),
+        (3, 30, "delete", v0 + 2),
+    ]
+    # raw mode still reports the co-located survivors both ways
+    raw = log.table_changes(v0).count()
+    assert raw > len(net)
