@@ -34,10 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# 1e9 units of mass per node: coarse enough that 17 * (a hub's inbound
-# mass) stays far under 2^63 even if one node drew the ENTIRE mass of a
-# billion-node graph, fine enough that floor-division leakage is ~1e-9
-# relative per round.
+# 1e9 units of mass per node: a hub's inbound mass is bounded by the
+# system total ~N*SCALE, so insum itself stays under 2^63 for graphs up
+# to ~9e9 nodes (the damping multiply is overflow-free for ANY BIGINT
+# insum — see the split-form expression in pagerank()); floor-division
+# leakage is ~1e-9 relative per round.
 SCALE = 1_000_000_000
 TELEPORT = SCALE * 15 // 100  # floor(0.15 * SCALE)
 
@@ -84,11 +85,21 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("contrib").alias("insum"))
             )
+            # damping = 17*insum div 20, computed in the split form
+            # (insum div 20)*17 + ((insum mod 20)*17) div 20 — identical
+            # for every non-negative insum (insum = 20q+r ⇒ both equal
+            # 17q + 17r div 20) but overflow-free over the whole BIGINT
+            # domain, where the naive 17*insum overflows once a hub's
+            # inbound mass passes 2^63/17 (~5.4e8 nodes' worth of mass
+            # on one node).
             mass = nodes.join(insum, "node", "left").select(
                 "node",
                 (
                     F.lit(TELEPORT)
-                    + F.expr("17 * coalesce(insum, 0L) div 20")
+                    + F.expr(
+                        "coalesce(insum, 0L) div 20 * 17"
+                        " + (coalesce(insum, 0L) % 20) * 17 div 20"
+                    )
                 ).alias("mass"),
             )
         # materialize while the persisted edge list is still alive; the

@@ -338,6 +338,25 @@ class TableLog:
                 return t[1]
         return None
 
+    def _appends_may_conflict(self, base, cur, filters) -> bool:
+        """Commit-time concurrent-append conflict check for the row-level
+        operations (the Delta ConcurrentAppendException rule for
+        MERGE/DELETE/UPDATE): files that joined the active set AFTER our
+        base snapshot may hold rows matching our predicate — rows the
+        operation scanned for at the base version and never saw.
+        Committing over them would let a MERGE insert a key a concurrent
+        append already wrote (duplicate keys) or leave the appended rows
+        un-updated/un-deleted. True ⇒ the caller retries from a fresh
+        snapshot, so the recomputed candidate set includes the new files.
+        Bounds are conservative: a new file with no stats for a predicate
+        column always conflicts (``_may_match`` keeps it)."""
+        if cur.version == base.version:
+            return False
+        new_files = [m for p, m in cur.files.items() if p not in base.files]
+        return any(
+            all(_may_match(m, f) for f in filters) for m in new_files
+        )
+
     def write(
         self,
         df: DataFrame,
@@ -877,6 +896,12 @@ class TableLog:
                     f"{op} of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
+            if self._appends_may_conflict(base, cur, filters):
+                # a concurrent append may have landed rows matching the
+                # predicate after our base snapshot; retry so the delete/
+                # update sees them (Delta's ConcurrentAppendException,
+                # resolved here by re-running instead of raising).
+                continue
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -951,6 +976,20 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
+            if _attempt and txn is not None:
+                # mirror write(): a lost race may have been lost to OUR
+                # OWN replayed twin (same app_id) — re-check the
+                # high-water mark before re-applying the same logical
+                # transaction, or a replayed microbatch merge racing its
+                # twin could apply twice
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return {
+                        "version": self.versions()[-1],
+                        "files_rewritten": 0,
+                        "files_skipped": len(base.files),
+                        "rows_written": 0,
+                    }
             aggs = []
             for k in keys:
                 aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
@@ -1009,6 +1048,15 @@ class TableLog:
                     f"merge of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
+            if self._appends_may_conflict(base, cur, filters):
+                # a concurrent append landed files whose key bounds
+                # intersect the merge keys: insert-detection was exact only
+                # against the base snapshot, so committing could duplicate
+                # a key the append wrote (or miss updating its rows).
+                # Retry from fresh state — the recomputed candidates now
+                # include the appended files (our staged files orphan
+                # until vacuum, like any lost commit race).
+                continue
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -1080,6 +1128,20 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
+            if _attempt and txn is not None:
+                # mirror write(): a lost race may have been lost to OUR
+                # OWN replayed twin (same app_id) — re-check the
+                # high-water mark before re-applying the same logical
+                # transaction, or a replayed microbatch merge racing its
+                # twin could apply twice
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return {
+                        "version": self.versions()[-1],
+                        "files_rewritten": 0,
+                        "files_skipped": len(base.files),
+                        "rows_written": 0,
+                    }
             aggs = []
             for k in keys:
                 aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
@@ -1139,6 +1201,11 @@ class TableLog:
                     f"merge_latest of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
+            if self._appends_may_conflict(base, cur, filters):
+                # same concurrent-append hazard as merge: an unseen append
+                # could hold rows for these keys; retry so the per-key
+                # order_col competition includes them.
+                continue
             version = cur.version + 1
             payload = {
                 "version": version,

@@ -70,3 +70,33 @@ def test_trade_graph_pagerank_on_tpch(spark, cat):
     # suppliers are the scarce side of the bipartite walk: each carries
     # more mass than any customer on this corpus
     assert min(r.mass for r in suppliers) > max(r.mass for r in customers)
+
+
+def test_damping_split_form_matches_naive_over_full_bigint_domain(spark):
+    """The damping multiply in pagerank() uses the split form
+    (x div 20)*17 + ((x mod 20)*17) div 20 so a hub's inbound mass can
+    span the WHOLE BIGINT domain without 17*x overflowing (the naive
+    form overflows once x passes 2^63/17). Verify the identity against
+    exact Python integers up to 2^63-1."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        0,
+        1,
+        19,
+        20,
+        21,
+        10**9,
+        (2**63 - 1) // 17,
+        (2**63 - 1) // 17 + 1,
+        2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "insum long")
+    got = {
+        r.insum: r.d
+        for r in df.select(
+            "insum",
+            F.expr("insum div 20 * 17 + (insum % 20) * 17 div 20").alias("d"),
+        ).collect()
+    }
+    assert got == {v: 17 * v // 20 for v in vals}

@@ -1006,3 +1006,86 @@ def test_table_changes_net_mode_collapses_rewrite_pairs(spark, tmp_path):
     # raw mode still reports the co-located survivors both ways
     raw = log.table_changes(v0).count()
     assert raw > len(net)
+
+
+def test_merge_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Delta's ConcurrentAppendException rule for MERGE, resolved by
+    retry: an append landing between the base snapshot and the commit
+    can add rows matching the merge keys — rows the base-snapshot
+    insert-detection never saw. Committing blind would insert a
+    duplicate key; the guard retries from fresh state instead."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+
+    original_stage = TableLog._stage
+
+    def stage_with_concurrent_append(self, df, partition_by):
+        adds = original_stage(self, df, partition_by)
+        monkeypatch.setattr(TableLog, "_stage", original_stage)
+        # a concurrent writer APPENDS the very key our merge is about to
+        # classify as unmatched-insert
+        TableLog(spark, self.root).write(
+            spark.createDataFrame([(3, "appended")], "k long, v string"),
+            mode="append",
+        )
+        return adds
+
+    monkeypatch.setattr(TableLog, "_stage", stage_with_concurrent_append)
+    src = spark.createDataFrame([(3, "merged")], "k long, v string")
+    log.merge(src, ["k"])
+    # exactly ONE row for k=3 and it carries the merge's value: the
+    # retry saw the appended file and matched-updated it
+    rows = sorted((r.k, r.v) for r in log.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "merged")]
+
+
+def test_delete_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Same hazard for DELETE: rows appended after the base snapshot
+    that match the predicate must not survive the delete."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(10).selectExpr("id", "id AS v"))
+
+    original_stage = TableLog._stage
+
+    def stage_with_concurrent_append(self, df, partition_by):
+        adds = original_stage(self, df, partition_by)
+        monkeypatch.setattr(TableLog, "_stage", original_stage)
+        TableLog(spark, self.root).write(
+            spark.range(3).selectExpr("id", "id AS v"), mode="append"
+        )
+        return adds
+
+    monkeypatch.setattr(TableLog, "_stage", stage_with_concurrent_append)
+    log.delete([("id", "<", 5)])
+    assert sorted(r.id for r in log.read().collect()) == [5, 6, 7, 8, 9]
+
+
+def test_merge_txn_recheck_on_retry_prevents_double_apply(
+    spark, tmp_path, monkeypatch
+):
+    """A replayed microbatch merge racing its own twin (same app_id,
+    same transaction version) must not apply twice: the retry loop
+    re-checks the idempotent-writer high-water mark before re-applying,
+    exactly as write() does."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.createDataFrame([(1, 10)], "k long, v long"))
+    src = spark.createDataFrame([(1, 11)], "k long, v long")
+
+    original_commit = TableLog._commit
+    state = {"fired": False}
+
+    def commit_with_twin(self, version, payload):
+        if payload.get("operation") == "merge" and not state["fired"]:
+            state["fired"] = True
+            # the replayed twin of the SAME logical transaction wins the
+            # commit race first
+            TableLog(spark, self.root).merge(src, ["k"], txn=("app", 7))
+        return original_commit(self, version, payload)
+
+    monkeypatch.setattr(TableLog, "_commit", commit_with_twin)
+    res = log.merge(src, ["k"], txn=("app", 7))
+    # our merge lost the race, retried, saw the twin's high-water mark,
+    # and committed NOTHING — one merge commit total, not two
+    assert res["files_rewritten"] == 0 and res["rows_written"] == 0
+    assert log.snapshot().version == 2
+    assert [(r.k, r.v) for r in log.read().collect()] == [(1, 11)]
