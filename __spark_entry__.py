@@ -34,10 +34,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query — 120 of 121 queries,
+    """DuckDB-runnable ANSI SQL oracle per query — 121 of 122 queries,
     including the iterative/hash-seeded families (k-means, PQ, SimHash,
     hyperplane LSH: md5 is the shared hash, folds and exact-decimal sums
-    the shared arithmetic). The single omission is approx_event_stats
-    (HLL++/GK sketches — genuinely approximate) → rows-only check,
-    golden-frozen with error bounds in pytest."""
+    the shared arithmetic) and the from-scratch sketches (KMV, HLL,
+    CMS, and the gk_quantiles mergeable quantile summary — approximate
+    algorithms with exact oracles). The single omission is
+    approx_event_stats (NATIVE HLL++/GK sketches — engine-specific by
+    construction) → rows-only check, golden-frozen with error bounds in
+    pytest; its every statistic now has an oracled from-scratch twin."""
     return dict(ORACLES)

@@ -204,3 +204,76 @@ def hll_distinct(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         F.col("n_used").alias("hll_registers_used"),
         F.round(est, 4).alias("hll_distinct"),
     )
+
+
+def gk_quantiles(events: DataFrame, value_col: str = "value", buckets: int = 32) -> DataFrame:
+    """From-scratch mergeable quantile summary per event_type (the
+    GK/KLL family's mergeable ε-summary form, Agarwal et al. 2012) —
+    the third CROSS-ENGINE-EXACT approximate sketch, closing the last
+    no-oracle gap in the sketch family: where the native
+    ``percentile_approx`` (GK inside Spark, different algorithm inside
+    DuckDB) can only be bounds-tested, this summary is a pure function
+    of the data and md5, so DuckDB rebuilds it bit-for-bit and an
+    APPROXIMATE quantile algorithm gets a full hash oracle.
+
+    Construction (two-level, the production shape at 100 TB):
+
+    1. *Shard* rows deterministically — md5(event_id)'s first hex digit
+       gives 16 shards.  In production the shards ARE the physical
+       partitions and step 2 is a map-side mapPartitions accumulator
+       with O(buckets) memory; the md5 shard stands in so the oracle
+       can reproduce partitioning exactly.
+    2. *Summarize* each (group, shard): sort, assign row at rank rn the
+       bucket j = ceil(rn·B / n_s) (equi-depth, B = ``buckets``), keep
+       per bucket its upper boundary max(v) and weight count(*).  Rank
+       error contributed per shard ≤ its bucket width ⌈n_s/B⌉.
+    3. *Merge* summaries per group: re-aggregate by boundary value,
+       cumulative-sum the weights, answer quantile q with the first
+       boundary whose cumulative weight reaches ceil(q·n) — integer
+       targets ((n+3) div 4, (n+1) div 2, (3n+3) div 4, (19n+19) div 20
+       for q ∈ {.25, .5, .75, .95}) so no float crosses an engine.
+
+    Total rank error ≤ Σ_s ⌈n_s/B⌉ ≈ n/B + shards (ε = 1/B = ~3 % at
+    the default B=32), bounds-tested against exact quantiles.  Only
+    16·B summary rows per group reach the merge shuffle; boundary
+    values are SELECTed, never arithmetic on — doubles stay exact.
+    Tie order among equal values cannot change any bucket's max or the
+    merged cumulative picture, so row_number's tie nondeterminism is
+    value-invisible.  The native-sketch engine twin
+    (:func:`approx_event_stats`) stays rows-only by design.
+    """
+    from pyspark.sql import Window
+
+    B = buckets
+    shard = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = events.filter(
+        F.col(value_col).isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_type", F.col(value_col).alias("v"), shard.alias("shard"))
+    w = Window.partitionBy("event_type", "shard").orderBy("v")
+    wn = Window.partitionBy("event_type", "shard")
+    summ = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("ns", F.count("*").over(wn))
+        .withColumn("j", F.expr(f"(rn * {B} + ns - 1) div ns"))
+        .groupBy("event_type", "shard", "j")
+        .agg(F.max("v").alias("bv"), F.count("*").alias("w"))
+    )
+    merged = summ.groupBy("event_type", "bv").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("event_type").orderBy("bv")
+    wg = Window.partitionBy("event_type")
+    cum = merged.withColumn("cum", F.sum("w").over(wc)).withColumn(
+        "n", F.sum("w").over(wg)
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.expr("cum >= (n + 3) div 4"), F.col("bv"))).alias("q25"),
+        F.min(F.when(F.expr("cum >= (n + 1) div 2"), F.col("bv"))).alias("q50"),
+        F.min(F.when(F.expr("cum >= (3 * n + 3) div 4"), F.col("bv"))).alias(
+            "q75"
+        ),
+        F.min(F.when(F.expr("cum >= (19 * n + 19) div 20"), F.col("bv"))).alias(
+            "q95"
+        ),
+    )

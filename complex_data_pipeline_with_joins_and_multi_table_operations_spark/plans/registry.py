@@ -4462,6 +4462,58 @@ FROM e
 """
 
 
+def q_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-depth quantile summary per event type
+    (operators/aggregates.py gk_quantiles): md5-sharded per-partition
+    B-bucket summaries merged by weighted cumulative rank, integer
+    quantile targets — the GK/KLL-family mergeable ε-summary made
+    cross-engine exact, so the driver hash-checks an APPROXIMATE
+    quantile algorithm (the KMV move applied to quantiles; Spark's
+    native percentile_approx stays as the rows-only engine-specific
+    twin in approx_event_stats).  Rank error ≤ ~n/32 + 16,
+    bounds-tested against exact percentiles."""
+    from ..operators.aggregates import gk_quantiles
+
+    return gk_quantiles(Catalog(spark, sf_dir).events)
+
+
+SQL_GK_QUANTILES = """
+WITH base AS (
+  SELECT event_type, value AS v,
+         instr('0123456789abcdef',
+               substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS shard
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, shard, v,
+         row_number() OVER (PARTITION BY event_type, shard ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, shard) AS ns
+  FROM base
+),
+summ AS (
+  SELECT event_type, shard, (rn * 32 + ns - 1) // ns AS j,
+         MAX(v) AS bv, COUNT(*) AS w
+  FROM r GROUP BY event_type, shard, j
+),
+merged AS (
+  SELECT event_type, bv, SUM(w) AS w FROM summ GROUP BY event_type, bv
+),
+cum AS (
+  SELECT event_type, bv,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY bv) AS cum,
+         SUM(w) OVER (PARTITION BY event_type) AS n
+  FROM merged
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       MIN(CASE WHEN cum >= (n + 3) // 4 THEN bv END) AS q25,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN bv END) AS q50,
+       MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN bv END) AS q75,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bv END) AS q95
+FROM cum GROUP BY event_type
+"""
+
+
 _DSIR_MODEL_CACHE: dict[str, str] = {}
 
 
@@ -4652,6 +4704,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_profile": q_column_profile,
     "json_props_stats": q_json_props_stats,
     "hll_distinct": q_hll_distinct,
+    "gk_quantiles": q_gk_quantiles,
     # --- window slots 46-50: late-round-5 additions, promoted from the
     # tail once it was clear the round was still running — each gets its
     # first driver hash-checked row this round (all five are already
@@ -4790,6 +4843,7 @@ ORACLES: dict[str, str] = {
     "column_profile": SQL_COLUMN_PROFILE,
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "gk_quantiles": SQL_GK_QUANTILES,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -144,3 +144,57 @@ def test_hll_distinct_error_bound_and_merge_semantics(spark, cat):
         for r in hll_distinct(e.repartition(13)).collect()
     }
     assert est_p == est
+
+
+def test_gk_quantiles_rank_error_bound_and_partition_invariance(spark, cat):
+    """Mergeable equi-depth quantile summary: every reported quantile's
+    TRUE rank is within the summary's rank-error envelope
+    (sum of per-shard bucket widths ~ n/B + shards) of the target rank,
+    and the summary is invariant to Spark partitioning (the shards are
+    md5-derived, not physical)."""
+    from pyspark.sql import functions as F
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.aggregates import (
+        gk_quantiles,
+    )
+
+    e = cat.events
+    out = {r.event_type: r for r in gk_quantiles(e).collect()}
+    vals = {
+        t: sorted(
+            r.value
+            for r in e.filter(
+                (F.col("event_type") == t)
+                & F.col("value").isNotNull()
+                & F.col("event_id").isNotNull()
+            ).collect()
+        )
+        for t in out
+    }
+    for t, row in out.items():
+        v = vals[t]
+        n = len(v)
+        assert row.n_events == n
+        # rank error: per-shard bucket width ceil(n_s/32) summed over
+        # <=16 shards
+        eps = n // 32 + 16 + 1
+        for q, got in [
+            (0.25, row.q25),
+            (0.5, row.q50),
+            (0.75, row.q75),
+            (0.95, row.q95),
+        ]:
+            target = -((-int(q * 100) * n) // 100)  # ceil(q*n), exact
+            # the reported value's true-rank interval [lo, hi]
+            import bisect
+
+            lo = bisect.bisect_left(v, got) + 1
+            hi = bisect.bisect_right(v, got)
+            assert lo - eps <= target <= hi + eps, (t, q, got, target, lo, hi)
+    # partition invariance: md5 shards, not physical partitions
+    out_p = {
+        r.event_type: r for r in gk_quantiles(e.repartition(13)).collect()
+    }
+    assert {t: tuple(r) for t, r in out_p.items()} == {
+        t: tuple(r) for t, r in out.items()
+    }
