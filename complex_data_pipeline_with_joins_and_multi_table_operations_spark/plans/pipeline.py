@@ -101,8 +101,37 @@ class Warehouse:
         w = df.write.mode("errorifexists")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(os.path.join(self.path(name), f"v{version}"))
+        vdir = os.path.join(self.path(name), f"v{version}")
+        w.parquet(vdir)
+        # Stamp commit wall-clock so TIMESTAMP AS OF resolves on this
+        # backend too (txlog records ts_ms in its commit log; here the
+        # underscore-prefixed sidecar is invisible to parquet readers,
+        # like _SUCCESS). Clamped strictly monotonic per table — Delta
+        # does the same — so clock skew can never order a later version
+        # before an earlier one.
+        import json as _json
+        import time as _time
+
+        ts_ms = int(_time.time() * 1000)
+        if version > 1:
+            ts_ms = max(ts_ms, self._commit_ts(name, version - 1) + 1)
+        with open(os.path.join(vdir, "_commit_ts.json"), "w") as f:
+            _json.dump({"ts_ms": ts_ms}, f)
         return version
+
+    def _commit_ts(self, name: str, version: int) -> int:
+        """Commit wall-clock of a snapshot (ms). Snapshots written before
+        the stamp existed fall back to the version dir's mtime — the
+        monotone envelope in version_at_timestamp absorbs any resulting
+        disorder."""
+        import json as _json
+
+        vdir = os.path.join(self.path(name), f"v{version}")
+        try:
+            with open(os.path.join(vdir, "_commit_ts.json")) as f:
+                return int(_json.load(f)["ts_ms"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return int(os.path.getmtime(vdir) * 1000)
 
     def versions(self, name: str) -> list[int]:
         base = self.path(name)
@@ -180,12 +209,24 @@ class Warehouse:
         return segments
 
     def version_at_timestamp(self, name: str, ts_ms: int) -> int:
-        """Resolve TIMESTAMP AS OF to a snapshot version. The base parquet
-        warehouse records no commit times — only the txlog backend can
-        answer; callers see a clear error rather than a wrong snapshot."""
-        raise NotImplementedError(
-            "TIMESTAMP AS OF needs commit timestamps; use TxLogWarehouse"
-        )
+        """Resolve TIMESTAMP AS OF to a snapshot version: the latest
+        version whose commit time is at or before ``ts_ms`` (Delta/Iceberg
+        semantics; same contract as TableLog.version_at). Commit times pass
+        through a monotone envelope (running max) first, so mtime-backfilled
+        pre-stamp snapshots can never resolve out of version order."""
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        best, seen = None, 0
+        for v in versions:
+            seen = max(seen, self._commit_ts(name, v))
+            if seen <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"table {name} has no version at or before ts_ms={ts_ms}"
+            )
+        return best
 
     def _rewrite_timestamp_as_of(
         self, segments: list[tuple[bool, str]]

@@ -382,8 +382,8 @@ def test_pyds_timestamp_as_of_option(spark, tmp_path):
 
 def test_warehouse_sql_timestamp_as_of(spark, tmp_path):
     """`tbl TIMESTAMP AS OF '<iso>'` resolves through commit wall-clock on
-    the txlog backend; the phrase inside a string literal is untouched;
-    the base parquet warehouse refuses with a clear error."""
+    BOTH backends — the txlog commit log and the base warehouse's stamped
+    snapshot dirs; the phrase inside a string literal is untouched."""
     import time as _time
     from datetime import datetime, timezone
 
@@ -409,11 +409,33 @@ def test_warehouse_sql_timestamp_as_of(spark, tmp_path):
     ).head()
     assert row.lit == "ts_snap TIMESTAMP AS OF '2020-01-01'"
     assert row.n == 2
-    # base warehouse: clear refusal, not a wrong answer
+    # base warehouse: the same SQL resolves through the _commit_ts.json
+    # stamps written into the versioned snapshot dirs
     base = Warehouse(spark, str(tmp_path / "wh2"))
     base.write_snapshot(_df(spark, [(1,)], ["id"]), "b_snap")
-    with pytest.raises(NotImplementedError, match="TIMESTAMP AS OF"):
-        base.sql(f"SELECT * FROM b_snap TIMESTAMP AS OF '{between}'")
+    b_between = datetime.now(timezone.utc).isoformat()
+    _time.sleep(0.05)
+    base.write_snapshot(_df(spark, [(1,), (2,)], ["id"]), "b_snap")
+    assert (
+        base.sql(
+            f"SELECT count(*) AS n FROM b_snap TIMESTAMP AS OF '{b_between}'"
+        ).head().n
+        == 1
+    )
+    assert base.sql("SELECT count(*) AS n FROM b_snap").head().n == 2
+    # a timestamp before the first snapshot is an error, not version 1
+    with pytest.raises(ValueError, match="no version at or before"):
+        base.sql(
+            "SELECT * FROM b_snap TIMESTAMP AS OF '2001-01-01T00:00:00+00:00'"
+        )
+    # pre-stamp snapshot dirs (no _commit_ts.json) fall back to dir mtime
+    # under a monotone envelope — still resolvable, still ordered
+    os.remove(
+        os.path.join(base.path("b_snap"), "v1", "_commit_ts.json")
+    )
+    assert base.version_at_timestamp(
+        "b_snap", int(datetime.now(timezone.utc).timestamp() * 1000)
+    ) == 2
 
 
 def test_optimize_compacts_files_same_rows(spark, tmp_path):
