@@ -743,6 +743,48 @@ FROM events GROUP BY event_type
 """
 
 
+def q_skewed_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim JOIN (operators/custom.salted_join) — the join
+    twin of salted_event_type_agg: three quarters of the fact rows are
+    deliberately collapsed onto ONE key (the Zipf head a plain
+    SortMergeJoin would pile onto a single reducer), the dim side is
+    salt-replicated 16× so the hot key spreads over 16 reducers, and the
+    output is salt-independent — the oracle is the PLAIN join. Covers
+    the case where the dim is too big to broadcast but far smaller than
+    the fact; AQE's skew-join split handles the moderate cases, this
+    operator the pathological ones. Plan-asserted in
+    tests/test_scale_guards.py (the join keys carry the salt)."""
+    c = Catalog(spark, sf_dir)
+    ev = c.events.withColumn(
+        "hot_uid",
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id")),
+    )
+    users = c.customer.select(
+        F.col("c_custkey").alias("u_key"), "c_mktsegment"
+    )
+    joined = custom.salted_join(ev, users, "hot_uid", "u_key", n_salts=16)
+    return joined.groupBy("hot_uid", "c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+SQL_SKEWED_HOT_KEY_JOIN = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 4 < 3 THEN 0 ELSE user_id END AS hot_uid, value
+  FROM events
+)
+SELECT hot_uid, c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ev JOIN customer ON hot_uid = c_custkey
+GROUP BY hot_uid, c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / text / similarity / multimodal extensions
 # ---------------------------------------------------------------------------
@@ -4639,6 +4681,7 @@ QUERIES: dict[str, QueryFn] = {
     # parked at the tail, in line for the r6 rotation)
     "classifier_scores": q_classifier_scores,
     "salted_event_type_agg": q_salted_event_agg,
+    "skewed_hot_key_join": q_skewed_hot_key_join,
     "quantity_range_join": q_quantity_range_join,
     # newly SQL-oracled this round (md5 token hash / md5 hyperplanes +
     # fold-exact verification made all three mirrorable): each takes a
@@ -4826,6 +4869,7 @@ ORACLES: dict[str, str] = {
     "user_median_value": SQL_USER_MEDIAN,
     "user_median_builtin": SQL_USER_MEDIAN,
     "salted_event_type_agg": SQL_SALTED_EVENT_AGG,
+    "skewed_hot_key_join": SQL_SKEWED_HOT_KEY_JOIN,
     "events_sliding_30m": SQL_SLIDING_AGG,
     "session_window_agg": SQL_SESSION_WINDOW,
     "except_intersect": SQL_EXCEPT_INTERSECT,

@@ -265,3 +265,43 @@ def test_sql_backtick_quoted_table_reference_registers(spark, cat, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     wh.write_snapshot(cat.orders.limit(7), "bt_snap")
     assert wh.sql("SELECT count(*) AS n FROM `bt_snap`").head().n == 7
+
+
+def test_skewed_hot_key_join_plan_carries_salt_and_matches_plain_join(
+    spark, cat
+):
+    """The registry's skewed fact⋈dim demonstration: the physical join
+    keys must include the salt (so the Zipf-head key shuffles across
+    n_salts reducers instead of one), and the result must equal the
+    plain unsalted join."""
+    from pyspark.sql import functions as F
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.registry import (
+        q_skewed_hot_key_join,
+    )
+
+    from conftest import SF_DIR
+
+    out = q_skewed_hot_key_join(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "join must shuffle on (key, salt), not key alone"
+
+    ev = cat.events.withColumn(
+        "hot_uid",
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id")),
+    )
+    users = cat.customer.select(F.col("c_custkey").alias("u_key"), "c_mktsegment")
+    plain = (
+        ev.join(users, ev.hot_uid == users.u_key)
+        .groupBy("hot_uid", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
