@@ -2,10 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-The container has no image/audio codecs, so the actual decode step is a
-clearly-marked stub (NotImplementedError for real decoding, plus a
-deterministic fake-feature path so the Spark-side plumbing — schema,
-batching, partitioning, UDF signature — is real and tested end-to-end).
+The container has no image/audio codec libraries, so decoding splits in
+two: TOY CODECS DECODE FOR REAL — P6 PPM images and PCM RIFF/WAVE audio
+are parsed by pure-Python decoders (decode_ppm/decode_wav below, driven
+end-to-end by encode_toy_media → decode_toy_media over format-conformant
+synthetic payloads) — while every other format stays a clearly-marked
+stub (NotImplementedError in decode_media, plus the deterministic
+fake-feature path so the Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is exercised on arbitrary binaries too).
 
 Scale notes: mapInPandas streams Arrow batches; binary payloads never
 materialize on the driver. Batch size is controlled by
@@ -65,13 +69,72 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def decode_ppm(content: bytes) -> dict:
+    """Pure-Python P6 PPM decode: parse the `P6\\n<w> <h>\\n<maxval>\\n`
+    header, return dims + the raw RGB body. A REAL (if toy) codec — no
+    libraries needed, so the decode step stops being a stub for images
+    in this format."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    body = content[i : i + w * h * 3]
+    if maxval != 255 or len(body) != w * h * 3:
+        raise ValueError("truncated or non-8-bit PPM body")
+    return {"width": w, "height": h, "body": body}
+
+
+def decode_wav(content: bytes) -> dict:
+    """Pure-Python RIFF/WAVE PCM decode: verify the RIFF container, walk
+    the chunk list to `fmt ` and `data` (the real chunk-walking a codec
+    does — no fixed 44-byte assumption), return rate/samples + body."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, body = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack(
+            "<I", content[pos + 4 : pos + 8]
+        )[0]
+        chunk = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            body = chunk
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or body is None or fmt[0] != 1:
+        raise ValueError("missing fmt/data chunk or non-PCM encoding")
+    block_align = fmt[4]
+    return {
+        "sample_rate": fmt[2],
+        "n_samples": len(body) // block_align,
+        "body": body,
+    }
+
+
 def decode_media(content: bytes, media_type: str):
-    """Real decoding requires codec libraries not present in this
-    container. The engine's contract: plug a decoder in here."""
+    """Dispatching decoder. PPM images and PCM WAV audio decode for real
+    (pure Python, above); every other codec still requires libraries not
+    present in this container and raises the documented stub error."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:4] == b"RIFF":
+        return decode_wav(content)
     raise NotImplementedError(
-        "media decoding requires image/audio codec libraries (PIL/ffmpeg); "
-        "not available in this environment — use extract_features' "
-        "deterministic fake path"
+        "only toy codecs (P6 PPM, PCM WAV) decode in this environment; "
+        "other formats require image/audio codec libraries (PIL/ffmpeg) — "
+        "plug a decoder in here or use extract_features' deterministic "
+        "fake path"
     )
 
 
@@ -252,3 +315,154 @@ def audio_chunks(media: DataFrame, chunk_s: int = 30, max_chunks: int = 4) -> Da
 
     auds = media.filter(F.col("media_type") == "audio")
     return auds.mapInPandas(_chunk, schema=CHUNK_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("body_bytes", LongType()),
+        StructField("body_sum", LongType()),
+    ]
+)
+
+
+def encode_toy_media(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL encoded media payloads from the documents fixture:
+    even doc_ids become P6 PPM images, odd ones PCM WAV audio, with dims
+    and duration derived from md5(text) so every byte is deterministic.
+    The payloads are genuine format-conformant files (any external PPM/WAV
+    reader opens them) — the fixture the toy codecs decode end-to-end."""
+
+    def _encode(batches):
+        # self-contained closure: workers cannot import this package, so
+        # the encoders live inline (decode_ppm/decode_wav mirror them at
+        # module scope for driver-side use)
+        import hashlib as _hashlib
+        import struct as _struct
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, codecs, blobs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = _hashlib.md5(
+                    (text if isinstance(text, str) else "").encode("utf-8")
+                ).digest()
+                if did % 2 == 0:
+                    w = 4 + seed[0] % 13
+                    h = 4 + seed[1] % 13
+                    n = w * h * 3
+                    body = (seed * (n // 16 + 1))[:n]
+                    blob = b"P6\n%d %d\n255\n" % (w, h) + body
+                    codec = "ppm"
+                else:
+                    n_samples = 256 + (seed[2] + 256 * seed[3]) % 4000
+                    data = (seed * ((2 * n_samples) // 16 + 1))[: 2 * n_samples]
+                    sr = 8000
+                    blob = (
+                        b"RIFF"
+                        + _struct.pack("<I", 36 + len(data))
+                        + b"WAVE"
+                        + b"fmt "
+                        + _struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                        + b"data"
+                        + _struct.pack("<I", len(data))
+                        + data
+                    )
+                    codec = "wav"
+                ids.append(did)
+                codecs.append(codec)
+                blobs.append(blob)
+            yield _pd.DataFrame(
+                {"media_id": ids, "codec": codecs, "content": blobs}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("codec", StringType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_toy_media(media: DataFrame) -> DataFrame:
+    """REAL decode over binary media rows (mapInPandas): parse each
+    payload's actual header bytes (PPM text header / RIFF chunk walk),
+    then compute stats from the DECODED body — dims, sample counts, byte
+    length, exact byte sum. Nothing is read from metadata columns; a
+    corrupted payload would change the output, which is what makes the
+    cross-engine oracle a round-trip proof (encode → decode must
+    reconstruct exactly the synthesis parameters the oracle derives
+    from md5 directly)."""
+
+    def _decode(batches):
+        # self-contained: inline copies of decode_ppm / decode_wav
+        import struct as _struct
+
+        import pandas as _pd
+
+        def ppm(content):
+            fields, i = [], 2
+            while len(fields) < 3:
+                while i < len(content) and content[i : i + 1].isspace():
+                    i += 1
+                j = i
+                while j < len(content) and not content[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(content[i:j]))
+                i = j
+            i += 1
+            w, h, _maxval = fields
+            return w, h, content[i : i + w * h * 3]
+
+        def wav(content):
+            pos, fmt, body = 12, None, None
+            while pos + 8 <= len(content):
+                cid = content[pos : pos + 4]
+                size = _struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+                chunk = content[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = _struct.unpack("<HHIIHH", chunk[:16])
+                elif cid == b"data":
+                    body = chunk
+                pos += 8 + size + (size % 2)
+            return fmt[2], len(body) // fmt[4], body
+
+        for pdf in batches:
+            out = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c[:2] == b"P6":
+                    w, h, body = ppm(c)
+                    row = ("ppm", w, h, None, None)
+                else:
+                    sr, ns, body = wav(c)
+                    row = ("wav", None, None, sr, ns)
+                out["media_id"].append(mid)
+                out["codec"].append(row[0])
+                out["width"].append(row[1])
+                out["height"].append(row[2])
+                out["sample_rate"].append(row[3])
+                out["n_samples"].append(row[4])
+                out["body_bytes"].append(len(body))
+                out["body_sum"].append(sum(body))
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def decoded_media_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end toy-codec pipeline: documents → format-conformant
+    PPM/WAV payloads → REAL header parse + body stats. Every output
+    value is a pure function of md5(text), so DuckDB mirrors it without
+    ever touching a binary — agreement proves the encode→decode round
+    trip byte-exactly."""
+    return decode_toy_media(encode_toy_media(documents))

@@ -1109,6 +1109,61 @@ FROM documents
 """
 
 
+def q_decoded_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL toy-codec decode end-to-end (operators/multimodal.py
+    encode_toy_media → decode_toy_media): documents become
+    format-conformant P6 PPM / PCM WAV payloads, the mapInPandas decoder
+    parses the ACTUAL header bytes (PPM text header, RIFF chunk walk)
+    and reports stats computed from the decoded body. Every output is a
+    pure function of md5(text), so the oracle derives the same values
+    directly from the digest — agreement proves the encode→decode round
+    trip is byte-exact. Replaces the round-5 decode stub for these two
+    formats; other codecs still raise the documented NotImplementedError
+    (multimodal.decode_media)."""
+    return multimodal.decoded_media_stats(Catalog(spark, sf_dir).documents)
+
+
+_SEED_BYTES = (
+    "list_transform(range(16), i -> "
+    "CAST(instr('0123456789abcdef', substring(hx, 2 * CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT) * 16 + "
+    "CAST(instr('0123456789abcdef', substring(hx, 2 * CAST(i AS INTEGER) + 2, 1)) - 1 AS BIGINT))"
+)
+
+SQL_DECODED_MEDIA_STATS = f"""
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents
+),
+b AS (
+  SELECT doc_id, {_SEED_BYTES} AS sb FROM h
+),
+dims AS (
+  SELECT doc_id, sb,
+         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS codec,
+         CASE WHEN doc_id % 2 = 0 THEN 4 + sb[1] % 13 END AS w,
+         CASE WHEN doc_id % 2 = 0 THEN 4 + sb[2] % 13 END AS hgt,
+         CASE WHEN doc_id % 2 = 1
+              THEN 256 + (sb[3] + 256 * sb[4]) % 4000 END AS ns
+  FROM b
+),
+sized AS (
+  SELECT doc_id, sb, codec, w, hgt, ns,
+         CASE WHEN codec = 'ppm' THEN w * hgt * 3 ELSE 2 * ns END AS nb
+  FROM dims
+)
+SELECT doc_id AS media_id,
+       codec,
+       CAST(w AS INTEGER) AS width,
+       CAST(hgt AS INTEGER) AS height,
+       CAST(CASE WHEN codec = 'wav' THEN 8000 END AS INTEGER) AS sample_rate,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(nb AS BIGINT) AS body_bytes,
+       CAST((nb // 16) * list_aggregate(sb, 'sum')
+            + coalesce(list_aggregate(list_slice(sb, 1, nb % 16), 'sum'), 0)
+            AS BIGINT) AS body_sum
+FROM sized
+"""
+
+
 # ---------------------------------------------------------------------------
 # multi-dimensional grouping: ROLLUP / CUBE / GROUPING SETS / PIVOT
 # ---------------------------------------------------------------------------
@@ -4701,6 +4756,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
+    "decoded_media_stats": q_decoded_media_stats,
     "cube_order_counts": q_cube_order_counts,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "pivot_status_revenue": q_pivot_status_revenue,
@@ -4924,6 +4980,7 @@ ORACLES: dict[str, str] = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "vector_norms": SQL_VECTOR_NORMS,
     "media_features": SQL_MEDIA_FEATURES,
+    "decoded_media_stats": SQL_DECODED_MEDIA_STATS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "cube_order_counts": SQL_CUBE_ORDER_COUNTS,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,

@@ -381,3 +381,61 @@ def test_variant_extraction_handles_missing_and_malformed(spark):
         F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
     ).collect()
     assert [r.k for r in out] == [7, None, None, None]
+
+
+def test_toy_codec_roundtrip_ppm_and_wav():
+    """The pure-Python toy codecs decode REAL format-conformant payloads:
+    encode by hand, decode through the public decoder, byte-exact body."""
+    body = bytes(range(48))  # 4x4 RGB
+    ppm = b"P6\n4 4\n255\n" + body
+    d = multimodal.decode_media(ppm, "image")
+    assert (d["width"], d["height"], d["body"]) == (4, 4, body)
+    # whitespace-flexible header (real PPM allows any whitespace runs)
+    d2 = multimodal.decode_ppm(b"P6  4\t4\n255 " + body)
+    assert (d2["width"], d2["height"], d2["body"]) == (4, 4, body)
+
+    import struct
+
+    pcm = bytes(200)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    w = multimodal.decode_media(wav, "audio")
+    assert (w["sample_rate"], w["n_samples"], w["body"]) == (8000, 100, pcm)
+    # chunk walking: an extra LIST chunk before data must be skipped
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 36 + 12 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assert multimodal.decode_wav(wav2)["n_samples"] == 100
+    # unknown codecs still refuse loudly
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n4 4\n255\n" + body)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
+
+
+def test_toy_codec_pipeline_decodes_what_it_encoded(cat):
+    """encode_toy_media emits payloads decode_toy_media parses from the
+    actual bytes; the decoded dims must equal what a DRIVER-side decode
+    of the same payloads reports (mapInPandas path == public decoder)."""
+    media = multimodal.encode_toy_media(cat.documents.limit(40))
+    decoded = {r.media_id: r for r in multimodal.decode_toy_media(media).collect()}
+    for row in media.collect():
+        d = multimodal.decode_media(bytes(row.content), row.codec)
+        got = decoded[row.media_id]
+        if row.codec == "ppm":
+            assert (got.width, got.height) == (d["width"], d["height"])
+        else:
+            assert (got.sample_rate, got.n_samples) == (
+                d["sample_rate"],
+                d["n_samples"],
+            )
+        assert got.body_bytes == len(d["body"])
+        assert got.body_sum == sum(d["body"])
