@@ -551,45 +551,106 @@ def ngram_jaccard_pairs(
     belong to :func:`minhash_lsh_pairs`, whose banded buckets subdivide
     what this blocking key can't.
     """
-    df = (
-        with_shingles(_parallelize_input(documents), k)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            (F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
-            "shingles",
-        )
-        .persist()  # both join sides read the shingled relation
+    # Collapse exact-duplicate texts FIRST (round-6: the same discipline
+    # minhash/simhash got in round 5, after the sf10 probe showed the
+    # raw in-block join at 30×/decade on the dup-heavy corpus). The
+    # collapse key includes the BLOCK key, not just the text hash: lang/
+    # source/n_chars are table columns, so identical texts in different
+    # blocks must stay distinct representatives. Shingling and the
+    # O(block²) Jaccard then run over DISTINCT (block, text) reps —
+    # a text duplicated d times costs d² less — while the doc-level
+    # output is reconstructed exactly: cross-group pairs inherit the rep
+    # pair's Jaccard (exact — members share one text), intra-group pairs
+    # score 1.0 (identical nonempty texts; empty-token groups score 0.0,
+    # _jaccard's empty-union value). Block-size cap semantics unchanged:
+    # sizes are RAW doc counts (Σ gsize), capped blocks drop entirely.
+    base = _parallelize_input(documents).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
+    ).withColumn(
+        "text_hash",
+        F.concat(
+            F.col("text").isNull().cast("int").cast("string"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        ),
+    )
+    block = ["lang", "source", "len_bucket"]
+    reps = base.groupBy(*block, "text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("gsize"),
+        F.min_by("text", "doc_id").alias("text"),
     )
     # block-size cap as a broadcast anti-join against the few oversized
     # blocks (≤ n/max_block_size keys by construction) — the corpus never
     # shuffles for the cap
-    block_sizes = df.groupBy("lang", "source", "len_bucket").count()
+    block_sizes = reps.groupBy(*block).agg(F.sum("gsize").alias("count"))
     hot = block_sizes.filter(F.col("count") > max_block_size).drop("count")
-    df = df.join(F.broadcast(hot), ["lang", "source", "len_bucket"], "left_anti")
-    a = df.select(
-        F.col("doc_id").alias("doc_a"),
+    reps = reps.join(F.broadcast(hot), block, "left_anti")
+    sh = (
+        with_shingles(reps, k)
+        .select("doc_id", *block, "gsize", "shingles")
+        .persist()  # both join sides + the intra expansion read it
+    )
+    memb = base.select("doc_id", *block, "text_hash").join(
+        reps.select(
+            F.col("doc_id").alias("rep_id"), *block, "text_hash"
+        ),
+        [*block, "text_hash"],
+    ).select("doc_id", "rep_id")
+    a = sh.select(
+        F.col("doc_id").alias("ra"), *block, F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("rb"), *block, F.col("shingles").alias("sh_b")
+    )
+    rep_pairs = (
+        a.join(b, block)
+        .filter(F.col("ra") < F.col("rb"))
+        .withColumn("jaccard", _jaccard())
+        .filter(F.col("jaccard") >= threshold)
+        .select("ra", "rb", "lang", "source", "jaccard")
+    )
+    cross = (
+        rep_pairs.join(
+            memb.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("ma")),
+            "ra",
+        )
+        .join(
+            memb.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("mb")),
+            "rb",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "lang",
+            "source",
+            "jaccard",
+        )
+    )
+    dup = sh.filter(F.col("gsize") >= 2).select(
+        F.col("doc_id").alias("rep_id"),
         "lang",
         "source",
-        "len_bucket",
-        F.col("shingles").alias("sh_a"),
+        F.when(F.size("shingles") > 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
     )
-    b = df.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "source",
-        "len_bucket",
-        F.col("shingles").alias("sh_b"),
-    )
-    pairs = a.join(b, ["lang", "source", "len_bucket"]).filter(
-        F.col("doc_a") < F.col("doc_b")
-    )
-    return (
-        pairs.withColumn("jaccard", _jaccard())
+    dup_members = memb.join(dup, "rep_id")
+    intra = (
+        dup_members.select("rep_id", "lang", "source", "jaccard",
+                           F.col("doc_id").alias("doc_a"))
+        .join(
+            dup_members.select("rep_id", F.col("doc_id").alias("doc_b")),
+            "rep_id",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "source", "jaccard")
     )
+    return cross.unionByName(intra)
 
 
 def _span_occurrences(reps: DataFrame, window: int) -> DataFrame:

@@ -98,6 +98,15 @@ SUBSET = [
     # scoring against the persisted ratio table (first trial pays the
     # build, min-of-2 reports the single scoring pass)
     "dsir_weights_cached",
+    # round-6 additions: the remaining sketch/profile families, the
+    # round-5 watch item (ngram_jaccard_pairs, 5.6x at sf1 on the
+    # dup-heavy corpus), and the three new round-6 queries
+    "hll_distinct",
+    "column_profile",
+    "ngram_jaccard_pairs",
+    "gk_quantiles",
+    "skewed_hot_key_join",
+    "decoded_media_stats",
 ]
 
 
@@ -119,7 +128,59 @@ def _extra_probes():
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return similarity.semantic_dedup(emb)
 
-    return {"semantic_dedup_adaptive": semantic_dedup_adaptive}
+    def cdc_apply_loop(spark, sf_dir):
+        """The streaming/upsert.py apply loop on a 10-slice change stream
+        derived from the probe-scale events table: each slice inserts its
+        event_id range and re-emits ~3% of the previous range as updates
+        (CDC time-locality), so every merge exercises stats-pruned
+        insert+update against a growing txlog table."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.io import (
+            load_events,
+        )
+        from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+            TableLog,
+        )
+        from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.upsert import (
+            apply_changes_batch,
+        )
+
+        root = f"/tmp/cdc_probe_{uuid.uuid4().hex}"
+        ev = load_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        id_max = ev.agg(F.max("event_id")).head()[0]
+        step = id_max // 10 + 1
+        for i in range(10):
+            inserts = ev.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ).withColumn("lsn", F.col("event_id"))
+            batch = inserts
+            if i:
+                updates = (
+                    ev.filter(
+                        (F.col("event_id") >= (i - 1) * step)
+                        & (F.col("event_id") < i * step)
+                        & (F.col("event_id") % 31 == 0)
+                    )
+                    .withColumn("value", F.col("value") + 1)
+                    .withColumn("lsn", F.col("event_id") + F.lit(10 * step))
+                )
+                batch = inserts.unionByName(updates)
+            apply_changes_batch(
+                spark, batch, root, ["event_id"], "lsn",
+                txn=("cdc-probe", i),
+            )
+        return TableLog(spark, root).read()
+
+    return {
+        "semantic_dedup_adaptive": semantic_dedup_adaptive,
+        "cdc_apply_loop": cdc_apply_loop,
+    }
 
 
 def main() -> None:
