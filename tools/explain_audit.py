@@ -48,6 +48,11 @@ HEADLINE = [
     "rank_fusion_cached",
     "bpe_subword_counts",
     "dsir_weights",
+    # round-6 additions: the mergeable quantile summary, the skew-safe
+    # salted join, and the collapse-first n-gram Jaccard rewrite
+    "gk_quantiles",
+    "skewed_hot_key_join",
+    "ngram_jaccard_pairs",
 ]
 
 CLAIMS = {
@@ -108,6 +113,13 @@ CLAIMS = {
     "bpe_subword_counts": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
     # the B-row log-ratio table broadcasts back onto the feature explode
     "dsir_weights": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # summary merge shuffles shards×B rows per group; no joins at all
+    "gk_quantiles": [("Join", False), ("Window", True)],
+    # the dim side salt-replicates then broadcasts; the Zipf-head fact
+    # side must never sort-merge onto one reducer
+    "skewed_hot_key_join": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
+    # block cap + collapse-first: hot blocks leave via broadcast anti-join
+    "ngram_jaccard_pairs": [("BroadcastHashJoin LeftAnti", True)],
 }
 
 
