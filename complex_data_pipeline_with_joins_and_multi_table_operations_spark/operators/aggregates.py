@@ -277,3 +277,104 @@ def gk_quantiles(events: DataFrame, value_col: str = "value", buckets: int = 32)
             "q95"
         ),
     )
+
+
+def kmv_segment_overlap(events: DataFrame, key_col: str = "user_id", k: int = 64) -> DataFrame:
+    """Sketch-based SET OPERATIONS across segments (the theta-sketch
+    use case: audience overlap): for every pair of event types, estimate
+    the union, intersection, and Jaccard of their distinct-user sets
+    from k-minimum-values sketches alone — never from the raw sets.
+    Fourth cross-engine-exact sketch: everything is a pure function of
+    md5 (the :func:`kmv_distinct` fold), so DuckDB rebuilds the
+    identical sketches and the driver hash-checks approximate set
+    algebra exactly.
+
+    Estimator (per unordered type pair a<b): θ = min(θ_a, θ_b) where
+    θ_t is the k-th smallest distinct u of type t (1.0 when the type
+    has fewer than k distinct keys — the sketch IS the set and the
+    estimates below become exact). The sketch entries of each side
+    below θ form uniform samples of the sets below θ, so
+    est_union = |A'∪B'|/θ, est_intersect = |A'∩B'|/θ,
+    est_jaccard = |A'∩B'|/|A'∪B'| (0 on an empty union). Error
+    concentrates around 1/√(k−2) like the distinct estimate;
+    bounds-tested against the exact overlaps.
+
+    Scale shape: ONE distinct + windowed top-k builds every sketch in a
+    pass (at 100 TB: a partial-aggregate k-min accumulator — sketches
+    are mergeable by construction, the k smallest of a union is a
+    function of each side's k smallest); the pair algebra then touches
+    only T²·k sketch rows (T = segment count, k = 64), driver-free and
+    independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("k")), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16**13))
+    )
+    hashes = (
+        events.filter(F.col(key_col).isNotNull())
+        .select("event_type", F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .withColumn("u", u)
+    )
+    w = Window.partitionBy("event_type").orderBy("u", "k")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "k", "u", "rn")
+    )
+    thetas = sk.groupBy("event_type").agg(
+        F.when(F.max("rn") >= k, F.max("u")).otherwise(F.lit(1.0)).alias("theta")
+    )
+    pairs = (
+        thetas.select(F.col("event_type").alias("type_a"), F.col("theta").alias("th_a"))
+        .join(
+            thetas.select(
+                F.col("event_type").alias("type_b"), F.col("theta").alias("th_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select("type_a", "type_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    # sketch entries of each side below the pair's theta
+    ea = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "k", "u"), "type_a"
+    ).filter(F.col("u") < F.col("theta"))
+    eb = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "k", "u"), "type_b"
+    ).filter(F.col("u") < F.col("theta"))
+    inter = (
+        ea.join(eb.select("type_a", "type_b", "k"), ["type_a", "type_b", "k"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    uni = (
+        ea.select("type_a", "type_b", "k")
+        .unionByName(eb.select("type_a", "type_b", "k"))
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_union"))
+    )
+    return (
+        pairs.join(uni, ["type_a", "type_b"], "left")
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.coalesce(F.col("n_union"), F.lit(0)) / F.col("theta"), 4
+            ).alias("est_union"),
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)) / F.col("theta"), 4
+            ).alias("est_intersect"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_union"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                    / F.col("n_union"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )

@@ -131,3 +131,108 @@ def salted_join(
         & (salted_left["_salt"] == salted_right["_salt"]),
     )
     return out.drop("_salt").drop(salted_right[right_key])
+
+
+def dim_bloom_bits(
+    dim: DataFrame, dim_key: str, m_bits: int = 8192, n_hashes: int = 2
+) -> list[int]:
+    """Build a Bloom bitmap (as ``m_bits/64`` BIGINT words) over a dim's
+    join keys — md5-salted positions, aggregated executor-side with
+    bit_or map-side combine; only the finished bitmap (128 longs at the
+    default size) reaches the driver, the same metadata scale as
+    k-means centroids or PQ codebooks."""
+    keys = (
+        dim.filter(F.col(dim_key).isNotNull())
+        .select(F.col(dim_key).cast("string").alias("k"))
+        .distinct()
+    )
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.col("k"), F.lit(f"#{s}"))), 1, 12
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m_bits
+                    )
+                    for s in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    rows = (
+        positions.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 8192,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Runtime Bloom-prefiltered equi-join: probe every fact row against
+    a Bloom filter of the dim's keys BEFORE the join, so fact rows that
+    cannot match never enter the join exchange. Semantics are EXACTLY
+    the plain inner join — Bloom filters have no false negatives, and
+    the join itself re-verifies the survivors (false positives cost
+    shuffle bytes, never wrong rows), which is why the oracle is the
+    unfiltered join.
+
+    This is the hand-rolled form of Spark's runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) for when the
+    optimizer won't inject one (non-equi plans, DSv1 sources, a dim
+    produced mid-query): at 100 TB the win is the fact-side Exchange
+    shrinking by the fact's non-matching fraction — the dim stays
+    shuffled/broadcast as Catalyst chooses, the bitmap itself is
+    driver metadata (m_bits/64 longs), and the probe is pure JVM
+    column arithmetic inside the scan stage's codegen.
+    """
+    words = dim_bloom_bits(dim, dim_key, m_bits=m_bits, n_hashes=n_hashes)
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    probed = fact.filter(F.col(fact_key).isNotNull())
+    conds = []
+    for s in range(n_hashes):
+        probed = probed.withColumn(
+            f"_bp{s}",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(fact_key).cast("string"), F.lit(f"#{s}"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits,
+        )
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at({arr}, CAST(_bp{s} div 64 AS INT) + 1),"
+                f" CAST(_bp{s} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    probed = probed.filter(cond).drop(*[f"_bp{s}" for s in range(n_hashes)])
+    return probed.join(dim, probed[fact_key] == dim[dim_key])

@@ -785,6 +785,43 @@ GROUP BY hot_uid, c_mktsegment
 """
 
 
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-prefiltered join (operators/custom.py
+    bloom_filtered_join): lineitem probed against an md5 Bloom bitmap of
+    one nation's supplier keys BEFORE the join exchange — the hand-
+    rolled form of Spark's runtime bloom-filter join for plans the
+    optimizer won't inject one into. No false negatives + join
+    re-verification ⇒ the oracle is the PLAIN join; the win at scale is
+    the fact-side Exchange shrinking by the non-matching fraction
+    (here ~96% of lineitem rows drop inside the scan stage).
+    Plan + false-positive-rate asserted in tests/test_scale_guards.py."""
+    c = Catalog(spark, sf_dir)
+    dim = c.supplier.filter(F.col("s_nationkey") == 3).select(
+        "s_suppkey", "s_name"
+    )
+    out = custom.bloom_filtered_join(c.lineitem, dim, "l_suppkey", "s_suppkey")
+    return out.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_BLOOM_PREJOIN = """
+SELECT s_suppkey, s_name, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = 3
+GROUP BY s_suppkey, s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / text / similarity / multimodal extensions
 # ---------------------------------------------------------------------------
@@ -4559,6 +4596,78 @@ FROM e
 """
 
 
+def q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set algebra across segments (operators/aggregates.py
+    kmv_segment_overlap): union/intersection/Jaccard of per-event-type
+    distinct-user sets estimated from KMV (theta-style) sketches alone —
+    the audience-overlap use case. Pure function of md5, so approximate
+    SET OPERATIONS get a full hash oracle; error bounds vs the exact
+    overlaps asserted in tests/test_sketch_sampling.py."""
+    from ..operators.aggregates import kmv_segment_overlap
+
+    return kmv_segment_overlap(Catalog(spark, sf_dir).events)
+
+
+SQL_KMV_SEGMENT_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+u AS (
+  SELECT event_type, k,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(13), i -> CAST(instr('0123456789abcdef',
+               substring(md5(k), CAST(i AS INTEGER) + 1, 1)) - 1 AS BIGINT))),
+            (s, x) -> s * 16 + x) AS DOUBLE) / 4503599627370496.0 AS u
+  FROM h
+),
+sk AS (
+  SELECT * FROM (
+    SELECT event_type, k, u,
+           row_number() OVER (PARTITION BY event_type ORDER BY u, k) AS rn
+    FROM u
+  ) WHERE rn <= 64
+),
+th AS (
+  SELECT event_type,
+         CASE WHEN max(rn) >= 64 THEN max(u) ELSE 1.0 END AS theta
+  FROM sk GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+ea AS (
+  SELECT p.type_a, p.type_b, s.k
+  FROM p JOIN sk s ON s.event_type = p.type_a AND s.u < p.theta
+),
+eb AS (
+  SELECT p.type_a, p.type_b, s.k
+  FROM p JOIN sk s ON s.event_type = p.type_b AND s.u < p.theta
+),
+i AS (
+  SELECT type_a, type_b, count(*) AS n_inter
+  FROM (SELECT * FROM ea INTERSECT SELECT * FROM eb)
+  GROUP BY type_a, type_b
+),
+un AS (
+  SELECT type_a, type_b, count(*) AS n_union
+  FROM (SELECT * FROM ea UNION SELECT * FROM eb)
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b,
+       round(coalesce(un.n_union, 0) / p.theta, 4) AS est_union,
+       round(coalesce(i.n_inter, 0) / p.theta, 4) AS est_intersect,
+       round(CASE WHEN coalesce(un.n_union, 0) > 0
+                  THEN CAST(coalesce(i.n_inter, 0) AS DOUBLE) / un.n_union
+                  ELSE 0.0 END, 4) AS est_jaccard
+FROM p
+LEFT JOIN un ON un.type_a = p.type_a AND un.type_b = p.type_b
+LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
+"""
+
+
 def q_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-depth quantile summary per event type
     (operators/aggregates.py gk_quantiles): md5-sharded per-partition
@@ -4737,6 +4846,7 @@ QUERIES: dict[str, QueryFn] = {
     "classifier_scores": q_classifier_scores,
     "salted_event_type_agg": q_salted_event_agg,
     "skewed_hot_key_join": q_skewed_hot_key_join,
+    "bloom_prejoin_revenue": q_bloom_prejoin,
     "quantity_range_join": q_quantity_range_join,
     # newly SQL-oracled this round (md5 token hash / md5 hyperplanes +
     # fold-exact verification made all three mirrorable): each takes a
@@ -4804,6 +4914,7 @@ QUERIES: dict[str, QueryFn] = {
     "json_props_stats": q_json_props_stats,
     "hll_distinct": q_hll_distinct,
     "gk_quantiles": q_gk_quantiles,
+    "kmv_segment_overlap": q_kmv_segment_overlap,
     # --- window slots 46-50: late-round-5 additions, promoted from the
     # tail once it was clear the round was still running — each gets its
     # first driver hash-checked row this round (all five are already
@@ -4926,6 +5037,7 @@ ORACLES: dict[str, str] = {
     "user_median_builtin": SQL_USER_MEDIAN,
     "salted_event_type_agg": SQL_SALTED_EVENT_AGG,
     "skewed_hot_key_join": SQL_SKEWED_HOT_KEY_JOIN,
+    "bloom_prejoin_revenue": SQL_BLOOM_PREJOIN,
     "events_sliding_30m": SQL_SLIDING_AGG,
     "session_window_agg": SQL_SESSION_WINDOW,
     "except_intersect": SQL_EXCEPT_INTERSECT,
@@ -4944,6 +5056,7 @@ ORACLES: dict[str, str] = {
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "hll_distinct": SQL_HLL_DISTINCT,
     "gk_quantiles": SQL_GK_QUANTILES,
+    "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
     "quantity_range_join": SQL_QUANTITY_RANGE_JOIN,

@@ -305,3 +305,66 @@ def test_skewed_hot_key_join_plan_carries_salt_and_matches_plain_join(
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_bloom_filtered_join_equals_plain_join_and_prunes_fact(spark, cat):
+    """The Bloom prefilter must never change the join result (no false
+    negatives + join re-verification) while dropping most non-matching
+    fact rows BEFORE the join; the probe must sit in the plan as a
+    Filter on the fact side."""
+    from pyspark.sql import functions as F
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        custom,
+    )
+
+    dim = cat.supplier.filter(F.col("s_nationkey") == 3).select(
+        "s_suppkey", "s_name"
+    )
+    out = custom.bloom_filtered_join(
+        cat.lineitem, dim, "l_suppkey", "s_suppkey"
+    )
+    plain = cat.lineitem.join(
+        dim, cat.lineitem.l_suppkey == dim.s_suppkey
+    )
+    assert out.count() == plain.count()
+    # the probe is a pre-join Filter (bitmap word lookup + shift)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shiftright" in plan and "Filter" in plan
+    # false-positive rate: fact keys NOT in the dim that still pass the
+    # bloom — bounded well under the classic (1-e^{-kn/m})^k for
+    # n=|dim keys|, m=8192, k=2 (generous 5x slack for md5 variance)
+    words = custom.dim_bloom_bits(dim, "s_suppkey")
+    n_keys = dim.select("s_suppkey").distinct().count()
+    fpr_bound = (1 - 2.718281828 ** (-2 * n_keys / 8192)) ** 2
+    non_matching = cat.lineitem.join(
+        dim, cat.lineitem.l_suppkey == dim.s_suppkey, "left_anti"
+    )
+    probed = custom.bloom_filtered_join(
+        non_matching, dim.limit(0), "l_suppkey", "s_suppkey"
+    )
+    # count survivors of the EMPTY-dim bloom (all-zero bitmap): zero
+    assert probed.count() == 0
+    # survivors of the real bloom among non-matching keys
+    survivors = 0
+    keys = [r.l_suppkey for r in non_matching.select("l_suppkey").distinct().collect()]
+    import hashlib
+
+    for key in keys:
+        hit = True
+        for s in range(2):
+            p = (
+                int(
+                    hashlib.md5(f"{key}#{s}".encode()).hexdigest()[:12], 16
+                )
+                % 8192
+            )
+            if not (words[p // 64] >> (p % 64)) & 1:
+                hit = False
+                break
+        survivors += hit
+    assert survivors <= max(5 * fpr_bound * len(keys), 2), (
+        survivors,
+        fpr_bound,
+        len(keys),
+    )

@@ -198,3 +198,53 @@ def test_gk_quantiles_rank_error_bound_and_partition_invariance(spark, cat):
     assert {t: tuple(r) for t, r in out_p.items()} == {
         t: tuple(r) for t, r in out.items()
     }
+
+
+def test_kmv_segment_overlap_error_bounds_and_exact_small_groups(spark, cat):
+    """Sketch-based set algebra: every pair estimate lands within the
+    KMV error envelope of the exact overlap, and pairs where BOTH
+    segments have < k distinct keys are EXACT (theta = 1, the sketch is
+    the set)."""
+    from pyspark.sql import functions as F
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.aggregates import (
+        kmv_segment_overlap,
+    )
+
+    e = cat.events
+    got = {(r.type_a, r.type_b): r for r in kmv_segment_overlap(e).collect()}
+    sets = {
+        t: {
+            r.user_id
+            for r in e.filter(
+                (F.col("event_type") == t) & F.col("user_id").isNotNull()
+            )
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in {a for a, _ in got} | {b for _, b in got}
+    }
+    # 3-sigma KMV envelope around 1/sqrt(k-2), plus slack for the
+    # small-count regime
+    for (a, b), r in got.items():
+        A, B = sets[a], sets[b]
+        uni, inter = len(A | B), len(A & B)
+        tol = 3 * uni / (62**0.5) + 3
+        assert abs(r.est_union - uni) <= tol, ((a, b), r.est_union, uni)
+        assert abs(r.est_intersect - inter) <= tol, (
+            (a, b),
+            r.est_intersect,
+            inter,
+        )
+        if len(A) < 64 and len(B) < 64:
+            assert (r.est_union, r.est_intersect) == (
+                float(uni),
+                float(inter),
+            ), "small segments must be exact (theta = 1)"
+    # partition invariance: sketches are functions of md5, not layout
+    got_p = {
+        (r.type_a, r.type_b): tuple(r)
+        for r in kmv_segment_overlap(e.repartition(13)).collect()
+    }
+    assert got_p == {k: tuple(r) for k, r in got.items()}
