@@ -365,6 +365,7 @@ class TableLog:
         replace_where: dict[str, list] | None = None,
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
+        evolve_partitioning: bool = False,
     ) -> int:
         """Commit df as a new table version. Modes:
 
@@ -375,6 +376,15 @@ class TableLog:
           dynamic partition overwrite: only active files whose partition
           values match are removed (idempotent partition reload, the
           reference-append upgrade of SURVEY.md §4.3.3).
+
+        ``evolve_partitioning=True`` (append only) is Iceberg-style
+        partition-spec evolution: the append may declare a DIFFERENT
+        ``partition_by`` than the table's current spec — the commit's
+        spec becomes current, files written under earlier specs stay
+        active, and every reader goes through the spec-safe grouped
+        reader (``_read_file_metas``). Row-level ops rewrite touched
+        rows into the current spec (Iceberg's rewrite behavior);
+        ``replace_where`` stays spec-strict.
 
         ``txn=(app_id, version)`` is the Delta-style idempotent-writer
         token (txnAppId/txnVersion): the pair is recorded in the commit,
@@ -405,14 +415,23 @@ class TableLog:
                 cur is not None
                 and cur.partition_by != list(partition_by or [])
                 and (mode == "append" or replace_where)
+                and not (mode == "append" and evolve_partitioning)
             ):
                 # appends and partition replaces extend the CURRENT
                 # layout; only a full overwrite may re-partition (it
                 # replaces the active set wholesale, so old-layout files
-                # all leave the snapshot)
+                # all leave the snapshot) — UNLESS the append opts into
+                # Iceberg-style partition-spec evolution: the commit's
+                # partition_by becomes the table's current spec, files
+                # written under earlier specs stay active, and every
+                # reader goes through the spec-safe grouped reader
+                # (_read_file_metas). replace_where stays spec-strict:
+                # "overwrite these partition values" is only well-defined
+                # against one spec.
                 raise ValueError(
                     f"table partitioning is {cur.partition_by}; append/"
                     f"replace_where writes must match it, got {partition_by}"
+                    " (append may opt into evolve_partitioning=True)"
                 )
             # schema evolution: appends/partition-replaces EXTEND the
             # table schema (new nullable columns append; old files read
@@ -523,17 +542,43 @@ class TableLog:
                 f"snapshot v{snap.version} references vacuumed files: "
                 f"{missing[:3]}…"
             )
-        if not paths:
-            df = self.spark.createDataFrame([], snap.schema)
-        else:
-            df = (
-                self.spark.read.schema(snap.schema)
-                .option("basePath", self.data_dir)
-                .parquet(*paths)
-            )
+        df = self._read_file_metas(metas, snap.schema)
         for f in filters or []:
             df = df.filter(_as_column(f))
         return df
+
+    def _read_file_metas(self, metas: list[dict], schema) -> DataFrame:
+        """DataFrame over explicit file metas, PARTITION-SPEC-SAFE: files
+        are grouped by the set of partition keys their paths encode and
+        each group is read separately (hive-style dir reconstruction per
+        group, plain read for dir-less files), then unioned by name.
+        With partition evolution (``write(..., evolve_partitioning=True)``,
+        the Iceberg spec-evolution semantics) one snapshot legitimately
+        holds files written under different specs — a single basePath
+        read would die with Spark's conflicting-directory-structures
+        error. Single-spec snapshots take the original one-read path
+        unchanged (no extra Project in their plans)."""
+        if not metas:
+            return self.spark.createDataFrame([], schema)
+        groups: dict[tuple, list] = {}
+        for m in metas:
+            key = tuple(sorted((m.get("partition_values") or {}).keys()))
+            groups.setdefault(key, []).append(m)
+        dfs = []
+        for key, ms in groups.items():
+            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
+            reader = self.spark.read.schema(schema)
+            if key:
+                reader = reader.option("basePath", self.data_dir)
+            dfs.append(reader.parquet(*paths))
+        out = dfs[0]
+        if len(dfs) > 1:
+            # pin the declared column order before unioning: partition
+            # columns reconstructed from dirs can land at the tail
+            out = out.select(*[out[n] for n in schema.names])
+            for d in dfs[1:]:
+                out = out.unionByName(d.select(*[d[n] for n in schema.names]))
+        return out
 
     # -- maintenance --------------------------------------------------------
 
@@ -611,12 +656,24 @@ class TableLog:
                     if parent_schema_json is None:
                         parent_schema_json = self.snapshot(v - 1).schema_json
                     schema = StructType.fromJson(json.loads(parent_schema_json))
-                    paths = [os.path.join(self.data_dir, p) for p in metas]
+                    # removes are bare paths; reconstruct each file's
+                    # partition values from its dirs so the spec-safe
+                    # reader can group mixed layouts (partition evolution)
+                    fmetas = [
+                        {
+                            "path": p,
+                            "partition_values": _parse_partition_values(
+                                os.path.dirname(p) or "."
+                            ),
+                        }
+                        for p in metas
+                    ]
                 else:
                     schema = StructType.fromJson(json.loads(c["schema"]))
-                    paths = [
-                        os.path.join(self.data_dir, m["path"]) for m in metas
-                    ]
+                    fmetas = metas
+                paths = [
+                    os.path.join(self.data_dir, m["path"]) for m in fmetas
+                ]
                 missing = [p for p in paths if not os.path.exists(p)]
                 if missing:
                     raise FileNotFoundError(
@@ -624,9 +681,7 @@ class TableLog:
                         f"{missing[:3]}…"
                     )
                 parts.append(
-                    self.spark.read.schema(schema)
-                    .option("basePath", self.data_dir)
-                    .parquet(*paths)
+                    self._read_file_metas(fmetas, schema)
                     .withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                     .withColumn(
@@ -850,12 +905,7 @@ class TableLog:
                     "files_rewritten": 0,
                     "files_skipped": skipped,
                 }
-            paths = [os.path.join(self.data_dir, m["path"]) for m in cand.values()]
-            df = (
-                self.spark.read.schema(base.schema)
-                .option("basePath", self.data_dir)
-                .parquet(*paths)
-            )
+            df = self._read_file_metas(list(cand.values()), base.schema)
             cond = _as_column(filters[0])
             for f in filters[1:]:
                 cond = cond & _as_column(f)
@@ -1018,17 +1068,7 @@ class TableLog:
             # bisecting the sorted distinct keys against its [min, max] —
             # the same answer a stats⋈keys join would give, driver-side
             cand = self._refine_by_key_membership(cand, source, keys)
-            if cand:
-                paths = [
-                    os.path.join(self.data_dir, m["path"]) for m in cand.values()
-                ]
-                tgt = (
-                    self.spark.read.schema(base.schema)
-                    .option("basePath", self.data_dir)
-                    .parquet(*paths)
-                )
-            else:
-                tgt = self.spark.createDataFrame([], base.schema)
+            tgt = self._read_file_metas(list(cand.values()), base.schema)
             merged = merge_upsert(
                 tgt,
                 source,
@@ -1164,17 +1204,7 @@ class TableLog:
                 if all(_may_match(m, f) for f in filters)
             }
             cand = self._refine_by_key_membership(cand, source, keys)
-            if cand:
-                paths = [
-                    os.path.join(self.data_dir, m["path"]) for m in cand.values()
-                ]
-                tgt = (
-                    self.spark.read.schema(base.schema)
-                    .option("basePath", self.data_dir)
-                    .parquet(*paths)
-                )
-            else:
-                tgt = self.spark.createDataFrame([], base.schema)
+            tgt = self._read_file_metas(list(cand.values()), base.schema)
             table_cols = [f.name for f in base.schema.fields]
             if delete_col is not None and delete_col not in table_cols:
                 raise ValueError(

@@ -1111,3 +1111,56 @@ def test_merge_txn_recheck_on_retry_prevents_double_apply(
     assert res["files_rewritten"] == 0 and res["rows_written"] == 0
     assert log.snapshot().version == 2
     assert [(r.k, r.v) for r in log.read().collect()] == [(1, 11)]
+
+
+def test_partition_spec_evolution_append_read_and_rowops(spark, tmp_path):
+    """Iceberg-style partition evolution: an append may opt into a NEW
+    partition spec (write(..., evolve_partitioning=True)); files written
+    under earlier specs stay active and readable — the spec-safe reader
+    groups files by the partition keys their paths encode — and row-level
+    ops rewrite touched rows into the CURRENT spec."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, dt string, v long"
+        ),
+        partition_by=["dt"],
+    )
+    later = spark.createDataFrame([(3, "c", 30)], "id long, dt string, v long")
+    # without the opt-in the layout guard still refuses
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        log.write(later, mode="append")
+    log.write(later, mode="append", evolve_partitioning=True)
+    snap = log.snapshot()
+    assert snap.partition_by == []
+    # one snapshot, two specs: dir-encoded dt for v1 files, data column
+    # for the new file — the read reconstructs both
+    assert sorted((r.id, r.dt, r.v) for r in log.read().collect()) == [
+        (1, "a", 10),
+        (2, "b", 20),
+        (3, "c", 30),
+    ]
+    # stats/partition pruning still works across specs
+    assert [r.id for r in log.read(filters=[("dt", "==", "c")]).collect()] == [3]
+    # VERSION AS OF the pre-evolution snapshot is unchanged
+    assert log.read(1).count() == 2
+    # row op spanning both specs: candidates from each layout read,
+    # rewritten into the current (unpartitioned) spec
+    log.update([("id", "<=", 3)], {"v": "v + 1"})
+    assert sorted((r.id, r.dt, r.v) for r in log.read().collect()) == [
+        (1, "a", 11),
+        (2, "b", 21),
+        (3, "c", 31),
+    ]
+    # evolve BACK to partitioned: spec flips again, all history readable
+    log.write(
+        spark.createDataFrame([(4, "d", 40)], "id long, dt string, v long"),
+        mode="append",
+        partition_by=["dt"],
+        evolve_partitioning=True,
+    )
+    assert log.snapshot().partition_by == ["dt"]
+    assert log.read().count() == 4
+    # the change feed walks the mixed-spec history without conflict
+    net = log.table_changes(0, net=True)
+    assert net.filter("_change_type = 'insert'").count() >= 4
