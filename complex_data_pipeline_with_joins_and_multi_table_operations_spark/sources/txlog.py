@@ -141,10 +141,17 @@ class Snapshot:
     schema_json: str
     partition_by: list[str]
     files: dict[str, dict] = field(default_factory=dict)  # relpath -> meta
+    constraints: dict[str, str] = field(default_factory=dict)  # name -> expr
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
+
+
+class ConstraintViolationError(ValueError):
+    """A write/merge/update produced rows failing a table CHECK
+    constraint (Delta semantics: NULL passes, FALSE violates); nothing
+    was committed."""
 
 
 class TableLog:
@@ -228,6 +235,7 @@ class TableLog:
                 snap.snapshot_id = cp["snapshot_id"]
                 snap.schema_json = cp["schema"]
                 snap.partition_by = cp.get("partition_by") or []
+                snap.constraints = cp.get("constraints") or {}
                 replay_from = cv
                 break
 
@@ -241,6 +249,8 @@ class TableLog:
             snap.snapshot_id = c["snapshot_id"]
             snap.schema_json = c["schema"]
             snap.partition_by = c.get("partition_by") or []
+            if "constraints" in c:  # absent key = unchanged (carry forward)
+                snap.constraints = c["constraints"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -278,6 +288,108 @@ class TableLog:
                 f"{self.root} has no version at or before ts_ms={ts_ms}"
             )
         return best
+
+    # -- CHECK constraints --------------------------------------------------
+
+    def _enforce_constraints(
+        self, df: DataFrame, constraints: dict[str, str], context: str
+    ) -> None:
+        """ONE aggregate pass counting violations of every constraint
+        (SQL CHECK semantics: NULL passes, FALSE violates). No-op when
+        the table has no constraints — writes pay nothing by default."""
+        if not constraints:
+            return
+        passes = {
+            n: F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+            for n, e in constraints.items()
+        }
+        row = df.agg(
+            *[
+                F.count(F.when(~p, F.lit(1))).alias(f"c{i}")
+                for i, p in enumerate(passes.values())
+            ]
+        ).head()
+        bad = {
+            n: row[f"c{i}"]
+            for i, n in enumerate(passes)
+            if row[f"c{i}"]
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n} ({constraints[n]!r}): {c} rows" for n, c in bad.items()
+            )
+            raise ConstraintViolationError(
+                f"{context} into {self.root} violates CHECK constraints — "
+                f"{detail}; nothing was committed"
+            )
+
+    def add_constraint(self, name: str, expr: str, max_retries: int = 3) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK semantics): existing
+        rows must already satisfy ``expr`` (one validation scan), then the
+        constraint commits as table metadata — enforced on every
+        subsequent write/merge/update with one aggregate pass over the
+        incoming rows only."""
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if name in cur.constraints:
+                raise ValueError(
+                    f"constraint {name!r} already exists on {self.root}"
+                )
+            self._enforce_constraints(
+                self.read(cur.version), {name: expr}, "add_constraint"
+            )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "add_constraint",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "constraints": {**cur.constraints, name: expr},
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+        """ALTER TABLE DROP CONSTRAINT."""
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if name not in cur.constraints:
+                raise ValueError(f"no constraint {name!r} on {self.root}")
+            version = cur.version + 1
+            remaining = {
+                n: e for n, e in cur.constraints.items() if n != name
+            }
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "drop_constraint",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "constraints": remaining,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
 
     # -- write path ---------------------------------------------------------
 
@@ -444,7 +556,10 @@ class TableLog:
                 return _merge_schemas(cur.schema_json, df.schema.json())
             return df.schema.json()
 
-        validate(self.snapshot() if self.exists() else None)
+        pre = self.snapshot() if self.exists() else None
+        validate(pre)
+        if pre is not None:
+            self._enforce_constraints(df, pre.constraints, mode)
         adds = self._stage(df, partition_by)
 
         for _attempt in range(max_retries):
@@ -502,6 +617,7 @@ class TableLog:
                     "snapshot_id": snap.snapshot_id,
                     "schema": snap.schema_json,
                     "partition_by": snap.partition_by,
+                    "constraints": snap.constraints,
                 },
                 f,
             )
@@ -936,6 +1052,10 @@ class TableLog:
                     else:
                         cols.append(F.col(fld.name))
                 new_df = df.select(*cols)
+            if op == "update":
+                # updated rows must still satisfy the table's CHECK
+                # constraints (delete survivors satisfied them already)
+                self._enforce_constraints(new_df, base.constraints, op)
             adds = self._stage(new_df, base.partition_by or None)
             removes = list(cand)
             cur = self.snapshot()
@@ -1080,6 +1200,7 @@ class TableLog:
                 ),
                 insert_unmatched_deletes=insert_unmatched_deletes,
             )
+            self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(merged, base.partition_by or None)
             removes = list(cand)
             cur = self.snapshot()
@@ -1223,6 +1344,7 @@ class TableLog:
                 .filter(F.col("_rn") == 1)
                 .select(*table_cols)
             )
+            self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(merged, base.partition_by or None)
             removes = list(cand)
             cur = self.snapshot()
@@ -1332,6 +1454,41 @@ class TableLog:
                 rel = os.path.relpath(full, self.data_dir)
                 if rel not in live and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
+                    deleted += 1
+        return deleted
+
+    def remove_orphans(self, min_age_s: float = 3600.0) -> int:
+        """Iceberg's ``remove_orphan_files``: delete data files that NO
+        snapshot at any version references — the leftovers of writers
+        that staged data but crashed before (or lost) their commit —
+        WITHOUT shrinking the time-travel horizon (that is vacuum's
+        job; every snapshot stays readable after this). Also clears
+        stale ``_staged-*`` dirs from interrupted stages. Age-guarded
+        like vacuum (an in-flight writer's fresh files survive); a
+        corrupt commit file raises rather than guessing — deleting a
+        file an unreadable commit might reference would corrupt time
+        travel silently."""
+        import time
+
+        referenced: set[str] = set()
+        for v in self.versions():
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            referenced.update(a["path"] for a in c.get("adds", []))
+        deleted = 0
+        cutoff = time.time() - min_age_s
+        for dirpath, _dirs, fnames in os.walk(self.data_dir):
+            for fname in fnames:
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, self.data_dir)
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+                    deleted += 1
+        for d in os.listdir(self.root):
+            if d.startswith("_staged-"):
+                full = os.path.join(self.root, d)
+                if os.path.getmtime(full) <= cutoff:
+                    _rmtree(full)
                     deleted += 1
         return deleted
 

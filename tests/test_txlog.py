@@ -1164,3 +1164,68 @@ def test_partition_spec_evolution_append_read_and_rowops(spark, tmp_path):
     # the change feed walks the mixed-spec history without conflict
     net = log.table_changes(0, net=True)
     assert net.filter("_change_type = 'insert'").count() >= 4
+
+
+def test_check_constraints_enforced_on_write_merge_update(spark, tmp_path):
+    """Delta-style CHECK constraints: existing data must satisfy a new
+    constraint, violating writes/merges/updates abort before committing,
+    NULL passes (SQL tri-state), and drop_constraint lifts enforcement."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        ConstraintViolationError,
+    )
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, 10), (2, None)], "k long, v long"))
+    # existing NULL passes; existing data satisfies v > 0
+    log.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        log.add_constraint("v_positive", "v > 0")
+    # a constraint existing data violates cannot be added
+    with pytest.raises(ConstraintViolationError, match="add_constraint"):
+        log.add_constraint("v_big", "v > 100")
+    # violating append aborts, nothing committed
+    v_before = log.snapshot().version
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        log.write(_df(spark, [(3, -5)], "k long, v long"), mode="append")
+    assert log.snapshot().version == v_before
+    # NULL passes on write too
+    log.write(_df(spark, [(3, None)], "k long, v long"), mode="append")
+    # violating MERGE aborts
+    with pytest.raises(ConstraintViolationError, match="merge"):
+        log.merge(_df(spark, [(1, -1)], "k long, v long"), ["k"])
+    # violating UPDATE aborts
+    with pytest.raises(ConstraintViolationError, match="update"):
+        log.update([("k", "==", 1)], {"v": "-9"})
+    # valid mutations pass
+    log.merge(_df(spark, [(1, 99)], "k long, v long"), ["k"])
+    assert {(r.k, r.v) for r in log.read().collect()} == {
+        (1, 99),
+        (2, None),
+        (3, None),
+    }
+    # constraints survive snapshot replay + checkpoints (metadata commit)
+    assert log.snapshot().constraints == {"v_positive": "v > 0"}
+    log.drop_constraint("v_positive")
+    log.write(_df(spark, [(4, -5)], "k long, v long"), mode="append")
+    assert log.read().filter("v = -5").count() == 1
+
+
+def test_remove_orphans_keeps_all_snapshots_readable(spark, tmp_path):
+    """remove_orphan_files semantics: files no snapshot references (a
+    crashed writer's staged-but-never-committed data) are reclaimed,
+    crashed staging dirs are cleared, and — unlike vacuum — EVERY
+    version stays readable afterwards."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1,)], ["id"]))
+    log.write(_df(spark, [(2,)], ["id"]), mode="append")
+    # a crashed writer: files land in data/, no commit ever references them
+    log._stage(_df(spark, [(777,)], ["id"]), None)
+    # default age guard: nothing young is deleted
+    assert log.remove_orphans() == 0
+    n = log.remove_orphans(min_age_s=0)
+    assert n >= 1
+    # both snapshots still read
+    assert [r.id for r in log.read(1).collect()] == [1]
+    assert sorted(r.id for r in log.read(2).collect()) == [1, 2]
+    # and the orphan rows are really gone from disk
+    assert log.read().filter("id = 777").count() == 0
