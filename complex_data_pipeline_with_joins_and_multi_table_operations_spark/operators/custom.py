@@ -137,10 +137,14 @@ def dim_bloom_bits(
     dim: DataFrame, dim_key: str, m_bits: int = 8192, n_hashes: int = 2
 ) -> list[int]:
     """Build a Bloom bitmap (as ``m_bits/64`` BIGINT words) over a dim's
-    join keys — md5-salted positions, aggregated executor-side with
-    bit_or map-side combine; only the finished bitmap (128 longs at the
-    default size) reaches the driver, the same metadata scale as
-    k-means centroids or PQ codebooks."""
+    join keys — xxhash64-salted positions (the JVM-native hash: the
+    bloom never needs cross-engine mirroring because the join result is
+    hash-independent, so the probe stays cheap on the 100 TB fact scan),
+    aggregated executor-side with bit_or map-side combine; only the
+    finished bitmap (128 longs at the default size) reaches the driver,
+    the same metadata scale as k-means centroids or PQ codebooks. Keys
+    hash through a string cast on BOTH sides so a fact/dim type mismatch
+    (int vs long) can never produce a false negative."""
     keys = (
         dim.filter(F.col(dim_key).isNotNull())
         .select(F.col(dim_key).cast("string").alias("k"))
@@ -150,16 +154,7 @@ def dim_bloom_bits(
         F.explode(
             F.array(
                 *[
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.col("k"), F.lit(f"#{s}"))), 1, 12
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % m_bits
-                    )
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(m_bits))
                     for s in range(n_hashes)
                 ]
             )
@@ -208,22 +203,34 @@ def bloom_filtered_join(
     column arithmetic inside the scan stage's codegen.
     """
     words = dim_bloom_bits(dim, dim_key, m_bits=m_bits, n_hashes=n_hashes)
+    probed = bloom_prefilter(
+        fact, fact_key, words, m_bits=m_bits, n_hashes=n_hashes
+    )
+    return probed.join(dim, probed[fact_key] == dim[dim_key])
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    words: list[int],
+    m_bits: int = 8192,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose key MAY be in the Bloom bitmap
+    (``words`` from :func:`dim_bloom_bits`): per-row xxhash64 positions,
+    word lookup in the literal bitmap array, bit test — all inside the
+    scan stage's codegen. Conservative by construction (false positives
+    pass, false negatives impossible)."""
     arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
     probed = fact.filter(F.col(fact_key).isNotNull())
     conds = []
     for s in range(n_hashes):
         probed = probed.withColumn(
             f"_bp{s}",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col(fact_key).cast("string"), F.lit(f"#{s}"))),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits,
+            F.pmod(
+                F.xxhash64(F.col(fact_key).cast("string"), F.lit(s)),
+                F.lit(m_bits),
+            ),
         )
         conds.append(
             F.expr(
@@ -234,5 +241,4 @@ def bloom_filtered_join(
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    probed = probed.filter(cond).drop(*[f"_bp{s}" for s in range(n_hashes)])
-    return probed.join(dim, probed[fact_key] == dim[dim_key])
+    return probed.filter(cond).drop(*[f"_bp{s}" for s in range(n_hashes)])

@@ -787,7 +787,7 @@ GROUP BY hot_uid, c_mktsegment
 
 def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-prefiltered join (operators/custom.py
-    bloom_filtered_join): lineitem probed against an md5 Bloom bitmap of
+    bloom_filtered_join): lineitem probed against an xxhash64 Bloom bitmap of
     one nation's supplier keys BEFORE the join exchange — the hand-
     rolled form of Spark's runtime bloom-filter join for plans the
     optimizer won't inject one into. No false negatives + join

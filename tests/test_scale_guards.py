@@ -345,26 +345,13 @@ def test_bloom_filtered_join_equals_plain_join_and_prunes_fact(spark, cat):
     )
     # count survivors of the EMPTY-dim bloom (all-zero bitmap): zero
     assert probed.count() == 0
-    # survivors of the real bloom among non-matching keys
-    survivors = 0
-    keys = [r.l_suppkey for r in non_matching.select("l_suppkey").distinct().collect()]
-    import hashlib
-
-    for key in keys:
-        hit = True
-        for s in range(2):
-            p = (
-                int(
-                    hashlib.md5(f"{key}#{s}".encode()).hexdigest()[:12], 16
-                )
-                % 8192
-            )
-            if not (words[p // 64] >> (p % 64)) & 1:
-                hit = False
-                break
-        survivors += hit
-    assert survivors <= max(5 * fpr_bound * len(keys), 2), (
+    # survivors of the real bloom among non-matching keys (probe the
+    # filter directly — the factored bloom_prefilter)
+    nm_keys = non_matching.select("l_suppkey").distinct()
+    n_nm = nm_keys.count()
+    survivors = custom.bloom_prefilter(nm_keys, "l_suppkey", words).count()
+    assert survivors <= max(5 * fpr_bound * n_nm, 2), (
         survivors,
         fpr_bound,
-        len(keys),
+        n_nm,
     )

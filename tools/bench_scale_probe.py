@@ -107,6 +107,8 @@ SUBSET = [
     "gk_quantiles",
     "skewed_hot_key_join",
     "decoded_media_stats",
+    "kmv_segment_overlap",
+    "bloom_prejoin_revenue",
 ]
 
 
