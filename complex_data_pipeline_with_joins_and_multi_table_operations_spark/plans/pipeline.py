@@ -208,6 +208,25 @@ class Warehouse:
         flush_code(n)
         return segments
 
+    _HISTORY_SCHEMA = (
+        "version long, ts_ms long, operation string, snapshot_id string, "
+        "n_adds long, n_removes long"
+    )
+
+    def history(self, name: str) -> DataFrame:
+        """Delta-style DESCRIBE HISTORY: one row per snapshot with commit
+        wall-clock. The base backend's snapshots are whole-table writes,
+        so file-level columns are null; the txlog backend overrides with
+        real commit metadata. Also reachable as SQL:
+        ``wh.sql("DESCRIBE HISTORY <table>")``."""
+        if not self.versions(name):
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        rows = [
+            (v, self._commit_ts(name, v), "write_snapshot", None, None, None)
+            for v in self.versions(name)
+        ]
+        return self.spark.createDataFrame(rows, self._HISTORY_SCHEMA)
+
     def version_at_timestamp(self, name: str, ts_ms: int) -> int:
         """Resolve TIMESTAMP AS OF to a snapshot version: the latest
         version whose commit time is at or before ``ts_ms`` (Delta/Iceberg
@@ -283,6 +302,13 @@ class Warehouse:
         pick an unclaimed name for user views over warehouse tables."""
         import re
 
+        m_hist = re.match(
+            r"\s*DESCRIBE\s+HISTORY\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
+        )
+        if m_hist:
+            # Delta's DESCRIBE HISTORY, portable across both backends
+            return self.history(m_hist.group(1))
+
         def _versioned(m: "re.Match[str]") -> str:
             name, version = m.group(1), int(m.group(2))
             view = f"__{name}_v{version}"
@@ -350,6 +376,20 @@ class TxLogWarehouse(Warehouse):
 
     def version_at_timestamp(self, name: str, ts_ms: int) -> int:
         return self._log(name).version_at(ts_ms)
+
+    def history(self, name: str) -> DataFrame:
+        rows = [
+            (
+                h["version"],
+                h.get("ts_ms"),
+                h["operation"],
+                h["snapshot_id"],
+                h["n_adds"],
+                h["n_removes"],
+            )
+            for h in self._log(name).history()
+        ]
+        return self.spark.createDataFrame(rows, self._HISTORY_SCHEMA)
 
     def write(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

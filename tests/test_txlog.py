@@ -1229,3 +1229,30 @@ def test_remove_orphans_keeps_all_snapshots_readable(spark, tmp_path):
     assert sorted(r.id for r in log.read(2).collect()) == [1, 2]
     # and the orphan rows are really gone from disk
     assert log.read().filter("id = 777").count() == 0
+
+
+def test_describe_history_sql_on_both_backends(spark, tmp_path):
+    """`DESCRIBE HISTORY <table>` through Warehouse.sql on both backends:
+    one row per version with monotone commit wall-clock; the txlog
+    backend reports real operations and file counts."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(_df(spark, [(1,)], ["id"]), "h")
+    wh.append(_df(spark, [(2,)], ["id"]), "h")
+    hist = wh.sql("DESCRIBE HISTORY h").collect()
+    assert [r.version for r in hist] == [1, 2]
+    assert [r.operation for r in hist] == ["overwrite", "append"]
+    assert hist[0].ts_ms < hist[1].ts_ms
+    assert hist[1].n_adds >= 1 and hist[1].n_removes == 0
+
+    base = Warehouse(spark, str(tmp_path / "wh2"))
+    base.write_snapshot(_df(spark, [(1,)], ["id"]), "h")
+    base.write_snapshot(_df(spark, [(1,), (2,)], ["id"]), "h")
+    bh = base.sql("DESCRIBE HISTORY h").collect()
+    assert [r.version for r in bh] == [1, 2]
+    assert bh[0].ts_ms < bh[1].ts_ms
+    with pytest.raises(FileNotFoundError):
+        base.sql("DESCRIBE HISTORY nope")
