@@ -127,6 +127,7 @@ def _read_file_as_batches(
     data_dir: str,
     meta: dict,
     schema_json: str,
+    mapping: dict | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Read one immutable data file and yield Arrow batches matching the
     snapshot schema exactly: partition columns (absent from the file, held
@@ -142,6 +143,7 @@ def _read_file_as_batches(
     from pyspark.sql.types import StructType as _StructType
 
     target = to_arrow_schema(_StructType.fromJson(_json.loads(schema_json)))
+    mapping = mapping or {}  # column mapping: files/dirs spell PHYSICAL names
     pvals = meta.get("partition_values", {})
     pf = pq.ParquetFile(os.path.join(data_dir, meta["path"]))
     for batch in pf.iter_batches():
@@ -149,10 +151,11 @@ def _read_file_as_batches(
         arrays, names = [], []
         present = set(batch.schema.names)
         for fld in target:
-            if fld.name in present:
-                arr = batch.column(batch.schema.get_field_index(fld.name))
-            elif fld.name in pvals:
-                v = pvals[fld.name]
+            pname = mapping.get(fld.name, fld.name)
+            if pname in present:
+                arr = batch.column(batch.schema.get_field_index(pname))
+            elif pname in pvals:
+                v = pvals[pname]
                 arr = (
                     pa.nulls(n, fld.type)
                     if v is None
@@ -175,16 +178,24 @@ class _FilePartition(InputPartition):
 
 
 class TxLogBatchReader(DataSourceReader):
-    def __init__(self, root: str, schema_json: str, metas: list[dict]):
+    def __init__(
+        self,
+        root: str,
+        schema_json: str,
+        metas: list[dict],
+        mapping: dict | None = None,
+    ):
         self.data_dir = os.path.join(root, "data")
         self.schema_json = schema_json
         self.metas = metas
+        self.mapping = mapping or {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         prune = translate_filters(filters)
         if prune:
-            from .txlog import _may_match
+            from .txlog import _may_match, _physical_filters
 
+            prune = _physical_filters(prune, self.mapping)
             self.metas = [
                 m for m in self.metas if all(_may_match(m, f) for f in prune)
             ]
@@ -197,7 +208,7 @@ class TxLogBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
         yield from _read_file_as_batches(
-            self.data_dir, partition.meta, self.schema_json
+            self.data_dir, partition.meta, self.schema_json, self.mapping
         )
 
 
@@ -330,6 +341,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # column mapping at stream start; the tail only carries appends,
+        # and a rename mid-stream is a non-append metadata commit the
+        # checkpoint restart picks up with the fresh mapping
+        from .txlog import TableLog
+
+        self.mapping = (
+            TableLog(None, root).snapshot().column_mapping
+            if TableLog(None, root).exists()
+            else {}
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -369,7 +390,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
         yield from _read_file_as_batches(
-            self.data_dir, partition.meta, self.schema_json
+            self.data_dir, partition.meta, self.schema_json, self.mapping
         )
 
     def commit(self, end: dict) -> None:
@@ -416,7 +437,12 @@ class TxLogDataSource(DataSource):
         root = self._root()
         log = TableLog(None, root)
         snap = log.snapshot(self._version(log))
-        return TxLogBatchReader(root, snap.schema_json, list(snap.files.values()))
+        return TxLogBatchReader(
+            root,
+            snap.schema_json,
+            list(snap.files.values()),
+            snap.column_mapping,
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
         return TxLogBatchWriter(self._root(), schema.json(), overwrite)

@@ -142,10 +142,49 @@ class Snapshot:
     partition_by: list[str]
     files: dict[str, dict] = field(default_factory=dict)  # relpath -> meta
     constraints: dict[str, str] = field(default_factory=dict)  # name -> expr
+    # Delta-style column mapping (name mode): logical -> physical column
+    # name. Physical names are FROZEN at column creation and are what data
+    # files, footer stats, and partition dirs use; a rename is a metadata
+    # commit that re-points the logical name. Empty dict = identity.
+    column_mapping: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
+
+
+def _phys_name(mapping: dict[str, str], name: str) -> str:
+    return mapping.get(name, name)
+
+
+def _physical_schema(schema: StructType, mapping: dict[str, str]) -> StructType:
+    """The schema as data files spell it: logical field names replaced by
+    their frozen physical names."""
+    if not mapping:
+        return schema
+    d = json.loads(schema.json())
+    for f in d["fields"]:
+        f["name"] = mapping.get(f["name"], f["name"])
+    return StructType.fromJson(d)
+
+
+def _rename_columns(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """Apply a logical→physical (or inverse) rename map. Names are unique
+    on both sides (enforced by rename_column), so sequential renames
+    cannot collide except for cyclic swaps, which rename_column forbids
+    by refusing a target name that exists in either namespace."""
+    for a, b in renames.items():
+        if a != b:
+            df = df.withColumnRenamed(a, b)
+    return df
+
+
+def _physical_filters(filters: list[tuple], mapping: dict[str, str]) -> list[tuple]:
+    """Translate logical filter columns to physical for stats/partition
+    pruning (footer stats and partition dirs carry physical names)."""
+    if not mapping:
+        return filters
+    return [(_phys_name(mapping, c), op, v) for c, op, v in filters]
 
 
 class ConstraintViolationError(ValueError):
@@ -236,6 +275,7 @@ class TableLog:
                 snap.schema_json = cp["schema"]
                 snap.partition_by = cp.get("partition_by") or []
                 snap.constraints = cp.get("constraints") or {}
+                snap.column_mapping = cp.get("column_mapping") or {}
                 replay_from = cv
                 break
 
@@ -251,6 +291,8 @@ class TableLog:
             snap.partition_by = c.get("partition_by") or []
             if "constraints" in c:  # absent key = unchanged (carry forward)
                 snap.constraints = c["constraints"]
+            if "column_mapping" in c:  # same carry-forward rule
+                snap.column_mapping = c["column_mapping"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -391,14 +433,95 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    # -- column mapping -----------------------------------------------------
+
+    def rename_column(self, old: str, new: str, max_retries: int = 3) -> int:
+        """ALTER TABLE RENAME COLUMN without rewriting a single data file
+        (Delta column mapping, name mode): data files keep the column's
+        FROZEN physical name; this metadata commit re-points the logical
+        name, and the spec-safe reader renames physical→logical on every
+        scan. Restrictions (each refused loudly): partition columns (their
+        physical name is baked into directory layout), columns referenced
+        by a CHECK constraint (the stored expression text would silently
+        go stale), and target names colliding with any current logical OR
+        physical name (keeps the rename map bijective — no swap cycles)."""
+        import re as _re
+
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            names = [f.name for f in cur.schema.fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} in {self.root}")
+            if new in names or new in set(cur.column_mapping.values()) | {
+                _phys_name(cur.column_mapping, n) for n in names
+            }:
+                raise ValueError(
+                    f"column name {new!r} collides with an existing "
+                    f"logical or physical column of {self.root}"
+                )
+            if old in (cur.partition_by or []):
+                raise ValueError(
+                    f"cannot rename partition column {old!r}: its physical "
+                    "name is baked into the directory layout"
+                )
+            hit = [
+                n
+                for n, e in cur.constraints.items()
+                if _re.search(rf"\b{_re.escape(old)}\b", e)
+            ]
+            if hit:
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by CHECK "
+                    f"constraint(s) {hit} — drop and re-add them"
+                )
+            d = json.loads(cur.schema_json)
+            for f in d["fields"]:
+                if f["name"] == old:
+                    f["name"] = new
+            mapping = dict(cur.column_mapping)
+            mapping[new] = _phys_name(mapping, old)
+            mapping.pop(old, None)
+            if mapping[new] == new:  # renamed back to its physical name
+                mapping.pop(new)
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "rename_column",
+                "schema": json.dumps(d),
+                "partition_by": list(cur.partition_by or []),
+                "constraints": cur.constraints,
+                "column_mapping": mapping,
+                "adds": [],
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     # -- write path ---------------------------------------------------------
 
     def _stage(
-        self, df: DataFrame, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write df's files into the shared data tree (via a staging dir so
         a crash mid-write leaves no half-registered state — files without a
-        commit are invisible) and return their add-actions with stats."""
+        commit are invisible) and return their add-actions with stats.
+        ``mapping`` (logical→physical, column mapping): files are always
+        written under PHYSICAL names so every file of the table spells a
+        column the same way regardless of when it was written."""
+        if mapping:
+            df = _rename_columns(df, mapping)
         staging = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
         writer = df.write.mode("errorifexists")
         if partition_by:
@@ -560,10 +683,25 @@ class TableLog:
         validate(pre)
         if pre is not None:
             self._enforce_constraints(df, pre.constraints, mode)
-        adds = self._stage(df, partition_by)
+        # column mapping: a full overwrite redefines the schema wholesale,
+        # so its new columns freeze physical = logical (mapping resets);
+        # append/replace keep writing under the standing physical names
+        keep_mapping = mode == "append" or bool(replace_where)
+        pre_mapping = (pre.column_mapping if pre else {}) if keep_mapping else {}
+        adds = self._stage(df, partition_by, mapping=pre_mapping)
 
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
+            if keep_mapping and (cur.column_mapping if cur else {}) != pre_mapping:
+                # a rename landed while we were staging: our files carry
+                # physical names derived from the pre-rename logical view
+                # and the schema merge below would mis-read the renamed
+                # column as a new one — surface the race, don't guess
+                raise ConcurrentCommitError(
+                    f"write to {self.root} raced a concurrent column "
+                    "rename; re-read the table and retry with its current "
+                    "column names"
+                )
             schema_json = validate(cur)
             version = (cur.version if cur else 0) + 1
             if _attempt and txn is not None:
@@ -590,6 +728,7 @@ class TableLog:
                 "operation": mode if not replace_where else "replace_where",
                 "schema": schema_json,
                 "partition_by": list(partition_by or []),
+                "column_mapping": pre_mapping,
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
@@ -618,6 +757,7 @@ class TableLog:
                     "schema": snap.schema_json,
                     "partition_by": snap.partition_by,
                     "constraints": snap.constraints,
+                    "column_mapping": snap.column_mapping,
                 },
                 f,
             )
@@ -650,7 +790,10 @@ class TableLog:
         snap = self.snapshot(version)
         metas = list(snap.files.values())
         if filters:
-            metas = [m for m in metas if all(_may_match(m, f) for f in filters)]
+            pfilters = _physical_filters(filters, snap.column_mapping)
+            metas = [
+                m for m in metas if all(_may_match(m, f) for f in pfilters)
+            ]
         paths = [os.path.join(self.data_dir, m["path"]) for m in metas]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
@@ -658,12 +801,17 @@ class TableLog:
                 f"snapshot v{snap.version} references vacuumed files: "
                 f"{missing[:3]}…"
             )
-        df = self._read_file_metas(metas, snap.schema)
+        df = self._read_file_metas(metas, snap.schema, snap.column_mapping)
         for f in filters or []:
             df = df.filter(_as_column(f))
         return df
 
-    def _read_file_metas(self, metas: list[dict], schema) -> DataFrame:
+    def _read_file_metas(
+        self,
+        metas: list[dict],
+        schema,
+        mapping: dict[str, str] | None = None,
+    ) -> DataFrame:
         """DataFrame over explicit file metas, PARTITION-SPEC-SAFE: files
         are grouped by the set of partition keys their paths encode and
         each group is read separately (hive-style dir reconstruction per
@@ -676,6 +824,9 @@ class TableLog:
         unchanged (no extra Project in their plans)."""
         if not metas:
             return self.spark.createDataFrame([], schema)
+        # files spell columns physically; read under the physical schema,
+        # then rename back to logical (identity when no column mapping)
+        phys = _physical_schema(schema, mapping or {})
         groups: dict[tuple, list] = {}
         for m in metas:
             key = tuple(sorted((m.get("partition_values") or {}).keys()))
@@ -683,7 +834,7 @@ class TableLog:
         dfs = []
         for key, ms in groups.items():
             paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
-            reader = self.spark.read.schema(schema)
+            reader = self.spark.read.schema(phys)
             if key:
                 reader = reader.option("basePath", self.data_dir)
             dfs.append(reader.parquet(*paths))
@@ -691,9 +842,12 @@ class TableLog:
         if len(dfs) > 1:
             # pin the declared column order before unioning: partition
             # columns reconstructed from dirs can land at the tail
-            out = out.select(*[out[n] for n in schema.names])
+            out = out.select(*[out[n] for n in phys.names])
             for d in dfs[1:]:
-                out = out.unionByName(d.select(*[d[n] for n in schema.names]))
+                out = out.unionByName(d.select(*[d[n] for n in phys.names]))
+        if mapping:
+            out = _rename_columns(out, {p: l for l, p in mapping.items()})
+            out = out.select(*[out[n] for n in schema.names])
         return out
 
     # -- maintenance --------------------------------------------------------
@@ -755,12 +909,21 @@ class TableLog:
         # consecutive, so after the first snapshot() each commit's schema
         # IS the next one's parent — one log pass, not one snapshot replay
         # per remove-bearing commit
+        # column-mapping eras: each part reads under the mapping current
+        # when its files were ACTIVE (deletes: the parent's; inserts: the
+        # commit's), then renames to the LATEST logical names so renamed
+        # columns line up across the whole window instead of splitting
+        # into old-name/new-name half-null pairs under unionByName
+        cur_mapping = self.snapshot(all_versions[-1]).column_mapping
+        inv_cur = {pv: lv for lv, pv in cur_mapping.items()}
         parent_schema_json: str | None = None
+        parent_mapping: dict | None = None
         for v in versions:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
             if c["operation"] == "optimize":
                 parent_schema_json = c["schema"]
+                parent_mapping = c.get("column_mapping", parent_mapping)
                 continue
             for kind, metas in (
                 ("insert", c.get("adds", [])),
@@ -768,6 +931,17 @@ class TableLog:
             ):
                 if not metas:
                     continue
+                if parent_mapping is None and (
+                    kind == "delete" or "column_mapping" not in c
+                ):
+                    parent_mapping = (
+                        self.snapshot(v - 1).column_mapping if v > 1 else {}
+                    )
+                m_use = (
+                    parent_mapping
+                    if kind == "delete"
+                    else c.get("column_mapping", parent_mapping)
+                ) or {}
                 if kind == "delete":
                     if parent_schema_json is None:
                         parent_schema_json = self.snapshot(v - 1).schema_json
@@ -796,8 +970,17 @@ class TableLog:
                         f"change feed for v{v} references vacuumed files: "
                         f"{missing[:3]}…"
                     )
+                part = self._read_file_metas(fmetas, schema, m_use)
+                if m_use or cur_mapping:
+                    ren = {
+                        n: inv_cur.get(_phys_name(m_use, n), _phys_name(m_use, n))
+                        for n in part.columns
+                    }
+                    part = _rename_columns(
+                        part, {a: b for a, b in ren.items() if a != b}
+                    )
                 parts.append(
-                    self._read_file_metas(fmetas, schema)
+                    part
                     .withColumn("_change_type", F.lit(kind))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                     .withColumn(
@@ -806,6 +989,7 @@ class TableLog:
                     )
                 )
             parent_schema_json = c["schema"]
+            parent_mapping = c.get("column_mapping", parent_mapping)
         if not parts:
             base = self.snapshot(all_versions[-1]).schema
             empty = StructType(
@@ -919,7 +1103,9 @@ class TableLog:
             df = df.repartition(*base.partition_by)
         else:
             df = df.repartition(n_files)
-        adds = self._stage(df, base.partition_by or None)
+        adds = self._stage(
+            df, base.partition_by or None, mapping=base.column_mapping
+        )
         removes = list(base.files)
 
         for _attempt in range(max_retries):
@@ -1008,10 +1194,11 @@ class TableLog:
             unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
+            pfilters = _physical_filters(filters, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in filters)
+                if all(_may_match(m, f) for f in pfilters)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -1021,7 +1208,9 @@ class TableLog:
                     "files_rewritten": 0,
                     "files_skipped": skipped,
                 }
-            df = self._read_file_metas(list(cand.values()), base.schema)
+            df = self._read_file_metas(
+                list(cand.values()), base.schema, base.column_mapping
+            )
             cond = _as_column(filters[0])
             for f in filters[1:]:
                 cond = cond & _as_column(f)
@@ -1056,7 +1245,9 @@ class TableLog:
                 # updated rows must still satisfy the table's CHECK
                 # constraints (delete survivors satisfied them already)
                 self._enforce_constraints(new_df, base.constraints, op)
-            adds = self._stage(new_df, base.partition_by or None)
+            adds = self._stage(
+                new_df, base.partition_by or None, mapping=base.column_mapping
+            )
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -1066,7 +1257,11 @@ class TableLog:
                     f"{op} of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if self._appends_may_conflict(base, cur, filters):
+            if cur.column_mapping != base.column_mapping:
+                # a concurrent rename re-pointed logical names: our payload
+                # schema would publish stale names — retry from fresh state
+                continue
+            if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append may have landed rows matching the
                 # predicate after our base snapshot; retry so the delete/
                 # update sees them (Delta's ConcurrentAppendException,
@@ -1177,18 +1372,23 @@ class TableLog:
                     "files_skipped": len(base.files),
                     "rows_written": 0,
                 }
+            pfilters = _physical_filters(filters, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in filters)
+                if all(_may_match(m, f) for f in pfilters)
             }
             # global key bounds are coarse for scattered keys (a trickle
             # touching ids 5 and 2000 spans every file); for single-key
             # merges with a broadcast-sized key set, prune per file by
             # bisecting the sorted distinct keys against its [min, max] —
             # the same answer a stats⋈keys join would give, driver-side
-            cand = self._refine_by_key_membership(cand, source, keys)
-            tgt = self._read_file_metas(list(cand.values()), base.schema)
+            cand = self._refine_by_key_membership(
+                cand, source, keys, base.column_mapping
+            )
+            tgt = self._read_file_metas(
+                list(cand.values()), base.schema, base.column_mapping
+            )
             merged = merge_upsert(
                 tgt,
                 source,
@@ -1201,7 +1401,9 @@ class TableLog:
                 insert_unmatched_deletes=insert_unmatched_deletes,
             )
             self._enforce_constraints(merged, base.constraints, "merge")
-            adds = self._stage(merged, base.partition_by or None)
+            adds = self._stage(
+                merged, base.partition_by or None, mapping=base.column_mapping
+            )
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -1209,7 +1411,11 @@ class TableLog:
                     f"merge of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if self._appends_may_conflict(base, cur, filters):
+            if cur.column_mapping != base.column_mapping:
+                # a concurrent rename re-pointed logical names: retry from
+                # fresh state so the published schema stays current
+                continue
+            if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append landed files whose key bounds
                 # intersect the merge keys: insert-detection was exact only
                 # against the base snapshot, so committing could duplicate
@@ -1319,13 +1525,18 @@ class TableLog:
                     "files_skipped": len(base.files),
                     "rows_written": 0,
                 }
+            pfilters = _physical_filters(filters, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in filters)
+                if all(_may_match(m, f) for f in pfilters)
             }
-            cand = self._refine_by_key_membership(cand, source, keys)
-            tgt = self._read_file_metas(list(cand.values()), base.schema)
+            cand = self._refine_by_key_membership(
+                cand, source, keys, base.column_mapping
+            )
+            tgt = self._read_file_metas(
+                list(cand.values()), base.schema, base.column_mapping
+            )
             table_cols = [f.name for f in base.schema.fields]
             if delete_col is not None and delete_col not in table_cols:
                 raise ValueError(
@@ -1345,7 +1556,9 @@ class TableLog:
                 .select(*table_cols)
             )
             self._enforce_constraints(merged, base.constraints, "merge")
-            adds = self._stage(merged, base.partition_by or None)
+            adds = self._stage(
+                merged, base.partition_by or None, mapping=base.column_mapping
+            )
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -1353,7 +1566,11 @@ class TableLog:
                     f"merge_latest of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if self._appends_may_conflict(base, cur, filters):
+            if cur.column_mapping != base.column_mapping:
+                # a concurrent rename re-pointed logical names: retry from
+                # fresh state so the published schema stays current
+                continue
+            if self._appends_may_conflict(base, cur, pfilters):
                 # same concurrent-append hazard as merge: an unseen append
                 # could hold rows for these keys; retry so the per-key
                 # order_col competition includes them.
@@ -1388,7 +1605,11 @@ class TableLog:
     _MERGE_KEYSET_CAP = 100_000
 
     def _refine_by_key_membership(
-        self, cand: dict, source: DataFrame, keys: list[str]
+        self,
+        cand: dict,
+        source: DataFrame,
+        keys: list[str],
+        mapping: dict[str, str] | None = None,
     ) -> dict:
         """Drop candidate files whose [min, max] contains NO source key.
         Single-key only, and only while the distinct key set fits a
@@ -1404,6 +1625,7 @@ class TableLog:
         if len(keys) != 1 or not cand:
             return cand
         k = keys[0]
+        sk = _phys_name(mapping or {}, k)  # stats are keyed physically
         rows = (
             source.select(k)
             .filter(F.col(k).isNotNull())
@@ -1416,7 +1638,7 @@ class TableLog:
         vals = sorted(r[0] for r in rows)
         out = {}
         for p, m in cand.items():
-            st = (m.get("stats") or {}).get(k)
+            st = (m.get("stats") or {}).get(sk)
             if not st or st.get("min") is None or st.get("max") is None:
                 out[p] = m  # no stats: must stay a candidate
                 continue

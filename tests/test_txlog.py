@@ -983,8 +983,8 @@ def test_rowop_aborts_when_concurrent_overwrite_removes_candidates(
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_overwrite(self, df, partition_by):
-        adds = original_stage(self, df, partition_by)
+    def stage_with_concurrent_overwrite(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
         # restore FIRST: the concurrent writer below must stage normally
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         # another writer overwrites the table AFTER we staged but BEFORE
@@ -1041,8 +1041,8 @@ def test_merge_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_append(self, df, partition_by):
-        adds = original_stage(self, df, partition_by)
+    def stage_with_concurrent_append(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         # a concurrent writer APPENDS the very key our merge is about to
         # classify as unmatched-insert
@@ -1069,8 +1069,8 @@ def test_delete_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_append(self, df, partition_by):
-        adds = original_stage(self, df, partition_by)
+    def stage_with_concurrent_append(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         TableLog(spark, self.root).write(
             spark.range(3).selectExpr("id", "id AS v"), mode="append"
@@ -1256,3 +1256,89 @@ def test_describe_history_sql_on_both_backends(spark, tmp_path):
     assert bh[0].ts_ms < bh[1].ts_ms
     with pytest.raises(FileNotFoundError):
         base.sql("DESCRIBE HISTORY nope")
+
+
+def test_rename_column_without_rewrite(spark, tmp_path):
+    """Delta-style column mapping: RENAME COLUMN is a metadata commit —
+    no data file is touched — and every read path (scan, filters+
+    pruning, row ops, change feed, the pyds DataSource) resolves the
+    new logical name against the frozen physical name."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(4, "id")
+    )
+    files_before = {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    }
+    log.rename_column("v", "val")
+    # zero data movement
+    assert {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    } == files_before
+    # logical schema renamed, values intact
+    out = log.read()
+    assert out.columns == ["id", "val"]
+    assert out.filter("val = 100").count() == 1
+    # stats pruning still engages through the rename (footer stats carry
+    # the physical name)
+    pruned = log.read(filters=[("id", "between", (0, 10))])
+    assert len(pruned.inputFiles()) < len(files_before)
+    assert pruned.count() == 11
+    # appends AFTER the rename write the physical name into new files:
+    # all files of the table spell the column identically
+    log.write(
+        spark.createDataFrame([(1000, 7)], "id long, val long"), mode="append"
+    )
+    import pyarrow.parquet as pq
+
+    newest = set(log.snapshot().files) - set(files_before)
+    phys_names = {
+        n
+        for p in newest
+        for n in pq.ParquetFile(os.path.join(log.data_dir, p)).schema_arrow.names
+    }
+    assert "v" in phys_names and "val" not in phys_names
+    assert log.read().filter("id = 1000").head().val == 7
+    # row ops through the mapping
+    log.update([("id", "==", 1000)], {"val": "val + 1"})
+    assert log.read().filter("id = 1000").head().val == 8
+    log.merge(spark.createDataFrame([(1000, 9)], "id long, val long"), ["id"])
+    assert log.read().filter("id = 1000").head().val == 9
+    log.delete([("id", "==", 1000)])
+    assert log.read().filter("id = 1000").count() == 0
+    # time travel reads the OLD logical name (the schema of that era)
+    assert log.read(1).columns == ["id", "v"]
+    # the change feed reports every era under the CURRENT name
+    feed = log.table_changes(0)
+    assert "val" in feed.columns and "v" not in feed.columns
+    assert feed.filter("id = 1000").count() >= 4  # insert,upd pair,merge,del
+    # pyds DataSource resolves the mapping too (per-file reader)
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    ds = spark.read.format("txlog").load(str(tmp_path / "t"))
+    assert ds.columns == ["id", "val"]
+    assert ds.filter("val = 100").count() == 1
+    # guardrails
+    with pytest.raises(ValueError, match="collides"):
+        log.rename_column("id", "v")  # v is a frozen PHYSICAL name
+    log.add_constraint("val_even_ok", "val >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        log.rename_column("val", "value")
+    log.drop_constraint("val_even_ok")
+    part = TableLog(spark, str(tmp_path / "p"))
+    part.write(
+        spark.createDataFrame([(1, "a")], "id long, k string"),
+        partition_by=["k"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        part.rename_column("k", "kk")
+    # OPTIMIZE after a rename compacts under the physical name and reads
+    # back under the logical one
+    log.optimize(n_files=1)
+    assert log.read().columns == ["id", "val"]
+    assert log.read().count() == 100
