@@ -4817,127 +4817,43 @@ GROUP BY dw.doc_id""",
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- window slots 1-42: r3-evidence oracled queries, due a refresh ----
-    # (late-round-5 re-rotation: the session kept running after the window
-    # was first fixed, so the five late additions below — cms_heavy_hitters,
-    # weighted_sample, rank_fusion_curation, classifier_cached_scores,
-    # perplexity_cached — were promoted INTO the window to get their first
-    # driver rows this round; displaced to the tail to make room:
-    # forecast_revenue, product_type_profit, customer_distribution,
-    # top_supplier, supplier_part_counts — all trivial single-shape SQL
-    # aggregates, unchanged since r3, r3-driver-green, hash-green in this
-    # round's full-registry SWEEP_r05.json, first in line for r6.)
-    # NEW this round: bigram-LM perplexity scoring (fully SQL-oracled —
-    # the quantized-ln recipe); takes the slot date_dim vacates (trivial
-    # spine, r3-green, pytest-pinned — parked at the tail for r6)
-    "perplexity_scores": q_perplexity_scores,
-    # NEW this round: the oracle-checkable sketch (KMV over md5) — takes
-    # the slot asof_view_purchase vacates (r3-green, pytest-pinned)
-    "kmv_distinct": q_kmv_distinct,
-    # minhash_lsh_pairs gained its exhaustive exact-Jaccard oracle THIS
-    # round (it was golden rows-only through r4) — the new oracle's first
-    # driver hash check needs a window slot
-    "minhash_lsh_pairs": q_minhash_lsh,
-    # NEW this round: distributed supervised training (GD logistic
-    # regression, fully SQL-oracled — the kmeans discipline extended to
-    # gradient descent via the quantized-sigmoid recipe); takes the slot
-    # moving_avg3 vacates (trivial window fn, r3-green, pytest-pinned —
-    # parked at the tail, in line for the r6 rotation)
-    "classifier_scores": q_classifier_scores,
-    "salted_event_type_agg": q_salted_event_agg,
+    # --- window slots 1-50 (the driver hash-checks only the FIRST 50
+    # entries; full-registry evidence lives in SWEEP_r06.json) ---------
+    # Round-6 rotation: slots 1-5 are this round's new queries getting
+    # their first driver rows; slots 6-29 are the oldest-evidence entries
+    # (r3 driver rows, displaced across the two late-r5 re-rotations,
+    # hash-green in SWEEP_r05); slots 30-50 are the r4-evidence block.
     "skewed_hot_key_join": q_skewed_hot_key_join,
     "bloom_prejoin_revenue": q_bloom_prejoin,
-    "quantity_range_join": q_quantity_range_join,
-    # newly SQL-oracled this round (md5 token hash / md5 hyperplanes +
-    # fold-exact verification made all three mirrorable): each takes a
-    # window slot for its first hash-checked row.  Displaced to the tail:
-    # raw_stats, user_median_value, vector_norms — trivial, unchanged,
-    # r3-green, and pinned by operator pytest (user_median_value
-    # additionally by its equality-tested builtin twin).
-    "simhash_near_pairs": q_simhash_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    # new this round: SemDeDup over the deterministic k-means — first row
-    "semantic_dedup": q_semantic_dedup,
-    "events_sliding_30m": q_sliding_agg,
-    "session_window_agg": q_session_window,
-    "except_intersect": q_except_intersect,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "label_centroids": q_label_centroids,
-    "media_features": q_media_features,
     "decoded_media_stats": q_decoded_media_stats,
-    "cube_order_counts": q_cube_order_counts,
-    "grouping_sets_revenue": q_grouping_sets_revenue,
-    "pivot_status_revenue": q_pivot_status_revenue,
-    "returned_items": q_returned_items,
-    "large_volume_orders": q_large_volume_orders,
-    "small_qty_revenue": q_small_qty_revenue,
-    "quiet_customers": q_quiet_customers,
-    "cheapest_supplier": q_cheapest_supplier,
-    "bpe_token_counts": q_bpe_token_counts,
-    "curate_documents": q_curate_documents,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "kept_vectors": q_kept_vectors,
-    "embedding_near_dup": q_embedding_near_dup,
-    "video_frame_sample": q_video_frame_sample,
-    "sole_late_suppliers": q_sole_late_suppliers,
-    # --- window slots 48-50: round-5 additions and changes ----------------
-    "near_dedup_incremental": q_near_dedup_incremental,
-    # newly SQL-oracled this round (md5 init + fold-exact assignment made
-    # the whole PQ pipeline mirrorable): both PQ queries take window slots
-    # for their first hash-checked rows.  merge_upsert moved to the tail
-    # to make room — it keeps its r4 hash-green row, and this round's
-    # NULL-delete-condition fix is invisible to its registry query (whose
-    # delete flags are non-null) while being pinned by the MERGE property
-    # suite (tests/test_properties.py) + tests/test_changes.py.
-    "ann_pq_topk": q_ann_pq_topk,
-    # new this round (split-PQ search over the persisted txlog index): gets
-    # its first driver row now; displaced user_median_builtin to the tail
-    # (its operator twin user_median_value stays in-window and both share
-    # SQL_USER_MEDIAN, so the builtin keeps r3 oracle evidence + pytest)
-    "ann_pq_cached_topk": q_ann_pq_cached_topk,
-    # --- second late-r5 re-rotation (the round kept running): the ten
-    # newest queries take window slots for their first driver rows;
-    # displaced to the tail (r3 driver evidence + hash-green SWEEP_r05
-    # rows): promotable_suppliers, bm25_topk, mixture_sample,
-    # hash_sample, dedup_exact, near_dup_clusters, user_value_zscore,
-    # rollup_revenue, promo_revenue, order_priority_count.
-    "rank_fusion_cached": q_rank_fusion_cached,
-    "bpe_train_merges": q_bpe_train_merges,
-    "bpe_subword_counts": q_bpe_subword_counts,
-    "bpe_counts_cached": q_bpe_counts_cached,
-    "trade_pagerank": q_trade_pagerank,
-    "dsir_weights": q_dsir_weights,
-    "dsir_weights_cached": q_dsir_weights_cached,
-    "column_profile": q_column_profile,
-    "json_props_stats": q_json_props_stats,
-    "hll_distinct": q_hll_distinct,
     "gk_quantiles": q_gk_quantiles,
     "kmv_segment_overlap": q_kmv_segment_overlap,
-    # --- window slots 46-50: late-round-5 additions, promoted from the
-    # tail once it was clear the round was still running — each gets its
-    # first driver hash-checked row this round (all five are already
-    # hash-green in SWEEP_r05.json and pytest-pinned).
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "weighted_sample": q_weighted_sample,
-    "rank_fusion_curation": q_rank_fusion_curation,
-    "classifier_cached_scores": q_classifier_cached_scores,
-    "perplexity_cached": q_perplexity_cached,
-    # --- tail (outside the 50-entry window): r4-green (CORRECTNESS_r04)
-    # and unchanged since, plus the golden-frozen rows-only queries
-    # (simhash_near_pairs, ann_lsh_topk, embedding_near_dup_lsh,
-    # approx_event_stats, ann_pq_topk — exact parity lives in
-    # tests/test_golden.py / tests/test_pq.py, re-run every round).  The
-    # window holds exactly 50 entries — re-count whenever entries are
-    # inserted above this line. --------------------------------------------
-    # displaced from the window this round to make room for the new
-    # semantic_dedup and the newly-oracled minhash_lsh_pairs: both
-    # displaced queries are trivial, unchanged since r3, r3-green, and
-    # pinned by pytest — exactly-two-rounds evidence, first in line for
-    # the r6 rotation
+    # r3-evidence refresh (oldest first in line, per the rotation policy)
+    "forecast_revenue": q_forecast_revenue,
+    "product_type_profit": q_product_type_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "promotable_suppliers": q_promotable_suppliers,
+    "bm25_topk": q_bm25_topk,
+    "mixture_sample": q_mixture_sample,
+    "hash_sample": q_hash_sample,
+    "dedup_exact": q_dedup_exact,
+    "near_dup_clusters": q_near_dup_clusters,
+    "user_value_zscore": q_user_zscore,
+    "rollup_revenue": q_rollup_revenue,
+    "promo_revenue": q_promo_revenue,
+    "order_priority_count": q_order_priority_count,
+    "raw_stats": q_raw_stats,
+    "user_median_value": q_user_median,
+    "vector_norms": q_vector_norms,
+    "moving_avg3": q_moving_avg,
+    "date_dim": q_date_dim,
+    "asof_view_purchase": q_asof_view_purchase,
     "global_minmax": q_global_minmax,
     "union_all_counts": q_union_all_counts,
+    "user_median_builtin": q_user_median_builtin,
+    # r4-evidence refresh
     "market_share": q_market_share,
     "nation_trade_volume": q_nation_trade_volume,
     "important_parts": q_important_parts,
@@ -4959,6 +4875,13 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "window_top_orders": q_window_top_orders,
+    # --- tail (outside the 50-entry window) -------------------------------
+    # The window holds exactly 50 entries — re-count whenever entries are
+    # inserted above this line.
+    # r4-evidence remainder (2 rounds stale at r6 judgment — the accepted
+    # boundary; first in line for the r7 rotation). approx_event_stats is
+    # the lone rows-only query (native HLL++/GK sketches, no oracle by
+    # design — golden error-bound tests instead).
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
     "pack_sequences": q_pack_sequences,
@@ -4985,31 +4908,59 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": q_kmeans_clusters,
     "approx_event_stats": q_approx_event_stats,
     "merge_upsert": q_merge_upsert,
-    "user_median_builtin": q_user_median_builtin,
-    "raw_stats": q_raw_stats,
-    "user_median_value": q_user_median,
-    "vector_norms": q_vector_norms,
-    "moving_avg3": q_moving_avg,
-    "date_dim": q_date_dim,
-    "asof_view_purchase": q_asof_view_purchase,
-    "promotable_suppliers": q_promotable_suppliers,
-    "bm25_topk": q_bm25_topk,
-    "mixture_sample": q_mixture_sample,
-    "hash_sample": q_hash_sample,
-    "dedup_exact": q_dedup_exact,
-    "near_dup_clusters": q_near_dup_clusters,
-    "user_value_zscore": q_user_zscore,
-    "rollup_revenue": q_rollup_revenue,
-    "promo_revenue": q_promo_revenue,
-    "order_priority_count": q_order_priority_count,
-    # --- displaced late round 5 to give the five newest queries their
-    # first driver rows: trivial aggregates, r3-driver-green, hash-green
-    # in SWEEP_r05.json, first in line for the r6 rotation.
-    "forecast_revenue": q_forecast_revenue,
-    "product_type_profit": q_product_type_profit,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
+    # r5/r6-evidence: every remaining query was hash-green in a driver
+    # window (CORRECTNESS_r05) or in this round's full-registry sweep
+    # (SWEEP_r06.json) — freshest evidence, parked last.
+    "perplexity_scores": q_perplexity_scores,
+    "kmv_distinct": q_kmv_distinct,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "classifier_scores": q_classifier_scores,
+    "salted_event_type_agg": q_salted_event_agg,
+    "quantity_range_join": q_quantity_range_join,
+    "simhash_near_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    "events_sliding_30m": q_sliding_agg,
+    "session_window_agg": q_session_window,
+    "except_intersect": q_except_intersect,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "label_centroids": q_label_centroids,
+    "media_features": q_media_features,
+    "cube_order_counts": q_cube_order_counts,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "pivot_status_revenue": q_pivot_status_revenue,
+    "returned_items": q_returned_items,
+    "large_volume_orders": q_large_volume_orders,
+    "small_qty_revenue": q_small_qty_revenue,
+    "quiet_customers": q_quiet_customers,
+    "cheapest_supplier": q_cheapest_supplier,
+    "bpe_token_counts": q_bpe_token_counts,
+    "curate_documents": q_curate_documents,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "kept_vectors": q_kept_vectors,
+    "embedding_near_dup": q_embedding_near_dup,
+    "video_frame_sample": q_video_frame_sample,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "near_dedup_incremental": q_near_dedup_incremental,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_cached_topk": q_ann_pq_cached_topk,
+    "rank_fusion_cached": q_rank_fusion_cached,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_subword_counts": q_bpe_subword_counts,
+    "bpe_counts_cached": q_bpe_counts_cached,
+    "trade_pagerank": q_trade_pagerank,
+    "dsir_weights": q_dsir_weights,
+    "dsir_weights_cached": q_dsir_weights_cached,
+    "column_profile": q_column_profile,
+    "json_props_stats": q_json_props_stats,
+    "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "rank_fusion_curation": q_rank_fusion_curation,
+    "classifier_cached_scores": q_classifier_cached_scores,
+    "perplexity_cached": q_perplexity_cached,
 }
 
 ORACLES: dict[str, str] = {
