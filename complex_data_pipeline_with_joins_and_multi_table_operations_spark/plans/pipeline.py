@@ -161,6 +161,77 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    # -- column DDL seam (ALTER TABLE … RENAME/ADD/DROP COLUMN, also
+    # reachable through .sql()). This backend's snapshots are immutable
+    # copy-per-version directories, so a column change writes the next
+    # version with the evolved schema — the same cost as any write here.
+    # TxLogWarehouse overrides all three with metadata-only commits
+    # (column mapping / dropped-column tombstones, zero file rewrites).
+
+    def _snapshot_partition_by(self, name: str, version: int) -> list[str]:
+        """Partition columns of a snapshot, recovered from its hive
+        directory layout (k=v path segments)."""
+        d = os.path.join(self.path(name), f"v{version}")
+        out: list[str] = []
+        while True:
+            subs = [
+                s
+                for s in os.listdir(d)
+                if "=" in s and os.path.isdir(os.path.join(d, s))
+            ]
+            if not subs:
+                return out
+            out.append(subs[0].split("=", 1)[0])
+            d = os.path.join(d, subs[0])
+
+    def _alter_guard(self, name: str, col: str, verb: str) -> tuple[DataFrame, list[str]]:
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        part_by = self._snapshot_partition_by(name, versions[-1])
+        if col in part_by:
+            raise ValueError(
+                f"cannot {verb} partition column {col!r}: its name is "
+                "baked into the directory layout"
+            )
+        return self.read_snapshot(name), part_by
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        df, part_by = self._alter_guard(name, old, "rename")
+        if old not in df.columns:
+            raise ValueError(f"no column {old!r} in table {name}")
+        if new in df.columns:
+            raise ValueError(f"column {new!r} already exists in table {name}")
+        return self.write_snapshot(
+            df.withColumnRenamed(old, new), name, partition_by=part_by or None
+        )
+
+    def add_column(self, name: str, col: str, dtype: str) -> int:
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        df = self.read_snapshot(name)
+        if col in df.columns:
+            raise ValueError(f"column {col!r} already exists in table {name}")
+        part_by = self._snapshot_partition_by(name, versions[-1])
+        return self.write_snapshot(
+            df.withColumn(col, F.lit(None).cast(dtype)),
+            name,
+            partition_by=part_by or None,
+        )
+
+    def drop_column(self, name: str, col: str) -> int:
+        df, part_by = self._alter_guard(name, col, "drop")
+        if col not in df.columns:
+            raise ValueError(f"no column {col!r} in table {name}")
+        if len(df.columns) == 1:
+            raise ValueError(
+                f"cannot drop {col!r}: it is the last column of table {name}"
+            )
+        return self.write_snapshot(
+            df.drop(col), name, partition_by=part_by or None
+        )
+
     @staticmethod
     def _split_sql_segments(query: str) -> list[tuple[bool, str]]:
         """Split SQL into (is_code, text) segments so the time-travel
@@ -309,6 +380,35 @@ class Warehouse:
             # Delta's DESCRIBE HISTORY, portable across both backends
             return self.history(m_hist.group(1))
 
+        # ALTER TABLE column DDL, portable across both backends (the base
+        # backend rewrites the next snapshot; txlog commits metadata only).
+        # Returns a one-row confirmation with the new table version —
+        # Spark's own DDL returns an empty frame, but the version is the
+        # useful fact here (it is what VERSION AS OF takes).
+        m_alter = re.match(
+            r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(?:"
+            r"RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
+            r"|ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w()\s,]+?)\s*\)?"
+            r"|DROP\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s*\)?"
+            r")\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_alter:
+            t = m_alter.group(1)
+            if m_alter.group(2):
+                op = "RENAME COLUMN"
+                v = self.rename_column(t, m_alter.group(2), m_alter.group(3))
+            elif m_alter.group(4):
+                op = "ADD COLUMN"
+                v = self.add_column(t, m_alter.group(4), m_alter.group(5))
+            else:
+                op = "DROP COLUMN"
+                v = self.drop_column(t, m_alter.group(6))
+            return self.spark.createDataFrame(
+                [(t, op, v)], "table_name string, operation string, version long"
+            )
+
         def _versioned(m: "re.Match[str]") -> str:
             name, version = m.group(1), int(m.group(2))
             view = f"__{name}_v{version}"
@@ -376,6 +476,18 @@ class TxLogWarehouse(Warehouse):
 
     def version_at_timestamp(self, name: str, ts_ms: int) -> int:
         return self._log(name).version_at(ts_ms)
+
+    # column DDL: metadata-only commits on this backend (column mapping /
+    # dropped-column tombstones — no data file is rewritten)
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        return self._log(name).rename_column(old, new)
+
+    def add_column(self, name: str, col: str, dtype: str) -> int:
+        return self._log(name).add_column(col, dtype)
+
+    def drop_column(self, name: str, col: str) -> int:
+        return self._log(name).drop_column(col)
 
     def history(self, name: str) -> DataFrame:
         rows = [

@@ -147,6 +147,13 @@ class Snapshot:
     # files, footer stats, and partition dirs use; a rename is a metadata
     # commit that re-points the logical name. Empty dict = identity.
     column_mapping: dict[str, str] = field(default_factory=dict)
+    # Physical names of DROPPED columns that may still exist inside active
+    # data files (drop is metadata-only — no rewrite). A physical name on
+    # this list must never be re-bound: re-adding a column with the same
+    # logical name allocates a FRESH physical name (add_column), otherwise
+    # the dead bytes would resurrect into the new column. A full overwrite
+    # replaces the active set wholesale and clears the list.
+    dropped_physical: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> StructType:
@@ -276,6 +283,7 @@ class TableLog:
                 snap.partition_by = cp.get("partition_by") or []
                 snap.constraints = cp.get("constraints") or {}
                 snap.column_mapping = cp.get("column_mapping") or {}
+                snap.dropped_physical = cp.get("dropped_physical") or []
                 replay_from = cv
                 break
 
@@ -293,6 +301,8 @@ class TableLog:
                 snap.constraints = c["constraints"]
             if "column_mapping" in c:  # same carry-forward rule
                 snap.column_mapping = c["column_mapping"]
+            if "dropped_physical" in c:  # same carry-forward rule
+                snap.dropped_physical = c["dropped_physical"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -506,6 +516,126 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def add_column(self, name: str, dtype: str, max_retries: int = 3) -> int:
+        """ALTER TABLE ADD COLUMN — metadata commit, no file rewrite: the
+        new nullable column appends to the schema and every existing file
+        reads it as NULL. The column's physical name is a FRESH opaque id
+        (``col_<hex>``), never the logical name — the rule that makes
+        drop-then-re-add safe: a data file still carrying the bytes of a
+        previously dropped column with this name can never leak them into
+        the new column (Delta's column-mapping id allocation)."""
+        from pyspark.sql.types import StructType as _StructType
+
+        fld = json.loads(
+            _StructType.fromDDL(f"`{name}` {dtype}").json()
+        )["fields"][0]
+        fld["nullable"] = True
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            names = [f.name for f in cur.schema.fields]
+            phys_ns = set(cur.column_mapping.values()) | {
+                _phys_name(cur.column_mapping, n) for n in names
+            }
+            if name in names or name in phys_ns:
+                raise ValueError(
+                    f"column name {name!r} collides with an existing "
+                    f"logical or physical column of {self.root}"
+                )
+            mapping = dict(cur.column_mapping)
+            mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
+            d = json.loads(cur.schema_json)
+            d["fields"].append(fld)
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "add_column",
+                "schema": json.dumps(d),
+                "partition_by": list(cur.partition_by or []),
+                "constraints": cur.constraints,
+                "column_mapping": mapping,
+                "adds": [],
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 3) -> int:
+        """ALTER TABLE DROP COLUMN — metadata commit, no file rewrite:
+        the column leaves the schema; its frozen physical name joins the
+        snapshot's ``dropped_physical`` tombstone list so no future
+        column (explicit add_column OR implicit append-time schema
+        evolution) can ever re-bind the dead bytes still sitting in
+        active data files. Time travel to a pre-drop version still reads
+        the column. Refused for partition columns (baked into directory
+        layout), constraint-referenced columns (the stored expression
+        would go stale), and the last remaining column."""
+        import re as _re
+
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            names = [f.name for f in cur.schema.fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} in {self.root}")
+            if len(names) == 1:
+                raise ValueError(
+                    f"cannot drop {name!r}: it is the last column of "
+                    f"{self.root}"
+                )
+            if name in (cur.partition_by or []):
+                raise ValueError(
+                    f"cannot drop partition column {name!r}: its physical "
+                    "name is baked into the directory layout"
+                )
+            hit = [
+                n
+                for n, e in cur.constraints.items()
+                if _re.search(rf"\b{_re.escape(name)}\b", e)
+            ]
+            if hit:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by CHECK "
+                    f"constraint(s) {hit} — drop them first"
+                )
+            mapping = dict(cur.column_mapping)
+            phys = mapping.pop(name, name)
+            dropped = list(cur.dropped_physical)
+            if phys not in dropped:
+                dropped.append(phys)
+            d = json.loads(cur.schema_json)
+            d["fields"] = [f for f in d["fields"] if f["name"] != name]
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "drop_column",
+                "schema": json.dumps(d),
+                "partition_by": list(cur.partition_by or []),
+                "constraints": cur.constraints,
+                "column_mapping": mapping,
+                "dropped_physical": dropped,
+                "adds": [],
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     # -- write path ---------------------------------------------------------
 
     def _stage(
@@ -688,10 +818,41 @@ class TableLog:
         # append/replace keep writing under the standing physical names
         keep_mapping = mode == "append" or bool(replace_where)
         pre_mapping = (pre.column_mapping if pre else {}) if keep_mapping else {}
+        # a full overwrite replaces the active set wholesale, so dropped-
+        # column tombstones (physical names that must not re-bind) reset
+        # with it; append/replace carry them forward
+        pre_dropped = (pre.dropped_physical if pre else []) if keep_mapping else []
+        if pre is not None and keep_mapping:
+            # implicit schema evolution binds a NEW column under its
+            # literal (identity) physical name — refuse names that would
+            # alias a live physical column (a rename froze it) or re-bind
+            # a dropped column's dead bytes; add_column allocates a fresh
+            # physical id for exactly this case
+            taken = set(pre_mapping.values()) | set(pre_dropped)
+            bad = [
+                c
+                for c in df.schema.names
+                if c not in pre.schema.names and c in taken
+            ]
+            if bad:
+                raise ValueError(
+                    f"new column(s) {bad} collide with a frozen physical "
+                    f"or dropped column name of {self.root}; run "
+                    "add_column() first (it allocates a fresh physical id)"
+                )
         adds = self._stage(df, partition_by, mapping=pre_mapping)
 
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
+            if keep_mapping and (cur.dropped_physical if cur else []) != pre_dropped:
+                # a concurrent drop_column landed while we were staging:
+                # the schema merge below could re-bind the dropped
+                # column's dead bytes — surface the race, don't guess
+                raise ConcurrentCommitError(
+                    f"write to {self.root} raced a concurrent column "
+                    "drop; re-read the table and retry with its current "
+                    "column names"
+                )
             if keep_mapping and (cur.column_mapping if cur else {}) != pre_mapping:
                 # a rename landed while we were staging: our files carry
                 # physical names derived from the pre-rename logical view
@@ -729,6 +890,7 @@ class TableLog:
                 "schema": schema_json,
                 "partition_by": list(partition_by or []),
                 "column_mapping": pre_mapping,
+                "dropped_physical": pre_dropped,
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
@@ -758,6 +920,7 @@ class TableLog:
                     "partition_by": snap.partition_by,
                     "constraints": snap.constraints,
                     "column_mapping": snap.column_mapping,
+                    "dropped_physical": snap.dropped_physical,
                 },
                 f,
             )
@@ -972,8 +1135,11 @@ class TableLog:
                     )
                 part = self._read_file_metas(fmetas, schema, m_use)
                 if m_use or cur_mapping:
+                    # current logical name when the physical column is
+                    # still live; a column dropped by the latest schema
+                    # keeps its era-logical name in the feed
                     ren = {
-                        n: inv_cur.get(_phys_name(m_use, n), _phys_name(m_use, n))
+                        n: inv_cur.get(_phys_name(m_use, n), n)
                         for n in part.columns
                     }
                     part = _rename_columns(
@@ -1257,9 +1423,14 @@ class TableLog:
                     f"{op} of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if cur.column_mapping != base.column_mapping:
-                # a concurrent rename re-pointed logical names: our payload
-                # schema would publish stale names — retry from fresh state
+            if (
+                cur.column_mapping != base.column_mapping
+                or cur.schema_json != base.schema_json
+                or cur.dropped_physical != base.dropped_physical
+            ):
+                # a concurrent schema change landed (rename/add/drop column
+                # or a schema-evolving append): our payload would publish a
+                # stale schema — retry from fresh state
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append may have landed rows matching the
@@ -1411,9 +1582,14 @@ class TableLog:
                     f"merge of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if cur.column_mapping != base.column_mapping:
-                # a concurrent rename re-pointed logical names: retry from
-                # fresh state so the published schema stays current
+            if (
+                cur.column_mapping != base.column_mapping
+                or cur.schema_json != base.schema_json
+                or cur.dropped_physical != base.dropped_physical
+            ):
+                # a concurrent schema change landed (rename/add/drop column
+                # or a schema-evolving append): our payload would publish a
+                # stale schema — retry from fresh state
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append landed files whose key bounds
@@ -1566,9 +1742,14 @@ class TableLog:
                     f"merge_latest of {self.root} lost to a concurrent "
                     "overwrite/replace: candidate files are no longer active"
                 )
-            if cur.column_mapping != base.column_mapping:
-                # a concurrent rename re-pointed logical names: retry from
-                # fresh state so the published schema stays current
+            if (
+                cur.column_mapping != base.column_mapping
+                or cur.schema_json != base.schema_json
+                or cur.dropped_physical != base.dropped_physical
+            ):
+                # a concurrent schema change landed (rename/add/drop column
+                # or a schema-evolving append): our payload would publish a
+                # stale schema — retry from fresh state
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # same concurrent-append hazard as merge: an unseen append

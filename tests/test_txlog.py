@@ -1342,3 +1342,209 @@ def test_rename_column_without_rewrite(spark, tmp_path):
     log.optimize(n_files=1)
     assert log.read().columns == ["id", "val"]
     assert log.read().count() == 100
+
+
+def test_drop_and_add_column_without_rewrite(spark, tmp_path):
+    """ALTER TABLE DROP/ADD COLUMN as metadata-only commits: no data file
+    is touched, a dropped column's dead bytes can never resurrect (fresh
+    physical ids on re-add; the write path refuses implicit re-binding),
+    and every read path resolves the evolved schema."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(100).selectExpr(
+            "id", "id * 2 AS v", "CAST(id AS STRING) AS s"
+        ).repartitionByRange(4, "id")
+    )
+    files_before = {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    }
+    v_drop = log.drop_column("v")
+    # zero data movement; column gone from the logical schema
+    assert {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    } == files_before
+    assert log.read().columns == ["id", "s"]
+    # time travel to the pre-drop version still reads it
+    assert log.read(v_drop - 1).filter("v = 100").count() == 1
+    # re-adding the SAME name must NOT resurrect the dead bytes
+    log.add_column("v", "bigint")
+    assert log.read().columns == ["id", "s", "v"]
+    assert log.read().filter("v IS NOT NULL").count() == 0
+    # the new column's physical name is a fresh id, never the logical name
+    snap = log.snapshot()
+    assert snap.column_mapping["v"].startswith("col_")
+    assert "v" in snap.dropped_physical
+    # appends fill the new column under its fresh physical name
+    log.write(
+        spark.createDataFrame([(1000, "x", 7)], "id long, s string, v long"),
+        mode="append",
+    )
+    assert log.read().filter("v = 7").count() == 1
+    assert log.read().filter("id < 100 AND v IS NOT NULL").count() == 0
+    import pyarrow.parquet as pq
+
+    newest = set(log.snapshot().files) - set(files_before)
+    phys = {
+        n
+        for p in newest
+        for n in pq.ParquetFile(os.path.join(log.data_dir, p)).schema_arrow.names
+    }
+    assert snap.column_mapping["v"] in phys and "v" not in phys
+    # row ops through the evolved schema
+    log.update([("id", "==", 1000)], {"v": "v + 1"})
+    assert log.read().filter("id = 1000").head().v == 8
+    log.delete([("id", "==", 1000)])
+    # change feed spans the drop: era rows carry the old column where it
+    # existed (unionByName fills null elsewhere)
+    feed = log.table_changes(0)
+    # two delete rows for id=1000: the update's replaced version (v=7)
+    # and the final DELETE of the updated row (v=8) — file-granularity CDC
+    dels = feed.filter("id = 1000 AND _change_type = 'delete'")
+    assert sorted(r.v for r in dels.collect()) == [7, 8]
+    # the pyds DataSource resolves the evolved schema too
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    ds = spark.read.format("txlog").load(str(tmp_path / "t"))
+    assert ds.columns == ["id", "s", "v"]
+    assert ds.filter("v IS NOT NULL").count() == 0
+
+
+def test_implicit_evolution_cannot_rebind_dropped_or_physical_names(
+    spark, tmp_path
+):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(10).selectExpr("id", "id AS v", "id AS w"))
+    log.drop_column("v")
+    # append-time schema evolution refuses to re-bind the dead bytes
+    with pytest.raises(ValueError, match="add_column"):
+        log.write(
+            spark.createDataFrame([(50, 1, 2)], "id long, w long, v long"),
+            mode="append",
+        )
+    # ... and refuses a new column aliasing a live frozen physical name
+    log.rename_column("w", "width")
+    with pytest.raises(ValueError, match="add_column"):
+        log.write(
+            spark.createDataFrame([(51, 1, 2)], "id long, width long, w long"),
+            mode="append",
+        )
+    # a full overwrite redefines the table wholesale: tombstones reset
+    log.write(spark.range(5).selectExpr("id", "id AS v"))
+    assert log.snapshot().dropped_physical == []
+    assert log.read().filter("v IS NOT NULL").count() == 5
+
+
+def test_column_op_guardrails_and_checkpoint_carry(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame([(1, "a", 2)], "id long, k string, v long"),
+        partition_by=["k"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        log.drop_column("k")
+    log.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        log.drop_column("v")
+    log.drop_constraint("v_pos")
+    with pytest.raises(ValueError, match="collides"):
+        log.add_column("v", "bigint")
+    log.drop_column("v")
+    log.drop_column("id")
+    with pytest.raises(ValueError, match="last column"):
+        log.drop_column("k")
+    # roll past a checkpoint: tombstones and mapping must survive replay
+    # from the checkpoint, not only from full log replay
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        CHECKPOINT_EVERY,
+    )
+
+    log.add_column("v", "bigint")
+    while log.snapshot().version % CHECKPOINT_EVERY:
+        log.write(
+            spark.createDataFrame([(("a"), 1)], "k string, v long"),
+            mode="append",
+            partition_by=["k"],
+        )
+    assert os.path.exists(log._checkpoint_path(log.snapshot().version))
+    snap = log.snapshot()
+    assert "v" in snap.dropped_physical and "id" in snap.dropped_physical
+    assert snap.column_mapping["v"].startswith("col_")
+    with pytest.raises(ValueError, match="add_column"):
+        log.write(
+            spark.createDataFrame([("a", 1, 9)], "k string, v long, id long"),
+            mode="append",
+            partition_by=["k"],
+        )
+
+
+def test_rowop_retries_over_concurrent_column_drop(spark, tmp_path, monkeypatch):
+    """A concurrent DROP COLUMN between a row op's base snapshot and its
+    commit must not republish the pre-drop schema."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog as TL,
+    )
+
+    log = TL(spark, str(tmp_path / "t"))
+    log.write(spark.range(10).selectExpr("id", "id AS v", "id AS w"))
+
+    original_stage = TL._stage
+
+    def stage_with_concurrent_drop(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
+        monkeypatch.setattr(TL, "_stage", original_stage)
+        TL(spark, self.root).drop_column("w")
+        return adds
+
+    monkeypatch.setattr(TL, "_stage", stage_with_concurrent_drop)
+    log.delete([("id", "==", 3)])
+    # the winning schema (post-drop) survived the row op's retry
+    assert log.read().columns == ["id", "v"]
+    assert log.read().filter("id = 3").count() == 0
+
+
+def test_alter_table_column_ddl_sql_on_both_backends(spark, tmp_path):
+    """ALTER TABLE … RENAME/ADD/DROP COLUMN through Warehouse.sql: the
+    txlog backend commits metadata only (zero file rewrites); the base
+    backend writes the next copy-per-version snapshot with the evolved
+    schema. Both keep VERSION AS OF working across the change."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    for wh in (
+        TxLogWarehouse(spark, str(tmp_path / "wh")),
+        Warehouse(spark, str(tmp_path / "wh2")),
+    ):
+        wh.write_snapshot(_df(spark, [(1, 10), (2, 20)], ["id", "v"]), "t")
+        r = wh.sql("ALTER TABLE t RENAME COLUMN v TO val").head()
+        assert r.operation == "RENAME COLUMN" and r.version == 2
+        assert wh.sql("SELECT id, val FROM t ORDER BY id").count() == 2
+        wh.sql("ALTER TABLE t ADD COLUMN score double")
+        out = wh.sql("SELECT * FROM t ORDER BY id")
+        assert out.columns == ["id", "val", "score"]
+        assert out.filter("score IS NOT NULL").count() == 0
+        wh.sql("ALTER TABLE t DROP COLUMN val")
+        assert wh.sql("SELECT * FROM t").columns == ["id", "score"]
+        # time travel reads each era's own schema
+        assert wh.sql("SELECT * FROM t VERSION AS OF 1").columns == ["id", "v"]
+        with pytest.raises(ValueError):
+            wh.sql("ALTER TABLE t DROP COLUMN nope")
+
+    # txlog backend: all three were metadata-only (1 data file, ever)
+    log = TxLogWarehouse(spark, str(tmp_path / "wh"))._log("t")
+    assert len(os.listdir(log.data_dir)) == len(log.snapshot().files)
+    # base backend: a partitioned snapshot keeps its layout through ALTER
+    base = Warehouse(spark, str(tmp_path / "wh2"))
+    base.write_snapshot(
+        _df(spark, [(1, "a"), (2, "b")], ["id", "k"]), "p", partition_by=["k"]
+    )
+    base.sql("ALTER TABLE p ADD COLUMN w long")
+    assert base._snapshot_partition_by("p", 2) == ["k"]
+    assert set(base.read_snapshot("p").columns) == {"id", "k", "w"}
+    with pytest.raises(ValueError, match="partition"):
+        base.sql("ALTER TABLE p RENAME COLUMN k TO kk")
