@@ -80,6 +80,132 @@ def ann_cosine_topk(
     )
 
 
+def _anchor_scored(
+    embeddings: DataFrame, n_anchors: int
+) -> DataFrame:
+    """Shared scored relation for the contrastive-mining operators: every
+    (anchor, candidate) cosine for the first ``n_anchors`` vec_ids, with
+    both labels. Anchors broadcast (small by definition); the corpus
+    streams through one scan — the same shape as :func:`ann_cosine_topk`,
+    so the documented LSH/IVF bucketed paths are the drop-in scale
+    replacement when the anchor set grows (the label predicate composes
+    with any candidate generation: it filters within buckets)."""
+    corpus = _as_double(embeddings, "embedding", "cv").select(
+        F.col("vec_id").alias("c_id"), "cv", F.col("label").alias("c_label")
+    )
+    anchors = _as_double(embeddings, "embedding", "qv").select(
+        F.col("vec_id").alias("a_id"), "qv", F.col("label").alias("a_label")
+    ).filter(F.col("a_id") < n_anchors)
+    return (
+        corpus.join(F.broadcast(anchors), F.col("c_id") != F.col("a_id"))
+        .withColumn("cosine", F.round(F.expr(COS_EXPR), 6))
+        .select("a_id", "a_label", "c_id", "c_label", "cosine")
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_anchors: int = 8, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-``k`` most-similar vectors with a DIFFERENT label — the
+    wrong-label examples an embedding model confuses most, the standard
+    negative pool for InfoNCE/triplet fine-tuning. Exact brute-force
+    baseline (rounded cosine pins a canonical rank; ties break on
+    candidate id); at corpus scale the candidate generation swaps for
+    the banded LSH / IVF cell paths above."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        _anchor_scored(embeddings, n_anchors)
+        .filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "a_label", "c_id", "c_label", "cosine", "rank")
+    )
+
+
+def triplet_mining(embeddings: DataFrame, n_anchors: int = 16) -> DataFrame:
+    """Batch-hard triplet mining (FaceNet recipe): per anchor, the
+    hardest POSITIVE (same label, LOWEST cosine — the most-spread
+    same-class example) and the hardest NEGATIVE (different label,
+    HIGHEST cosine), plus the triplet margin ``pos_cos - neg_cos``
+    (negative margin = the anchor violates the triplet constraint and
+    actually teaches the model something). One scored relation feeds
+    both window ranks; anchors without any same-label candidate drop
+    (no triplet exists)."""
+    from pyspark.sql import Window
+
+    scored = _anchor_scored(embeddings, n_anchors)
+    wp = Window.partitionBy("a_id").orderBy(F.asc("cosine"), "c_id")
+    wn = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "c_id")
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select(
+            "a_id",
+            "a_label",
+            F.col("c_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("a_id").alias("n_a_id"),
+            F.col("c_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, pos["a_id"] == neg["n_a_id"])
+        .select(
+            "a_id",
+            "a_label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+    )
+
+
+def int8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector asymmetric int8 quantization (the storage/serving
+    compression step for an embedding corpus — 4× smaller than float32
+    before PQ): codes = floor((x - min) * 255 / (max - min) + 0.5),
+    range [0, 255]. Scan-local per-row arithmetic, no shuffle.
+
+    Cross-engine determinism: floor(t + 0.5) IS half-up rounding spelled
+    in primitives both engines evaluate bit-identically on the same
+    doubles (float32 inputs widen exactly; one multiply, one divide —
+    no reassociation), unlike round() whose half-way rule differs
+    between engines. A constant vector has no range — its scale nullifs
+    to NULL and the codes follow (quantization undefined), instead of a
+    divide-by-zero error. Output keeps integer-exact digests of the code
+    array (sum/min/max) plus the dequantization parameters."""
+    df = _as_double(embeddings, "embedding", "ev")
+    codes = (
+        "transform(ev, x -> CAST(floor((x - array_min(ev)) * 255.0 "
+        "/ nullif(array_max(ev) - array_min(ev), 0.0) + 0.5) AS INT))"
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        F.round(F.expr("array_min(ev)"), 6).alias("zero_point"),
+        F.round(F.expr("nullif(array_max(ev) - array_min(ev), 0.0) / 255.0"), 9).alias("scale"),
+        F.expr(
+            f"aggregate({codes}, CAST(0 AS BIGINT), (s, c) -> s + c)"
+        ).alias("code_sum"),
+        F.expr(f"array_min({codes})").alias("code_min"),
+        F.expr(f"array_max({codes})").alias("code_max"),
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid components via posexplode → grouped exact mean.
 

@@ -4816,6 +4816,95 @@ GROUP BY dw.doc_id""",
 )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: per anchor, the top-k
+    most-similar DIFFERENT-label vectors (the InfoNCE negative pool)."""
+    return similarity.hard_negatives(
+        Catalog(spark, sf_dir).embeddings, n_anchors=8, k=5
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS c_id,
+         c.label AS c_label,
+         round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+  FROM e a JOIN e c ON c.vec_id <> a.vec_id AND c.label <> a.label
+  WHERE a.vec_id < 8
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY a_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT a_id, a_label, c_id, c_label, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining (hardest positive + hardest negative per
+    anchor, with the triplet margin)."""
+    return similarity.triplet_mining(Catalog(spark, sf_dir).embeddings, n_anchors=16)
+
+
+SQL_TRIPLET_MINING = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS c_id,
+         c.label AS c_label,
+         round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+  FROM e a JOIN e c ON c.vec_id <> a.vec_id
+  WHERE a.vec_id < 16
+),
+pos AS (
+  SELECT a_id, a_label, c_id AS pos_id, cosine AS pos_cos
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY a_id ORDER BY cosine ASC, c_id) AS r
+        FROM scored WHERE c_label = a_label)
+  WHERE r = 1
+),
+neg AS (
+  SELECT a_id, c_id AS neg_id, cosine AS neg_cos
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY a_id ORDER BY cosine DESC, c_id) AS r
+        FROM scored WHERE c_label <> a_label)
+  WHERE r = 1
+)
+SELECT p.a_id, p.a_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n ON p.a_id = n.a_id
+"""
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 embedding quantization with integer-exact code
+    digests (the 4x storage-compression step for an embedding corpus)."""
+    return similarity.int8_quantize(Catalog(spark, sf_dir).embeddings)
+
+
+SQL_INT8_QUANTIZE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id, label, v,
+         list_min(v) AS lo, nullif(list_max(v) - list_min(v), 0.0) AS rng
+  FROM e
+),
+c AS (
+  SELECT vec_id, label, lo, rng,
+         list_transform(v, x -> CAST(floor((x - lo) * 255.0 / rng + 0.5) AS INTEGER)) AS codes
+  FROM q
+)
+SELECT vec_id, label,
+       round(lo, 6) AS zero_point,
+       round(rng / 255.0, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max
+FROM c
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r06.json) ---------
@@ -4961,6 +5050,11 @@ QUERIES: dict[str, QueryFn] = {
     "rank_fusion_curation": q_rank_fusion_curation,
     "classifier_cached_scores": q_classifier_cached_scores,
     "perplexity_cached": q_perplexity_cached,
+    # round-6 additions past the sweep refresh: contrastive-training
+    # mining ops — SWEEP evidence this round, window candidates for r7
+    "hard_negatives": q_hard_negatives,
+    "triplet_mining": q_triplet_mining,
+    "int8_quantize": q_int8_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -5089,6 +5183,9 @@ ORACLES: dict[str, str] = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "triplet_mining": SQL_TRIPLET_MINING,
+    "int8_quantize": SQL_INT8_QUANTIZE,
 }
 
 

@@ -439,3 +439,84 @@ def test_toy_codec_pipeline_decodes_what_it_encoded(cat):
             )
         assert got.body_bytes == len(d["body"])
         assert got.body_sum == sum(d["body"])
+
+
+def test_hard_negatives_are_the_top_wrong_label_candidates(cat):
+    """Every mined negative has a different label than its anchor, ranks
+    are dense per anchor, and rank-1 truly dominates: no wrong-label
+    candidate outside the returned set scores above the returned k-th."""
+    k = 5
+    out = similarity.hard_negatives(cat.embeddings, n_anchors=3, k=k).collect()
+    exact = {
+        (r.q_id, r.c_id): r.cosine
+        for r in similarity.ann_cosine_topk(
+            cat.embeddings, n_queries=3, k=10**9
+        ).collect()
+    }
+    labels = {r.vec_id: r.label for r in cat.embeddings.collect()}
+    by_anchor = {}
+    for r in out:
+        assert r.c_label != r.a_label
+        assert labels[r.c_id] == r.c_label and labels[r.a_id] == r.a_label
+        by_anchor.setdefault(r.a_id, []).append(r)
+    for a, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # dominance: every wrong-label candidate NOT returned scores <=
+        # the k-th returned cosine
+        kth = rows[-1].cosine
+        returned = {r.c_id for r in rows}
+        for (q, c), cos in exact.items():
+            if q == a and labels[c] != labels[a] and c not in returned:
+                assert cos <= kth
+
+
+def test_triplet_mining_margin_and_hardness(cat):
+    out = similarity.triplet_mining(cat.embeddings, n_anchors=4).collect()
+    labels = {r.vec_id: r.label for r in cat.embeddings.collect()}
+    exact = {
+        (r.q_id, r.c_id): r.cosine
+        for r in similarity.ann_cosine_topk(
+            cat.embeddings, n_queries=4, k=10**9
+        ).collect()
+    }
+    assert out, "anchors with same-label candidates must yield triplets"
+    for r in out:
+        assert labels[r.pos_id] == r.a_label
+        assert labels[r.neg_id] != r.a_label
+        assert r.margin == round(r.pos_cos - r.neg_cos, 6)
+        # hardest positive = MINIMUM same-label cosine; hardest negative
+        # = MAXIMUM different-label cosine
+        same = [
+            c for (q, cid), c in exact.items()
+            if q == r.a_id and labels[cid] == r.a_label
+        ]
+        diff = [
+            c for (q, cid), c in exact.items()
+            if q == r.a_id and labels[cid] != r.a_label
+        ]
+        assert r.pos_cos == min(same)
+        assert r.neg_cos == max(diff)
+
+
+def test_int8_quantize_roundtrip_bound_and_degenerate(spark, cat):
+    out = {r.vec_id: r for r in similarity.int8_quantize(cat.embeddings).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in cat.embeddings.collect()}
+    for vid, v in list(vecs.items())[:50]:
+        r = out[vid]
+        lo, hi = min(v), max(v)
+        assert r.code_min >= 0 and r.code_max <= 255
+        # digest matches a reference quantization; dequantization error
+        # is bounded by scale/2 per component by construction
+        import math
+        codes = [math.floor((x - lo) * 255.0 / (hi - lo) + 0.5) for x in v]
+        assert r.code_sum == sum(codes)
+        assert abs(r.scale - (hi - lo) / 255.0) < 1e-9
+        assert all(abs((lo + c * (hi - lo) / 255.0) - x) <= (hi - lo) / 255.0 / 2 + 1e-12
+                   for c, x in zip(codes, v))
+    # constant vector: no range -> NULL scale and codes, not a crash
+    deg = spark.createDataFrame(
+        [(0, [1.5, 1.5, 1.5], "x")], "vec_id long, embedding array<float>, label string"
+    )
+    r = similarity.int8_quantize(deg).head()
+    assert r.scale is None and r.code_sum is None
