@@ -232,6 +232,16 @@ class Warehouse:
             df.drop(col), name, partition_by=part_by or None
         )
 
+    def restore_table(self, name: str, version: int) -> int:
+        """RESTORE TABLE … TO VERSION AS OF (Delta semantics: a NEW
+        version with the target version's state — history stays
+        auditable). This backend copies the target snapshot forward;
+        txlog overrides with a metadata-only commit sharing the files."""
+        part_by = self._snapshot_partition_by(name, version)
+        return self.write_snapshot(
+            self.read_snapshot(name, version), name, partition_by=part_by or None
+        )
+
     @staticmethod
     def _split_sql_segments(query: str) -> list[tuple[bool, str]]:
         """Split SQL into (is_code, text) segments so the time-travel
@@ -394,6 +404,20 @@ class Warehouse:
             query,
             re.IGNORECASE,
         )
+        m_restore = re.match(
+            r"\s*RESTORE\s+TABLE\s+`?(\w+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_restore:
+            t = m_restore.group(1)
+            v = self.restore_table(t, int(m_restore.group(2)))
+            return self.spark.createDataFrame(
+                [(t, "RESTORE", v)],
+                "table_name string, operation string, version long",
+            )
+
         if m_alter:
             t = m_alter.group(1)
             if m_alter.group(2):
@@ -488,6 +512,9 @@ class TxLogWarehouse(Warehouse):
 
     def drop_column(self, name: str, col: str) -> int:
         return self._log(name).drop_column(col)
+
+    def restore_table(self, name: str, version: int) -> int:
+        return self._log(name).restore(version)
 
     def history(self, name: str) -> DataFrame:
         rows = [

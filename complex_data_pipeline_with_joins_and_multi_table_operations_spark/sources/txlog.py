@@ -636,6 +636,53 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def restore(self, version: int, max_retries: int = 3) -> int:
+        """RESTORE TABLE … TO VERSION AS OF — Delta semantics: a NEW
+        commit (history is append-only; the bad versions stay auditable)
+        whose active file set, schema, partition spec, constraints, and
+        column mapping are the target version's. Metadata-only: data
+        files are shared with the old snapshot, nothing is rewritten.
+        Refuses if any target file was vacuumed (the restore would
+        publish dangling references)."""
+        old = self.snapshot(version)  # validates the version exists
+        missing = [
+            p
+            for p in old.files
+            if not os.path.exists(os.path.join(self.data_dir, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.root} to v{version}: files were "
+                f"vacuumed: {missing[:3]}…"
+            )
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            adds = [m for p, m in old.files.items() if p not in cur.files]
+            removes = [p for p in cur.files if p not in old.files]
+            new_version = cur.version + 1
+            payload = {
+                "version": new_version,
+                "snapshot_id": _snapshot_id(new_version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "restore",
+                "schema": old.schema_json,
+                "partition_by": list(old.partition_by or []),
+                "constraints": old.constraints,
+                "column_mapping": old.column_mapping,
+                "dropped_physical": old.dropped_physical,
+                "adds": adds,
+                "removes": removes,
+            }
+            try:
+                self._commit(new_version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(new_version)
+            return new_version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     # -- write path ---------------------------------------------------------
 
     def _stage(
