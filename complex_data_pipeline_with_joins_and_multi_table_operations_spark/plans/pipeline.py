@@ -242,6 +242,77 @@ class Warehouse:
             self.read_snapshot(name, version), name, partition_by=part_by or None
         )
 
+    _DETAIL_SCHEMA = (
+        "format string, location string, version long, num_files long, "
+        "size_bytes long, partition_columns array<string>, num_versions long"
+    )
+
+    def detail(self, name: str) -> DataFrame:
+        """Delta-style DESCRIBE DETAIL: one row of physical table facts.
+        Also reachable as SQL: ``wh.sql("DESCRIBE DETAIL <table>")``."""
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        v = versions[-1]
+        vdir = os.path.join(self.path(name), f"v{v}")
+        files = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        row = (
+            "versioned-parquet",
+            self.path(name),
+            v,
+            len(files),
+            sum(os.path.getsize(f) for f in files),
+            self._snapshot_partition_by(name, v),
+            len(versions),
+        )
+        return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
+
+    def optimize_table(
+        self, name: str, n_files: int = 1, zorder_by: list[str] | None = None
+    ) -> int:
+        """OPTIMIZE <table> [ZORDER BY (…)]: small-file compaction as the
+        next snapshot version on this backend (txlog overrides with its
+        atomic remove-and-add commit over the shared data tree)."""
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        df = self.read_snapshot(name)
+        part_by = self._snapshot_partition_by(name, versions[-1])
+        if zorder_by:
+            if part_by:
+                raise ValueError(
+                    "zorder on a partitioned table re-fragments per "
+                    "partition directory; drop ZORDER BY or departition"
+                )
+            from ..operators.zorder import z_order
+
+            df = z_order(df, zorder_by, n_files)
+        elif part_by:
+            df = df.repartition(*part_by)
+        else:
+            df = df.repartition(n_files)
+        return self.write_snapshot(df, name, partition_by=part_by or None)
+
+    def vacuum_table(self, name: str, retain_last: int = 1) -> int:
+        """VACUUM <table> [RETAIN n VERSIONS]: drop all but the last
+        ``retain_last`` snapshot versions; returns how many versions were
+        reclaimed. Time travel below the horizon then refuses, matching
+        the txlog backend's vacuum contract."""
+        import shutil
+
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        victims = versions[: -max(1, retain_last)]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path(name), f"v{v}"))
+        return len(victims)
+
     @staticmethod
     def _split_sql_segments(query: str) -> list[tuple[bool, str]]:
         """Split SQL into (is_code, text) segments so the time-travel
@@ -404,6 +475,46 @@ class Warehouse:
             query,
             re.IGNORECASE,
         )
+        m_detail = re.match(
+            r"\s*DESCRIBE\s+DETAIL\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
+        )
+        if m_detail:
+            return self.detail(m_detail.group(1))
+
+        m_opt = re.match(
+            r"\s*OPTIMIZE\s+`?(\w+)`?"
+            r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_opt:
+            t = m_opt.group(1)
+            zcols = (
+                [c.strip(" `") for c in m_opt.group(2).split(",")]
+                if m_opt.group(2)
+                else None
+            )
+            v = self.optimize_table(t, zorder_by=zcols)
+            return self.spark.createDataFrame(
+                [(t, "OPTIMIZE", v)],
+                "table_name string, operation string, version long",
+            )
+
+        m_vac = re.match(
+            r"\s*VACUUM\s+`?(\w+)`?(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_vac:
+            t = m_vac.group(1)
+            n = self.vacuum_table(
+                t, retain_last=int(m_vac.group(2) or 1)
+            )
+            return self.spark.createDataFrame(
+                [(t, "VACUUM", n)],
+                "table_name string, operation string, removed long",
+            )
+
         m_restore = re.match(
             r"\s*RESTORE\s+TABLE\s+`?(\w+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)"
             r"\s*;?\s*$",
@@ -515,6 +626,28 @@ class TxLogWarehouse(Warehouse):
 
     def restore_table(self, name: str, version: int) -> int:
         return self._log(name).restore(version)
+
+    def detail(self, name: str) -> DataFrame:
+        log = self._log(name)
+        snap = log.snapshot()
+        row = (
+            "txlog",
+            log.root,
+            snap.version,
+            len(snap.files),
+            sum(int(m.get("bytes") or 0) for m in snap.files.values()),
+            list(snap.partition_by or []),
+            len(log.versions()),
+        )
+        return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
+
+    def optimize_table(
+        self, name: str, n_files: int = 1, zorder_by: list[str] | None = None
+    ) -> int:
+        return self._log(name).optimize(n_files=n_files, zorder_by=zorder_by)
+
+    def vacuum_table(self, name: str, retain_last: int = 1) -> int:
+        return self._log(name).vacuum(retain_last=retain_last)
 
     def history(self, name: str) -> DataFrame:
         rows = [
