@@ -578,3 +578,120 @@ def test_dsir_matches_reference_on_random_corpora(spark, rows):
         for r in dsir.dsir_weights(df, F.col("lang") == "en", buckets=16).collect()
     }
     assert got == _ref_weights(docs, 16)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["append", "rename", "drop", "add", "readd",
+                                   "overwrite", "optimize"]),
+                  st.integers(0, 5)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the txlog schema-evolution state machine:
+    arbitrary interleavings of append / rename / drop / add /
+    re-add-dropped-name / overwrite / optimize must keep `read()` equal
+    to a plain Python reference model — in particular, a re-added
+    column name must NEVER resurrect the dropped column's values, and
+    refused operations must leave the table state untouched."""
+    import pytest as _pytest
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    root = str(tmp_path_factory.mktemp("sm") / "t")
+    log = TableLog(spark, root)
+
+    # model: ordered column list + list of row dicts; rid (col 0) is
+    # never renamed/dropped so rows stay identifiable
+    cols = ["rid", "a", "b"]
+    rows: list[dict] = []
+    dropped_names: list[str] = []
+    counter = [0]
+    name_seq = [0]
+
+    def fresh_rows(k: int) -> list[dict]:
+        out = []
+        for _ in range(k):
+            counter[0] += 1
+            out.append(
+                {c: counter[0] * 100 + j for j, c in enumerate(cols)}
+            )
+        return out
+
+    def write(mode: str, new_rows: list[dict]) -> None:
+        df = spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in new_rows],
+            ", ".join(f"`{c}` long" for c in cols),
+        )
+        log.write(df, mode=mode)
+
+    write("overwrite", (init := fresh_rows(2)))
+    rows.extend(init)
+
+    for op, arg in ops:
+        if op == "append":
+            new = fresh_rows(1 + arg % 2)
+            write("append", new)
+            rows.extend(new)
+        elif op == "rename" and len(cols) > 1:
+            i = 1 + arg % (len(cols) - 1)
+            old = cols[i]
+            name_seq[0] += 1
+            new = f"c{name_seq[0]}"
+            log.rename_column(old, new)
+            cols[i] = new
+            for r in rows:
+                r[new] = r.pop(old)
+        elif op == "drop" and len(cols) > 2:
+            i = 1 + arg % (len(cols) - 1)
+            victim = cols[i]
+            log.drop_column(victim)
+            dropped_names.append(victim)
+            cols.remove(victim)
+            for r in rows:
+                r.pop(victim, None)
+        elif op == "add":
+            name_seq[0] += 1
+            new = f"c{name_seq[0]}"
+            log.add_column(new, "bigint")
+            cols.append(new)
+            for r in rows:
+                r[new] = None
+        elif op == "readd" and dropped_names:
+            name = dropped_names[arg % len(dropped_names)]
+            if name in cols:
+                continue
+            log.add_column(name, "bigint")
+            cols.append(name)
+            for r in rows:
+                r[name] = None  # never the dropped values
+        elif op == "overwrite":
+            new = fresh_rows(1 + arg % 2)
+            write("overwrite", new)
+            rows.clear()
+            rows.extend(new)
+            dropped_names.clear()
+        elif op == "optimize":
+            log.optimize(n_files=1)
+        # exercise a REFUSED op leaving state untouched: appending a
+        # column that aliases a dropped name must raise, not corrupt
+        if dropped_names and dropped_names[-1] not in cols:
+            bad_cols = cols + [dropped_names[-1]]
+            bad = spark.createDataFrame(
+                [tuple(0 for _ in bad_cols)],
+                ", ".join(f"`{c}` long" for c in bad_cols),
+            )
+            with _pytest.raises(ValueError, match="add_column"):
+                log.write(bad, mode="append")
+
+    got = [r.asDict() for r in log.read().collect()]
+    assert sorted(log.read().columns) == sorted(cols)
+    canon = lambda rs: sorted(
+        tuple(r.get(c) for c in sorted(cols)) for r in rs
+    )
+    assert canon(got) == canon(rows)
