@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query — 123 of 124 queries,
+    """DuckDB-runnable ANSI SQL oracle per query — 128 of 129 queries,
     including the iterative/hash-seeded families (k-means, PQ, SimHash,
     hyperplane LSH: md5 is the shared hash, folds and exact-decimal sums
     the shared arithmetic) and the from-scratch sketches (KMV, HLL,

@@ -1645,3 +1645,65 @@ def test_maintenance_sql_verbs_on_both_backends(spark, tmp_path):
             # dedicated vacuum tests
             assert v.removed == 0
         assert wh.sql("SELECT * FROM t").count() == 120
+
+
+def test_threaded_multi_writer_stress_serializes_all_commits(spark, tmp_path):
+    """Real concurrency (not injected): threads race appends and a merge
+    against one table, each with enough retries to outlast the others.
+    The final log must be a contiguous version chain whose parent ids
+    link up, and the surviving rows must be exactly the base rows as
+    modified by the merge plus every append exactly once — no lost
+    updates, no duplicated appends. (DDL-vs-write races are covered by
+    the injected-race tests above; mixing DDL into a live thread race
+    is nondeterministic by design — stale-name writers are SUPPOSED to
+    be refused.)"""
+    import threading
+
+    root = str(tmp_path / "t")
+    TableLog(spark, root).write(
+        spark.createDataFrame([(i, 0) for i in range(8)], "id long, v long")
+    )
+    failures: list[Exception] = []
+
+    def run(fn):
+        def go():
+            try:
+                fn()
+            except Exception as e:  # record ANY failure for the assert
+                failures.append(e)
+
+        return threading.Thread(target=go)
+
+    log = lambda: TableLog(spark, root)
+    threads = [
+        run(lambda i=i: log().write(
+            spark.createDataFrame([(100 * i, i)], "id long, v long"),
+            mode="append", max_retries=16))
+        for i in range(1, 5)
+    ] + [
+        run(lambda: log().merge(
+            spark.createDataFrame([(0, 50)], "id long, v long"),
+            ["id"], max_retries=16))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not failures, [str(e) for e in failures]
+
+    lg = log()
+    versions = lg.versions()
+    assert versions == list(range(1, len(versions) + 1))
+    import json as _json
+
+    prev = None
+    for v in versions:
+        with open(lg._commit_path(v)) as f:
+            c = _json.load(f)
+        if prev is not None:
+            assert c["parent_id"] == prev
+        prev = c["snapshot_id"]
+    rows = {r.id: r.v for r in lg.read().collect()}
+    expect = {i: 0 for i in range(8)} | {0: 50} | {100 * i: i for i in range(1, 5)}
+    assert rows == expect
+    assert lg.read().count() == 12  # exactly once each
