@@ -692,11 +692,12 @@ class TxLogWarehouse(Warehouse):
     ) -> int:
         return self._log(name).write(df, partition_by=partition_by)
 
-    def delete(self, name: str, filters: list[tuple]) -> dict:
-        """Row-level DELETE on a warehouse table (copy-on-write; see
+    def delete(self, name: str, filters: list[tuple], via: str = "cow") -> dict:
+        """Row-level DELETE on a warehouse table (copy-on-write, or
+        ``via="dv"`` for merge-on-read deletion vectors; see
         TableLog.delete) — only this backend supports it, the snapshot
         and catalog backends raise AttributeError by construction."""
-        return self._log(name).delete(filters)
+        return self._log(name).delete(filters, via=via)
 
     def update(
         self, name: str, filters: list[tuple], set_exprs: dict[str, str]

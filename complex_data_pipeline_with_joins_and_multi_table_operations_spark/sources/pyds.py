@@ -128,6 +128,7 @@ def _read_file_as_batches(
     meta: dict,
     schema_json: str,
     mapping: dict | None = None,
+    dv_positions: list[int] | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Read one immutable data file and yield Arrow batches matching the
     snapshot schema exactly: partition columns (absent from the file, held
@@ -146,8 +147,27 @@ def _read_file_as_batches(
     mapping = mapping or {}  # column mapping: files/dirs spell PHYSICAL names
     pvals = meta.get("partition_values", {})
     pf = pq.ParquetFile(os.path.join(data_dir, meta["path"]))
+    dv = sorted(dv_positions) if dv_positions else None
+    offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
+        if dv is not None:
+            # deletion vector: drop this batch's deleted row positions
+            # (file-global row_index ∈ [offset, offset+n))
+            import bisect as _bisect
+
+            lo = _bisect.bisect_left(dv, offset)
+            hi = _bisect.bisect_left(dv, offset + n)
+            local = [p - offset for p in dv[lo:hi]]
+            offset += n
+            if local:
+                mask = [True] * n
+                for p in local:
+                    mask[p] = False
+                batch = batch.filter(pa.array(mask))
+                n = batch.num_rows
+                if n == 0:
+                    continue
         arrays, names = [], []
         present = set(batch.schema.names)
         for fld in target:
@@ -184,11 +204,13 @@ class TxLogBatchReader(DataSourceReader):
         schema_json: str,
         metas: list[dict],
         mapping: dict | None = None,
+        dvs: dict | None = None,
     ):
         self.data_dir = os.path.join(root, "data")
         self.schema_json = schema_json
         self.metas = metas
         self.mapping = mapping or {}
+        self.dvs = dvs or {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         prune = translate_filters(filters)
@@ -208,7 +230,11 @@ class TxLogBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
         yield from _read_file_as_batches(
-            self.data_dir, partition.meta, self.schema_json, self.mapping
+            self.data_dir,
+            partition.meta,
+            self.schema_json,
+            self.mapping,
+            self.dvs.get(partition.meta["path"]),
         )
 
 
@@ -432,7 +458,9 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             with open(log._commit_path(v)) as f:
                 c = _json.load(f)
-            if c["operation"] != "append" and c.get("removes"):
+            if c["operation"] != "append" and (
+                c.get("removes") or c["operation"] == "delete_dv"
+            ):
                 if not self.ignore_changes:
                     raise RuntimeError(
                         f"streaming source hit a {c['operation']!r} commit at "
@@ -496,6 +524,7 @@ class TxLogDataSource(DataSource):
             snap.schema_json,
             list(snap.files.values()),
             snap.column_mapping,
+            snap.dvs,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:

