@@ -459,7 +459,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             with open(log._commit_path(v)) as f:
                 c = _json.load(f)
             if c["operation"] != "append" and (
-                c.get("removes") or c["operation"] == "delete_dv"
+                c.get("removes") or c["operation"].endswith("_dv")
             ):
                 if not self.ignore_changes:
                     raise RuntimeError(

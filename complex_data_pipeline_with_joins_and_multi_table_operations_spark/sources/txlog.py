@@ -1209,10 +1209,12 @@ class TableLog:
                 parent_schema_json = c["schema"]
                 parent_mapping = c.get("column_mapping", parent_mapping)
                 continue
-            if c["operation"] == "delete_dv":
-                # merge-on-read delete: the commit's deletion-vector map
-                # minus the parent's IS the deleted row set — read exactly
-                # those positions from the (untouched) files
+            if c["operation"] in ("delete_dv", "update_dv"):
+                # merge-on-read delete/update: the commit's deletion-vector
+                # map minus the parent's IS the deleted row set — read
+                # exactly those positions from the (untouched) files; an
+                # update_dv additionally falls through to the adds loop
+                # below so its new row versions emit as inserts
                 if parent_mapping is None:
                     parent_mapping = (
                         self.snapshot(v - 1).column_mapping if v > 1 else {}
@@ -1245,7 +1247,8 @@ class TableLog:
                         )
                     )
                 parent_schema_json = c["schema"]
-                continue
+                if c["operation"] == "delete_dv":
+                    continue
             for kind, metas in (
                 ("insert", c.get("adds", [])),
                 ("delete", c.get("removes", [])),
@@ -1725,6 +1728,7 @@ class TableLog:
         filters: list[tuple],
         set_exprs: dict[str, str],
         max_retries: int = 3,
+        via: str = "cow",
     ) -> dict:
         """Row-level UPDATE via the same copy-on-write machinery:
         ``set_exprs`` maps column name → SQL expression, applied to rows
@@ -1732,8 +1736,119 @@ class TableLog:
         UPDATE). Updated values are cast back to the column's declared
         type — an UPDATE can never drift the table schema. New file
         stats are harvested on the rewrite, so skipping stays correct
-        for the post-update values."""
+        for the post-update values.
+
+        ``via="dv"`` is the merge-on-read form (Delta DV updates): the
+        matched rows' positions join the deletion vectors and ONLY the
+        updated rows append as new files — a single-row update on a
+        100 TB table appends one tiny file instead of rewriting its
+        host. Same cap-and-fallback policy as delete(via='dv')."""
+        if via == "dv":
+            return self._update_dv(filters, set_exprs, max_retries)
+        if via != "cow":
+            raise ValueError(f"via must be 'cow' or 'dv', got {via!r}")
         return self._rewrite_rows(filters, set_exprs, max_retries)
+
+    def _update_dv(
+        self, filters: list[tuple], set_exprs: dict[str, str], max_retries: int
+    ) -> dict:
+        if not filters:
+            raise ValueError("update(via='dv') requires filters")
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            unknown = [c for c in set_exprs if c not in base.schema.names]
+            if unknown:
+                raise ValueError(f"update sets unknown columns {unknown}")
+            pfilters = _physical_filters(filters, base.column_mapping)
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in pfilters)
+            }
+            skipped = len(base.files) - len(cand)
+            if not cand:
+                return {
+                    "version": base.version,
+                    "rows_updated": 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            cond = _as_column(filters[0])
+            for f in filters[1:]:
+                cond = cond & _as_column(f)
+            hits, truncated = self._dv_positions(cand, base, cond)
+            n_hits = sum(len(v) for v in hits.values())
+            if n_hits == 0 and not truncated:
+                return {
+                    "version": base.version,
+                    "rows_updated": 0,
+                    "files_rewritten": 0,
+                    "files_skipped": skipped,
+                }
+            if truncated or (
+                n_hits + sum(len(v) for v in base.dvs.values())
+                > self._DV_INLINE_CAP
+            ):
+                return self._rewrite_rows(filters, set_exprs, max_retries)
+            # the updated rows: the SAME matched set (the dv-aware read
+            # excludes already-deleted positions, exactly like
+            # _dv_positions), with set exprs applied and values cast back
+            # to the declared types
+            matched = self._read_file_metas(
+                list(cand.values()),
+                base.schema,
+                base.column_mapping,
+                base.dvs,
+            ).filter(F.coalesce(cond, F.lit(False)))
+            cols = []
+            for fld in base.schema.fields:
+                if fld.name in set_exprs:
+                    cols.append(
+                        F.expr(set_exprs[fld.name])
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                    )
+                else:
+                    cols.append(F.col(fld.name))
+            updated = matched.select(*cols)
+            self._enforce_constraints(updated, base.constraints, "update")
+            adds = self._stage(
+                updated, base.partition_by or None, mapping=base.column_mapping
+            )
+            dvs = {p: list(v) for p, v in base.dvs.items()}
+            for p, pos in hits.items():
+                dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
+            cur = self.snapshot()
+            if cur.version != base.version:
+                # positions and staged rows are only valid against the
+                # exact base state — retry from fresh
+                continue
+            version = base.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, [], base),
+                "parent_id": base.snapshot_id,
+                "operation": "update_dv",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "dvs": dvs,
+                "adds": adds,
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "rows_updated": n_hits,
+                "files_rewritten": 0,
+                "files_skipped": skipped,
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
 
     def _rewrite_rows(
         self,

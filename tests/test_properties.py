@@ -584,7 +584,8 @@ def test_dsir_matches_reference_on_random_corpora(spark, rows):
 @given(
     st.lists(
         st.tuples(st.sampled_from(["append", "rename", "drop", "add", "readd",
-                                   "overwrite", "optimize", "dvdel"]),
+                                   "overwrite", "optimize", "dvdel",
+                                   "dvupd"]),
                   st.integers(0, 5)),
         min_size=1,
         max_size=8,
@@ -594,7 +595,7 @@ def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops
     """Model-based check of the txlog schema-evolution state machine:
     arbitrary interleavings of append / rename / drop / add /
     re-add-dropped-name / overwrite / optimize / deletion-vector
-    delete must keep `read()` equal
+    delete and update must keep `read()` equal
     to a plain Python reference model — in particular, a re-added
     column name must NEVER resurrect the dropped column's values, and
     refused operations must leave the table state untouched."""
@@ -683,6 +684,13 @@ def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops
             victim = rows[arg % len(rows)]["rid"]
             log.delete([("rid", "==", victim)], via="dv")
             rows[:] = [r for r in rows if r["rid"] != victim]
+        elif op == "dvupd" and rows and len(cols) > 1:
+            victim = rows[arg % len(rows)]["rid"]
+            col = cols[1 + arg % (len(cols) - 1)]
+            log.update([("rid", "==", victim)], {col: f"`{col}` + 7"}, via="dv")
+            for r in rows:
+                if r["rid"] == victim and r[col] is not None:
+                    r[col] += 7  # SQL NULL + 7 stays NULL
         # exercise a REFUSED op leaving state untouched: appending a
         # column that aliases a dropped PHYSICAL name must raise, not
         # corrupt (the tombstone records physical names — after a

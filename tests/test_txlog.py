@@ -1851,3 +1851,62 @@ def test_deletion_vector_stream_gate_and_net_cdc(spark, tmp_path):
     net = log.table_changes(0, net=True)
     assert net.filter("_change_type = 'insert'").count() == 10
     assert net.filter("_change_type = 'delete'").count() == 1
+
+
+def test_deletion_vector_update(spark, tmp_path):
+    """update(via='dv'): matched rows join the deletion vectors and only
+    their UPDATED versions append — no host-file rewrite. CDC reports
+    the old versions as deletes (positions) and the new as inserts."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(100).selectExpr("id", "id AS v").repartitionByRange(4, "id")
+    )
+    files_before = set(log.snapshot().files)
+    res = log.update([("id", "between", (10, 12))], {"v": "v + 1000"}, via="dv")
+    assert res["rows_updated"] == 3 and res["files_rewritten"] == 0
+    snap = log.snapshot()
+    # original files untouched and still active; ONE tiny file appended
+    assert files_before <= set(snap.files)
+    assert len(snap.files) > len(files_before)
+    assert sum(len(v) for v in snap.dvs.values()) == 3
+    out = log.read()
+    assert out.count() == 100
+    assert {r.v for r in out.filter("id between 10 and 12").collect()} == {
+        1010, 1011, 1012
+    }
+    # time travel pre-update
+    assert log.read(1).filter("v between 1000 and 2000").count() == 0
+    # CDC: 3 deletes (old versions) + 3 inserts (new versions)
+    feed = log.table_changes(1)
+    assert feed.filter("_change_type = 'delete'").count() == 3
+    ins = feed.filter("_change_type = 'insert'")
+    assert {r.v for r in ins.collect()} == {1010, 1011, 1012}
+    # net CDC agrees
+    net = log.table_changes(1, net=True)
+    assert net.filter("_change_type = 'delete'").count() == 3
+    assert net.filter("_change_type = 'insert'").count() == 3
+    # chained dv ops compose: dv-delete one of the UPDATED rows (it
+    # lives in the appended file)
+    log.delete([("v", "==", 1011)], via="dv")
+    assert log.read().count() == 99
+    # pyds agrees end to end
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    ds = spark.read.format("txlog").load(str(tmp_path / "t"))
+    assert ds.count() == 99
+    assert {r.v for r in ds.filter("id between 10 and 12").collect()} == {
+        1010, 1012
+    }
+    # constraints enforce on the updated values
+    log.add_constraint("v_cap", "v < 5000")
+    with pytest.raises(Exception, match="v_cap"):
+        log.update([("id", "==", 5)], {"v": "9999"}, via="dv")
+    assert log.read().filter("v = 9999").count() == 0
+    # OPTIMIZE materializes everything
+    log.drop_constraint("v_cap")
+    log.optimize(n_files=1)
+    assert log.snapshot().dvs == {}
+    assert log.read().count() == 99
