@@ -1209,12 +1209,13 @@ class TableLog:
                 parent_schema_json = c["schema"]
                 parent_mapping = c.get("column_mapping", parent_mapping)
                 continue
-            if c["operation"] in ("delete_dv", "update_dv"):
+            if c["operation"] in ("delete_dv", "update_dv", "merge_dv"):
                 # merge-on-read delete/update: the commit's deletion-vector
                 # map minus the parent's IS the deleted row set — read
                 # exactly those positions from the (untouched) files; an
-                # update_dv additionally falls through to the adds loop
-                # below so its new row versions emit as inserts
+                # update_dv / merge_dv additionally fall through to the
+                # adds loop below so their new row versions emit as
+                # inserts
                 if parent_mapping is None:
                     parent_mapping = (
                         self.snapshot(v - 1).column_mapping if v > 1 else {}
@@ -1988,6 +1989,7 @@ class TableLog:
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
         insert_unmatched_deletes: bool = True,
+        via: str = "cow",
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2004,10 +2006,31 @@ class TableLog:
 
         ``source`` may carry extra columns (e.g. the delete flag) — the
         output projects to the table schema; shared columns must be
-        type-compatible."""
+        type-compatible.
+
+        ``via="dv"`` is the merge-on-read MERGE: matched ALIVE target
+        rows join the deletion vectors (updates and WHEN-MATCHED deletes
+        alike) and only the source-derived rows append — a dimension
+        trickle into a 100 TB fact appends one tiny file instead of
+        rewriting every touched host file. merge_upsert's source-wins
+        rule makes the appended set exactly the source after the
+        delete-branch rules, so the two forms commit identical logical
+        states. Same cap-and-fallback policy as delete(via='dv')."""
         from pyspark.sql import functions as F
 
         from ..operators.changes import merge_upsert
+
+        if via == "dv":
+            return self._merge_dv(
+                source,
+                keys,
+                delete_condition,
+                max_retries,
+                txn,
+                insert_unmatched_deletes,
+            )
+        if via != "cow":
+            raise ValueError(f"via must be 'cow' or 'dv', got {via!r}")
 
         if txn is not None:
             # the write() idempotent-writer token, for streaming CDC
@@ -2143,6 +2166,192 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def _merge_dv(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_condition: str | None,
+        max_retries: int,
+        txn: tuple[str, int] | None,
+        insert_unmatched_deletes: bool,
+    ) -> dict:
+        def _noop(version: int, n_files: int) -> dict:
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": n_files,
+                "rows_written": 0,
+            }
+
+        if txn is not None:
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                return _noop(self.versions()[-1], len(self.snapshot().files))
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            if _attempt and txn is not None:
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return _noop(self.versions()[-1], len(base.files))
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+            bounds = source.agg(*aggs).head()
+            filters = [
+                (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                for k in keys
+                if bounds[f"mn_{k}"] is not None
+            ]
+            if not filters:
+                return _noop(base.version, len(base.files))
+            pfilters = _physical_filters(filters, base.column_mapping)
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in pfilters)
+            }
+            cand = self._refine_by_key_membership(
+                cand, source, keys, base.column_mapping
+            )
+            skipped = len(base.files) - len(cand)
+            # positions of ALIVE matched target rows — the rows the merge
+            # updates or (delete branch) removes; keys-semi-join form of
+            # _dv_positions, same cap discipline
+            hits, truncated = self._dv_positions_join(cand, base, source, keys)
+            n_hits = sum(len(v) for v in hits.values())
+            if truncated or (
+                n_hits + sum(len(v) for v in base.dvs.values())
+                > self._DV_INLINE_CAP
+            ):
+                return self.merge(
+                    source,
+                    keys,
+                    delete_condition=delete_condition,
+                    max_retries=max_retries,
+                    txn=txn,
+                    insert_unmatched_deletes=insert_unmatched_deletes,
+                )
+            # appended rows: merge_upsert's source-wins rule restricted to
+            # the source side — matched rows take the source's values,
+            # unmatched insert; the delete branch follows SQL MERGE (a
+            # matched delete row appends nothing; an unmatched one falls
+            # through to INSERT unless insert_unmatched_deletes=False).
+            # The membership probe runs against the ALIVE candidate rows,
+            # exact for the same stats-pruning reason as CoW merge.
+            table_cols = [f.name for f in base.schema.fields]
+            src_eff = source
+            if delete_condition is not None:
+                cond = F.coalesce(F.expr(delete_condition), F.lit(False))
+                if insert_unmatched_deletes:
+                    alive_keys = self._read_file_metas(
+                        list(cand.values()),
+                        base.schema,
+                        base.column_mapping,
+                        base.dvs,
+                    ).select(*keys)
+                    unmatched_del = source.filter(cond).join(
+                        alive_keys, keys, "left_anti"
+                    )
+                    src_eff = source.filter(~cond).unionByName(unmatched_del)
+                else:
+                    src_eff = source.filter(~cond)
+            new_rows = src_eff.select(*table_cols)
+            self._enforce_constraints(new_rows, base.constraints, "merge")
+            adds = self._stage(
+                new_rows, base.partition_by or None, mapping=base.column_mapping
+            )
+            dvs = {p: list(v) for p, v in base.dvs.items()}
+            for p, pos in hits.items():
+                dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
+            cur = self.snapshot()
+            if cur.version != base.version:
+                # positions, membership probe, and staged rows are only
+                # valid against the exact base state — retry from fresh
+                continue
+            version = base.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, [], base),
+                "parent_id": base.snapshot_id,
+                "operation": "merge_dv",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "dvs": dvs,
+                "adds": adds,
+                "removes": [],
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": skipped,
+                "rows_written": sum(a.get("rows", 0) for a in adds),
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _dv_positions_join(
+        self, cand: dict, base: "Snapshot", source: DataFrame, keys: list[str]
+    ) -> tuple[dict[str, list[int]], bool]:
+        """Positions of alive candidate rows whose merge keys appear in
+        the source — the semi-join twin of _dv_positions, same
+        already-deleted exclusion and cap discipline."""
+        if not cand:
+            return {}, False
+        phys = _physical_schema(base.schema, base.column_mapping or {})
+        groups: dict[tuple, list] = {}
+        for m in cand.values():
+            key = tuple(sorted((m.get("partition_values") or {}).keys()))
+            groups.setdefault(key, []).append(m)
+        parts = []
+        for key, ms in groups.items():
+            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
+            reader = self.spark.read.schema(phys)
+            if key:
+                reader = reader.option("basePath", self.data_dir)
+            parts.append(
+                reader.parquet(*paths).select(
+                    *phys.names,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        if base.column_mapping:
+            scan = _rename_columns(
+                scan, {p: l for l, p in base.column_mapping.items()}
+            )
+        already = {
+            (os.path.basename(p), pos)
+            for p, v in base.dvs.items()
+            for pos in v
+        }
+        rows = (
+            scan.join(source.select(*keys).distinct(), keys, "left_semi")
+            .select("__dv_file", "__dv_pos")
+            .limit(self._DV_INLINE_CAP + 1)
+            .collect()
+        )
+        truncated = len(rows) > self._DV_INLINE_CAP
+        base_by_name = {os.path.basename(p): p for p in cand}
+        out: dict[str, list[int]] = {}
+        for r in rows:
+            f, pos = r["__dv_file"], int(r["__dv_pos"])
+            if (f, pos) in already:
+                continue
+            out.setdefault(base_by_name[f], []).append(pos)
+        return {p: sorted(v) for p, v in out.items()}, truncated
 
     def merge_latest(
         self,

@@ -711,6 +711,7 @@ def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops
     got = [r.asDict() for r in log.read().collect()]
     assert sorted(log.read().columns) == sorted(cols)
     canon = lambda rs: sorted(
-        tuple(r.get(c) for c in sorted(cols)) for r in rs
+        (tuple(r.get(c) for c in sorted(cols)) for r in rs),
+        key=lambda t: tuple((x is None, x) for x in t),
     )
     assert canon(got) == canon(rows)

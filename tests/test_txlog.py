@@ -1910,3 +1910,52 @@ def test_deletion_vector_update(spark, tmp_path):
     log.optimize(n_files=1)
     assert log.snapshot().dvs == {}
     assert log.read().count() == 99
+
+
+def test_deletion_vector_merge(spark, tmp_path):
+    """merge(via='dv'): matched alive target rows join the vectors and
+    only the source-derived rows append — bit-equal logical state to the
+    copy-on-write merge, without rewriting host files."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(100).selectExpr("id", "id AS v", "CAST(0 AS INT) AS del")
+        .repartitionByRange(4, "id")
+    )
+    files_before = set(log.snapshot().files)
+    src = spark.createDataFrame(
+        [(5, 500, 0), (200, 2000, 0), (7, 0, 1), (300, 3000, 1)],
+        "id long, v long, del int",
+    )
+    res = log.merge(src, ["id"], delete_condition="del = 1", via="dv")
+    assert res["files_rewritten"] == 0
+    snap = log.snapshot()
+    assert files_before <= set(snap.files)
+    # matched update (5), matched delete (7): two positions dv'd
+    assert sum(len(v) for v in snap.dvs.values()) == 2
+    out = log.read()
+    # 100 - 1 (deleted 7) + 1 (insert 200) + 1 (unmatched delete 300
+    # falls through to INSERT, SQL MERGE rule)
+    assert out.count() == 101
+    rows = {r.id: r.v for r in out.collect()}
+    assert rows[5] == 500 and rows[200] == 2000 and rows[300] == 3000
+    assert 7 not in rows
+    # equivalence with the CoW merge on a twin table
+    twin = TableLog(spark, str(tmp_path / "twin"))
+    twin.write(
+        spark.range(100).selectExpr("id", "id AS v", "CAST(0 AS INT) AS del")
+        .repartitionByRange(4, "id")
+    )
+    twin.merge(src, ["id"], delete_condition="del = 1")
+    assert {(r.id, r.v) for r in twin.read().collect()} == {
+        (r.id, r.v) for r in out.collect()
+    }
+    # CDC: the dv'd rows emit as deletes, the appended rows as inserts
+    feed = log.table_changes(1)
+    assert {r.id for r in feed.filter("_change_type = 'delete'").collect()} == {5, 7}
+    assert {r.id for r in feed.filter("_change_type = 'insert'").collect()} == {5, 200, 300}
+    # idempotent-writer token works in dv mode
+    res2 = log.merge(src, ["id"], delete_condition="del = 1",
+                     via="dv", txn=("app", 1))
+    res3 = log.merge(src, ["id"], delete_condition="del = 1",
+                     via="dv", txn=("app", 1))
+    assert res3["rows_written"] == 0 and res3["version"] == res2["version"]
