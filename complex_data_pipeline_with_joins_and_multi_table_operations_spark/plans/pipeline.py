@@ -700,10 +700,14 @@ class TxLogWarehouse(Warehouse):
         return self._log(name).delete(filters, via=via)
 
     def update(
-        self, name: str, filters: list[tuple], set_exprs: dict[str, str]
+        self,
+        name: str,
+        filters: list[tuple],
+        set_exprs: dict[str, str],
+        via: str = "cow",
     ) -> dict:
         """Row-level UPDATE on a warehouse table (see TableLog.update)."""
-        return self._log(name).update(filters, set_exprs)
+        return self._log(name).update(filters, set_exprs, via=via)
 
     def merge(
         self,
@@ -711,9 +715,10 @@ class TxLogWarehouse(Warehouse):
         name: str,
         keys: list[str],
         delete_condition: str | None = None,
+        via: str = "cow",
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
-        return self._log(name).merge(source, keys, delete_condition)
+        return self._log(name).merge(source, keys, delete_condition, via=via)
 
     def versions(self, name: str) -> list[int]:
         return self._log(name).versions()

@@ -49,6 +49,7 @@ def apply_changes_batch(
     delete_col: str | None = None,
     txn: tuple[str, int] | None = None,
     out_of_order: bool = False,
+    via: str = "cow",
 ) -> dict:
     """Apply one slice of a change stream: keep the last change per key
     (``order_col`` descending, ties broken by the change columns for
@@ -94,6 +95,10 @@ def apply_changes_batch(
         # CDC semantics: a delete record for a key the table never had is
         # a no-op, not an insert (SQL MERGE's rule is the batch default)
         insert_unmatched_deletes=False,
+        # via="dv": each microbatch appends only its changed rows and
+        # deletion-vectors the superseded positions — the landing table
+        # never rewrites host files between OPTIMIZE passes
+        via=via,
     )
 
 

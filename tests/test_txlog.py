@@ -1959,3 +1959,70 @@ def test_deletion_vector_merge(spark, tmp_path):
     res3 = log.merge(src, ["id"], delete_condition="del = 1",
                      via="dv", txn=("app", 1))
     assert res3["rows_written"] == 0 and res3["version"] == res2["version"]
+
+
+def test_cdc_apply_in_dv_mode_matches_cow_and_never_rewrites(spark, tmp_path):
+    """apply_changes_batch(via='dv'): the CDC landing table accumulates
+    appended change files + deletion vectors — bit-identical live view
+    to the copy-on-write apply, zero host-file rewrites between
+    OPTIMIZE passes, exactly-once under the same txn token."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        apply_changes_batch,
+    )
+
+    changes = [
+        (1, "a1", 1, False),
+        (2, "b1", 2, False),
+        (1, "a2", 3, False),
+        (3, "c1", 4, False),
+        (2, None, 5, True),
+        (9, None, 6, True),
+        (4, "d1", 7, False),
+    ]
+    schema = "k long, val string, lsn long, deleted boolean"
+    slices = [changes[:3], changes[3:5], changes[5:]]
+
+    results = {}
+    for via in ("cow", "dv"):
+        root = str(tmp_path / via)
+        file_sets = []
+        for i, sl in enumerate(slices):
+            apply_changes_batch(
+                spark,
+                spark.createDataFrame(sl, schema),
+                root,
+                ["k"],
+                "lsn",
+                delete_col="deleted",
+                txn=("app", i),
+                via=via,
+            )
+            file_sets.append(set(TableLog(spark, root).snapshot().files))
+        results[via] = sorted(
+            map(tuple, TableLog(spark, root).read().select("k", "val", "lsn").collect())
+        )
+        if via == "dv":
+            # dv mode: the active file set only GROWS (no rewrites)
+            assert file_sets[0] <= file_sets[1] <= file_sets[2]
+            # replayed microbatch is a no-op in dv mode too
+            log = TableLog(spark, root)
+            v = log.versions()[-1]
+            apply_changes_batch(
+                spark,
+                spark.createDataFrame(slices[-1], schema),
+                root,
+                ["k"],
+                "lsn",
+                delete_col="deleted",
+                txn=("app", 2),
+                via="dv",
+            )
+            assert log.versions()[-1] == v
+            # OPTIMIZE compacts the accumulated change files + vectors
+            log.optimize(n_files=1)
+            assert log.snapshot().dvs == {}
+    assert results["cow"] == results["dv"] == [
+        (1, "a2", 3),
+        (3, "c1", 4),
+        (4, "d1", 7),
+    ]
