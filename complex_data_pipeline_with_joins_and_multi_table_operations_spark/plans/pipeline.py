@@ -244,7 +244,8 @@ class Warehouse:
 
     _DETAIL_SCHEMA = (
         "format string, location string, version long, num_files long, "
-        "size_bytes long, partition_columns array<string>, num_versions long"
+        "size_bytes long, partition_columns array<string>, num_versions long, "
+        "num_dv_files long, dv_positions long"
     )
 
     def detail(self, name: str) -> DataFrame:
@@ -269,6 +270,8 @@ class Warehouse:
             sum(os.path.getsize(f) for f in files),
             self._snapshot_partition_by(name, v),
             len(versions),
+            0,  # this backend has no deletion vectors
+            0,
         )
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
 
@@ -638,6 +641,8 @@ class TxLogWarehouse(Warehouse):
             sum(int(m.get("bytes") or 0) for m in snap.files.values()),
             list(snap.partition_by or []),
             len(log.versions()),
+            len(snap.dvs),
+            sum(len(v) for v in snap.dvs.values()),
         )
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
 

@@ -2026,3 +2026,14 @@ def test_cdc_apply_in_dv_mode_matches_cow_and_never_rewrites(spark, tmp_path):
         (3, "c1", 4),
         (4, "d1", 7),
     ]
+
+
+def test_describe_detail_reports_deletion_vectors(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.range(50).selectExpr("id", "id AS v"), "t")
+    wh.delete("t", [("id", "<", 3)], via="dv")
+    d = wh.sql("DESCRIBE DETAIL t").head()
+    assert d.num_dv_files >= 1 and d.dv_positions == 3
+    wh.optimize_table("t")
+    d2 = wh.sql("DESCRIBE DETAIL t").head()
+    assert d2.num_dv_files == 0 and d2.dv_positions == 0
