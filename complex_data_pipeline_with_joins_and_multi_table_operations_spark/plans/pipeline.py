@@ -301,6 +301,36 @@ class Warehouse:
             df = df.repartition(n_files)
         return self.write_snapshot(df, name, partition_by=part_by or None)
 
+    def files(self, name: str) -> DataFrame:
+        """Iceberg-style ``table.files`` metadata relation (also SQL:
+        ``DESCRIBE FILES <table>``). This backend lists the latest
+        snapshot directory; txlog overrides with commit-log metadata
+        including footer stats and deletion-vector counts."""
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        vdir = os.path.join(self.path(name), f"v{versions[-1]}")
+        rows = []
+        for d, _, fs in os.walk(vdir):
+            for f in sorted(fs):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, f)
+                rel = os.path.relpath(full, vdir)
+                pvals = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                }
+                rows.append((rel, None, os.path.getsize(full), pvals, {}, {}, 0))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, rows long, bytes long, "
+            "partition_values map<string,string>, "
+            "min_values map<string,string>, max_values map<string,string>, "
+            "dv_positions long",
+        )
+
     def vacuum_table(self, name: str, retain_last: int = 1) -> int:
         """VACUUM <table> [RETAIN n VERSIONS]: drop all but the last
         ``retain_last`` snapshot versions; returns how many versions were
@@ -478,6 +508,12 @@ class Warehouse:
             query,
             re.IGNORECASE,
         )
+        m_files = re.match(
+            r"\s*DESCRIBE\s+FILES\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
+        )
+        if m_files:
+            return self.files(m_files.group(1))
+
         m_detail = re.match(
             r"\s*DESCRIBE\s+DETAIL\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
         )
@@ -653,6 +689,9 @@ class TxLogWarehouse(Warehouse):
 
     def vacuum_table(self, name: str, retain_last: int = 1) -> int:
         return self._log(name).vacuum(retain_last=retain_last)
+
+    def files(self, name: str) -> DataFrame:
+        return self._log(name).files_df()
 
     def history(self, name: str) -> DataFrame:
         rows = [

@@ -1134,6 +1134,38 @@ class TableLog:
             out = out.select(*[out[n] for n in schema.names])
         return out
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg's ``table.files`` metadata relation: one row per active
+        data file with size, row count, partition values, per-column
+        min/max (stringified for a stable schema), and deletion-vector
+        position count. Driver-side log metadata only — no data file is
+        opened (the same information every scan's pruning uses)."""
+        snap = self.snapshot(version)
+        rows = []
+        for p, m in sorted(snap.files.items()):
+            stats = m.get("stats") or {}
+            rows.append(
+                (
+                    p,
+                    int(m.get("rows") or 0),
+                    int(m.get("bytes") or 0),
+                    {
+                        k: (None if v is None else str(v))
+                        for k, v in (m.get("partition_values") or {}).items()
+                    },
+                    {c: str(s.get("min")) for c, s in stats.items()},
+                    {c: str(s.get("max")) for c, s in stats.items()},
+                    len(snap.dvs.get(p, [])),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, rows long, bytes long, "
+            "partition_values map<string,string>, "
+            "min_values map<string,string>, max_values map<string,string>, "
+            "dv_positions long",
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def table_changes(

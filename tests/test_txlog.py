@@ -2037,3 +2037,56 @@ def test_describe_detail_reports_deletion_vectors(spark, tmp_path):
     wh.optimize_table("t")
     d2 = wh.sql("DESCRIBE DETAIL t").head()
     assert d2.num_dv_files == 0 and d2.dv_positions == 0
+
+
+def test_dv_free_tables_keep_plain_scan_plans(spark, tmp_path):
+    """The DV machinery must cost nothing when no vectors exist: a clean
+    table's read plan contains no join and no _metadata projection; only
+    dv'd FILES take the anti-join path, clean files in the same table
+    keep the plain scan branch."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(100).selectExpr("id", "id AS v").repartitionByRange(4, "id"))
+    plan = log.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "__dv" not in plan
+    # dv one narrow range: only its host file(s) pay the join
+    log.delete([("id", "==", 7)], via="dv")
+    plan2 = log.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2 and "__dv" in plan2
+    n_dv = len(log.snapshot().dvs)
+    assert n_dv < len(log.snapshot().files)
+    # the union has a plain branch for the clean files
+    assert "Union" in plan2
+
+
+def test_describe_files_metadata_relation(spark, tmp_path):
+    """DESCRIBE FILES: the table.files metadata relation on both
+    backends — file inventory with stats and dv counts, driver-side log
+    metadata only."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.range(100).selectExpr("id", "id % 2 AS k").repartition(4), "t"
+    )
+    wh.delete("t", [("id", "==", 5)], via="dv")
+    f = wh.sql("DESCRIBE FILES t")
+    rows = f.collect()
+    assert len(rows) == 4
+    assert sum(r.rows for r in rows) == 100
+    assert all(r.bytes > 0 for r in rows)
+    assert sum(r.dv_positions for r in rows) == 1
+    # footer stats surfaced (min/max of id across files covers 0..99)
+    assert min(int(r.min_values["id"]) for r in rows) == 0
+    assert max(int(r.max_values["id"]) for r in rows) == 99
+
+    base = Warehouse(spark, str(tmp_path / "wh2"))
+    base.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"]),
+        "p",
+        partition_by=["k"],
+    )
+    rows = base.sql("DESCRIBE FILES p").collect()
+    assert len(rows) >= 2
+    assert {r.partition_values.get("k") for r in rows} == {"a", "b"}
