@@ -2591,6 +2591,60 @@ class TableLog:
                 out[p] = m
         return out
 
+    def maintain(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        max_small_files: int = 8,
+        max_dv_ratio: float = 0.1,
+        retain_last: int | None = None,
+        min_file_age_s: float = 3600.0,
+    ) -> dict:
+        """Policy-driven table janitor — the scheduled maintenance job a
+        production lakehouse runs (Delta's auto-compaction + vacuum in
+        one idempotent call). Decides from LOG METADATA ONLY (no data
+        file is opened), then acts:
+
+        - OPTIMIZE when more than ``max_small_files`` active files are
+          under half the ``target_file_bytes``, or when the table's
+          deletion-vector positions exceed ``max_dv_ratio`` of its rows
+          (merge-on-read read overhead has outgrown its write savings —
+          materialize). File count for the compaction sizes from total
+          bytes / target.
+        - VACUUM old snapshots when ``retain_last`` is given (left off
+          by default: shrinking the time-travel horizon is a policy
+          decision, not hygiene).
+        - remove_orphans always (crashed writers' leftovers; age-guarded,
+          never shrinks the horizon).
+
+        Returns what it did: {'optimized': version | None,
+        'files_deleted': int, 'orphans_deleted': int}."""
+        snap = self.snapshot()
+        small = sum(
+            1
+            for m in snap.files.values()
+            if int(m.get("bytes") or 0) < target_file_bytes // 2
+        )
+        total_rows = sum(int(m.get("rows") or 0) for m in snap.files.values())
+        dv_positions = sum(len(v) for v in snap.dvs.values())
+        total_bytes = sum(int(m.get("bytes") or 0) for m in snap.files.values())
+        optimized = None
+        if small > max_small_files or (
+            total_rows and dv_positions / total_rows > max_dv_ratio
+        ):
+            n_files = max(1, -(-total_bytes // target_file_bytes))
+            optimized = self.optimize(n_files=n_files)
+        files_deleted = (
+            self.vacuum(retain_last=retain_last, min_file_age_s=min_file_age_s)
+            if retain_last is not None
+            else 0
+        )
+        orphans = self.remove_orphans(min_age_s=min_file_age_s)
+        return {
+            "optimized": optimized,
+            "files_deleted": files_deleted,
+            "orphans_deleted": orphans,
+        }
+
     def vacuum(self, retain_last: int = 1, min_file_age_s: float = 3600.0) -> int:
         """Delete data files referenced ONLY by versions older than the last
         ``retain_last`` — reclaims overwrite/replace garbage; older snapshots

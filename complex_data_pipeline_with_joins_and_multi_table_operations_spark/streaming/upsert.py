@@ -65,6 +65,12 @@ def apply_changes_batch(
         .drop("_rn")
     )
     log = TableLog(spark, target_root)
+    if via == "dv" and out_of_order:
+        raise ValueError(
+            "out_of_order apply uses merge_latest, which has no "
+            "deletion-vector form yet — use via='cow' for out-of-order "
+            "feeds"
+        )
     if out_of_order:
         # tombstone-retaining apply (TableLog.merge_latest): the delete
         # flag IS a table column; readers filter it for the live view
@@ -112,6 +118,7 @@ def run_cdc_apply(
     delete_col: str | None = None,
     timeout_s: int = 120,
     out_of_order: bool = False,
+    via: str = "cow",
 ) -> None:
     """Drain a change stream into the target table exactly once:
     availableNow trigger, per-microbatch :func:`apply_changes_batch`
@@ -130,6 +137,7 @@ def run_cdc_apply(
             delete_col=delete_col,
             txn=(app_id, batch_id),
             out_of_order=out_of_order,
+            via=via,
         )
 
     q = (

@@ -2090,3 +2090,38 @@ def test_describe_files_metadata_relation(spark, tmp_path):
     rows = base.sql("DESCRIBE FILES p").collect()
     assert len(rows) >= 2
     assert {r.partition_values.get("k") for r in rows} == {"a", "b"}
+
+
+def test_maintain_policy_janitor(spark, tmp_path):
+    """maintain(): metadata-only policy decides when to compact (small
+    files or dv density), optionally vacuums, always reclaims orphans —
+    idempotent, safe to schedule."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    for i in range(6):
+        log.write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id AS v"),
+            mode="append",
+        )
+    # six tiny files exceed max_small_files=4 -> compacts
+    res = log.maintain(target_file_bytes=10_000_000, max_small_files=4,
+                       min_file_age_s=0.0)
+    assert res["optimized"] is not None
+    assert len(log.snapshot().files) == 1
+    assert log.read().count() == 60
+    # second run is a no-op (one file, no dvs)
+    res2 = log.maintain(target_file_bytes=10_000_000, max_small_files=4,
+                        min_file_age_s=0.0)
+    assert res2["optimized"] is None and res2["orphans_deleted"] == 0
+    # dv density trigger: delete >10% of rows via vectors
+    log.delete([("id", "<", 7)], via="dv")
+    assert log.snapshot().dvs
+    res3 = log.maintain(target_file_bytes=10_000_000, max_small_files=99,
+                        max_dv_ratio=0.1, min_file_age_s=0.0)
+    assert res3["optimized"] is not None
+    assert log.snapshot().dvs == {}
+    assert log.read().count() == 53
+    # vacuum only when asked
+    res4 = log.maintain(retain_last=1, min_file_age_s=0.0)
+    assert res4["files_deleted"] > 0
+    with pytest.raises(FileNotFoundError):
+        log.read(1)
