@@ -1241,7 +1241,12 @@ class TableLog:
                 parent_schema_json = c["schema"]
                 parent_mapping = c.get("column_mapping", parent_mapping)
                 continue
-            if c["operation"] in ("delete_dv", "update_dv", "merge_dv"):
+            if c["operation"] in (
+                "delete_dv",
+                "update_dv",
+                "merge_dv",
+                "merge_latest_dv",
+            ):
                 # merge-on-read delete/update: the commit's deletion-vector
                 # map minus the parent's IS the deleted row set — read
                 # exactly those positions from the (untouched) files; an
@@ -2393,6 +2398,7 @@ class TableLog:
         delete_col: str | None = None,
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
+        via: str = "cow",
     ) -> dict:
         """Out-of-order-safe upsert: WHEN MATCHED AND source.order >=
         target.order semantics — the strong CDC apply for feeds that can
@@ -2412,9 +2418,23 @@ class TableLog:
         arriving in a later batch would resurrect the key. Reclaiming
         old tombstones is a retention decision (a periodic
         ``delete([(delete_col, '==', True), (order_col, '<', horizon)])``
-        once the feed's lateness bound has passed)."""
+        once the feed's lateness bound has passed).
+
+        ``via="dv"`` is the merge-on-read form: losing target rows join
+        the deletion vectors and only winning SOURCE records append —
+        a late-arriving trickle against a 100 TB landing table costs one
+        tiny file instead of rewriting every touched host. Bit-identical
+        table content to the copy-on-write form (equality-tested); same
+        cap-and-fallback policy as the other dv ops."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+
+        if via == "dv":
+            return self._merge_latest_dv(
+                source, keys, order_col, delete_col, max_retries, txn
+            )
+        if via != "cow":
+            raise ValueError(f"via must be 'cow' or 'dv', got {via!r}")
 
         if txn is not None:
             seen = self.last_txn_version(txn[0])
@@ -2544,6 +2564,199 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def _merge_latest_dv(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        order_col: str,
+        delete_col: str | None,
+        max_retries: int,
+        txn: tuple[str, int] | None,
+    ) -> dict:
+        from pyspark.sql import Window
+
+        def _noop(version: int, n_files: int) -> dict:
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": n_files,
+                "rows_written": 0,
+            }
+
+        if txn is not None:
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                return _noop(self.versions()[-1], len(self.snapshot().files))
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            if _attempt and txn is not None:
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return _noop(self.versions()[-1], len(base.files))
+            table_cols = [f.name for f in base.schema.fields]
+            if delete_col is not None and delete_col not in table_cols:
+                raise ValueError(
+                    f"merge_latest tombstones require {delete_col!r} to be "
+                    "a table column (hard removals would forget the "
+                    "delete's order and let stale updates resurrect keys)"
+                )
+            aggs = []
+            for k in keys:
+                aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
+            bounds = source.agg(*aggs).head()
+            filters = [
+                (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                for k in keys
+                if bounds[f"mn_{k}"] is not None
+            ]
+            if not filters:
+                return _noop(base.version, len(base.files))
+            pfilters = _physical_filters(filters, base.column_mapping)
+            cand = {
+                p: m
+                for p, m in base.files.items()
+                if all(_may_match(m, f) for f in pfilters)
+            }
+            cand = self._refine_by_key_membership(
+                cand, source, keys, base.column_mapping
+            )
+            skipped = len(base.files) - len(cand)
+            # one windowed pass over (alive candidate rows WITH positions)
+            # ∪ (source records with NULL positions): per key, the same
+            # order_col-desc competition as the CoW form. A losing TARGET
+            # row joins the vectors; a winning SOURCE record appends; a
+            # winning target row changes nothing.
+            tgt = self._scan_with_positions(cand, base)
+            src_proj = (
+                source.select(*table_cols)
+                .withColumn("__dv_file", F.lit(None).cast("string"))
+                .withColumn("__dv_pos", F.lit(None).cast("long"))
+            )
+            tie = [c for c in table_cols if c not in keys and c != order_col]
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(order_col), *[F.desc(c) for c in tie]
+            )
+            ranked = (
+                tgt.select(*table_cols, "__dv_file", "__dv_pos")
+                .unionByName(src_proj)
+                .withColumn("_rn", F.row_number().over(w))
+            )
+            loser_pos = (
+                ranked.filter(
+                    (F.col("_rn") > 1) & F.col("__dv_file").isNotNull()
+                )
+                .select("__dv_file", "__dv_pos")
+                .limit(self._DV_INLINE_CAP + 1)
+                .collect()
+            )
+            if len(loser_pos) > self._DV_INLINE_CAP or (
+                len(loser_pos) + sum(len(v) for v in base.dvs.values())
+                > self._DV_INLINE_CAP
+            ):
+                return self.merge_latest(
+                    source,
+                    keys,
+                    order_col,
+                    delete_col=delete_col,
+                    max_retries=max_retries,
+                    txn=txn,
+                )
+            winners = ranked.filter(
+                (F.col("_rn") == 1) & F.col("__dv_file").isNull()
+            ).select(*table_cols)
+            self._enforce_constraints(winners, base.constraints, "merge")
+            adds = self._stage(
+                winners, base.partition_by or None, mapping=base.column_mapping
+            )
+            base_by_name = {os.path.basename(p): p for p in cand}
+            dvs = {p: list(v) for p, v in base.dvs.items()}
+            for r in loser_pos:
+                p = base_by_name[r["__dv_file"]]
+                dvs.setdefault(p, []).append(int(r["__dv_pos"]))
+            dvs = {p: sorted(set(v)) for p, v in dvs.items()}
+            cur = self.snapshot()
+            if cur.version != base.version:
+                # positions and winners are only valid against the exact
+                # base state — retry from fresh
+                continue
+            version = base.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, [], base),
+                "parent_id": base.snapshot_id,
+                "operation": "merge_latest_dv",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "dvs": dvs,
+                "adds": adds,
+                "removes": [],
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": skipped,
+                "rows_written": sum(a.get("rows", 0) for a in adds),
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _scan_with_positions(self, cand: dict, base: "Snapshot") -> DataFrame:
+        """Alive rows of the candidate files carrying (file basename,
+        row_index), logical column names — standing deletion vectors
+        already anti-filtered."""
+        if not cand:
+            out = self.spark.createDataFrame([], base.schema)
+            return out.withColumn(
+                "__dv_file", F.lit(None).cast("string")
+            ).withColumn("__dv_pos", F.lit(None).cast("long"))
+        phys = _physical_schema(base.schema, base.column_mapping or {})
+        groups: dict[tuple, list] = {}
+        for m in cand.values():
+            key = tuple(sorted((m.get("partition_values") or {}).keys()))
+            groups.setdefault(key, []).append(m)
+        parts = []
+        for key, ms in groups.items():
+            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
+            reader = self.spark.read.schema(phys)
+            if key:
+                reader = reader.option("basePath", self.data_dir)
+            parts.append(
+                reader.parquet(*paths).select(
+                    *phys.names,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        if base.column_mapping:
+            scan = _rename_columns(
+                scan, {p: l for l, p in base.column_mapping.items()}
+            )
+        if base.dvs:
+            dead = self.spark.createDataFrame(
+                [
+                    (os.path.basename(p), int(pos))
+                    for p, v in base.dvs.items()
+                    for pos in v
+                ],
+                "__dv_file string, __dv_pos long",
+            )
+            scan = scan.join(
+                F.broadcast(dead), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+        return scan
 
     _MERGE_KEYSET_CAP = 100_000
 

@@ -65,12 +65,6 @@ def apply_changes_batch(
         .drop("_rn")
     )
     log = TableLog(spark, target_root)
-    if via == "dv" and out_of_order:
-        raise ValueError(
-            "out_of_order apply uses merge_latest, which has no "
-            "deletion-vector form yet — use via='cow' for out-of-order "
-            "feeds"
-        )
     if out_of_order:
         # tombstone-retaining apply (TableLog.merge_latest): the delete
         # flag IS a table column; readers filter it for the live view
@@ -82,7 +76,7 @@ def apply_changes_batch(
                 "rows_written": latest.count(),
             }
         return log.merge_latest(
-            latest, keys, order_col, delete_col=delete_col, txn=txn
+            latest, keys, order_col, delete_col=delete_col, txn=txn, via=via
         )
     if not log.exists():
         cols = [c for c in latest.columns if c != delete_col]

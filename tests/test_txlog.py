@@ -2125,3 +2125,65 @@ def test_maintain_policy_janitor(spark, tmp_path):
     assert res4["files_deleted"] > 0
     with pytest.raises(FileNotFoundError):
         log.read(1)
+
+
+def test_merge_latest_dv_matches_cow_under_arbitrary_slicing(spark, tmp_path):
+    """merge_latest(via='dv'): losing target rows join the vectors,
+    winning SOURCE records append — bit-identical table content to the
+    copy-on-write form under ANY slicing of an out-of-order change set,
+    with zero host rewrites."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
+        apply_changes_batch,
+    )
+
+    # out-of-order change set: late batches carry OLD changes
+    changes = [
+        (1, "a3", 30, False),
+        (2, "b1", 10, False),
+        (1, "a1", 5, False),    # stale update, must lose
+        (2, None, 40, True),    # delete (tombstone)
+        (2, "b0", 20, False),   # stale vs the delete, must NOT resurrect
+        (3, "c1", 15, False),
+    ]
+    schema = "k long, val string, lsn long, deleted boolean"
+    slicings = [
+        [changes[:2], changes[2:4], changes[4:]],
+        [changes[:4], changes[4:]],
+        [[c] for c in changes],
+    ]
+    results = {}
+    for via in ("cow", "dv"):
+        for si, slices in enumerate(slicings):
+            root = str(tmp_path / f"{via}_{si}")
+            sizes = []
+            for i, sl in enumerate(slices):
+                apply_changes_batch(
+                    spark,
+                    spark.createDataFrame(sl, schema),
+                    root,
+                    ["k"],
+                    "lsn",
+                    delete_col="deleted",
+                    txn=("app", i),
+                    out_of_order=True,
+                    via=via,
+                )
+                sizes.append(len(TableLog(spark, root).snapshot().files))
+            log = TableLog(spark, root)
+            full = sorted(map(tuple, log.read().collect()))
+            live = sorted(
+                map(tuple, log.read().filter("NOT deleted").collect())
+            )
+            results[(via, si)] = (full, live)
+            if via == "dv" and si == 0:
+                # after the first batch created the table, later dv
+                # applies never rewrite: counts only grow by appends
+                assert sizes == sorted(sizes)
+    expect_live = [(1, "a3", 30, False), (3, "c1", 15, False)]
+    for (via, si), (full, live) in results.items():
+        assert live == expect_live, (via, si, live)
+        assert full == results[("cow", 0)][0], (via, si, full)
+    # CDC on the dv apply shows the losing rows as deletes
+    log = TableLog(spark, str(tmp_path / "dv_0"))
+    feed = log.table_changes(1)
+    assert feed.filter("_change_type = 'delete'").count() > 0
