@@ -1635,46 +1635,38 @@ class TableLog:
     def _dv_positions(
         self, cand: dict, base: "Snapshot", cond
     ) -> tuple[dict[str, list[int]], bool]:
-        """Matched row positions per candidate file (relpath → sorted
-        row_index list), EXCLUDING positions already deleted by the
-        standing vectors, plus a truncation flag. The collect is capped
-        at ``_DV_INLINE_CAP + 1`` rows — a driver can never be flooded
-        by an unexpectedly huge delete; the caller falls back to
-        copy-on-write when the flag is set."""
-        phys = _physical_schema(base.schema, base.column_mapping or {})
-        groups: dict[tuple, list] = {}
-        for m in cand.values():
-            key = tuple(sorted((m.get("partition_values") or {}).keys()))
-            groups.setdefault(key, []).append(m)
-        parts = []
-        for key, ms in groups.items():
-            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
-            reader = self.spark.read.schema(phys)
-            if key:
-                reader = reader.option("basePath", self.data_dir)
-            d = reader.parquet(*paths).select(
-                *phys.names,
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__dv_file"),
-                F.col("_metadata.row_index").alias("__dv_pos"),
-            )
-            parts.append(d)
-        scan = parts[0]
-        for p in parts[1:]:
-            scan = scan.unionByName(p)
-        if base.column_mapping:
-            scan = _rename_columns(
-                scan, {p: l for l, p in base.column_mapping.items()}
-            )
-        already = {
-            (os.path.basename(p), pos)
-            for p, v in base.dvs.items()
-            for pos in v
-        }
+        """Matched ALIVE row positions per candidate file (relpath →
+        sorted row_index list) plus a truncation flag. Positions already
+        deleted by standing vectors are excluded by the alive scan. The
+        collect is capped at ``_DV_INLINE_CAP + 1`` rows — a driver can
+        never be flooded by an unexpectedly huge delete; the caller
+        falls back to copy-on-write when the flag is set."""
+        if not cand:
+            return {}, False
+        return self._collect_positions(
+            self._scan_with_positions(cand, base).filter(cond), cand
+        )
+
+    def _dv_positions_join(
+        self, cand: dict, base: "Snapshot", source: DataFrame, keys: list[str]
+    ) -> tuple[dict[str, list[int]], bool]:
+        """Positions of alive candidate rows whose merge keys appear in
+        the source — the semi-join twin of _dv_positions, same cap
+        discipline."""
+        if not cand:
+            return {}, False
+        return self._collect_positions(
+            self._scan_with_positions(cand, base).join(
+                source.select(*keys).distinct(), keys, "left_semi"
+            ),
+            cand,
+        )
+
+    def _collect_positions(
+        self, scan: DataFrame, cand: dict
+    ) -> tuple[dict[str, list[int]], bool]:
         rows = (
-            scan.filter(cond)
-            .select("__dv_file", "__dv_pos")
+            scan.select("__dv_file", "__dv_pos")
             .limit(self._DV_INLINE_CAP + 1)
             .collect()
         )
@@ -1682,10 +1674,9 @@ class TableLog:
         base_by_name = {os.path.basename(p): p for p in cand}
         out: dict[str, list[int]] = {}
         for r in rows:
-            f, pos = r["__dv_file"], int(r["__dv_pos"])
-            if (f, pos) in already:
-                continue
-            out.setdefault(base_by_name[f], []).append(pos)
+            out.setdefault(base_by_name[r["__dv_file"]], []).append(
+                int(r["__dv_pos"])
+            )
         return {p: sorted(v) for p, v in out.items()}, truncated
 
     def _read_dv_rows(
@@ -2333,62 +2324,6 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
-
-    def _dv_positions_join(
-        self, cand: dict, base: "Snapshot", source: DataFrame, keys: list[str]
-    ) -> tuple[dict[str, list[int]], bool]:
-        """Positions of alive candidate rows whose merge keys appear in
-        the source — the semi-join twin of _dv_positions, same
-        already-deleted exclusion and cap discipline."""
-        if not cand:
-            return {}, False
-        phys = _physical_schema(base.schema, base.column_mapping or {})
-        groups: dict[tuple, list] = {}
-        for m in cand.values():
-            key = tuple(sorted((m.get("partition_values") or {}).keys()))
-            groups.setdefault(key, []).append(m)
-        parts = []
-        for key, ms in groups.items():
-            paths = [os.path.join(self.data_dir, m["path"]) for m in ms]
-            reader = self.spark.read.schema(phys)
-            if key:
-                reader = reader.option("basePath", self.data_dir)
-            parts.append(
-                reader.parquet(*paths).select(
-                    *phys.names,
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("__dv_file"),
-                    F.col("_metadata.row_index").alias("__dv_pos"),
-                )
-            )
-        scan = parts[0]
-        for p in parts[1:]:
-            scan = scan.unionByName(p)
-        if base.column_mapping:
-            scan = _rename_columns(
-                scan, {p: l for l, p in base.column_mapping.items()}
-            )
-        already = {
-            (os.path.basename(p), pos)
-            for p, v in base.dvs.items()
-            for pos in v
-        }
-        rows = (
-            scan.join(source.select(*keys).distinct(), keys, "left_semi")
-            .select("__dv_file", "__dv_pos")
-            .limit(self._DV_INLINE_CAP + 1)
-            .collect()
-        )
-        truncated = len(rows) > self._DV_INLINE_CAP
-        base_by_name = {os.path.basename(p): p for p in cand}
-        out: dict[str, list[int]] = {}
-        for r in rows:
-            f, pos = r["__dv_file"], int(r["__dv_pos"])
-            if (f, pos) in already:
-                continue
-            out.setdefault(base_by_name[f], []).append(pos)
-        return {p: sorted(v) for p, v in out.items()}, truncated
 
     def merge_latest(
         self,
