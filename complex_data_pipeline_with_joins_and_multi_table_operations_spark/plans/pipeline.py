@@ -30,6 +30,73 @@ from ..operators import aggregates, cleaning, dimensions, fact, quality
 from ..sources import Catalog
 
 
+
+def _parse_where_conjunction(text: str) -> list[tuple]:
+    """A WHERE clause as read()-style pruning filters: top-level AND of
+    ``col op literal`` / ``col BETWEEN a AND b`` terms. Deliberately
+    NARROW — OR, parentheses, functions, and subqueries are refused
+    loudly (use the TableLog API with real Column predicates for those);
+    what it accepts maps 1:1 onto the stats-pruned row ops, so SQL DML
+    gets file skipping for free."""
+    import re as _re
+    from datetime import date as _date
+
+    def lit(tok: str):
+        tok = tok.strip()
+        m = _re.match(r"^DATE\s*'([^']+)'$", tok, _re.IGNORECASE)
+        if m:
+            return _date.fromisoformat(m.group(1))
+        if _re.match(r"^'.*'$", tok):
+            return tok[1:-1].replace("''", "'")
+        if tok.upper() in ("TRUE", "FALSE"):
+            return tok.upper() == "TRUE"
+        if _re.match(r"^-?\d+$", tok):
+            return int(tok)
+        if _re.match(r"^-?\d*\.\d+$", tok):
+            return float(tok)
+        raise ValueError(
+            f"unsupported literal {tok!r} in WHERE (number, 'string', "
+            "TRUE/FALSE, or DATE 'yyyy-mm-dd')"
+        )
+
+    if _re.search(r"\(|\)|\bOR\b", text, _re.IGNORECASE):
+        raise ValueError(
+            "SQL DML supports a plain top-level AND conjunction only "
+            "(no OR, parentheses, functions, or subqueries) — use the "
+            "TableLog API for richer predicates"
+        )
+    # protect BETWEEN x AND y before splitting the conjunction
+    protected = _re.sub(
+        r"(\bBETWEEN\b[^;]*?)\bAND\b",
+        lambda m: m.group(1) + "\x00",
+        text,
+        flags=_re.IGNORECASE,
+    )
+    out: list[tuple] = []
+    for term in _re.split(r"\bAND\b", protected, flags=_re.IGNORECASE):
+        term = term.replace("\x00", " AND ")
+        term = term.strip().rstrip(";").strip()
+        if not term:
+            continue
+        m = _re.match(
+            r"^`?(\w+)`?\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+            term,
+            _re.IGNORECASE,
+        )
+        if m:
+            out.append((m.group(1), "between", (lit(m.group(2)), lit(m.group(3)))))
+            continue
+        m = _re.match(r"^`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*(.+)$", term)
+        if m:
+            op = "==" if m.group(2) in ("=", "==") else m.group(2)
+            out.append((m.group(1), op, lit(m.group(3))))
+            continue
+        raise ValueError(f"cannot parse WHERE term {term!r}")
+    if not out:
+        raise ValueError("empty WHERE clause")
+    return out
+
+
 class Warehouse:
     """Path-addressed parquet warehouse: the table-materialized hand-off
     between stages. Pluggable: swap for saveAsTable/Iceberg by replacing
@@ -513,6 +580,52 @@ class Warehouse:
         )
         if m_files:
             return self.files(m_files.group(1))
+
+        m_del = re.match(
+            r"\s*DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.+?)\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_del:
+            t = m_del.group(1)
+            if not hasattr(self, "delete"):
+                raise ValueError(
+                    "row-level SQL DML requires the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots are "
+                    "whole-table writes"
+                )
+            res = self.delete(t, _parse_where_conjunction(m_del.group(2)))
+            return self.spark.createDataFrame(
+                [(t, "DELETE", res["version"], res.get("rows_deleted"))],
+                "table_name string, operation string, version long, rows long",
+            )
+
+        m_upd = re.match(
+            r"\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_upd:
+            t = m_upd.group(1)
+            if not hasattr(self, "update"):
+                raise ValueError(
+                    "row-level SQL DML requires the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots are "
+                    "whole-table writes"
+                )
+            sets = {}
+            for assign in m_upd.group(2).split(","):
+                col, _, expr = assign.partition("=")
+                if not expr:
+                    raise ValueError(f"cannot parse SET clause {assign!r}")
+                sets[col.strip(" `")] = expr.strip()
+            res = self.update(
+                t, _parse_where_conjunction(m_upd.group(3)), sets
+            )
+            return self.spark.createDataFrame(
+                [(t, "UPDATE", res["version"], res.get("rows_updated"))],
+                "table_name string, operation string, version long, rows long",
+            )
 
         m_detail = re.match(
             r"\s*DESCRIBE\s+DETAIL\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE

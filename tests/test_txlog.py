@@ -2187,3 +2187,34 @@ def test_merge_latest_dv_matches_cow_under_arbitrary_slicing(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "dv_0"))
     feed = log.table_changes(1)
     assert feed.filter("_change_type = 'delete'").count() > 0
+
+
+def test_sql_dml_delete_and_update(spark, tmp_path):
+    """DELETE FROM / UPDATE … SET … WHERE through Warehouse.sql on the
+    txlog backend: the narrow AND-conjunction WHERE maps 1:1 onto the
+    stats-pruned row ops; richer predicates are refused loudly."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.range(100).selectExpr(
+            "id", "id AS v", "CAST(id % 2 = 0 AS BOOLEAN) AS even"
+        ),
+        "t",
+    )
+    r = wh.sql("DELETE FROM t WHERE id BETWEEN 10 AND 19 AND even = TRUE").head()
+    assert r.operation == "DELETE" and r.rows == 5
+    assert wh.sql("SELECT count(*) AS n FROM t").head().n == 95
+    r = wh.sql("UPDATE t SET v = v * 10, even = NOT even WHERE id = 3").head()
+    assert r.operation == "UPDATE" and r.rows == 1
+    row = wh.sql("SELECT * FROM t WHERE id = 3").head()
+    assert row.v == 30 and row.even is True
+    # refusals: rich predicates and non-txlog backends
+    with pytest.raises(ValueError, match="conjunction"):
+        wh.sql("DELETE FROM t WHERE id = 1 OR id = 2")
+    base = Warehouse(spark, str(tmp_path / "wh2"))
+    base.write_snapshot(_df(spark, [(1,)], ["id"]), "t")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql("DELETE FROM t WHERE id = 1")
