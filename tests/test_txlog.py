@@ -2218,3 +2218,48 @@ def test_sql_dml_delete_and_update(spark, tmp_path):
     base.write_snapshot(_df(spark, [(1,)], ["id"]), "t")
     with pytest.raises(ValueError, match="txlog backend"):
         base.sql("DELETE FROM t WHERE id = 1")
+
+
+def test_threaded_stress_with_deletion_vector_ops(spark, tmp_path):
+    """Real-thread race of appends, a dv delete, and a dv update: every
+    op commits exactly once (retries absorb version races), the chain
+    stays contiguous, and the final rows equal the serial expectation —
+    dv ops never publish positions computed against a stale base."""
+    import threading
+
+    root = str(tmp_path / "t")
+    TableLog(spark, root).write(
+        spark.createDataFrame([(i, 0) for i in range(10)], "id long, v long")
+    )
+    failures: list[Exception] = []
+
+    def run(fn):
+        def go():
+            try:
+                fn()
+            except Exception as e:
+                failures.append(e)
+
+        return threading.Thread(target=go)
+
+    log = lambda: TableLog(spark, root)
+    threads = [
+        run(lambda i=i: log().write(
+            spark.createDataFrame([(100 * i, i)], "id long, v long"),
+            mode="append", max_retries=16))
+        for i in (1, 2)
+    ] + [
+        run(lambda: log().delete([("id", "==", 3)], via="dv", max_retries=16)),
+        run(lambda: log().update([("id", "==", 5)], {"v": "55"},
+                                 via="dv", max_retries=16)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not failures, [str(e) for e in failures]
+    lg = log()
+    assert lg.versions() == list(range(1, len(lg.versions()) + 1))
+    rows = {r.id: r.v for r in lg.read().collect()}
+    expect = {i: 0 for i in range(10) if i != 3} | {5: 55, 100: 1, 200: 2}
+    assert rows == expect
