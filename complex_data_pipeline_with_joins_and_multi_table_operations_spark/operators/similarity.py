@@ -243,6 +243,33 @@ def vector_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def vector_spike_outliers(embeddings: DataFrame) -> DataFrame:
+    """Tukey-fence outliers on the dominant-component magnitude
+    (max |x_i|) — the embedding sanity screen that works even on
+    unit-normalized corpora (where every L2 norm is exactly 1 and a
+    norm check is vacuous): a vector whose largest component sits far
+    outside [q1 - 1.5·IQR, q3 + 1.5·IQR] is a spike — one dimension
+    dominating the representation, the signature of truncation, bad
+    pooling, or an embedding-model fault. Magnitudes round to the 1e-6
+    grid first; the fences use exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) and identical IEEE
+    arithmetic on both engines. One scan + a broadcast 1-row stats
+    bind."""
+    m = vector_norms(embeddings).select("vec_id", "label", "max_abs")
+    fences = m.agg(
+        F.expr("percentile(max_abs, 0.25)").alias("q1"),
+        F.expr("percentile(max_abs, 0.75)").alias("q3"),
+    )
+    return (
+        m.crossJoin(F.broadcast(fences))
+        .filter(
+            (F.col("max_abs") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("max_abs") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("vec_id", "label", "max_abs")
+    )
+
+
 def centroid_vectors(embeddings: DataFrame) -> DataFrame:
     """Assemble the per-label centroid COMPONENTS of :func:`label_centroids`
     back into dense vectors ``(cell_id, cvec)``.

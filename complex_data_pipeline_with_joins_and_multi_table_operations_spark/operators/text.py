@@ -120,6 +120,54 @@ def adaptive_quality_filter(documents: DataFrame, p: float = 0.25) -> DataFrame:
     )
 
 
+def dedup_rate_report(documents: DataFrame) -> DataFrame:
+    """Per-slice duplication report: doc count, distinct-content count
+    (md5 of text — the shared cross-engine digest), and the exact-dup
+    ratio. The first number a pretraining-data owner asks for per
+    (lang, source) slice; one grouped aggregate, uniform digest keys."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+# power-of-two token-length buckets for packing planning: integer range
+# comparisons only — a float log2 would flip at exact powers of two
+# where ln(n)/ln(2) lands an ulp off on one engine
+LENGTH_BUCKETS = [(0, 0)] + [(1 << p, (1 << (p + 1)) - 1) for p in range(21)]
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Token-length histogram over power-of-two buckets: how many docs
+    and tokens land in each [2^p, 2^(p+1)) band — the planning input
+    for sequence packing (pick max_seq_len, estimate padding waste).
+    One scan, one small grouped aggregate; bucketing is a when-chain of
+    INTEGER between comparisons (see LENGTH_BUCKETS note)."""
+    n_tokens = F.size(tokens_col(F.col("text")))
+    bucket = F.lit(None).cast("long")
+    for lo, hi in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n_tokens.between(lo, hi), F.lit(lo)).otherwise(bucket)
+    return (
+        documents.select(bucket.alias("bucket_lo"), n_tokens.alias("n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def corpus_report(documents: DataFrame) -> DataFrame:
     """Per-(source, lang) corpus data card: doc counts, token totals,
     exact-dup rate, mean quality, and median length — the summary a

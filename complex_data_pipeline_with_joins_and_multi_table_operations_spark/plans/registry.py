@@ -4905,6 +4905,57 @@ FROM c
 """
 
 
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_rate_report(Catalog(spark, sf_dir).documents)
+
+
+SQL_DEDUP_RATE_REPORT = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       round((count(*) - count(DISTINCT md5(text)))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_histogram(Catalog(spark, sf_dir).documents)
+
+
+_LEN_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n BETWEEN {lo} AND {hi} THEN {lo}"
+    for lo, hi in [(0, 0)] + [(1 << p, (1 << (p + 1)) - 1) for p in range(21)]
+) + " END"
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH t AS (SELECT len({TOKS_SQL.format(src='text')}) AS n FROM documents)
+SELECT {_LEN_BUCKET_CASE} AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM t GROUP BY bucket_lo
+"""
+
+
+def q_vector_spike_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.vector_spike_outliers(Catalog(spark, sf_dir).embeddings)
+
+
+SQL_VECTOR_SPIKE_OUTLIERS = """
+WITH n AS (
+  SELECT vec_id, label,
+         round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))), 6) AS max_abs
+  FROM embeddings
+),
+f AS (SELECT quantile_cont(max_abs, 0.25) AS q1,
+             quantile_cont(max_abs, 0.75) AS q3 FROM n)
+SELECT vec_id, label, max_abs
+FROM n, f
+WHERE max_abs < q1 - 1.5 * (q3 - q1) OR max_abs > q3 + 1.5 * (q3 - q1)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r06.json) ---------
@@ -5055,6 +5106,9 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negatives": q_hard_negatives,
     "triplet_mining": q_triplet_mining,
     "int8_quantize": q_int8_quantize,
+    "dedup_rate_report": q_dedup_rate_report,
+    "length_histogram": q_length_histogram,
+    "vector_spike_outliers": q_vector_spike_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5186,6 +5240,9 @@ ORACLES: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "triplet_mining": SQL_TRIPLET_MINING,
     "int8_quantize": SQL_INT8_QUANTIZE,
+    "dedup_rate_report": SQL_DEDUP_RATE_REPORT,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "vector_spike_outliers": SQL_VECTOR_SPIKE_OUTLIERS,
 }
 
 
