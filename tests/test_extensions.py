@@ -520,3 +520,55 @@ def test_int8_quantize_roundtrip_bound_and_degenerate(spark, cat):
     )
     r = similarity.int8_quantize(deg).head()
     assert r.scale is None and r.code_sum is None
+
+
+def test_dedup_rate_report_counts_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text", "en", "web", 9) for i in range(4)]
+        + [(10, "unique one", "en", "web", 10), (11, "unique two", "de", "web", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        text as text_ops,
+    )
+
+    out = {(r.lang, r.source): r for r in text_ops.dedup_rate_report(docs).collect()}
+    en = out[("en", "web")]
+    assert en.n_docs == 5 and en.n_distinct == 2
+    assert abs(en.dup_ratio - 0.6) < 1e-9
+    assert out[("de", "web")].dup_ratio == 0.0
+
+
+def test_length_histogram_buckets_are_exact_at_powers_of_two(spark):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        text as text_ops,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(["w"] * n) if n else "", "en", "s", n)
+
+    docs = spark.createDataFrame(
+        [doc(0, 0), doc(1, 1), doc(2, 7), doc(3, 8), doc(4, 15), doc(5, 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.bucket_lo: (r.n_docs, r.total_tokens)
+           for r in text_ops.length_histogram(docs).collect()}
+    # exact power-of-two boundaries land in the right band (the reason
+    # bucketing is integer ranges, not float log2)
+    assert got[0] == (1, 0)
+    assert got[1] == (1, 1)
+    assert got[4] == (1, 7)    # 7 lands in [4, 7]
+    assert got[8] == (2, 23)   # 8 and 15 land in [8, 15]
+    assert got[16] == (1, 16)
+
+
+def test_vector_spike_outliers_flags_planted_spike(spark):
+    import math
+
+    base = [1.0 / math.sqrt(8)] * 8  # uniform unit vector
+    spike = [0.99] + [math.sqrt((1 - 0.99**2) / 7)] * 7
+    rows = [(i, base, 0) for i in range(30)] + [(99, spike, 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.vector_spike_outliers(emb).collect()
+    assert [r.vec_id for r in out] == [99]
+    assert abs(out[0].max_abs - 0.99) < 1e-6
