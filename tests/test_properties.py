@@ -715,3 +715,47 @@ def test_column_mapping_state_machine_matches_model(spark, tmp_path_factory, ops
         key=lambda t: tuple((x is None, x) for x in t),
     )
     assert canon(got) == canon(rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["id", "v"]),
+            st.sampled_from(["=", "<", "<=", ">", ">=", "BETWEEN"]),
+            st.integers(-5, 15),
+            st.integers(-5, 15),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_sql_where_parser_agrees_with_spark(spark, terms):
+    """The DML WHERE parser must select exactly the rows Spark's own SQL
+    WHERE selects for the same clause — on data including boundary
+    values, so off-by-one operator mix-ups can't hide."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _parse_where_conjunction,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        _as_column,
+    )
+
+    clause = " AND ".join(
+        f"{c} BETWEEN {min(a, b)} AND {max(a, b)}"
+        if op == "BETWEEN"
+        else f"{c} {op} {a}"
+        for c, op, a, b in terms
+    )
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 - 5) for i in range(-5, 16)], "id long, v long"
+    )
+    df.createOrReplaceTempView("__wt")
+    expected = sorted(
+        r.id for r in spark.sql(f"SELECT id FROM __wt WHERE {clause}").collect()
+    )
+    filters = _parse_where_conjunction(clause)
+    got = df
+    for f in filters:
+        got = got.filter(_as_column(f))
+    assert sorted(r.id for r in got.select("id").collect()) == expected
