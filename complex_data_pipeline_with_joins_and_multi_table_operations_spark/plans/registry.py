@@ -4956,6 +4956,66 @@ WHERE max_abs < q1 - 1.5 * (q3 - q1) OR max_abs > q3 + 1.5 * (q3 - q1)
 """
 
 
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detection: near-dup pairs (banded MinHash,
+    exact-Jaccard verified) that CROSS split boundaries under the
+    deterministic md5 split — each row is an eval-contamination incident
+    (a test doc whose near-duplicate sits in train). The composition a
+    dataset release must run before publishing a benchmark split; both
+    building blocks are the already-oracled operators, so the report is
+    exactly as scale-safe as they are (banded LSH candidates, pure-
+    projection split)."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    splits = sampling.split_assign(docs, "doc_id").select("doc_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
+           AS jaccard
+  FROM p
+  WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
+          >= 0.3),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT doc_a, sa.split AS split_a, doc_b, sb.split AS split_b, jaccard
+FROM pairs
+JOIN sp sa ON sa.doc_id = doc_a
+JOIN sp sb ON sb.doc_id = doc_b
+WHERE sa.split <> sb.split
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r06.json) ---------
@@ -5109,6 +5169,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_rate_report": q_dedup_rate_report,
     "length_histogram": q_length_histogram,
     "vector_spike_outliers": q_vector_spike_outliers,
+    "split_leakage_report": q_split_leakage_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -5243,6 +5304,7 @@ ORACLES: dict[str, str] = {
     "dedup_rate_report": SQL_DEDUP_RATE_REPORT,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "vector_spike_outliers": SQL_VECTOR_SPIKE_OUTLIERS,
+    "split_leakage_report": SQL_SPLIT_LEAKAGE,
 }
 
 
