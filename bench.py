@@ -169,7 +169,25 @@ def main() -> None:
             indent=1,
         )
 
-    budget = 1800  # < 2000-char driver capture, with margin for a newline
+    # Two stdout lines, ordered for the driver's TAIL capture: the COMPLETE
+    # per-query map first (a head-capturing or full-capture reader parses
+    # everything), then a guaranteed-small summary line LAST so the final
+    # complete line inside any 2,000-char tail always parses — total,
+    # query count, the slowest queries that fit, and the sidecar pointer.
+    # (Summary-first would leave the tail ending mid-map: nothing parses.)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
+    budget = 1700  # tail is 2000 chars shared with interleaved stderr
     by_cost = sorted(times, key=times.get, reverse=True)
     line = ""
     for keep in range(len(by_cost), -1, -1):
@@ -187,7 +205,7 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= budget:
             break
-    print(line)
+    print(line, flush=True)
     spark.stop()
 
 

@@ -75,27 +75,130 @@ def _margin_expr(w: list[float]) -> str:
     )
 
 
+def _with_margins_blas(x: DataFrame, w: list[float]) -> DataFrame:
+    """GEMM refine-and-verify twin of ``_margin_expr``: appends a ``z``
+    column such that ``round(sigmoid(z), 6)`` is BIT-IDENTICAL to the
+    fold form's quantized activation for every row.
+
+    The contract (the `similarity._assign_blas` pattern): one blocked
+    matmul nominates z for the whole batch; a row is trusted only when
+    its sigmoid sits FURTHER from the nearest 1e-6 rounding boundary
+    than the provable GEMM-vs-fold error (reassociation, bounded by
+    ~4·d·eps·(Σ|x_j·w_j| + |z|), times the sigmoid Lipschitz 1/4, plus a
+    cushion for the numpy-vs-JVM exp ulp in the margin TEST itself).
+    Ambiguous rows — sigmoid within that margin of a boundary — are
+    re-decided in Python by the EXACT sequential fold (multiply then
+    left-accumulate over IEEE doubles, op for op the
+    aggregate(zip_with(...)) sequence), after which their z is
+    bit-equal to the fold z, so any downstream sigmoid/round agrees by
+    identity. sigmoid+round themselves are NOT computed here: the
+    caller evaluates them JVM-side on z, so libm differences between
+    engines never enter the data path. Ambiguity needs a sigmoid within
+    ~1e-12 of a grid boundary — a handful of rows while BLAS does the
+    n·d work."""
+    spark = x.sparkSession
+    import numpy as np
+
+    wv = np.array([float(v) for v in w], dtype="float64")
+    bcast = spark.sparkContext.broadcast(wv)
+    pass_cols = x.columns
+    pass_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in x.schema.fields
+    )
+
+    def _gen(batches):
+        import ctypes
+        import glob
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        import numpy as np
+        import pyarrow as pa
+
+        for _so in glob.glob(os.path.dirname(np.__file__) + ".libs/*openblas*"):
+            try:
+                _lib = ctypes.CDLL(_so)
+                _set = getattr(
+                    _lib, "openblas_set_num_threads64_", None
+                ) or getattr(_lib, "openblas_set_num_threads", None)
+                if _set is not None:
+                    _set(1)
+            except OSError:
+                pass
+
+        wv_c = bcast.value
+        aw = np.abs(wv_c)
+        eps = float(np.finfo("float64").eps)
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            n = batch.num_rows
+            if n == 0:
+                continue
+            xv = np.asarray(
+                tbl.column("xv").combine_chunks().flatten()
+            ).reshape(n, -1)
+            z = xv @ wv_c
+            amag = np.abs(xv) @ aw
+            err = 4.0 * xv.shape[1] * eps * (amag + np.abs(z))
+            with np.errstate(over="ignore"):
+                s = 1.0 / (1.0 + np.exp(-z))
+            t = s * 1e6
+            dist = np.abs(t - (np.floor(t) + 0.5)) * 1e-6
+            ambiguous = ~(dist > 0.25 * err + 1e-12)  # NaN-safe: NaN -> True
+            for i in np.nonzero(ambiguous)[0]:
+                # the exact fold: term multiply then left accumulation in
+                # array order — the very op sequence of the SQL
+                # aggregate(zip_with(xv, w, (x, y) -> x * y), 0.0, +)
+                acc = 0.0
+                row = xv[i]
+                for j in range(row.shape[0]):
+                    acc = acc + (row[j] * wv_c[j])
+                z[i] = acc
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(c).combine_chunks() for c in pass_cols]
+                + [pa.array(z, pa.float64())],
+                pass_cols + ["z"],
+            )
+
+    return x.mapInArrow(_gen, f"{pass_schema}, z double")
+
+
+_SIGMOID_Z = "round(1.0 / (1.0 + exp(-z)), 6)"
+
+
 def logreg_train(
     embeddings: DataFrame,
     target_label: int = 0,
     iters: int = 3,
     lr: float = 2.0,
+    via: str = "blas",
 ) -> list[float]:
     """Full-batch GD logistic regression for ``P(label == target_label)``
     over the embedding corpus; returns the trained weights (intercept
     first, d+1 doubles — driver-side metadata, the same thing a model
     registry would store). Deterministic per the module recipe, so the
     whole training run unrolls into the SQL oracle (`_logreg_sql` in
-    plans/registry.py)."""
+    plans/registry.py).
+
+    ``via="blas"`` (default) computes the margin through the GEMM
+    refine-and-verify twin — bit-identical weights (asserted in tests),
+    ~n·d interpreted lambda terms per pass replaced by one Arrow-batched
+    matmul; ``via="fold"`` keeps the original all-SQL form the oracle
+    mirrors op for op."""
     x = _with_features(embeddings, target_label).persist()
     try:
         n = x.count()
         dim = len(x.select("xv").head()[0])
         w = [0.0] * dim
         for _ in range(iters):
-            p = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
+            if via == "blas":
+                scored = _with_margins_blas(x.select("y", "xv"), w)
+                p = F.expr(_SIGMOID_Z)
+            else:
+                scored = x
+                p = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
             grads = (
-                x.select(
+                scored.select(
                     (p - F.col("y")).alias("r"),
                     F.posexplode("xv").alias("pos", "v"),
                 )
@@ -115,14 +218,27 @@ def logreg_train(
 
 
 def logreg_score(
-    embeddings: DataFrame, w: list[float], target_label: int = 0
+    embeddings: DataFrame,
+    w: list[float],
+    target_label: int = 0,
+    via: str = "blas",
 ) -> DataFrame:
-    """Scan-local scoring under trained weights: (vec_id, label, score,
-    pred). The weights ride as literals — no join, no shuffle; the
-    filter a curation pipeline puts on ``score`` pushes to the scan."""
+    """Scoring under trained weights: (vec_id, label, score, pred).
+
+    ``via="blas"`` (default) nominates the margin with one Arrow-batched
+    matmul (the `_with_margins_blas` contract — bit-identical scores);
+    ``via="fold"`` is the scan-local all-SQL form: weights ride as
+    literals — no join, no shuffle; a filter on ``score`` pushes to the
+    scan. Use the fold form when the plan must stay pure-JVM."""
     x = _with_features(embeddings, target_label)
-    score = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
-    return x.withColumn("score", score).select(
+    if via == "blas":
+        scored = _with_margins_blas(x, w).withColumn(
+            "score", F.expr(_SIGMOID_Z)
+        )
+    else:
+        score = F.expr(f"round(1.0 / (1.0 + exp(-({_margin_expr(w)}))), 6)")
+        scored = x.withColumn("score", score)
+    return scored.select(
         "vec_id",
         "label",
         "score",

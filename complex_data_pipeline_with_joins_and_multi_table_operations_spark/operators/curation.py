@@ -60,11 +60,15 @@ def curate_documents(
         .drop("rn")
     )
 
-    # near-dup removal: blocked n-gram Jaccard pairs → drop every doc_b
+    # near-dup removal: blocked n-gram Jaccard pairs → drop every doc_b.
+    # uniq is exact-deduped above, so the pair stage skips its own
+    # collapse-exact-first pass (three shuffles that would all be
+    # singleton groups here)
     pairs = dedup.ngram_jaccard_pairs(
         uniq.select("doc_id", "text", "lang", "source", "n_chars"),
         k=jaccard_k,
         threshold=jaccard_threshold,
+        assume_unique_texts=True,
     )
     drop_ids = pairs.select(F.col("doc_b").alias("drop_id")).distinct()
     kept = uniq.join(

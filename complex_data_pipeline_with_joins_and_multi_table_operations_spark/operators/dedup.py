@@ -537,6 +537,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_block_size: int = 1000,
+    assume_unique_texts: bool = False,
 ) -> DataFrame:
     """Exact token-shingle Jaccard over blocked candidate pairs.
 
@@ -550,6 +551,16 @@ def ngram_jaccard_pairs(
     filter, so the DuckDB oracle expresses it too. Oversized blocks
     belong to :func:`minhash_lsh_pairs`, whose banded buckets subdivide
     what this blocking key can't.
+
+    ``assume_unique_texts=True`` is the caller-already-deduped fast path
+    (curation exact-dedups before calling): it SKIPS the exact-duplicate
+    collapse below — no rep groupBy, no membership joins, no intra-group
+    pairs — because with all-distinct texts every collapse group has
+    exactly one member, making those three extra shuffles pure overhead.
+    Output is identical for genuinely-unique inputs; a caller passing
+    duplicate texts under this flag would silently miss the
+    jaccard=1.0 intra-duplicate pairs, so only set it right after an
+    exact dedup.
     """
     # Collapse exact-duplicate texts FIRST (round-6: the same discipline
     # minhash/simhash got in round 5, after the sf10 probe showed the
@@ -578,6 +589,35 @@ def ngram_jaccard_pairs(
         ),
     )
     block = ["lang", "source", "len_bucket"]
+    if assume_unique_texts:
+        # caller guarantees distinct texts: every (block, text_hash)
+        # group is a singleton, so each doc is its own representative —
+        # no collapse shuffle, and the rep pairs ARE the doc pairs
+        sizes = base.groupBy(*block).agg(F.count("*").alias("count"))
+        hot = sizes.filter(F.col("count") > max_block_size).drop("count")
+        kept = base.join(F.broadcast(hot), block, "left_anti")
+        sh = with_shingles(kept, k).select("doc_id", *block, "shingles")
+        a = sh.select(
+            F.col("doc_id").alias("ra"), *block,
+            F.col("shingles").alias("sh_a"),
+        )
+        b = sh.select(
+            F.col("doc_id").alias("rb"), *block,
+            F.col("shingles").alias("sh_b"),
+        )
+        return (
+            a.join(b, block)
+            .filter(F.col("ra") < F.col("rb"))
+            .withColumn("jaccard", _jaccard())
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("ra").alias("doc_a"),
+                F.col("rb").alias("doc_b"),
+                "lang",
+                "source",
+                "jaccard",
+            )
+        )
     reps = base.groupBy(*block, "text_hash").agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("gsize"),

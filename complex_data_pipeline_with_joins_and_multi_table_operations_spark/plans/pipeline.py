@@ -569,7 +569,7 @@ class Warehouse:
         m_alter = re.match(
             r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(?:"
             r"RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
-            r"|ADD\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s+([\w()\s,]+?)\s*\)?"
+            r"|ADD\s+COLUMNS?\s+([`\w()\s,]+?)"
             r"|DROP\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s*\)?"
             r")\s*;?\s*$",
             query,
@@ -688,10 +688,43 @@ class Warehouse:
                 v = self.rename_column(t, m_alter.group(2), m_alter.group(3))
             elif m_alter.group(4):
                 op = "ADD COLUMN"
-                v = self.add_column(t, m_alter.group(4), m_alter.group(5))
+                # multi-column form: 'ADD COLUMNS (a INT, b STRING)' — split
+                # on TOP-LEVEL commas only (DECIMAL(10,2) carries its own),
+                # so every listed column is added, not just the first with
+                # the rest silently swallowed into its dtype
+                spec = m_alter.group(4).strip()
+                if spec.startswith("(") and spec.endswith(")"):
+                    spec = spec[1:-1]
+                cols, depth, cur = [], 0, []
+                for ch in spec:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    if ch == "," and depth == 0:
+                        cols.append("".join(cur))
+                        cur = []
+                    else:
+                        cur.append(ch)
+                if "".join(cur).strip():
+                    cols.append("".join(cur))
+                parsed = []
+                for cspec in cols:
+                    cname, _, dtype = cspec.strip().partition(" ")
+                    cname, dtype = cname.strip("`"), dtype.strip()
+                    if not cname or not dtype:
+                        # validate EVERY spec before adding ANY column so a
+                        # bad spec never leaves a half-applied ALTER
+                        raise ValueError(
+                            f"cannot parse ADD COLUMNS spec {cspec.strip()!r};"
+                            " expected '<name> <dtype>'"
+                        )
+                    parsed.append((cname, dtype))
+                for cname, dtype in parsed:
+                    v = self.add_column(t, cname, dtype)
             else:
                 op = "DROP COLUMN"
-                v = self.drop_column(t, m_alter.group(6))
+                v = self.drop_column(t, m_alter.group(5))
             return self.spark.createDataFrame(
                 [(t, op, v)], "table_name string, operation string, version long"
             )

@@ -5018,70 +5018,14 @@ WHERE sa.split <> sb.split
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
-    # entries; full-registry evidence lives in SWEEP_r06.json) ---------
-    # Round-6 rotation: slots 1-5 are this round's new queries getting
-    # their first driver rows; slots 6-29 are the oldest-evidence entries
-    # (r3 driver rows, displaced across the two late-r5 re-rotations,
-    # hash-green in SWEEP_r05); slots 30-50 are the r4-evidence block.
-    "skewed_hot_key_join": q_skewed_hot_key_join,
-    "bloom_prejoin_revenue": q_bloom_prejoin,
-    "decoded_media_stats": q_decoded_media_stats,
-    "gk_quantiles": q_gk_quantiles,
-    "kmv_segment_overlap": q_kmv_segment_overlap,
-    # r3-evidence refresh (oldest first in line, per the rotation policy)
-    "forecast_revenue": q_forecast_revenue,
-    "product_type_profit": q_product_type_profit,
-    "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
-    "promotable_suppliers": q_promotable_suppliers,
-    "bm25_topk": q_bm25_topk,
-    "mixture_sample": q_mixture_sample,
-    "hash_sample": q_hash_sample,
-    "dedup_exact": q_dedup_exact,
-    "near_dup_clusters": q_near_dup_clusters,
-    "user_value_zscore": q_user_zscore,
-    "rollup_revenue": q_rollup_revenue,
-    "promo_revenue": q_promo_revenue,
-    "order_priority_count": q_order_priority_count,
-    "raw_stats": q_raw_stats,
-    "user_median_value": q_user_median,
-    "vector_norms": q_vector_norms,
-    "moving_avg3": q_moving_avg,
-    "date_dim": q_date_dim,
-    "asof_view_purchase": q_asof_view_purchase,
-    "global_minmax": q_global_minmax,
-    "union_all_counts": q_union_all_counts,
-    "user_median_builtin": q_user_median_builtin,
-    # r4-evidence refresh
-    "market_share": q_market_share,
-    "nation_trade_volume": q_nation_trade_volume,
-    "important_parts": q_important_parts,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "customer_value_quartiles": q_customer_value_quartiles,
-    "event_funnel": q_event_funnel,
-    "priority_shipping": q_priority_shipping,
-    "user_first_last": q_user_first_last,
-    "trailing_hour_avg": q_trailing_hour_avg,
-    "string_functions": q_string_functions,
-    "ingest_clean": q_ingest_clean,
-    "entity_dim": q_entity_dim,
-    "star_fact": q_star_fact,
-    "agg_pair_daily": q_agg_pair_daily,
-    "agg_time": q_agg_time,
-    "top_pairs": q_top_pairs,
-    "dq_checks": q_dq_checks,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "window_top_orders": q_window_top_orders,
-    # --- tail (outside the 50-entry window) -------------------------------
-    # The window holds exactly 50 entries — re-count whenever entries are
-    # inserted above this line.
-    # r4-evidence remainder (2 rounds stale at r6 judgment — the accepted
-    # boundary; first in line for the r7 rotation). approx_event_stats is
-    # the lone rows-only query (native HLL++/GK sketches, no oracle by
-    # design — golden error-bound tests instead).
+    # entries; full-registry evidence lives in SWEEP_r07*.json) --------
+    # Round-7 rotation: slots 1-26 are the r4-evidence remainder (their
+    # last driver rows are CORRECTNESS_r04 — 2 rounds stale at the r6
+    # judgment, the accepted boundary); slots 27-33 are the round-6 tail
+    # additions getting their first driver rows; slots 34-50 are the
+    # oldest r5-evidence entries. Unioned with the r01-r06 windows this
+    # leaves only r5-evidence entries (parked first in the tail) without
+    # a fresh driver row — they lead the r8 rotation.
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
     "pack_sequences": q_pack_sequences,
@@ -5108,9 +5052,15 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": q_kmeans_clusters,
     "approx_event_stats": q_approx_event_stats,
     "merge_upsert": q_merge_upsert,
-    # r5/r6-evidence: every remaining query was hash-green in a driver
-    # window (CORRECTNESS_r05) or in this round's full-registry sweep
-    # (SWEEP_r06.json) — freshest evidence, parked last.
+    # round-6 tail additions (SWEEP_r06 evidence -> first driver rows)
+    "hard_negatives": q_hard_negatives,
+    "triplet_mining": q_triplet_mining,
+    "int8_quantize": q_int8_quantize,
+    "dedup_rate_report": q_dedup_rate_report,
+    "length_histogram": q_length_histogram,
+    "vector_spike_outliers": q_vector_spike_outliers,
+    "split_leakage_report": q_split_leakage_report,
+    # oldest r5-evidence refresh
     "perplexity_scores": q_perplexity_scores,
     "kmv_distinct": q_kmv_distinct,
     "minhash_lsh_pairs": q_minhash_lsh,
@@ -5128,6 +5078,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
+    # --- tail (outside the 50-entry window) -------------------------------
+    # The window holds exactly 50 entries — re-count whenever entries are
+    # inserted above this line.
+    # remaining r5-evidence entries: first in line for the r8 rotation.
     "cube_order_counts": q_cube_order_counts,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "pivot_status_revenue": q_pivot_status_revenue,
@@ -5161,15 +5115,57 @@ QUERIES: dict[str, QueryFn] = {
     "rank_fusion_curation": q_rank_fusion_curation,
     "classifier_cached_scores": q_classifier_cached_scores,
     "perplexity_cached": q_perplexity_cached,
-    # round-6 additions past the sweep refresh: contrastive-training
-    # mining ops — SWEEP evidence this round, window candidates for r7
-    "hard_negatives": q_hard_negatives,
-    "triplet_mining": q_triplet_mining,
-    "int8_quantize": q_int8_quantize,
-    "dedup_rate_report": q_dedup_rate_report,
-    "length_histogram": q_length_histogram,
-    "vector_spike_outliers": q_vector_spike_outliers,
-    "split_leakage_report": q_split_leakage_report,
+    # r6-evidence (CORRECTNESS_r06 driver rows — freshest, parked last)
+    "skewed_hot_key_join": q_skewed_hot_key_join,
+    "bloom_prejoin_revenue": q_bloom_prejoin,
+    "decoded_media_stats": q_decoded_media_stats,
+    "gk_quantiles": q_gk_quantiles,
+    "kmv_segment_overlap": q_kmv_segment_overlap,
+    "forecast_revenue": q_forecast_revenue,
+    "product_type_profit": q_product_type_profit,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "promotable_suppliers": q_promotable_suppliers,
+    "bm25_topk": q_bm25_topk,
+    "mixture_sample": q_mixture_sample,
+    "hash_sample": q_hash_sample,
+    "dedup_exact": q_dedup_exact,
+    "near_dup_clusters": q_near_dup_clusters,
+    "user_value_zscore": q_user_zscore,
+    "rollup_revenue": q_rollup_revenue,
+    "promo_revenue": q_promo_revenue,
+    "order_priority_count": q_order_priority_count,
+    "raw_stats": q_raw_stats,
+    "user_median_value": q_user_median,
+    "vector_norms": q_vector_norms,
+    "moving_avg3": q_moving_avg,
+    "date_dim": q_date_dim,
+    "asof_view_purchase": q_asof_view_purchase,
+    "global_minmax": q_global_minmax,
+    "union_all_counts": q_union_all_counts,
+    "user_median_builtin": q_user_median_builtin,
+    "market_share": q_market_share,
+    "nation_trade_volume": q_nation_trade_volume,
+    "important_parts": q_important_parts,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "customer_value_quartiles": q_customer_value_quartiles,
+    "event_funnel": q_event_funnel,
+    "priority_shipping": q_priority_shipping,
+    "user_first_last": q_user_first_last,
+    "trailing_hour_avg": q_trailing_hour_avg,
+    "string_functions": q_string_functions,
+    "ingest_clean": q_ingest_clean,
+    "entity_dim": q_entity_dim,
+    "star_fact": q_star_fact,
+    "agg_pair_daily": q_agg_pair_daily,
+    "agg_time": q_agg_time,
+    "top_pairs": q_top_pairs,
+    "dq_checks": q_dq_checks,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "window_top_orders": q_window_top_orders,
 }
 
 ORACLES: dict[str, str] = {

@@ -258,6 +258,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         overwrite: bool,
         mapping: dict | None = None,
         dropped: list | None = None,
+        constraints: dict | None = None,
     ):
         self.root = root
         self.schema_json = schema_json
@@ -267,6 +268,15 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # redefines the schema wholesale, so its writer gets {}/[])
         self.mapping = mapping or {}
         self.dropped = dropped or []
+        # CHECK constraints captured at writer construction: the commit
+        # carries them forward (overwrite included), so the DataSource
+        # path must enforce them like TableLog.write. No SparkSession
+        # exists in the DataSource python worker, so enforcement runs
+        # EXECUTOR-SIDE per Arrow batch (duckdb evaluates the CHECK
+        # expression — same NULL-passes tri-state); commit() treats a
+        # constraint set that changed since capture as a concurrency
+        # race, mirroring the rename/drop guards
+        self.constraints = constraints or {}
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> TxLogWriteMessage:
         """Executor-side: stream this task's batches into one immutable
@@ -281,10 +291,45 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         rel = f"part-{uuid.uuid4().hex}.parquet"
         dest = os.path.join(self.root, "data", rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
+        check_sql = None
+        if self.constraints:
+            # one streaming pass per batch, all constraints in one query;
+            # NULL passes, FALSE violates (SQL CHECK tri-state). Raising
+            # here fails the task -> Spark aborts the write -> abort()
+            # unlinks every staged file: nothing is committed.
+            names = list(self.constraints)
+            check_sql = "SELECT " + ", ".join(
+                f"count(*) FILTER (WHERE NOT coalesce(({self.constraints[n]}),"
+                f" TRUE)) AS c{i}"
+                for i, n in enumerate(names)
+            ) + " FROM batch"
         writer = None
         rows = 0
         try:
             for batch in iterator:
+                if check_sql is not None:
+                    import duckdb
+
+                    from .txlog import ConstraintViolationError
+
+                    con = duckdb.connect()
+                    con.register("batch", pa.Table.from_batches([batch]))
+                    counts = con.execute(check_sql).fetchone()
+                    bad = {
+                        n: counts[i]
+                        for i, n in enumerate(self.constraints)
+                        if counts[i]
+                    }
+                    if bad:
+                        detail = ", ".join(
+                            f"{n} ({self.constraints[n]!r}): {c} rows"
+                            for n, c in bad.items()
+                        )
+                        raise ConstraintViolationError(
+                            f"format('txlog') write into {self.root} "
+                            f"violates CHECK constraints — {detail}; "
+                            "nothing was committed"
+                        )
                 if self.mapping:
                     # logical -> frozen physical names (zero-copy)
                     batch = pa.RecordBatch.from_arrays(
@@ -333,6 +378,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         log = TableLog(None, self.root)
         for _attempt in range(3):
             cur = log.snapshot() if log.exists() else None
+            if (cur.constraints if cur else {}) != self.constraints:
+                # an add/drop-constraint landed after this writer captured
+                # (and executor-enforced) the constraint set; the new
+                # constraint's validation scan never saw our staged rows
+                # and no SparkSession exists here to re-validate them —
+                # surface the race like the rename/drop guards
+                raise ConcurrentCommitError(
+                    f"write to {self.root} raced a concurrent constraint "
+                    "change; re-run the write so the current CHECK "
+                    "constraints are enforced on its rows"
+                )
             if not self.overwrite and cur is not None:
                 if (
                     cur.column_mapping != self.mapping
@@ -532,13 +588,17 @@ class TxLogDataSource(DataSource):
 
         root = self._root()
         log = TableLog(None, root)
-        snap = log.snapshot() if not overwrite and log.exists() else None
+        cur = log.snapshot() if log.exists() else None
+        snap = cur if not overwrite else None
         return TxLogBatchWriter(
             root,
             schema.json(),
             overwrite,
             mapping=snap.column_mapping if snap else {},
             dropped=snap.dropped_physical if snap else [],
+            # constraints survive an overwrite (carry-forward commit key),
+            # so they are captured from the CURRENT snapshot either way
+            constraints=cur.constraints if cur else {},
         )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:

@@ -907,8 +907,18 @@ class TableLog:
                 )
         adds = self._stage(df, partition_by, mapping=pre_mapping)
 
+        enforced_constraints = pre.constraints if pre else {}
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
+            cur_constraints = cur.constraints if cur else {}
+            if cur_constraints != enforced_constraints:
+                # a concurrent add/drop-constraint landed after our
+                # pre-staging validation: its own validation scan never
+                # saw these staged rows, so committing them unchecked
+                # would let violations through — re-enforce against the
+                # CURRENT constraint set before publishing
+                self._enforce_constraints(df, cur_constraints, mode)
+                enforced_constraints = cur_constraints
             if keep_mapping and (cur.dropped_physical if cur else []) != pre_dropped:
                 # a concurrent drop_column landed while we were staging:
                 # the schema merge below could re-bind the dropped
@@ -1332,7 +1342,17 @@ class TableLog:
                         f"change feed for v{v} references vacuumed files: "
                         f"{missing[:3]}…"
                     )
-                part = self._read_file_metas(fmetas, schema, m_use)
+                # removed files report only their ALIVE rows as deletes:
+                # positions already dv-deleted under the parent snapshot
+                # were emitted by the earlier *_dv commit — re-reading the
+                # full file would double-report them (a CDC consumer
+                # folding the feed would then double-apply the delete)
+                dvs_use = (
+                    (self.snapshot(v - 1).dvs if v > 1 else {})
+                    if kind == "delete"
+                    else None
+                )
+                part = self._read_file_metas(fmetas, schema, m_use, dvs_use)
                 if m_use or cur_mapping:
                     # current logical name when the physical column is
                     # still live; a column dropped by the latest schema
@@ -1969,10 +1989,13 @@ class TableLog:
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
+                or cur.constraints != base.constraints
             ):
-                # a concurrent schema change landed (rename/add/drop column
-                # or a schema-evolving append): our payload would publish a
-                # stale schema — retry from fresh state
+                # a concurrent schema change landed (rename/add/drop column,
+                # a schema-evolving append, or an add_constraint whose
+                # validation scan never saw our rows): our payload would
+                # publish a stale schema or dodge the new CHECK — retry
+                # from fresh state so enforcement reruns against it
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append may have landed rows matching the
@@ -2154,10 +2177,13 @@ class TableLog:
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
+                or cur.constraints != base.constraints
             ):
-                # a concurrent schema change landed (rename/add/drop column
-                # or a schema-evolving append): our payload would publish a
-                # stale schema — retry from fresh state
+                # a concurrent schema change landed (rename/add/drop column,
+                # a schema-evolving append, or an add_constraint whose
+                # validation scan never saw our rows): our payload would
+                # publish a stale schema or dodge the new CHECK — retry
+                # from fresh state so enforcement reruns against it
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # a concurrent append landed files whose key bounds
@@ -2463,10 +2489,13 @@ class TableLog:
                 or cur.schema_json != base.schema_json
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
+                or cur.constraints != base.constraints
             ):
-                # a concurrent schema change landed (rename/add/drop column
-                # or a schema-evolving append): our payload would publish a
-                # stale schema — retry from fresh state
+                # a concurrent schema change landed (rename/add/drop column,
+                # a schema-evolving append, or an add_constraint whose
+                # validation scan never saw our rows): our payload would
+                # publish a stale schema or dodge the new CHECK — retry
+                # from fresh state so enforcement reruns against it
                 continue
             if self._appends_may_conflict(base, cur, pfilters):
                 # same concurrent-append hazard as merge: an unseen append
@@ -2569,8 +2598,21 @@ class TableLog:
                 .withColumn("__dv_pos", F.lit(None).cast("long"))
             )
             tie = [c for c in table_cols if c not in keys and c != order_col]
+            # the window is evaluated TWICE below (loser_pos collect, then
+            # winners staged from the same lineage); a source record
+            # exactly equal to an alive target row (a replayed CDC record:
+            # same key, order_col, and every tie column) must resolve
+            # identically in both jobs or the row is deleted outright
+            # (target dv'd in job 1, source judged loser in job 2) or
+            # duplicated. Make the order TOTAL: source-wins on exact ties
+            # (__dv_file IS NULL sorts first — a replay then nets to the
+            # same content), then (file, pos), unique per target row
             w = Window.partitionBy(*keys).orderBy(
-                F.desc(order_col), *[F.desc(c) for c in tie]
+                F.desc(order_col),
+                *[F.desc(c) for c in tie],
+                F.col("__dv_file").isNull().desc(),
+                F.asc("__dv_file"),
+                F.asc("__dv_pos"),
             )
             ranked = (
                 tgt.select(*table_cols, "__dv_file", "__dv_pos")

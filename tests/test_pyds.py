@@ -139,6 +139,55 @@ def test_writer_append_and_overwrite(spark, tmp_path):
     assert spark.read.format("txlog").option("versionAsOf", 2).load(root).count() == 80
 
 
+def test_writer_enforces_check_constraints(spark, tmp_path):
+    """df.write.format('txlog') must enforce the table's CHECK
+    constraints exactly like TableLog.write — the commit carries
+    constraints forward, so an unchecked DataSource append would let a
+    constrained table silently acquire violating rows."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        ConstraintViolationError,
+    )
+
+    root = str(tmp_path / "ctbl")
+    register_txlog(spark)
+    log = TableLog(spark, root)
+    log.write(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    log.add_constraint("v_positive", "v > 0")
+
+    v_before = log.snapshot().version
+    bad = spark.createDataFrame([(3, -5), (4, 40)], "k long, v long")
+    with pytest.raises(Exception, match="v_positive"):
+        bad.write.format("txlog").mode("append").save(root)
+    assert log.snapshot().version == v_before
+    assert log.read().count() == 2  # nothing committed
+
+    # NULL passes (SQL tri-state), valid rows commit normally
+    ok = spark.createDataFrame([(5, None), (6, 60)], "k long, v long")
+    ok.write.format("txlog").mode("append").save(root)
+    assert log.read().count() == 4
+
+    # overwrite keeps carrying the constraint → still enforced
+    with pytest.raises(Exception, match="v_positive"):
+        spark.createDataFrame([(9, -1)], "k long, v long").write.format(
+            "txlog"
+        ).mode("overwrite").save(root)
+    assert log.read().count() == 4
+
+    # constraint on a renamed column (frozen-physical write path): the
+    # executor check evaluates on LOGICAL names before the physical rename
+    log.drop_constraint("v_positive")
+    log.rename_column("v", "val")
+    log.add_constraint("val_positive", "val > 0")
+    with pytest.raises(Exception, match="val_positive"):
+        spark.createDataFrame([(9, -1)], "k long, val long").write.format(
+            "txlog"
+        ).mode("append").save(root)
+    spark.createDataFrame([(9, 90)], "k long, val long").write.format(
+        "txlog"
+    ).mode("append").save(root)
+    assert log.read().filter("val = 90").count() == 1
+
+
 def test_stream_tails_commits_incrementally(spark, tmp_path):
     root = str(tmp_path / "stbl")
     out = str(tmp_path / "out")

@@ -566,6 +566,30 @@ def test_logreg_training_descends_and_is_partition_invariant(spark, cat):
     assert w1 == w32  # bit-identical, not merely close
 
 
+def test_logreg_blas_twin_bit_equals_fold_form(spark, cat):
+    """The GEMM refine-and-verify margin twin (via='blas', the default)
+    must reproduce the all-SQL fold form BIT-EXACTLY — trained weights
+    list-equal, scores/preds row-equal — because ambiguous rows (sigmoid
+    within the provable GEMM error of a 1e-6 rounding boundary) are
+    re-decided by the exact sequential fold and sigmoid/round always
+    evaluate JVM-side on the refined margin."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+    )
+
+    emb = cat.embeddings
+    w_fold = classify.logreg_train(emb, iters=3, lr=2.0, via="fold")
+    w_blas = classify.logreg_train(emb, iters=3, lr=2.0, via="blas")
+    assert w_fold == w_blas  # bit-identical, not merely close
+
+    key = lambda rows: sorted(
+        (r.vec_id, r.label, r.score, r.pred) for r in rows
+    )
+    sf = classify.logreg_score(emb, w_fold, via="fold").collect()
+    sb = classify.logreg_score(emb, w_fold, via="blas").collect()
+    assert key(sf) == key(sb)
+
+
 def test_logreg_score_null_embedding_dropped(spark):
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
         classify,

@@ -61,6 +61,32 @@ def test_ngram_block_cap_bounds_pairs(spark):
     assert uncapped.filter(F.col("doc_a") < 1000).count() > 1000
 
 
+def test_ngram_unique_texts_fast_path_matches_default(spark):
+    """assume_unique_texts=True (the caller-already-deduped fast path the
+    curation pipeline uses) must produce the EXACT pair set of the default
+    collapse-first path on all-distinct texts — including the block cap —
+    while skipping the collapse/membership shuffles."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog today", "en", "web", 60),
+        (2, "the quick brown fox jumps over the lazy sleeping cat today", "en", "web", 60),
+        (3, "completely different text about astronomy and telescopes now", "en", "web", 60),
+        (4, "one two three four five six seven eight nine ten", "fr", "book", 50),
+        (5, "one two three four five six seven eight nine eleven", "fr", "book", 51),
+        (6, None, "en", "web", 0),
+    ]
+    docs = _docs(spark, rows)
+    key = lambda df: sorted(
+        (r.doc_a, r.doc_b, r.lang, r.source, r.jaccard) for r in df.collect()
+    )
+    for cap in (1000, 2):
+        slow = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_block_size=cap)
+        fast = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_block_size=cap, assume_unique_texts=True
+        )
+        assert key(slow) == key(fast)
+    assert key(dedup.ngram_jaccard_pairs(docs, threshold=0.1))
+
+
 def test_minhash_bucket_cap_bounds_candidates(spark):
     """A flood of identical-signature docs (boilerplate) lands in one LSH
     bucket; the bucket cap keeps it out of the pair join — exact dedup owns

@@ -1030,6 +1030,52 @@ def test_table_changes_net_mode_collapses_rewrite_pairs(spark, tmp_path):
     assert raw > len(net)
 
 
+def test_table_changes_dv_then_cow_never_double_deletes(spark, tmp_path):
+    """A file deleted-from via='dv' and later rewritten by a CoW row op
+    (or overwrite, or the dv cap fallback) must not re-emit the
+    already-dv-deleted rows as a second unpaired delete: the dv commit
+    reported them; the remove reads only the parent-snapshot-ALIVE rows
+    (file minus parent deletion vector). A CDC consumer folding the feed
+    would otherwise double-apply the delete — and net=True can't save it
+    because net collapses per commit."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+        ).coalesce(1)
+    )
+    v0 = log.snapshot().version
+    log.delete([("id", "==", 2)], via="dv")      # dv commit: -2, no rewrite
+    log.update([("id", "==", 3)], {"v": "31"})   # CoW rewrite of that file
+    ch = log.table_changes(v0).collect()
+    dels = sorted(
+        (r.id, r._commit_version) for r in ch if r._change_type == "delete"
+    )
+    # id=2 deleted EXACTLY once — by the dv commit, not again by the CoW
+    assert [d for d in dels if d[0] == 2] == [(2, v0 + 1)]
+    # the CoW commit reports the alive pre-images only: 1, 3, 4
+    assert [i for i, cv in dels if cv == v0 + 2] == [1, 3, 4]
+    # folding the feed onto the pre-window state reproduces the live table
+    net = {(1, 10): 1, (2, 20): 1, (3, 30): 1, (4, 40): 1}
+    for r in ch:
+        net[(r.id, r.v)] = net.get((r.id, r.v), 0) + (
+            1 if r._change_type == "insert" else -1
+        )
+    fold = {k for k, n in net.items() if n > 0}
+    live = {(r.id, r.v) for r in log.read().collect()}
+    assert fold == live
+    # overwrite after a fresh dv delete: same invariant on the remove path
+    log.delete([("id", "==", 4)], via="dv")
+    v1 = log.snapshot().version
+    log.write(spark.createDataFrame([(9, 90)], "id long, v long"))
+    ow = [
+        (r.id, r._change_type)
+        for r in log.table_changes(v1).collect()
+    ]
+    assert (4, "delete") not in ow
+    assert sorted(ow) == [(1, "delete"), (3, "delete"), (9, "insert")]
+
+
 def test_merge_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
     """Delta's ConcurrentAppendException rule for MERGE, resolved by
     retry: an append landing between the base snapshot and the commit
@@ -1208,6 +1254,84 @@ def test_check_constraints_enforced_on_write_merge_update(spark, tmp_path):
     log.drop_constraint("v_positive")
     log.write(_df(spark, [(4, -5)], "k long, v long"), mode="append")
     assert log.read().filter("v = -5").count() == 1
+
+
+def test_merge_latest_dv_replayed_identical_record_is_stable(spark, tmp_path):
+    """A replayed CDC record exactly equal to an alive target row (same
+    key, order_col, and every tie column) must net to the unchanged row —
+    never a deletion or a duplicate. The dv form evaluates its ranking
+    window twice (loser collect + winner stage), so exact ties need a
+    deterministic source-vs-target ordering or the two jobs can disagree."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "b", 5)], "k long, val string, lsn long"
+        ).coalesce(1)
+    )
+    # replay the SAME record several times — idempotent under at-least-once
+    for _ in range(3):
+        log.merge_latest(
+            spark.createDataFrame([(1, "a", 5)], "k long, val string, lsn long"),
+            ["k"],
+            "lsn",
+            via="dv",
+        )
+    rows = sorted((r.k, r.val, r.lsn) for r in log.read().collect())
+    assert rows == [(1, "a", 5), (2, "b", 5)]
+    # a genuinely newer record still wins after the replays
+    log.merge_latest(
+        spark.createDataFrame([(1, "a2", 6)], "k long, val string, lsn long"),
+        ["k"],
+        "lsn",
+        via="dv",
+    )
+    rows = sorted((r.k, r.val, r.lsn) for r in log.read().collect())
+    assert rows == [(1, "a2", 6), (2, "b", 5)]
+
+
+def test_write_reenforces_constraint_added_during_staging(
+    spark, tmp_path, monkeypatch
+):
+    """An add_constraint landing between a write's pre-staging validation
+    and its commit must not let violating rows through: the new
+    constraint's validation scan only saw committed data, so the write's
+    retry loop re-enforces against the CURRENT constraint set before
+    publishing."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        ConstraintViolationError,
+    )
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(_df(spark, [(1, 10)], "k long, v long"))
+
+    original_stage = TableLog._stage
+
+    def stage_with_concurrent_constraint(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
+        monkeypatch.setattr(TableLog, "_stage", original_stage)
+        # the concurrent constraint validates against COMMITTED data only
+        # (v=10 passes) — it cannot see our staged v=-5 row
+        TableLog(spark, self.root).add_constraint("v_positive", "v > 0")
+        return adds
+
+    monkeypatch.setattr(TableLog, "_stage", stage_with_concurrent_constraint)
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        log.write(_df(spark, [(2, -5)], "k long, v long"), mode="append")
+    assert log.read().count() == 1  # nothing committed
+
+    # the same race with SATISFYING rows commits cleanly on the re-check
+    monkeypatch.setattr(TableLog, "_stage", original_stage)
+    log.drop_constraint("v_positive")
+
+    def stage_with_ok_constraint(self, df, partition_by, mapping=None):
+        adds = original_stage(self, df, partition_by, mapping=mapping)
+        monkeypatch.setattr(TableLog, "_stage", original_stage)
+        TableLog(spark, self.root).add_constraint("v_positive", "v > 0")
+        return adds
+
+    monkeypatch.setattr(TableLog, "_stage", stage_with_ok_constraint)
+    log.write(_df(spark, [(3, 30)], "k long, v long"), mode="append")
+    assert log.read().count() == 2
 
 
 def test_remove_orphans_keeps_all_snapshots_readable(spark, tmp_path):
@@ -1534,6 +1658,17 @@ def test_alter_table_column_ddl_sql_on_both_backends(spark, tmp_path):
         assert wh.sql("SELECT * FROM t VERSION AS OF 1").columns == ["id", "v"]
         with pytest.raises(ValueError):
             wh.sql("ALTER TABLE t DROP COLUMN nope")
+        # multi-column ADD COLUMNS adds EVERY listed column (not just the
+        # first with the rest swallowed into its dtype); parenthesized
+        # dtypes keep their own commas
+        wh.sql("ALTER TABLE t ADD COLUMNS (a INT, b STRING, c DECIMAL(10,2))")
+        assert wh.sql("SELECT * FROM t").columns == [
+            "id", "score", "a", "b", "c",
+        ]
+        with pytest.raises(ValueError, match="ADD COLUMNS"):
+            wh.sql("ALTER TABLE t ADD COLUMNS (d INT, nodtype)")
+        # the bad spec aborted BEFORE adding d — never half-applied
+        assert "d" not in wh.sql("SELECT * FROM t").columns
 
     # txlog backend: all three were metadata-only (1 data file, ever)
     log = TxLogWarehouse(spark, str(tmp_path / "wh"))._log("t")
