@@ -142,3 +142,128 @@ def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame
             "(column, n_rows, n_nulls, n_distinct, vmin, vmax)"
         )
     )
+
+
+def column_profile_approx(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Sketch-backed twin of :func:`column_profile` — same output shape
+    ``(column, n_rows, n_nulls, n_distinct, vmin, vmax)`` with
+    ``n_distinct`` estimated by the cross-engine-exact HyperLogLog of
+    ``aggregates.hll_distinct`` (m = 256 md5-derived registers, exact
+    BIGINT harmonic denominator, quantized-ln linear counting) instead
+    of the exact COUNT(DISTINCT).
+
+    Why it exists: the exact profile's count-distinct compiles to an
+    Expand — k columns push k× the scan's rows through the shuffle,
+    which measured 5.3×/decade into sf10 (SCALING.md). This twin's
+    shuffle is (column × 257 buckets) fixed-size register maxima after
+    map-side combine — the petabyte-drop profiling shape, and still
+    hash-checkable because every register is a pure md5 function.
+
+    Value canonicalization before hashing (the part that keeps the
+    estimate engine-independent): integers/strings hash their exact
+    string image, dates the ISO form, timestamps whole epoch seconds,
+    and FRACTIONAL columns a DECIMAL(28,6) image — distinct values
+    closer than 1e-6 collapse to one (profiling semantics; document
+    grids, don't format doubles: double→string is not engine-stable).
+    vmin/vmax/null semantics match column_profile exactly.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        FractionalType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cols = columns or df.columns
+    pieces = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col("`" + c.replace("`", "``") + "`")
+        if isinstance(dt, FractionalType):
+            hk = col.cast("decimal(28,6)").cast("string")
+        elif isinstance(dt, DateType):
+            hk = col.cast("string")
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            hk = F.unix_timestamp(col.cast("timestamp")).cast("string")
+        elif isinstance(dt, BooleanType):
+            hk = col.cast("string")
+        else:
+            hk = col.cast("string")
+        if isinstance(dt, NumericType):
+            num = col.cast("double")
+        elif isinstance(dt, DateType):
+            num = F.datediff(col, F.lit("1970-01-01")).cast("double")
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            num = F.unix_timestamp(col.cast("timestamp")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                hk.alias("hk"),
+                num.alias("vnum"),
+            )
+        )
+    # one projection explodes each row into k (column, value) cells —
+    # map-side combine collapses them to (column, bucket) registers
+    # before anything shuffles
+    cells = df.select(
+        F.explode(F.array(*pieces)).alias("cell")
+    ).select("cell.column", "cell.hk", "cell.vnum")
+    h = F.md5(F.col("hk"))
+    bucket = F.when(
+        F.col("hk").isNull(), F.lit(None).cast("int")
+    ).otherwise(F.conv(F.substring(h, 1, 2), 16, 10).cast("int"))
+    v = F.conv(F.substring(h, 3, 11), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(45)).otherwise(
+        45 - F.length(F.conv(v.cast("string"), 10, 2))
+    )
+    lvl1 = (
+        cells.select(
+            "column",
+            bucket.alias("bucket"),
+            F.when(F.col("hk").isNull(), None).otherwise(rho).alias("rho"),
+            "vnum",
+        )
+        .groupBy("column", "bucket")
+        .agg(
+            F.max("rho").alias("r"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("vnum").alias("mn"),
+            F.max("vnum").alias("mx"),
+        )
+    )
+    used = F.col("bucket").isNotNull()
+    per_col = lvl1.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(used, F.lit(0)).otherwise(F.col("cnt"))).alias("n_nulls"),
+        F.count(F.when(used, F.lit(1))).alias("n_used"),
+        F.sum(
+            F.when(used, F.expr("shiftleft(CAST(1 AS BIGINT), 45 - r)"))
+        ).alias("s_used"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    s = F.coalesce(F.col("s_used"), F.lit(0)) + zeros.cast("long") * F.lit(
+        1 << 45
+    )
+    raw = F.lit(alpha * m * m * float(1 << 45)) / s.cast("double")
+    linear = F.round(F.log(F.lit(float(m)) / zeros.cast("double")), 6) * m
+    est = F.when(F.col("n_used") == 0, F.lit(0.0)).otherwise(
+        F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    )
+    return per_col.select(
+        "column",
+        "n_rows",
+        F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
+        F.round(est, 4).alias("n_distinct_approx"),
+        "vmin",
+        "vmax",
+    )

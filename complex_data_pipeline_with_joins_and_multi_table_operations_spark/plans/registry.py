@@ -4325,11 +4325,7 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     cat = Catalog(spark, sf_dir)
-    return graph.pagerank(
-        graph.trade_graph(cat.orders, cat.lineitem),
-        iters=3,
-        edges_distinct=True,
-    )
+    return graph.trade_pagerank(cat.orders, cat.lineitem, iters=3)
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -4488,6 +4484,86 @@ SQL_COLUMN_PROFILE = _profile_sql_for(
 )
 
 
+def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed profile twin (operators/quality.py
+    column_profile_approx): same shape as column_profile with
+    n_distinct estimated by the cross-engine-exact md5 HyperLogLog —
+    the shuffle is (column × 257 buckets) register maxima instead of
+    the exact profile's k×rows Expand (5.3×/decade at sf10). Pure-md5
+    registers + exact-BIGINT harmonic denominator keep the APPROXIMATE
+    estimate hash-checkable against the DuckDB mirror."""
+    from ..operators.quality import column_profile_approx
+
+    return column_profile_approx(Catalog(spark, sf_dir).orders)
+
+
+def _profile_approx_sql_for(table: str, cols: list[tuple[str, str]]) -> str:
+    """DuckDB mirror of column_profile_approx: one HLL subquery per
+    column (the SQL_HLL_DISTINCT construction, single group) plus the
+    exact null/range aggregates, UNION ALL'd. Canonicalization matches
+    the operator: ints/strings exact, timestamps whole epoch seconds,
+    money doubles a DECIMAL(28,6) image (identical full-scale string in
+    both engines — verified '81173.470000' form)."""
+    parts = []
+    for c, kind in cols:
+        if kind == "num":
+            hk = f"CAST({c} AS VARCHAR)"
+            vmin, vmax = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+        elif kind == "money":
+            hk = f"CAST(CAST({c} AS DECIMAL(28,6)) AS VARCHAR)"
+            vmin, vmax = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+        elif kind == "ts":
+            hk = f"CAST(CAST(floor(epoch({c})) AS BIGINT) AS VARCHAR)"
+            vmin = f"CAST(floor(epoch(min({c}))) AS DOUBLE)"
+            vmax = f"CAST(floor(epoch(max({c}))) AS DOUBLE)"
+        else:
+            hk = c
+            vmin = vmax = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""(
+WITH h AS (
+  SELECT md5({hk}) AS hx FROM {table} WHERE {c} IS NOT NULL
+),
+br AS (
+  SELECT {_hex_fold('hx', 1, 2)} AS bucket,
+         {_hex_fold('hx', 3, 11)} AS v
+  FROM h
+),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN v = 0 THEN 45
+                  ELSE 45 - length(bin(CAST(v AS BIGINT))) END) AS r
+  FROM br GROUP BY bucket
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << (45 - r)), 0) AS BIGINT)
+           AS s_used
+  FROM regs
+),
+e AS (
+  SELECT n_used, (256 - n_used) AS zeros,
+         {{hll_num}} / CAST(s_used + (256 - n_used) *
+                            (CAST(1 AS BIGINT) << 45) AS DOUBLE) AS raw
+  FROM g
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         {vmin} AS vmin, {vmax} AS vmax
+  FROM {table}
+)
+SELECT '{c}' AS column, base.n_rows, base.n_nulls,
+       round(CASE WHEN n_used = 0 THEN 0.0
+                  WHEN raw <= 640.0 AND zeros > 0
+                  THEN round(ln(256.0 / CAST(zeros AS DOUBLE)), 6) * 256
+                  ELSE raw END, 4) AS n_distinct_approx,
+       base.vmin, base.vmax
+FROM base CROSS JOIN e
+)""".replace("{hll_num}", _HLL_NUM))
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing through Spark 4's VARIANT type: the
     events table's JSON ``props`` column is parsed once
@@ -4594,6 +4670,19 @@ SELECT event_type,
                   ELSE raw END, 4) AS hll_distinct
 FROM e
 """
+
+
+SQL_COLUMN_PROFILE_APPROX = _profile_approx_sql_for(
+    "orders",
+    [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "money"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+)
 
 
 def q_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5016,6 +5105,55 @@ WHERE sa.split <> sb.split
 """
 
 
+def q_embedding_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/test leakage detection — the embedding-space
+    companion of q_split_leakage_report: near-dup vector pairs (adaptive
+    hyperplane LSH, refine-and-verify cosine) that CROSS split
+    boundaries under the deterministic md5 split. A text gate misses
+    paraphrases and translations; a pair here is an eval-contamination
+    incident the release must adjudicate even though the texts differ.
+    Both building blocks are the already-oracled operators
+    (embedding_near_dup_lsh, split_assign), so the gate inherits their
+    scale properties: banded id-only candidates, pure-projection split,
+    and the two split joins broadcast (splits are a projection of the
+    same table — Catalyst reuses the scan)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = dedup.embedding_near_dup_lsh(emb, threshold=0.35)
+    splits = sampling.split_assign(emb, "vec_id").select("vec_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("vec_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("vec_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_LEAKAGE = f"""
+WITH pairs AS ({SQL_EMBEDDING_NEAR_DUP_LSH}),
+sp AS (
+  SELECT vec_id,
+         CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+              WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM embeddings)
+SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, cosine
+FROM pairs
+JOIN sp sa ON sa.vec_id = id_a
+JOIN sp sb ON sb.vec_id = id_b
+WHERE sa.split <> sb.split
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r07*.json) --------
@@ -5166,6 +5304,10 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "window_top_orders": q_window_top_orders,
+    # round-7 additions past the rotation (same-round SWEEP evidence;
+    # window candidates for r8)
+    "column_profile_approx": q_column_profile_approx,
+    "embedding_leakage_report": q_embedding_leakage_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -5209,6 +5351,8 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_weights_cached": SQL_DSIR_WEIGHTS,
     "column_profile": SQL_COLUMN_PROFILE,
+    "column_profile_approx": SQL_COLUMN_PROFILE_APPROX,
+    "embedding_leakage_report": SQL_EMBEDDING_LEAKAGE,
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "hll_distinct": SQL_HLL_DISTINCT,
     "gk_quantiles": SQL_GK_QUANTILES,

@@ -228,3 +228,85 @@ def compact_parquet(
         raise IOError(f"compact_parquet: could not swap rewrite into {path}")
     fs.delete(old_path, True)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Iceberg backend seam (reference build.sbt:15 iceberg-spark-runtime-3.5;
+# IngestionJob.scala:15-19 catalog config). The engine's own txlog format
+# covers — and in DV/DDL/CDC exceeds — the capabilities the reference uses,
+# but a user migrating FROM the reference expects these calls to hit real
+# Iceberg tables when the runtime jar is on the classpath. The jar is not
+# in this container, so the seam is interface-tested only: availability
+# detection is real, every entry point raises a precise, actionable error
+# without it, and the happy path is plain `format("iceberg")` calls that
+# Spark routes to the jar's DataSource once present.
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg Spark runtime jar is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath: add "
+            "iceberg-spark-runtime (spark.jars.packages="
+            "org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>) and a "
+            "catalog config (spark.sql.catalog.<name>=org.apache.iceberg."
+            "spark.SparkCatalog), or use the built-in txlog backend "
+            "(sources/txlog.py TableLog / format('txlog')) which covers the "
+            "same snapshot/time-travel/DML surface"
+        )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: str | None = None,
+) -> DataFrame:
+    """Iceberg catalog table read with optional time travel — the
+    reference's `spark.read.table` + `VERSION AS OF` surface
+    (reference README.md:143-154) against a real Iceberg catalog."""
+    _require_iceberg(spark)
+    reader = spark.read.format("iceberg")
+    if version_as_of is not None:
+        reader = reader.option("snapshot-id", version_as_of)
+    if timestamp_as_of is not None:
+        reader = reader.option("as-of-timestamp", timestamp_as_of)
+    return reader.load(table)
+
+
+def append_iceberg(
+    df: DataFrame, table: str, partition_cols: list[str] | None = None
+) -> None:
+    """Append through Iceberg's commit protocol (ACID, like txlog). On
+    first write, creates the table partitioned by ``partition_cols``."""
+    _require_iceberg(df.sparkSession)
+    if not df.sparkSession.catalog.tableExists(table):
+        w = df.writeTo(table).using("iceberg")
+        if partition_cols:
+            cols = [df[c] for c in partition_cols]
+            w = w.partitionedBy(*cols)
+        w.create()
+        return
+    df.writeTo(table).append()
+
+
+def overwrite_iceberg(
+    df: DataFrame, table: str, partition_cols: list[str] | None = None
+) -> None:
+    """Dynamic partition overwrite (Iceberg's overwritePartitions — the
+    idempotent re-run shape of overwrite_partitions) or full replace
+    when the table is unpartitioned."""
+    _require_iceberg(df.sparkSession)
+    if partition_cols:
+        df.writeTo(table).overwritePartitions()
+    else:
+        df.writeTo(table).using("iceberg").createOrReplace()

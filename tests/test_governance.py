@@ -265,6 +265,44 @@ def test_column_profile_single_pass_and_values(spark):
     assert "Join" not in plan
 
 
+def test_column_profile_approx_matches_exact_shape_and_error(spark):
+    """The HLL-backed twin reproduces the exact profile's null counts and
+    ranges identically, estimates every cardinality within the m=256 HLL
+    error envelope (~6.5% standard error; assert 25%), and its plan has
+    no Expand (the exact count-distinct's k×rows shuffle shape)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.quality import (
+        column_profile,
+        column_profile_approx,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id AS k",
+        "CAST(id % 37 AS STRING) AS s",
+        "CAST(id % 1000 AS DOUBLE) / 4 AS v",
+        "IF(id % 10 = 0, NULL, CAST(id AS DOUBLE)) AS maybe",
+    )
+    exact = {r.column: r for r in column_profile(df).collect()}
+    approx = {r.column: r for r in column_profile_approx(df).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_nulls, a.vmin, a.vmax) == (
+            e.n_rows, e.n_nulls, e.vmin, e.vmax,
+        ), c
+        if e.n_distinct:
+            assert abs(a.n_distinct_approx - e.n_distinct) <= 0.25 * e.n_distinct, (
+                c, a.n_distinct_approx, e.n_distinct,
+            )
+    plan = (
+        column_profile_approx(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan and "Join" not in plan
+    # all-null column: estimate is exactly 0
+    nul = spark.range(3).selectExpr("CAST(NULL AS STRING) AS s")
+    row = column_profile_approx(nul).collect()[0]
+    assert row.n_distinct_approx == 0.0 and row.n_nulls == 3
+
+
 def test_column_profile_handles_awkward_column_names(spark):
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.quality import (
         column_profile,

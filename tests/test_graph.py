@@ -72,6 +72,30 @@ def test_trade_graph_pagerank_on_tpch(spark, cat):
     assert min(r.mass for r in suppliers) > max(r.mass for r in customers)
 
 
+def test_trade_pagerank_bit_equals_generic_composition(spark, cat):
+    """graph.trade_pagerank (the pairs-cached bipartite shape — one pair
+    materialization at half the edge rows, degree-key node set) must be
+    BIT-IDENTICAL to pagerank(trade_graph(...)) — same masses, not
+    merely close, since the integer trajectory admits no tolerance."""
+    generic = sorted(
+        map(
+            tuple,
+            graph.pagerank(
+                graph.trade_graph(cat.orders, cat.lineitem),
+                iters=3,
+                edges_distinct=True,
+            ).collect(),
+        )
+    )
+    fused = sorted(
+        map(
+            tuple,
+            graph.trade_pagerank(cat.orders, cat.lineitem, iters=3).collect(),
+        )
+    )
+    assert generic == fused
+
+
 def test_damping_split_form_matches_naive_over_full_bigint_domain(spark):
     """The damping multiply in pagerank() uses the split form
     (x div 20)*17 + ((x mod 20)*17) div 20 so a hub's inbound mass can

@@ -17,6 +17,7 @@ from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources i
     Catalog,
     read_csv,
 )
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import io
 from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming import (
     run_events_stream,
 )
@@ -93,3 +94,28 @@ def test_merge_schema_scan(spark, tmp_path):
     merged = read_parquet_dir(spark, str(d / "*"))
     assert set(merged.columns) == {"id", "x", "y"}
     assert merged.count() == 2
+
+
+def test_iceberg_seam_detection_and_errors(spark, monkeypatch):
+    """The Iceberg backend seam (reference build.sbt:15): availability
+    detection is honest in this jar-less container, every entry point
+    fails with an actionable message naming the txlog fallback, and with
+    availability mocked the calls route through writeTo/format('iceberg')
+    (interface-tested only — the runtime jar is not shipped here)."""
+    import pytest
+
+    assert io.iceberg_available(spark) is False
+    df = spark.range(3).selectExpr("id", "id % 2 AS p")
+    with pytest.raises(RuntimeError, match="txlog"):
+        io.read_iceberg(spark, "cat.db.t")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        io.append_iceberg(df, "cat.db.t")
+    with pytest.raises(RuntimeError, match="txlog"):
+        io.overwrite_iceberg(df, "cat.db.t", ["p"])
+
+    # interface mock: availability on -> the writer path is exercised up
+    # to Spark's own catalog resolution (which correctly reports the
+    # missing catalog plugin, proving the seam routed to Iceberg)
+    monkeypatch.setattr(io, "iceberg_available", lambda s: True)
+    with pytest.raises(Exception, match="iceberg|catalog|not found|Cannot"):
+        io.read_iceberg(spark, "nosuch_catalog.db.t").collect()

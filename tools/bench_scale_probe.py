@@ -109,6 +109,17 @@ SUBSET = [
     "decoded_media_stats",
     "kmv_segment_overlap",
     "bloom_prejoin_revenue",
+    # round-6 mining trio (re-anchored min-of-2 in round 7 — the first
+    # sitting was cold single runs) and the round-6 release gate
+    "hard_negatives",
+    "triplet_mining",
+    "int8_quantize",
+    "split_leakage_report",
+    # round-7 additions: the HLL-backed profile twin (the fix for
+    # column_profile's 5.3x/decade exact count-distinct Expand) and the
+    # embedding-space leakage gate (composes the LSH near-dup + split)
+    "column_profile_approx",
+    "embedding_leakage_report",
 ]
 
 
