@@ -53,6 +53,10 @@ HEADLINE = [
     "gk_quantiles",
     "skewed_hot_key_join",
     "ngram_jaccard_pairs",
+    # round-7 additions: the sketch-backed profile twin and the
+    # embedding-space leakage gate
+    "column_profile_approx",
+    "embedding_leakage_report",
 ]
 
 CLAIMS = {
@@ -120,6 +124,15 @@ CLAIMS = {
     "skewed_hot_key_join": [("BroadcastHashJoin", True), ("SortMergeJoin", False)],
     # block cap + collapse-first: hot blocks leave via broadcast anti-join
     "ngram_jaccard_pairs": [("BroadcastHashJoin LeftAnti", True)],
+    # the whole point of the twin: registers replace the exact
+    # count-distinct's Expand, and the unpivot+two-level agg never joins
+    "column_profile_approx": [("Expand", False), ("Join", False)],
+    # inherits the LSH bucket cap (broadcast anti-join); candidate and
+    # split joins stay hash/broadcast, never a cartesian
+    "embedding_leakage_report": [
+        ("BroadcastHashJoin LeftAnti", True),
+        ("CartesianProduct", False),
+    ],
 }
 
 
