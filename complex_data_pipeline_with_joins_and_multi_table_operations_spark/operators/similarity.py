@@ -136,32 +136,36 @@ def triplet_mining(embeddings: DataFrame, n_anchors: int = 16) -> DataFrame:
     (no triplet exists)."""
     from pyspark.sql import Window
 
-    scored = _anchor_scored(embeddings, n_anchors)
-    wp = Window.partitionBy("a_id").orderBy(F.asc("cosine"), "c_id")
-    wn = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "c_id")
-    pos = (
-        scored.filter(F.col("c_label") == F.col("a_label"))
-        .withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") == 1)
-        .select(
-            "a_id",
-            "a_label",
-            F.col("c_id").alias("pos_id"),
-            F.col("cosine").alias("pos_cos"),
-        )
+    # ONE scoring pass feeds both sides (the two-branch-plus-join form
+    # recomputed the broadcast-anchor scoring once per branch — measured
+    # 2x at sf10): same-/different-label rows rank inside one window
+    # partitioned by (anchor, side), ordered so r=1 is the hardest
+    # positive (LOWEST cosine) or hardest negative (HIGHEST cosine —
+    # negation is an exact sign flip, so asc(-cosine) IS desc(cosine));
+    # a pivot aggregate then replaces the self-join. Output rows are
+    # identical to the two-branch form (equality-tested).
+    scored = _anchor_scored(embeddings, n_anchors).withColumn(
+        "is_pos", F.col("c_label") == F.col("a_label")
     )
-    neg = (
-        scored.filter(F.col("c_label") != F.col("a_label"))
-        .withColumn("r", F.row_number().over(wn))
-        .filter(F.col("r") == 1)
-        .select(
-            F.col("a_id").alias("n_a_id"),
-            F.col("c_id").alias("neg_id"),
-            F.col("cosine").alias("neg_cos"),
-        )
+    w = Window.partitionBy("a_id", "is_pos").orderBy(
+        F.asc(
+            F.when(F.col("is_pos"), F.col("cosine")).otherwise(-F.col("cosine"))
+        ),
+        "c_id",
     )
+    best = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") == 1
+    )
+    side = lambda flag, col: F.max(F.when(F.col("is_pos") == flag, F.col(col)))
     return (
-        pos.join(neg, pos["a_id"] == neg["n_a_id"])
+        best.groupBy("a_id", "a_label")
+        .agg(
+            side(True, "c_id").alias("pos_id"),
+            side(True, "cosine").alias("pos_cos"),
+            side(False, "c_id").alias("neg_id"),
+            side(False, "cosine").alias("neg_cos"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
         .select(
             "a_id",
             "a_label",

@@ -530,6 +530,68 @@ class Warehouse:
             out[i + 1] = (True, "")
         return out
 
+    def _rewrite_table_changes(
+        self, segments: list[tuple[bool, str]]
+    ) -> list[tuple[bool, str]]:
+        """Delta's change-data-feed TVF surface:
+        ``SELECT … FROM table_changes('t', from [, to])`` (or the bare
+        identifier form ``table_changes(t, from [, to])``) rewrites to a
+        temp view over the backend's batch change feed. The quoted form
+        spans a code segment + a string literal + a code segment, so it
+        resolves the same way TIMESTAMP AS OF does — literal-only
+        occurrences inside strings/comments can never match. Backends
+        without a commit log (whole-table snapshots) refuse loudly, like
+        row-level SQL DML."""
+        import re
+
+        call = re.compile(
+            r"\btable_changes\s*\(\s*`?(\w+)`?\s*,\s*(\d+)\s*"
+            r"(?:,\s*(\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
+        open_pat = re.compile(r"\btable_changes\s*\(\s*$", re.IGNORECASE)
+        args_pat = re.compile(r"^\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
+
+        def _view(name: str, lo: int, hi: int | None) -> str:
+            if not hasattr(self, "table_changes"):
+                raise ValueError(
+                    "table_changes() requires the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots are "
+                    "whole-table writes with no commit-level change feed"
+                )
+            view = f"__tc_{name}_v{lo}_{'latest' if hi is None else hi}"
+            self.table_changes(name, lo, hi).createOrReplaceTempView(view)
+            return view
+
+        out = list(segments)
+        for i, (is_code, text) in enumerate(out):
+            if not is_code:
+                continue
+            text = call.sub(
+                lambda m: _view(
+                    m.group(1),
+                    int(m.group(2)),
+                    int(m.group(3)) if m.group(3) else None,
+                ),
+                text,
+            )
+            m = open_pat.search(text)
+            if m and i + 2 < len(out):
+                s_is_code, sname = out[i + 1]
+                c_is_code, ctext = out[i + 2]
+                if not s_is_code and sname.startswith("'") and c_is_code:
+                    m2 = args_pat.match(ctext)
+                    if m2:
+                        hi = int(m2.group(2)) if m2.group(2) else None
+                        view = _view(
+                            sname.strip("'"), int(m2.group(1)), hi
+                        )
+                        text = text[: m.start()] + view
+                        out[i + 1] = (True, "")
+                        out[i + 2] = (True, ctext[m2.end():])
+            out[i] = (True, text)
+        return out
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point with Iceberg-style time travel (reference
         README.md:143-154 verifies through ``SELECT … VERSION AS OF``).
@@ -624,6 +686,83 @@ class Warehouse:
             )
             return self.spark.createDataFrame(
                 [(t, "UPDATE", res["version"], res.get("rows_updated"))],
+                "table_name string, operation string, version long, rows long",
+            )
+
+        m_merge = re.match(
+            r"\s*MERGE\s+INTO\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
+            r"\s+USING\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
+            r"\s+ON\s+(.+?)"
+            r"(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?"
+            r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_merge:
+            # the deliberately NARROW upsert-by-key grammar (Delta's most
+            # common MERGE shape): equality ON terms, UPDATE SET * /
+            # INSERT *, and an optional WHEN MATCHED AND <cond> THEN
+            # DELETE branch. Everything richer is refused loudly — use
+            # Warehouse.merge / TableLog.merge with real predicates.
+            t, src = m_merge.group(1), m_merge.group(4)
+            t_alias = m_merge.group(2) or m_merge.group(3) or t
+            s_alias = m_merge.group(5) or m_merge.group(6) or src
+            if not hasattr(self, "merge"):
+                raise ValueError(
+                    "MERGE INTO requires the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots are "
+                    "whole-table writes"
+                )
+            on = m_merge.group(7)
+            if re.search(r"\(|\)|\bOR\b", on, re.IGNORECASE):
+                raise ValueError(
+                    "MERGE ON supports a plain AND of equality terms "
+                    "only — use the merge() API for richer predicates"
+                )
+            keys = []
+            for term in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+                m_eq = re.match(
+                    r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*"
+                    r"`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$",
+                    term,
+                )
+                if not m_eq:
+                    raise ValueError(
+                        f"cannot parse MERGE ON term {term.strip()!r}; "
+                        "expected <target>.<col> = <source>.<col>"
+                    )
+                quals = {m_eq.group(1): m_eq.group(2), m_eq.group(3): m_eq.group(4)}
+                if set(quals) != {t_alias, s_alias}:
+                    raise ValueError(
+                        f"MERGE ON term {term.strip()!r} must reference "
+                        f"both {t_alias!r} and {s_alias!r}"
+                    )
+                if quals[t_alias] != quals[s_alias]:
+                    raise ValueError(
+                        "MERGE ON requires same-named key columns on both "
+                        f"sides, got {quals[t_alias]!r} vs {quals[s_alias]!r}"
+                    )
+                keys.append(quals[t_alias])
+            if self.exists(src):
+                source = self.read(src)
+            elif self.spark.catalog.tableExists(src):
+                source = self.spark.table(src)
+            else:
+                raise ValueError(
+                    f"MERGE source {src!r} is neither a warehouse table "
+                    "nor a registered view"
+                )
+            delete_cond = m_merge.group(8)
+            if delete_cond is not None:
+                # strip the source qualifier: the condition evaluates on
+                # source rows inside merge()
+                delete_cond = re.sub(
+                    rf"\b{re.escape(s_alias)}\s*\.\s*", "", delete_cond
+                ).strip()
+            res = self.merge(source, t, keys, delete_condition=delete_cond)
+            return self.spark.createDataFrame(
+                [(t, "MERGE", res["version"], res.get("rows_written"))],
                 "table_name string, operation string, version long, rows long",
             )
 
@@ -737,6 +876,7 @@ class Warehouse:
 
         segments = self._split_sql_segments(query)
         segments = self._rewrite_timestamp_as_of(segments)
+        segments = self._rewrite_table_changes(segments)
         code = [
             re.sub(
                 r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)",
@@ -811,6 +951,18 @@ class TxLogWarehouse(Warehouse):
 
     def restore_table(self, name: str, version: int) -> int:
         return self._log(name).restore(version)
+
+    def table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        net: bool = False,
+    ) -> DataFrame:
+        """Batch change-data-feed passthrough (Delta's table_changes):
+        also reachable from SQL — ``SELECT … FROM table_changes('t',
+        from [, to])`` through :meth:`sql`."""
+        return self._log(name).table_changes(from_version, to_version, net=net)
 
     def detail(self, name: str) -> DataFrame:
         log = self._log(name)

@@ -2736,11 +2736,18 @@ SQL_MINHASH_LSH = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
 p AS (
+  -- lossless size-bound prefilter (prefix-filtering bound): J(A,B) <=
+  -- min(|A|,|B|)/max(|A|,|B|), so any pair that could round to >= 0.3
+  -- (true J >= 0.29995) must have a size ratio >= 0.2999 -- integer
+  -- arithmetic, provably removes only pairs below the threshold, and
+  -- skips the expensive list_intersect for the quadratic bulk
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.shingles, b.shingles)) AS inter,
          len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles)) AS uni
-  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+   AND 10000 * least(len(a.shingles), len(b.shingles))
+       >= 2999 * greatest(len(a.shingles), len(b.shingles)))
 SELECT doc_a, doc_b,
        round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
          AS jaccard
@@ -5079,11 +5086,18 @@ SQL_SPLIT_LEAKAGE = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL.format(src='text')} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM t),
 p AS (
+  -- lossless size-bound prefilter (prefix-filtering bound): J(A,B) <=
+  -- min(|A|,|B|)/max(|A|,|B|), so any pair that could round to >= 0.3
+  -- (true J >= 0.29995) must have a size ratio >= 0.2999 -- integer
+  -- arithmetic, provably removes only pairs below the threshold, and
+  -- skips the expensive list_intersect for the quadratic bulk
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.shingles, b.shingles)) AS inter,
          len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles)) AS uni
-  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+   AND 10000 * least(len(a.shingles), len(b.shingles))
+       >= 2999 * greatest(len(a.shingles), len(b.shingles))),
 pairs AS (
   SELECT doc_a, doc_b,
          round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4)
@@ -5164,6 +5178,9 @@ QUERIES: dict[str, QueryFn] = {
     # oldest r5-evidence entries. Unioned with the r01-r06 windows this
     # leaves only r5-evidence entries (parked first in the tail) without
     # a fresh driver row — they lead the r8 rotation.
+    # round-7 new queries first (first driver rows — the r6 precedent)
+    "column_profile_approx": q_column_profile_approx,
+    "embedding_leakage_report": q_embedding_leakage_report,
     "sessionize_events": q_sessionize,
     "events_tumbling_hour": q_events_tumbling,
     "pack_sequences": q_pack_sequences,
@@ -5214,12 +5231,13 @@ QUERIES: dict[str, QueryFn] = {
     "except_intersect": q_except_intersect,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
-    "label_centroids": q_label_centroids,
-    "media_features": q_media_features,
     # --- tail (outside the 50-entry window) -------------------------------
     # The window holds exactly 50 entries — re-count whenever entries are
     # inserted above this line.
-    # remaining r5-evidence entries: first in line for the r8 rotation.
+    # remaining r5-evidence entries: first in line for the r8 rotation
+    # (label_centroids/media_features displaced by the two r7 newcomers).
+    "label_centroids": q_label_centroids,
+    "media_features": q_media_features,
     "cube_order_counts": q_cube_order_counts,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "pivot_status_revenue": q_pivot_status_revenue,
@@ -5304,10 +5322,6 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "window_top_orders": q_window_top_orders,
-    # round-7 additions past the rotation (same-round SWEEP evidence;
-    # window candidates for r8)
-    "column_profile_approx": q_column_profile_approx,
-    "embedding_leakage_report": q_embedding_leakage_report,
 }
 
 ORACLES: dict[str, str] = {

@@ -2398,3 +2398,111 @@ def test_threaded_stress_with_deletion_vector_ops(spark, tmp_path):
     rows = {r.id: r.v for r in lg.read().collect()}
     expect = {i: 0 for i in range(10) if i != 3} | {5: 55, 100: 1, 200: 2}
     assert rows == expect
+
+
+def test_table_changes_sql_tvf(spark, tmp_path):
+    """Delta's CDF TVF surface: SELECT … FROM table_changes('t', from
+    [, to]) through Warehouse.sql — quoted and bare-identifier forms,
+    bounded windows, string-literal immunity, and the loud refusal on
+    the snapshot-dir backend (no commit-level feed there)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write(_df(spark, [(1, 10), (2, 20)], ["k", "v"]), "t")      # v1
+    wh.append(_df(spark, [(3, 30)], ["k", "v"]), "t")              # v2
+    wh.delete("t", [("k", "==", 1)])                               # v3
+
+    got = {
+        (r._change_type, r.k)
+        for r in wh.sql(
+            "SELECT _change_type, k FROM table_changes('t', 1)"
+        ).collect()
+    }
+    assert got == {("insert", 3), ("delete", 1)}
+    # bounded window + bare identifier form; composes with GROUP BY
+    assert (
+        wh.sql(
+            "SELECT count(*) AS n FROM table_changes(t, 1, 2)"
+        ).head().n
+        == 1
+    )
+    # the TVF text inside a string literal is data, not a call
+    row = wh.sql("SELECT 'table_changes(''t'', 1)' AS s").head()
+    assert row.s == "table_changes('t', 1)"
+    # joins against live tables work (view + table registration coexist)
+    j = wh.sql(
+        "SELECT c._change_type, t.v FROM table_changes('t', 2) c "
+        "JOIN t ON t.k = c.k + 1"
+    ).collect()
+    assert {(r._change_type, r.v) for r in j} == {("delete", 20)}
+
+    base = Warehouse(spark, str(tmp_path / "base"))
+    base.write_snapshot(_df(spark, [(1,)], ["k"]), "b")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql("SELECT * FROM table_changes('b', 0)")
+
+
+def test_merge_into_sql_verb(spark, tmp_path):
+    """MERGE INTO … USING … ON … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT * through Warehouse.sql — the Delta upsert-by-key
+    shape, plus the optional WHEN MATCHED AND <cond> THEN DELETE branch;
+    richer grammars and the snapshot-dir backend refuse loudly."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write(_df(spark, [(1, "a"), (2, "b")], ["k", "val"]), "t")
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "k long, val string"
+    ).createOrReplaceTempView("chg")
+
+    r = wh.sql(
+        "MERGE INTO t USING chg ON t.k = chg.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert r.operation == "MERGE"
+    assert {(x.k, x.val) for x in wh.read("t").collect()} == {
+        (1, "a"), (2, "b2"), (3, "c"),
+    }
+
+    # tombstone branch: matched-and-flagged rows delete; aliases accepted
+    spark.createDataFrame(
+        [(1, "x", True), (3, "c3", False), (9, "i", True)],
+        "k long, val string, dead boolean",
+    ).createOrReplaceTempView("chg2")
+    wh2 = TxLogWarehouse(spark, str(tmp_path / "wh2"))
+    wh2.write(
+        _df(spark, [(1, "a", False), (3, "c", False)], ["k", "val", "dead"]),
+        "t",
+    )
+    wh2.sql(
+        "MERGE INTO t AS tgt USING chg2 AS s ON tgt.k = s.k "
+        "WHEN MATCHED AND s.dead THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # k=1 deleted; k=3 updated; k=9's delete-flag row is unmatched and
+    # falls through to INSERT (SQL MERGE semantics, same as merge())
+    got = {(x.k, x.val) for x in wh2.read("t").collect()}
+    assert got == {(3, "c3"), (9, "i")}
+
+    with pytest.raises(ValueError, match="equality"):
+        wh.sql(
+            "MERGE INTO t USING chg ON (t.k = chg.k OR t.k = 0) "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    base = Warehouse(spark, str(tmp_path / "base"))
+    base.write_snapshot(_df(spark, [(1,)], ["k"]), "t")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql(
+            "MERGE INTO t USING chg ON t.k = chg.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
