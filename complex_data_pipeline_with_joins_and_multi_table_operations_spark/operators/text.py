@@ -544,14 +544,21 @@ def cms_heavy_hitters(
     over-count), and est <= true + e*N/width with prob 1-exp(-depth)
     (N = total tokens) — both asserted in tests.
 
-    Scale shape: the token stream is exploded xdepth, but map-side
-    combine collapses each partition's contribution to at most
-    depth*width rows before the shuffle, and the finished sketch is a
-    <= depth*width-row relation — fixed memory regardless of corpus
-    size, the whole point at 100 TB. Estimates then come from ONE
-    broadcast join of the distinct-term vocabulary against the sketch
-    (no second pass over the token stream). Mergeable by construction:
-    counters are sums, so sketches of two corpora add cell-wise.
+    Scale shape (round-7 restructure): the raw token stream shuffles
+    exactly ONCE — a plain term-frequency aggregate (map-side combine to
+    per-partition vocabularies) — and everything sketch-shaped happens
+    on the VOCABULARY-sized (term, tf) relation: cells increment by tf
+    (identical counters — a cell's count is the token total of the terms
+    hashing into it, whether added 1-at-a-time or tf-at-a-time), the
+    estimate join needs no distinct (one row per (term, r) by
+    construction), and the finished sketch stays a <= depth*width-row
+    relation — fixed memory regardless of corpus size, the whole point
+    at 100 TB. The previous form exploded the corpus token stream
+    ×depth through TWO branches (sketch + vocabulary distinct);
+    corpora multiply tokens, not vocabulary (Heaps' law), so the
+    tf-first form is the one whose decade cost tracks the scan.
+    Mergeable by construction: counters are sums, so sketches of two
+    corpora add cell-wise.
     """
     cells = F.array(
         *[
@@ -571,12 +578,17 @@ def cms_heavy_hitters(
             for r in range(depth)
         ]
     )
-    terms = documents.select(F.explode(tokens_col(F.col("text"))).alias("term"))
-    hashed = terms.withColumn("rc", F.explode(cells)).select("term", "rc.r", "rc.cell")
-    sketch = hashed.groupBy("r", "cell").agg(F.count("*").alias("cnt"))
-    vocab = hashed.select("term", "r", "cell").distinct()
+    tf = (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hashed = tf.withColumn("rc", F.explode(cells)).select(
+        "term", "tf", "rc.r", "rc.cell"
+    )
+    sketch = hashed.groupBy("r", "cell").agg(F.sum("tf").alias("cnt"))
     return (
-        vocab.join(F.broadcast(sketch), ["r", "cell"])
+        hashed.join(F.broadcast(sketch), ["r", "cell"])
         .groupBy("term")
         .agg(F.min("cnt").alias("cms_count"))
         .orderBy(F.desc("cms_count"), "term")

@@ -590,6 +590,57 @@ def test_logreg_blas_twin_bit_equals_fold_form(spark, cat):
     assert key(sf) == key(sb)
 
 
+def test_logreg_blas_twin_survives_rounding_boundaries(spark):
+    """Adversarial probe of the refine-and-verify margin: rows engineered
+    so sigmoid(z) sits essentially ON a 1e-6 rounding boundary (where a
+    GEMM-vs-fold ulp would flip the quantized activation), plus
+    large-magnitude high-dim vectors that amplify BLAS reassociation —
+    the blas scores must stay bit-equal to the fold scores on all of
+    them."""
+    import math
+
+    import numpy as np
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        classify,
+    )
+
+    # 1-dim rows whose margin lands a libm-ulp from a rounding boundary:
+    # z = logit((k + 0.5) / 1e6) with w = [0, 1] makes sigmoid(z) the
+    # exact half-grid point up to double rounding — every row flags
+    boundary = [
+        (i, [float(math.log(p / (1.0 - p)))], i % 2)
+        for i, p in enumerate(
+            (k + 0.5) / 1e6 for k in range(100_000, 900_000, 7919)
+        )
+    ]
+    emb_b = spark.createDataFrame(
+        boundary, "vec_id long, embedding array<float>, label int"
+    )
+    kb = lambda rows: sorted((r.vec_id, r.score, r.pred) for r in rows)
+    w = [0.0, 1.0]
+    assert kb(classify.logreg_score(emb_b, w, via="fold").collect()) == kb(
+        classify.logreg_score(emb_b, w, via="blas").collect()
+    )
+
+    # high-dim large-magnitude vectors: reassociation error territory
+    rng = np.random.default_rng(7)
+    big = [
+        (i, [float(v) for v in rng.normal(0, 12, 48)], int(i % 3 == 0))
+        for i in range(2000)
+    ]
+    emb_big = spark.createDataFrame(
+        big, "vec_id long, embedding array<float>, label int"
+    )
+    w_big = [float(v) for v in rng.normal(0, 1, 49)]
+    assert kb(classify.logreg_score(emb_big, w_big, via="fold").collect()) == kb(
+        classify.logreg_score(emb_big, w_big, via="blas").collect()
+    )
+    # and the full training trajectory stays bit-equal on this data
+    assert classify.logreg_train(emb_big, iters=2, via="fold") == \
+        classify.logreg_train(emb_big, iters=2, via="blas")
+
+
 def test_logreg_score_null_embedding_dropped(spark):
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
         classify,
