@@ -34,13 +34,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query — 128 of 129 queries,
-    including the iterative/hash-seeded families (k-means, PQ, SimHash,
-    hyperplane LSH: md5 is the shared hash, folds and exact-decimal sums
-    the shared arithmetic) and the from-scratch sketches (KMV, HLL,
-    CMS, and the gk_quantiles mergeable quantile summary — approximate
-    algorithms with exact oracles). The single omission is
-    approx_event_stats (NATIVE HLL++/GK sketches — engine-specific by
-    construction) → rows-only check, golden-frozen with error bounds in
-    pytest; its every statistic now has an oracled from-scratch twin."""
+    """DuckDB-runnable ANSI SQL oracle per query — EVERY registry query
+    since round 8, including the iterative/hash-seeded families
+    (k-means, PQ, SimHash, hyperplane LSH: md5 is the shared hash,
+    folds and exact-decimal sums the shared arithmetic) and the
+    from-scratch sketches (KMV, HLL, CMS, gk_quantiles — approximate
+    algorithms with exact oracles). approx_event_stats, the last
+    rows-only row, is now COMPOSED from the oracled md5-HLL +
+    GK-summary twins; the native HLL++/percentile_approx version lives
+    in pytest (tests/test_round2.py) where its error bounds are
+    asserted — native sketches are engine-internal and can never be
+    hash-oracled."""
     return dict(ORACLES)

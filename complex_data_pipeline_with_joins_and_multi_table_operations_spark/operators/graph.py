@@ -147,68 +147,102 @@ def trade_pagerank(
     orders: DataFrame, lineitem: DataFrame, iters: int = 3
 ) -> DataFrame:
     """:func:`pagerank` over :func:`trade_graph`, restructured around the
-    bipartite symmetry so the expensive pair derivation materializes
-    ONCE at HALF the rows (the round-7 sf10 fix: 60.5 s → 36.6 s
-    measured, hash-identical output):
+    bipartite symmetry so every big relation moves through the minimum
+    number of exchanges (round 8; hash-identical output, the unrolled
+    SQL oracle plans/registry.py::_pagerank_sql unchanged):
 
-    - the distinct (customer, supplier) PAIR relation persists instead
-      of the doubled bidirectional edge list — the orders⋈lineitem join
-      plus its distinct run exactly once, and the cache holds |pairs|
-      rows, not 2·|pairs|;
-    - out-degrees per direction are two grouped counts over that cache
-      (a customer's degree = its pair count = its out-degree in the
-      bidirectional graph, and symmetrically for suppliers);
-    - the node set is the UNION OF THE DEGREE KEYS — in a bidirectional
-      graph every node has an out-edge, so this replaces the generic
-      src∪dst distinct over 2·|edges| rows with a zero-extra-shuffle
-      projection of two already-grouped relations (the even/odd key
-      namespaces cannot collide, so the union is distinct by
-      construction).
+    - the orders⋈lineitem pair derivation joins SHUFFLED-HASH (both
+      sides are facts — SMJ would sort 60 M + 15 M rows at sf10 for a
+      join that only needs the orderkey→custkey lookup);
+    - the pair DISTINCT is folded into the direction repartition: the
+      join output exchanges ONCE on c, and the (c, s) aggregate runs
+      exchange-free on top (hash(c) satisfies clustering by (c, s)) —
+      the separate distinct shuffle of the round-7 form disappears;
+    - ONE edge cache ``A`` (c, s, outdeg_c — partitioned by c) serves
+      BOTH walk directions. The c→s direction joins the node-sized mass
+      relation shuffled-hash against the cache's own partitioning. The
+      s→c direction exploits the bipartite asymmetry (TPC-H suppliers
+      ≈ customers/15): the per-supplier contribution ``mass_s div
+      deg_s`` is identical for every customer of that supplier, so it
+      BROADCASTS as a supplier-sized relation and the per-customer sum
+      aggregates IN PLACE on A's hash(c) partitioning — the round-7
+      second edge cache (20.6 s of the 43 s sf10 wall), its
+      repartition, AND that direction's 58 M-row contribution shuffle
+      all disappear. (A graph whose both sides are huge keeps the
+      generic :func:`pagerank` two-sided shape; the broadcast side here
+      is supplier-count-sized, the side a 100 TB corpus keeps small.)
+    - each round's mass materializes via localCheckpoint: the fixed
+      point is DAG composition, and an unmaterialized mass_k is
+      referenced twice per round — by round k+1 the plan re-executes
+      mass_0's subtree 2^k times (measured as most of the round-7
+      iteration cost).
 
-    The fixed-point iteration itself (mass div outdeg contributions,
-    17/20 damping, floor teleport — all BIGINT) is identical to
-    :func:`pagerank`, so the trajectory stays bit-deterministic and the
-    unrolled SQL oracle (plans/registry.py::_pagerank_sql) is unchanged.
+    At cluster scale the same structure holds: the edge cache becomes a
+    bucketed-by-c table (the zero-exchange SMJ path of
+    test_bucketed_join_has_no_shuffle), making the per-round join AND
+    the degree derivation exchange-free on disk, not just in cache.
+
+    The fixed-point arithmetic (mass div outdeg contributions, 17/20
+    damping in split overflow-free form, floor teleport — all BIGINT)
+    is identical to :func:`pagerank`: bit-deterministic trajectory
+    (sums regroup across the direction split; integer addition is
+    order-free), unchanged oracle.
     """
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-        .persist()
+    joined = orders.hint("shuffle_hash").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     )
-    deg_c = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg_s = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = (
-        pairs.join(deg_c, "c")
-        .select(F.col("c").alias("src"), F.col("s").alias("dst"), "outdeg")
-        .unionByName(
-            pairs.join(deg_s, "s").select(
-                F.col("s").alias("src"), F.col("c").alias("dst"), "outdeg"
-            )
-        )
-        .repartition("src")
-        .persist()
-    )
+    # ONE exchange on c; the distinct aggregate reuses that partitioning
+    pc = joined.repartition("c").dropDuplicates(["c", "s"]).persist()
+    pc.count()
+    deg_c = pc.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
+    a_edges = pc.join(deg_c.hint("shuffle_hash"), "c").persist()
+    a_edges.count()  # (c, s, outdeg) hash(c)
+    # supplier degrees: node-sized output, the one by-s shuffle left
+    deg_s = pc.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # node set = the degree keys (every node of a bidirectional graph
+    # has an out-edge; even/odd namespaces make the union distinct)
     nodes = (
         deg_c.select(F.col("c").alias("node"))
         .unionByName(deg_s.select(F.col("s").alias("node")))
         .persist()
     )
+    # nodes and deg_s materialize lazily inside round 1 (off the still-
+    # cached pc) — no extra synchronous jobs at plan build
     try:
         mass = nodes.select("node", F.lit(SCALE).cast("long").alias("mass"))
-        for _ in range(iters):
-            insum = (
-                ew.join(mass, ew.src == mass.node)
+        for it in range(iters):
+            # c→s: per-edge contribution, summed per supplier (the one
+            # edge-sized shuffle per round; map-side combine collapses
+            # toward supplier cardinality)
+            ins_s = (
+                a_edges.join(
+                    mass.hint("shuffle_hash"), a_edges.c == mass.node
+                )
                 .select(
-                    F.col("dst").alias("node"),
+                    F.col("s").alias("node2"),
                     F.expr("mass div outdeg").alias("contrib"),
                 )
-                .groupBy("node")
+                .groupBy("node2")
                 .agg(F.sum("contrib").alias("insum"))
             )
+            # s→c: one supplier-sized broadcast of mass_s div deg_s;
+            # the per-customer sum aggregates on A's own partitioning
+            w_s = F.broadcast(
+                mass.join(deg_s, mass.node == deg_s.s).select(
+                    F.col("s").alias("ws_s"),
+                    F.expr("mass div outdeg").alias("contrib"),
+                )
+            )
+            ins_c = (
+                a_edges.join(w_s, a_edges.s == F.col("ws_s"))
+                .select(F.col("c").alias("node2"), "contrib")
+                .groupBy("node2")
+                .agg(F.sum("contrib").alias("insum"))
+            )
+            insum = ins_s.unionByName(ins_c).withColumnRenamed("node2", "node")
             mass = nodes.join(insum, "node", "left").select(
                 "node",
                 (
@@ -219,9 +253,14 @@ def trade_pagerank(
                     )
                 ).alias("mass"),
             )
-        out = mass.localCheckpoint(eager=True)
+            # node-sized materialization per round: without it mass_k is
+            # referenced twice (both directions) and the DAG re-executes
+            # earlier rounds exponentially
+            mass = mass.localCheckpoint(eager=True)
+        out = mass
     finally:
-        ew.unpersist()
+        pc.unpersist()
+        a_edges.unpersist()
+        deg_s.unpersist()
         nodes.unpersist()
-        pairs.unpersist()
     return out

@@ -122,19 +122,82 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable in this interpreter — the
+    vendor-detection seam (same pattern as sources/io.py
+    iceberg_available): real codecs route through the library when
+    present, and absence produces a precise error instead of an
+    ImportError mid-batch."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def soundfile_available() -> bool:
+    """True when libsndfile (via the soundfile package) is importable."""
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_media(content: bytes, media_type: str):
     """Dispatching decoder. PPM images and PCM WAV audio decode for real
-    (pure Python, above); every other codec still requires libraries not
-    present in this container and raises the documented stub error."""
+    (pure Python, above). Every other format routes through the
+    vendor-detected codec libraries when importable — Pillow for images
+    (JPEG/PNG/...), soundfile/libsndfile for audio (FLAC/OGG/...) — and
+    raises a precise error naming the missing library plus the toy-codec
+    fallback when not (this container ships neither; the seam is
+    interface-tested with injected stand-in modules)."""
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:4] == b"RIFF":
         return decode_wav(content)
+    if media_type == "image":
+        if pil_available():
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(content)).convert("RGB")
+            return {
+                "width": img.width,
+                "height": img.height,
+                "body": img.tobytes(),
+            }
+        raise NotImplementedError(
+            "decoding non-PPM images requires Pillow (pip install pillow); "
+            "it is not importable in this environment — only the toy P6 "
+            "PPM codec decodes here, or use extract_features' "
+            "deterministic fake path"
+        )
+    if media_type == "audio":
+        if soundfile_available():
+            import io
+
+            import soundfile as _sf
+
+            data, rate = _sf.read(io.BytesIO(content), dtype="int16")
+            return {
+                "sample_rate": int(rate),
+                "n_samples": int(data.shape[0]),
+                "body": data.tobytes(),
+            }
+        raise NotImplementedError(
+            "decoding non-PCM-WAV audio requires soundfile/libsndfile "
+            "(pip install soundfile); it is not importable in this "
+            "environment — only the toy PCM WAV codec decodes here, or "
+            "use extract_features' deterministic fake path"
+        )
     raise NotImplementedError(
-        "only toy codecs (P6 PPM, PCM WAV) decode in this environment; "
-        "other formats require image/audio codec libraries (PIL/ffmpeg) — "
-        "plug a decoder in here or use extract_features' deterministic "
-        "fake path"
+        f"no decoder for media_type {media_type!r}: toy codecs (P6 PPM, "
+        "PCM WAV) decode anywhere; 'image'/'audio' route through "
+        "Pillow/soundfile when importable"
     )
 
 

@@ -167,7 +167,12 @@ def column_profile_approx(
     and FRACTIONAL columns a DECIMAL(28,6) image — distinct values
     closer than 1e-6 collapse to one (profiling semantics; document
     grids, don't format doubles: double→string is not engine-stable).
-    vmin/vmax/null semantics match column_profile exactly.
+    Non-finite and decimal-overflow doubles are REAL values, not nulls:
+    NaN/±Inf hash fixed sentinel strings, |x| in [1e22, 1e38) hashes an
+    exact DECIMAL(38,0) image (such doubles are integers — ulp > 1), and
+    the astronomically-rare |x| ≥ 1e38 collapses per sign to one
+    'overflow±' sentinel (documented grid limit, mirrored in the DuckDB
+    oracle). vmin/vmax/null semantics match column_profile exactly.
     """
     from pyspark.sql.types import (
         BooleanType,
@@ -186,7 +191,24 @@ def column_profile_approx(
         dt = df.schema[c].dataType
         col = F.col("`" + c.replace("`", "``") + "`")
         if isinstance(dt, FractionalType):
-            hk = col.cast("decimal(28,6)").cast("string")
+            # NaN/Inf/overflow would cast to NULL (and DuckDB would
+            # error), silently inflating n_nulls — canonicalize them to
+            # engine-stable sentinel images instead
+            d = col.cast("double")
+            hk = (
+                F.when(col.isNull(), F.lit(None).cast("string"))
+                .when(F.isnan(d), F.lit("NaN"))
+                .when(d == float("inf"), F.lit("Infinity"))
+                .when(d == float("-inf"), F.lit("-Infinity"))
+                .when(
+                    (F.abs(d) >= 1e22) & (F.abs(d) < 1e38),
+                    d.cast("decimal(38,0)").cast("string"),
+                )
+                .when(F.abs(d) >= 1e38,
+                      F.when(d > 0, F.lit("overflow+")).otherwise(
+                          F.lit("overflow-")))
+                .otherwise(col.cast("decimal(28,6)").cast("string"))
+            )
         elif isinstance(dt, DateType):
             hk = col.cast("string")
         elif isinstance(dt, (TimestampType, TimestampNTZType)):

@@ -31,39 +31,58 @@ from ..sources import Catalog
 
 
 
-def _parse_where_conjunction(text: str) -> list[tuple]:
-    """A WHERE clause as read()-style pruning filters: top-level AND of
-    ``col op literal`` / ``col BETWEEN a AND b`` terms. Deliberately
-    NARROW — OR, parentheses, functions, and subqueries are refused
-    loudly (use the TableLog API with real Column predicates for those);
-    what it accepts maps 1:1 onto the stats-pruned row ops, so SQL DML
-    gets file skipping for free."""
+def _where_lit(tok: str):
     import re as _re
     from datetime import date as _date
 
-    def lit(tok: str):
-        tok = tok.strip()
-        m = _re.match(r"^DATE\s*'([^']+)'$", tok, _re.IGNORECASE)
-        if m:
-            return _date.fromisoformat(m.group(1))
-        if _re.match(r"^'.*'$", tok):
-            return tok[1:-1].replace("''", "'")
-        if tok.upper() in ("TRUE", "FALSE"):
-            return tok.upper() == "TRUE"
-        if _re.match(r"^-?\d+$", tok):
-            return int(tok)
-        if _re.match(r"^-?\d*\.\d+$", tok):
-            return float(tok)
-        raise ValueError(
-            f"unsupported literal {tok!r} in WHERE (number, 'string', "
-            "TRUE/FALSE, or DATE 'yyyy-mm-dd')"
-        )
+    tok = tok.strip()
+    m = _re.match(r"^DATE\s*'([^']+)'$", tok, _re.IGNORECASE)
+    if m:
+        return _date.fromisoformat(m.group(1))
+    if _re.match(r"^'.*'$", tok, _re.DOTALL):
+        return tok[1:-1].replace("''", "'")
+    if tok.upper() in ("TRUE", "FALSE"):
+        return tok.upper() == "TRUE"
+    if _re.match(r"^-?\d+$", tok):
+        return int(tok)
+    if _re.match(r"^-?\d*\.\d+$", tok):
+        return float(tok)
+    raise ValueError(
+        f"unsupported literal {tok!r} in WHERE (number, 'string', "
+        "TRUE/FALSE, or DATE 'yyyy-mm-dd')"
+    )
+
+
+def _parse_where_term(term: str) -> tuple:
+    """One ``col op literal`` / ``col BETWEEN a AND b`` leaf as a
+    read()-style pruning filter tuple."""
+    import re as _re
+
+    term = term.strip().rstrip(";").strip()
+    m = _re.match(
+        r"^`?(\w+)`?\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", term, _re.IGNORECASE
+    )
+    if m:
+        return (m.group(1), "between", (_where_lit(m.group(2)), _where_lit(m.group(3))))
+    m = _re.match(r"^`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*(.+)$", term, _re.DOTALL)
+    if m:
+        op = "==" if m.group(2) in ("=", "==") else m.group(2)
+        return (m.group(1), op, _where_lit(m.group(3)))
+    raise ValueError(f"cannot parse WHERE term {term!r}")
+
+
+def _parse_where_conjunction(text: str) -> list[tuple]:
+    """A WHERE clause as read()-style pruning filters: top-level AND of
+    ``col op literal`` / ``col BETWEEN a AND b`` terms — the flat form
+    every stats-pruned row op takes.  :func:`_parse_where_dnf` is the
+    general entry point (OR / parentheses via DNF); this narrow form is
+    kept for callers that require a single conjunction."""
+    import re as _re
 
     if _re.search(r"\(|\)|\bOR\b", text, _re.IGNORECASE):
         raise ValueError(
-            "SQL DML supports a plain top-level AND conjunction only "
-            "(no OR, parentheses, functions, or subqueries) — use the "
-            "TableLog API for richer predicates"
+            "expected a plain AND conjunction here (no OR or "
+            "parentheses) — _parse_where_dnf handles the general form"
         )
     # protect BETWEEN x AND y before splitting the conjunction
     protected = _re.sub(
@@ -75,26 +94,107 @@ def _parse_where_conjunction(text: str) -> list[tuple]:
     out: list[tuple] = []
     for term in _re.split(r"\bAND\b", protected, flags=_re.IGNORECASE):
         term = term.replace("\x00", " AND ")
-        term = term.strip().rstrip(";").strip()
-        if not term:
-            continue
-        m = _re.match(
-            r"^`?(\w+)`?\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
-            term,
-            _re.IGNORECASE,
-        )
-        if m:
-            out.append((m.group(1), "between", (lit(m.group(2)), lit(m.group(3)))))
-            continue
-        m = _re.match(r"^`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*(.+)$", term)
-        if m:
-            op = "==" if m.group(2) in ("=", "==") else m.group(2)
-            out.append((m.group(1), op, lit(m.group(3))))
-            continue
-        raise ValueError(f"cannot parse WHERE term {term!r}")
+        if term.strip().rstrip(";").strip():
+            out.append(_parse_where_term(term))
     if not out:
         raise ValueError("empty WHERE clause")
     return out
+
+
+_DNF_DISJUNCT_CAP = 64
+
+
+def _parse_where_dnf(text: str) -> list[list[tuple]]:
+    """A WHERE clause with OR and parentheses as DNF — a list of AND
+    conjunctions, each the read()-style filter list the row ops prune
+    with.  ``a = 1 OR (b = 2 AND c < 3)`` → ``[[(a,==,1)],
+    [(b,==,2), (c,<,3)]]``: every disjunct prunes files independently
+    and the candidate set is their union, so `DELETE FROM t WHERE a=1
+    OR b=2` keeps file skipping instead of being refused (round 8;
+    Delta/Iceberg accept this shape on day one).  Functions, NOT, and
+    subqueries still refuse loudly — use the TableLog API with real
+    Column predicates.  AND-over-OR distribution is capped at
+    ``_DNF_DISJUNCT_CAP`` disjuncts (DNF is worst-case exponential)."""
+    import re as _re
+
+    tok_pat = _re.compile(
+        r"\s*(?:('(?:[^']|'')*')|(\()|(\))|([^\s()']+))"
+    )
+    toks: list[str] = []
+    i = 0
+    stripped = text.strip().rstrip(";").strip()
+    while i < len(stripped):
+        m = tok_pat.match(stripped, i)
+        if not m or m.end() == i:
+            raise ValueError(f"cannot tokenize WHERE at {stripped[i:]!r}")
+        toks.append(next(g for g in m.groups() if g is not None))
+        i = m.end()
+    pos = 0
+
+    def parse_or() -> list[list[tuple]]:
+        nonlocal pos
+        dnf = parse_and()
+        while pos < len(toks) and toks[pos].upper() == "OR":
+            pos += 1
+            dnf = dnf + parse_and()
+        return dnf
+
+    def parse_and() -> list[list[tuple]]:
+        nonlocal pos
+        dnf = parse_factor()
+        while pos < len(toks) and toks[pos].upper() == "AND":
+            pos += 1
+            rhs = parse_factor()
+            dnf = [a + b for a in dnf for b in rhs]
+            if len(dnf) > _DNF_DISJUNCT_CAP:
+                raise ValueError(
+                    f"WHERE clause expands past {_DNF_DISJUNCT_CAP} DNF "
+                    "disjuncts — simplify the predicate or use the "
+                    "TableLog API"
+                )
+        return dnf
+
+    def parse_factor() -> list[list[tuple]]:
+        nonlocal pos
+        if pos < len(toks) and toks[pos] == "(":
+            pos += 1
+            dnf = parse_or()
+            if pos >= len(toks) or toks[pos] != ")":
+                raise ValueError("unbalanced parentheses in WHERE")
+            pos += 1
+            return dnf
+        buf: list[str] = []
+        between_pending = False
+        while pos < len(toks):
+            t, u = toks[pos], toks[pos].upper()
+            if t in ("(", ")") or u == "OR":
+                break
+            if u == "AND":
+                if not between_pending:
+                    break
+                between_pending = False
+            elif u == "BETWEEN":
+                between_pending = True
+            buf.append(t)
+            pos += 1
+        if not buf:
+            raise ValueError("empty WHERE term")
+        return [[_parse_where_term(" ".join(buf))]]
+
+    dnf = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"unexpected token {toks[pos]!r} in WHERE")
+    if not dnf:
+        raise ValueError("empty WHERE clause")
+    return dnf
+
+
+def _parse_where(text: str):
+    """SQL-verb entry point: parse to DNF, collapse a single disjunct to
+    the classic flat conjunction (identical row-op path and CDC output
+    to previous rounds for OR-free clauses)."""
+    dnf = _parse_where_dnf(text)
+    return dnf[0] if len(dnf) == 1 else dnf
 
 
 class Warehouse:
@@ -274,18 +374,31 @@ class Warehouse:
         )
 
     def add_column(self, name: str, col: str, dtype: str) -> int:
+        return self.add_columns(name, [(col, dtype)])
+
+    def add_columns(self, name: str, cols: list[tuple[str, str]]) -> int:
+        """Multi-column ADD COLUMNS as ONE snapshot write: every name is
+        validated against the live schema AND for intra-list duplicates
+        before anything is written, so the ALTER is never half-applied."""
         versions = self.versions(name)
         if not versions:
             raise FileNotFoundError(f"no snapshots for table {name}")
         df = self.read_snapshot(name)
-        if col in df.columns:
-            raise ValueError(f"column {col!r} already exists in table {name}")
+        seen: set[str] = set()
+        for col, _dtype in cols:
+            if col in df.columns:
+                raise ValueError(
+                    f"column {col!r} already exists in table {name}"
+                )
+            if col in seen:
+                raise ValueError(
+                    f"duplicate column name {col!r} in ADD COLUMNS list"
+                )
+            seen.add(col)
         part_by = self._snapshot_partition_by(name, versions[-1])
-        return self.write_snapshot(
-            df.withColumn(col, F.lit(None).cast(dtype)),
-            name,
-            partition_by=part_by or None,
-        )
+        for col, dtype in cols:
+            df = df.withColumn(col, F.lit(None).cast(dtype))
+        return self.write_snapshot(df, name, partition_by=part_by or None)
 
     def drop_column(self, name: str, col: str) -> int:
         df, part_by = self._alter_guard(name, col, "drop")
@@ -656,7 +769,7 @@ class Warehouse:
                     "(TxLogWarehouse); this backend's snapshots are "
                     "whole-table writes"
                 )
-            res = self.delete(t, _parse_where_conjunction(m_del.group(2)))
+            res = self.delete(t, _parse_where(m_del.group(2)))
             return self.spark.createDataFrame(
                 [(t, "DELETE", res["version"], res.get("rows_deleted"))],
                 "table_name string, operation string, version long, rows long",
@@ -682,7 +795,7 @@ class Warehouse:
                     raise ValueError(f"cannot parse SET clause {assign!r}")
                 sets[col.strip(" `")] = expr.strip()
             res = self.update(
-                t, _parse_where_conjunction(m_upd.group(3)), sets
+                t, _parse_where(m_upd.group(3)), sets
             )
             return self.spark.createDataFrame(
                 [(t, "UPDATE", res["version"], res.get("rows_updated"))],
@@ -859,8 +972,9 @@ class Warehouse:
                             " expected '<name> <dtype>'"
                         )
                     parsed.append((cname, dtype))
-                for cname, dtype in parsed:
-                    v = self.add_column(t, cname, dtype)
+                # single atomic application: name collisions (live schema
+                # or intra-list) are rejected before anything commits
+                v = self.add_columns(t, parsed)
             else:
                 op = "DROP COLUMN"
                 v = self.drop_column(t, m_alter.group(5))
@@ -945,6 +1059,10 @@ class TxLogWarehouse(Warehouse):
 
     def add_column(self, name: str, col: str, dtype: str) -> int:
         return self._log(name).add_column(col, dtype)
+
+    def add_columns(self, name: str, cols: list[tuple[str, str]]) -> int:
+        # one metadata commit for the whole list — atomic by construction
+        return self._log(name).add_columns(cols)
 
     def drop_column(self, name: str, col: str) -> int:
         return self._log(name).drop_column(col)

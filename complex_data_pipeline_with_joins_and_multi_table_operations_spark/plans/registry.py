@@ -2598,14 +2598,34 @@ FROM g LEFT JOIN top USING (doc_id)
 """
 
 
-# ---------------------------------------------------------------------------
-# the one query without a SQL oracle (genuinely approximate sketches:
-# HLL++/GK) — rows-only check from the driver; error bounds in pytest.
-# ---------------------------------------------------------------------------
-
-
 def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggregates.approx_event_stats(Catalog(spark, sf_dir).events)
+    """Sketch-backed per-event-type stats — COMPOSED from the two
+    cross-engine-exact sketches (round-8: the last rows-only registry
+    row goes hash-green): approx_users from the md5 HyperLogLog
+    (aggregates.hll_distinct), p50/p95 from the mergeable equi-depth
+    quantile summary (aggregates.gk_quantiles), n_events an exact
+    grouped count. Same output shape as the native HLL++/
+    percentile_approx twin (aggregates.approx_event_stats), which
+    stays in pytest where its error bounds live — the native sketches
+    are engine-internal and can never be hash-oracled. Cost shape is
+    unchanged at scale: two single-pass mergeable sketches plus one
+    grouped count over the same scan, joined on the group key
+    (group-cardinality-sized relations — AQE broadcasts them)."""
+    ev = Catalog(spark, sf_dir).events
+    hll = aggregates.hll_distinct(ev).select(
+        "event_type", F.col("hll_distinct").alias("approx_users")
+    )
+    gk = aggregates.gk_quantiles(ev).select(
+        "event_type",
+        F.col("q50").alias("p50_value"),
+        F.col("q95").alias("p95_value"),
+    )
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        cnt.join(hll, "event_type")
+        .join(gk, "event_type")
+        .select("event_type", "approx_users", "p50_value", "p95_value", "n_events")
+    )
 
 
 # md5 hyperplane plane-matrix template shared by the LSH oracles.
@@ -3886,8 +3906,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch per event_type
     (operators/aggregates.kmv_distinct) — the cross-engine-exact member
     of the sketch family: the estimate is a pure function of md5, so an
-    APPROXIMATE algorithm gets a full hash oracle (where HLL++/GK in
-    approx_event_stats are engine-specific and bounds-tested only).
+    APPROXIMATE algorithm gets a full hash oracle (where native HLL++/
+    GK are engine-specific and bounds-tested only — which is why the
+    approx_event_stats registry form composes the md5 twins instead).
     Error vs exact distinct is bounded in tests."""
     return aggregates.kmv_distinct(Catalog(spark, sf_dir).events, k=64)
 
@@ -4517,7 +4538,21 @@ def _profile_approx_sql_for(table: str, cols: list[tuple[str, str]]) -> str:
             hk = f"CAST({c} AS VARCHAR)"
             vmin, vmax = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
         elif kind == "money":
-            hk = f"CAST(CAST({c} AS DECIMAL(28,6)) AS VARCHAR)"
+            # sentinel images for non-finite/overflow doubles — the
+            # operator's exact rule (see column_profile_approx): DuckDB
+            # would ERROR on the overflowing decimal cast where Spark
+            # NULLs, so both engines route around it identically
+            d = f"CAST({c} AS DOUBLE)"
+            hk = (
+                f"CASE WHEN isnan({d}) THEN 'NaN'"
+                f" WHEN {d} = 'infinity'::DOUBLE THEN 'Infinity'"
+                f" WHEN {d} = '-infinity'::DOUBLE THEN '-Infinity'"
+                f" WHEN abs({d}) >= 1e22 AND abs({d}) < 1e38"
+                f" THEN CAST(CAST({d} AS DECIMAL(38,0)) AS VARCHAR)"
+                f" WHEN abs({d}) >= 1e38"
+                f" THEN CASE WHEN {d} > 0 THEN 'overflow+' ELSE 'overflow-' END"
+                f" ELSE CAST(CAST({c} AS DECIMAL(28,6)) AS VARCHAR) END"
+            )
             vmin, vmax = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
         elif kind == "ts":
             hk = f"CAST(CAST(floor(epoch({c})) AS BIGINT) AS VARCHAR)"
@@ -4816,6 +4851,21 @@ FROM cum GROUP BY event_type
 """
 
 
+# approx_event_stats composed from the two oracled sketches above —
+# the subqueries carry their own WITH blocks, legal as derived tables
+SQL_APPROX_EVENT_STATS = f"""
+SELECT c.event_type,
+       h.hll_distinct AS approx_users,
+       g.q50 AS p50_value,
+       g.q95 AS p95_value,
+       c.n_events
+FROM (SELECT event_type, count(*) AS n_events
+      FROM events GROUP BY event_type) c
+JOIN ({SQL_HLL_DISTINCT}) h ON c.event_type = h.event_type
+JOIN ({SQL_GK_QUANTILES}) g ON c.event_type = g.event_type
+"""
+
+
 _DSIR_MODEL_CACHE: dict[str, str] = {}
 
 
@@ -4952,6 +5002,7 @@ scored AS (
          round(list_cosine_similarity(a.v, c.v), 6) AS cosine
   FROM e a JOIN e c ON c.vec_id <> a.vec_id
   WHERE a.vec_id < 16
+    AND round(list_cosine_similarity(a.v, c.v), 6) IS NOT NULL
 ),
 pos AS (
   SELECT a_id, a_label, c_id AS pos_id, cosine AS pos_cos
@@ -5370,6 +5421,7 @@ ORACLES: dict[str, str] = {
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "hll_distinct": SQL_HLL_DISTINCT,
     "gk_quantiles": SQL_GK_QUANTILES,
+    "approx_event_stats": SQL_APPROX_EVENT_STATS,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

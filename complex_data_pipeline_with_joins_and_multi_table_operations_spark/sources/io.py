@@ -265,21 +265,40 @@ def _require_iceberg(spark: SparkSession) -> None:
         )
 
 
+def _iceberg_ts_millis(timestamp_as_of: "str | int") -> int:
+    """Iceberg's ``as-of-timestamp`` read option takes EPOCH
+    MILLISECONDS (a long), not a timestamp string — convert an ISO
+    string (naive = UTC, matching the txlog TIMESTAMP AS OF rewrite in
+    plans/pipeline.py) and pass ints through untouched."""
+    if isinstance(timestamp_as_of, int):
+        return timestamp_as_of
+    from datetime import datetime, timezone
+
+    ts = datetime.fromisoformat(timestamp_as_of)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(ts.timestamp() * 1000)
+
+
 def read_iceberg(
     spark: SparkSession,
     table: str,
     version_as_of: int | None = None,
-    timestamp_as_of: str | None = None,
+    timestamp_as_of: "str | int | None" = None,
 ) -> DataFrame:
     """Iceberg catalog table read with optional time travel — the
     reference's `spark.read.table` + `VERSION AS OF` surface
-    (reference README.md:143-154) against a real Iceberg catalog."""
+    (reference README.md:143-154) against a real Iceberg catalog.
+    ``timestamp_as_of`` accepts an ISO string (naive = UTC) or epoch
+    millis; either way Iceberg receives the long it expects."""
     _require_iceberg(spark)
     reader = spark.read.format("iceberg")
     if version_as_of is not None:
         reader = reader.option("snapshot-id", version_as_of)
     if timestamp_as_of is not None:
-        reader = reader.option("as-of-timestamp", timestamp_as_of)
+        reader = reader.option(
+            "as-of-timestamp", _iceberg_ts_millis(timestamp_as_of)
+        )
     return reader.load(table)
 
 
@@ -304,9 +323,15 @@ def overwrite_iceberg(
 ) -> None:
     """Dynamic partition overwrite (Iceberg's overwritePartitions — the
     idempotent re-run shape of overwrite_partitions) or full replace
-    when the table is unpartitioned."""
+    when the table is unpartitioned. A FIRST write to a partitioned
+    table creates it (overwritePartitions has no create-if-missing),
+    mirroring append_iceberg."""
     _require_iceberg(df.sparkSession)
     if partition_cols:
+        if not df.sparkSession.catalog.tableExists(table):
+            cols = [df[c] for c in partition_cols]
+            df.writeTo(table).using("iceberg").partitionedBy(*cols).create()
+            return
         df.writeTo(table).overwritePartitions()
     else:
         df.writeTo(table).using("iceberg").createOrReplace()

@@ -305,6 +305,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             ) + " FROM batch"
         writer = None
         rows = 0
+        con = None
         try:
             for batch in iterator:
                 if check_sql is not None:
@@ -312,7 +313,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
 
                     from .txlog import ConstraintViolationError
 
-                    con = duckdb.connect()
+                    if con is None:  # ONE connection per write task
+                        con = duckdb.connect()
                     con.register("batch", pa.Table.from_batches([batch]))
                     counts = con.execute(check_sql).fetchone()
                     bad = {
@@ -344,6 +346,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 writer.write_table(pa.Table.from_batches([batch]))
                 rows += batch.num_rows
         finally:
+            if con is not None:
+                con.close()
             if writer is not None:
                 writer.close()
         if writer is None:  # empty task — nothing to publish

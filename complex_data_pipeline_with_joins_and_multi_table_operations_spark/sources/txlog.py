@@ -407,6 +407,7 @@ class TableLog:
             self._enforce_constraints(
                 self.read(cur.version), {name: expr}, "add_constraint"
             )
+            self._validate_constraint_duckdb(cur, name, expr)
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -428,6 +429,38 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def _validate_constraint_duckdb(self, cur, name: str, expr: str) -> None:
+        """format('txlog') writes enforce CHECKs EXECUTOR-SIDE in DuckDB
+        (no SparkSession exists in the DataSource python worker —
+        pyds.py), so a constraint expression must bind in BOTH dialects;
+        otherwise the ALTER would succeed and every later DataSource
+        write would fail with an opaque parse error. Binds the pyds
+        check query against a ZERO-ROW Arrow table carrying the live
+        logical schema (exact types, no data scan) and raises at
+        add_constraint time naming the dialect gap."""
+        try:
+            import duckdb
+        except ImportError:  # pragma: no cover — enforcement stays Spark-only
+            return
+        empty = self.read(cur.version).limit(0).toArrow()
+        con = duckdb.connect()
+        try:
+            con.register("batch", empty)
+            con.execute(
+                "SELECT count(*) FILTER (WHERE NOT "
+                f"coalesce(({expr}), TRUE)) FROM batch"
+            )
+        except duckdb.Error as e:
+            raise ValueError(
+                f"constraint {name!r} ({expr!r}) is valid Spark SQL but "
+                f"does not bind in DuckDB ({e}); format('txlog') writes "
+                "enforce CHECK constraints executor-side in DuckDB, so the "
+                "expression must be engine-portable (no backticked "
+                "identifiers, rlike, if(), ...)"
+            ) from None
+        finally:
+            con.close()
 
     def drop_constraint(self, name: str, max_retries: int = 3) -> int:
         """ALTER TABLE DROP CONSTRAINT."""
@@ -541,27 +574,50 @@ class TableLog:
         drop-then-re-add safe: a data file still carrying the bytes of a
         previously dropped column with this name can never leak them into
         the new column (Delta's column-mapping id allocation)."""
+        return self.add_columns([(name, dtype)], max_retries=max_retries)
+
+    def add_columns(
+        self, cols: list[tuple[str, str]], max_retries: int = 3
+    ) -> int:
+        """Multi-column ADD COLUMNS as ONE commit — either every listed
+        column appears in the new snapshot version or none does, so a
+        duplicate name mid-list (intra-list or vs the live schema) can
+        never leave the ALTER half-applied. Same fresh-physical-id rule
+        per column as :meth:`add_column`."""
         from pyspark.sql.types import StructType as _StructType
 
-        fld = json.loads(
-            _StructType.fromDDL(f"`{name}` {dtype}").json()
-        )["fields"][0]
-        fld["nullable"] = True
+        if not cols:
+            raise ValueError("ADD COLUMNS requires at least one column")
+        seen: set[str] = set()
+        flds = []
+        for name, dtype in cols:
+            if name in seen:
+                raise ValueError(
+                    f"duplicate column name {name!r} in ADD COLUMNS list"
+                )
+            seen.add(name)
+            fld = json.loads(
+                _StructType.fromDDL(f"`{name}` {dtype}").json()
+            )["fields"][0]
+            fld["nullable"] = True
+            flds.append((name, fld))
         for _attempt in range(max_retries):
             cur = self.snapshot()
             names = [f.name for f in cur.schema.fields]
             phys_ns = set(cur.column_mapping.values()) | {
                 _phys_name(cur.column_mapping, n) for n in names
             }
-            if name in names or name in phys_ns:
-                raise ValueError(
-                    f"column name {name!r} collides with an existing "
-                    f"logical or physical column of {self.root}"
-                )
+            for name, _ in flds:
+                if name in names or name in phys_ns:
+                    raise ValueError(
+                        f"column name {name!r} collides with an existing "
+                        f"logical or physical column of {self.root}"
+                    )
             mapping = dict(cur.column_mapping)
-            mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
             d = json.loads(cur.schema_json)
-            d["fields"].append(fld)
+            for name, fld in flds:
+                mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
+                d["fields"].append(fld)
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -779,13 +835,14 @@ class TableLog:
         un-updated/un-deleted. True ⇒ the caller retries from a fresh
         snapshot, so the recomputed candidate set includes the new files.
         Bounds are conservative: a new file with no stats for a predicate
-        column always conflicts (``_may_match`` keeps it)."""
+        column always conflicts (``_may_match`` keeps it). Accepts a
+        flat conjunction or a DNF list-of-conjunctions (normalized via
+        ``_as_dnf``)."""
         if cur.version == base.version:
             return False
+        pdnf = _as_dnf(filters)
         new_files = [m for p, m in cur.files.items() if p not in base.files]
-        return any(
-            all(_may_match(m, f) for f in filters) for m in new_files
-        )
+        return any(_dnf_may_match(m, pdnf) for m in new_files)
 
     def write(
         self,
@@ -1552,11 +1609,15 @@ class TableLog:
         (a delete that big should materialize anyway — the Delta
         rewrite-threshold rationale).
 
-        ``filters`` is the read()-style [(col, op, value)] conjunction:
-        one representation drives BOTH the stats-based candidate pruning
-        and the row predicate, so skipping can never disagree with
-        semantics. Rows where the predicate is NULL are KEPT (SQL
-        DELETE's WHERE semantics — the merge_upsert NULL lesson).
+        ``filters`` is the read()-style [(col, op, value)] conjunction,
+        OR a DNF list-of-conjunctions [[...], [...]] meaning (… AND …)
+        OR (… AND …) — each disjunct prunes files independently and the
+        candidate set is their union (round 8: `DELETE FROM t WHERE a=1
+        OR b=2` through the SQL verb). One representation drives BOTH
+        the stats-based candidate pruning and the row predicate, so
+        skipping can never disagree with semantics. Rows where the
+        predicate is NULL are KEPT (SQL DELETE's WHERE semantics — the
+        merge_upsert NULL lesson).
 
         Returns {'version', 'rows_deleted', 'files_rewritten',
         'files_skipped'}; a delete that matches nothing commits nothing.
@@ -1575,13 +1636,14 @@ class TableLog:
                 "delete(via='dv') requires filters; truncating a table is "
                 "write(mode='overwrite') with the surviving rows"
             )
+        dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            pfilters = _physical_filters(filters, base.column_mapping)
+            pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if _dnf_may_match(m, pdnf)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -1595,9 +1657,7 @@ class TableLog:
             # carrying (file basename, row_index); rows already deleted by
             # a standing vector are excluded so counts stay exact and
             # vectors stay idempotent under re-runs
-            cond = _as_column(filters[0])
-            for f in filters[1:]:
-                cond = cond & _as_column(f)
+            cond = _dnf_column(dnf)
             hits, truncated = self._dv_positions(cand, base, cond)
             n_hits = sum(len(v) for v in hits.values())
             if n_hits == 0 and not truncated:
@@ -1803,16 +1863,17 @@ class TableLog:
     ) -> dict:
         if not filters:
             raise ValueError("update(via='dv') requires filters")
+        dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
             unknown = [c for c in set_exprs if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
-            pfilters = _physical_filters(filters, base.column_mapping)
+            pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if _dnf_may_match(m, pdnf)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -1822,9 +1883,7 @@ class TableLog:
                     "files_rewritten": 0,
                     "files_skipped": skipped,
                 }
-            cond = _as_column(filters[0])
-            for f in filters[1:]:
-                cond = cond & _as_column(f)
+            cond = _dnf_column(dnf)
             hits, truncated = self._dv_positions(cand, base, cond)
             n_hits = sum(len(v) for v in hits.values())
             if n_hits == 0 and not truncated:
@@ -1913,16 +1972,17 @@ class TableLog:
                 "delete is write(empty_df, mode='overwrite')"
             )
         op = "delete" if set_exprs is None else "update"
+        dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
             unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
-            pfilters = _physical_filters(filters, base.column_mapping)
+            pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if _dnf_may_match(m, pdnf)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -1938,10 +1998,7 @@ class TableLog:
                 base.column_mapping,
                 base.dvs,
             )
-            cond = _as_column(filters[0])
-            for f in filters[1:]:
-                cond = cond & _as_column(f)
-            cond = F.coalesce(cond, F.lit(False))
+            cond = F.coalesce(_dnf_column(dnf), F.lit(False))
             n_matched = df.filter(cond).count()
             if n_matched == 0:
                 # stats said "maybe", the data says no: nothing to commit
@@ -1997,7 +2054,7 @@ class TableLog:
                 # publish a stale schema or dodge the new CHECK — retry
                 # from fresh state so enforcement reruns against it
                 continue
-            if self._appends_may_conflict(base, cur, pfilters):
+            if self._appends_may_conflict(base, cur, pdnf):
                 # a concurrent append may have landed rows matching the
                 # predicate after our base snapshot; retry so the delete/
                 # update sees them (Delta's ConcurrentAppendException,
@@ -3063,6 +3120,54 @@ def _as_column(flt: tuple):
         ">=": lambda: c >= val,
         "between": lambda: c.between(val[0], val[1]),
     }[op]()
+
+
+# --- DNF filters (round 8): row ops accept OR-of-AND predicates -----------
+#
+# ``filters`` everywhere in the row-op API is EITHER the classic flat
+# conjunction [(col, op, val), ...] OR a DNF list-of-conjunctions
+# [[(col, op, val), ...], ...] meaning (c11 AND c12 ...) OR (c21 ...).
+# DNF is the natural shape for stats pruning: each disjunct prunes files
+# independently and a file is a candidate iff ANY disjunct may match it —
+# the union of the disjuncts' candidate sets, never a correctness
+# decision (the exact row predicate re-applies on the rows).
+
+
+def _as_dnf(filters) -> list[list[tuple]]:
+    """Normalize filters to DNF. A flat list of (col, op, val) tuples is
+    one conjunction; a list of lists is taken as-is (each inner list one
+    AND-group). Empty input normalizes to [] (no predicate)."""
+    if not filters:
+        return []
+    if isinstance(filters[0], (list,)):
+        dnf = [list(d) for d in filters]
+        if any(not d for d in dnf):
+            raise ValueError("empty disjunct in DNF filters")
+        return dnf
+    return [list(filters)]
+
+
+def _dnf_physical(dnf: list[list[tuple]], mapping: dict[str, str]):
+    return [_physical_filters(d, mapping) for d in dnf]
+
+
+def _dnf_may_match(meta: dict, pdnf: list[list[tuple]]) -> bool:
+    """File-skip test for a DNF predicate: keep the file iff any
+    disjunct's every term may match (empty DNF = no predicate = keep)."""
+    if not pdnf:
+        return True
+    return any(all(_may_match(meta, f) for f in d) for d in pdnf)
+
+
+def _dnf_column(dnf: list[list[tuple]]):
+    """The exact row predicate: OR over disjuncts of AND over terms."""
+    cond = None
+    for d in dnf:
+        c = _as_column(d[0])
+        for f in d[1:]:
+            c = c & _as_column(f)
+        cond = c if cond is None else (cond | c)
+    return cond
 
 
 def _rmtree(path: str) -> None:

@@ -2346,9 +2346,10 @@ def test_sql_dml_delete_and_update(spark, tmp_path):
     assert r.operation == "UPDATE" and r.rows == 1
     row = wh.sql("SELECT * FROM t WHERE id = 3").head()
     assert row.v == 30 and row.even is True
-    # refusals: rich predicates and non-txlog backends
-    with pytest.raises(ValueError, match="conjunction"):
-        wh.sql("DELETE FROM t WHERE id = 1 OR id = 2")
+    # OR predicates are supported since round 8 (DNF file pruning —
+    # tests/test_round8.py); functions/subqueries still refuse loudly
+    with pytest.raises(ValueError, match="cannot parse WHERE term"):
+        wh.sql("DELETE FROM t WHERE lower(name) = 'x'")
     base = Warehouse(spark, str(tmp_path / "wh2"))
     base.write_snapshot(_df(spark, [(1,)], ["id"]), "t")
     with pytest.raises(ValueError, match="txlog backend"):
