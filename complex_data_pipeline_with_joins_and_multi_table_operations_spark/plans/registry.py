@@ -4655,8 +4655,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-BIGINT harmonic denominator, quantized-ln linear counting —
     the registers-and-harmonic-mean sketch family made cross-engine
     exact, so the driver hash-checks an APPROXIMATE algorithm (the KMV
-    move applied to HLL; Spark's native HLL++ stays as the rows-only
-    engine-specific twin in approx_event_stats)."""
+    move applied to HLL; Spark's native HLL++ stays bounds-tested in
+    pytest — the approx_event_stats registry form composes THIS sketch
+    since round 8)."""
     from ..operators.aggregates import hll_distinct
 
     return hll_distinct(Catalog(spark, sf_dir).events)
@@ -4806,8 +4807,9 @@ def q_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile targets — the GK/KLL-family mergeable ε-summary made
     cross-engine exact, so the driver hash-checks an APPROXIMATE
     quantile algorithm (the KMV move applied to quantiles; Spark's
-    native percentile_approx stays as the rows-only engine-specific
-    twin in approx_event_stats).  Rank error ≤ ~n/32 + 16,
+    native percentile_approx stays bounds-tested in pytest — the
+    approx_event_stats registry form composes THIS summary since
+    round 8).  Rank error ≤ ~n/32 + 16,
     bounds-tested against exact percentiles."""
     from ..operators.aggregates import gk_quantiles
 
@@ -5002,7 +5004,6 @@ scored AS (
          round(list_cosine_similarity(a.v, c.v), 6) AS cosine
   FROM e a JOIN e c ON c.vec_id <> a.vec_id
   WHERE a.vec_id < 16
-    AND round(list_cosine_similarity(a.v, c.v), 6) IS NOT NULL
 ),
 pos AS (
   SELECT a_id, a_label, c_id AS pos_id, cosine AS pos_cos
@@ -5221,72 +5222,27 @@ WHERE sa.split <> sb.split
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
-    # entries; full-registry evidence lives in SWEEP_r07*.json) --------
-    # Round-7 rotation: slots 1-26 are the r4-evidence remainder (their
-    # last driver rows are CORRECTNESS_r04 — 2 rounds stale at the r6
-    # judgment, the accepted boundary); slots 27-33 are the round-6 tail
-    # additions getting their first driver rows; slots 34-50 are the
-    # oldest r5-evidence entries. Unioned with the r01-r06 windows this
-    # leaves only r5-evidence entries (parked first in the tail) without
-    # a fresh driver row — they lead the r8 rotation.
-    # round-7 new queries first (first driver rows — the r6 precedent)
-    "column_profile_approx": q_column_profile_approx,
-    "embedding_leakage_report": q_embedding_leakage_report,
-    "sessionize_events": q_sessionize,
-    "events_tumbling_hour": q_events_tumbling,
-    "pack_sequences": q_pack_sequences,
-    "ngram_jaccard_pairs": q_ngram_jaccard,
-    "text_stats": q_text_stats,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "chunk_tokens": q_chunk_tokens,
-    "repetition_stats": q_repetition_stats,
-    "quota_sample": q_quota_sample,
-    "decontaminate": q_decontaminate,
-    "redact_pii": q_redact_pii,
-    "split_assign": q_split_assign,
-    "boilerplate_segments": q_boilerplate_segments,
-    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
-    "repeated_spans": q_repeated_spans,
-    "span_coverage": q_span_coverage,
-    "corpus_report": q_corpus_report,
-    "scd2_user_history": q_scd2_user_history,
-    "incremental_agg": q_incremental_agg,
-    "top_terms": q_top_terms,
-    "scd2_point_in_time": q_scd2_point_in_time,
-    "adaptive_quality": q_adaptive_quality,
-    "incremental_dedup": q_incremental_dedup,
-    "kmeans_clusters": q_kmeans_clusters,
+    # entries; full-registry evidence lives in SWEEP_r08*.json) --------
+    # Round-8 rotation: slots 1-8 are this round's CHANGED queries
+    # (approx_event_stats recomposed onto the oracled sketch twins;
+    # triplet_mining's NULL-cosine fix; column_profile_approx's
+    # non-finite sentinels; trade_pagerank's bipartite rebuild;
+    # the rank-fusion/perplexity family over the checkpointed LM) —
+    # every implementation change gets a driver row in its introduction
+    # round. Slots 9-50 are the oldest-evidence entries from the r7
+    # tail (r5/r6-evidence remainder, oldest first). Displaced r7-fresh
+    # entries park at the tail end; the r01-r07 union already covers
+    # all 135 queries at least once (r7 verdict), preserved by keeping
+    # every displaced entry's newest row within two rounds.
     "approx_event_stats": q_approx_event_stats,
-    "merge_upsert": q_merge_upsert,
-    # round-6 tail additions (SWEEP_r06 evidence -> first driver rows)
-    "hard_negatives": q_hard_negatives,
     "triplet_mining": q_triplet_mining,
-    "int8_quantize": q_int8_quantize,
-    "dedup_rate_report": q_dedup_rate_report,
-    "length_histogram": q_length_histogram,
-    "vector_spike_outliers": q_vector_spike_outliers,
-    "split_leakage_report": q_split_leakage_report,
-    # oldest r5-evidence refresh
+    "column_profile_approx": q_column_profile_approx,
+    "trade_pagerank": q_trade_pagerank,
+    "rank_fusion_curation": q_rank_fusion_curation,
+    "rank_fusion_cached": q_rank_fusion_cached,
     "perplexity_scores": q_perplexity_scores,
-    "kmv_distinct": q_kmv_distinct,
-    "minhash_lsh_pairs": q_minhash_lsh,
-    "classifier_scores": q_classifier_scores,
-    "salted_event_type_agg": q_salted_event_agg,
-    "quantity_range_join": q_quantity_range_join,
-    "simhash_near_pairs": q_simhash_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "semantic_dedup": q_semantic_dedup,
-    "events_sliding_30m": q_sliding_agg,
-    "session_window_agg": q_session_window,
-    "except_intersect": q_except_intersect,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    # --- tail (outside the 50-entry window) -------------------------------
-    # The window holds exactly 50 entries — re-count whenever entries are
-    # inserted above this line.
-    # remaining r5-evidence entries: first in line for the r8 rotation
-    # (label_centroids/media_features displaced by the two r7 newcomers).
+    "perplexity_cached": q_perplexity_cached,
+    # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
     "cube_order_counts": q_cube_order_counts,
@@ -5307,11 +5263,9 @@ QUERIES: dict[str, QueryFn] = {
     "near_dedup_incremental": q_near_dedup_incremental,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_cached_topk": q_ann_pq_cached_topk,
-    "rank_fusion_cached": q_rank_fusion_cached,
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_subword_counts": q_bpe_subword_counts,
     "bpe_counts_cached": q_bpe_counts_cached,
-    "trade_pagerank": q_trade_pagerank,
     "dsir_weights": q_dsir_weights,
     "dsir_weights_cached": q_dsir_weights_cached,
     "column_profile": q_column_profile,
@@ -5319,10 +5273,7 @@ QUERIES: dict[str, QueryFn] = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
-    "rank_fusion_curation": q_rank_fusion_curation,
     "classifier_cached_scores": q_classifier_cached_scores,
-    "perplexity_cached": q_perplexity_cached,
-    # r6-evidence (CORRECTNESS_r06 driver rows — freshest, parked last)
     "skewed_hot_key_join": q_skewed_hot_key_join,
     "bloom_prejoin_revenue": q_bloom_prejoin,
     "decoded_media_stats": q_decoded_media_stats,
@@ -5334,6 +5285,10 @@ QUERIES: dict[str, QueryFn] = {
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
+    # --- tail (outside the 50-entry window) -----------------------
+    # The window holds exactly 50 entries — re-count whenever entries
+    # are inserted above this line. Order: oldest evidence first;
+    # r7/r8-fresh displaced entries last.
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
     "hash_sample": q_hash_sample,
@@ -5373,6 +5328,52 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "window_top_orders": q_window_top_orders,
+    "embedding_leakage_report": q_embedding_leakage_report,
+    "sessionize_events": q_sessionize,
+    "events_tumbling_hour": q_events_tumbling,
+    "pack_sequences": q_pack_sequences,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "chunk_tokens": q_chunk_tokens,
+    "repetition_stats": q_repetition_stats,
+    "quota_sample": q_quota_sample,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
+    "split_assign": q_split_assign,
+    "boilerplate_segments": q_boilerplate_segments,
+    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
+    "repeated_spans": q_repeated_spans,
+    "span_coverage": q_span_coverage,
+    "corpus_report": q_corpus_report,
+    "scd2_user_history": q_scd2_user_history,
+    "incremental_agg": q_incremental_agg,
+    "top_terms": q_top_terms,
+    "scd2_point_in_time": q_scd2_point_in_time,
+    "adaptive_quality": q_adaptive_quality,
+    "incremental_dedup": q_incremental_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "merge_upsert": q_merge_upsert,
+    "hard_negatives": q_hard_negatives,
+    "int8_quantize": q_int8_quantize,
+    "dedup_rate_report": q_dedup_rate_report,
+    "length_histogram": q_length_histogram,
+    "vector_spike_outliers": q_vector_spike_outliers,
+    "split_leakage_report": q_split_leakage_report,
+    "kmv_distinct": q_kmv_distinct,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "classifier_scores": q_classifier_scores,
+    "salted_event_type_agg": q_salted_event_agg,
+    "quantity_range_join": q_quantity_range_join,
+    "simhash_near_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "semantic_dedup": q_semantic_dedup,
+    "events_sliding_30m": q_sliding_agg,
+    "session_window_agg": q_session_window,
+    "except_intersect": q_except_intersect,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES: dict[str, str] = {

@@ -43,6 +43,7 @@ metadata O(files active) — the checkpoint is the compaction knob.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import urllib.parse
@@ -161,6 +162,16 @@ class Snapshot:
     # rewrite purges its files' vectors automatically). Every reader
     # anti-filters these positions; OPTIMIZE materializes the deletes.
     dvs: dict[str, list[int]] = field(default_factory=dict)
+    # Hive/Spark bucketing spec ({"n": buckets, "cols": [...], "sort":
+    # [...]}; {} = unbucketed): files were written by Spark's bucketed
+    # writer (bucket ids in the file names), so read_bucketed() exposes
+    # the snapshot as a session-catalog bucketed table whose joins and
+    # aggregations on the bucket columns run with ZERO Exchange — the
+    # shuffle is paid once at write time, the 100 TB fact-table
+    # contract. Bucketed tables are OVERWRITE-ONLY (append and row-level
+    # ops would emit files outside the bucket layout and silently break
+    # the co-location promise — they refuse with a precise error).
+    bucket_by: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -292,6 +303,7 @@ class TableLog:
                 snap.column_mapping = cp.get("column_mapping") or {}
                 snap.dropped_physical = cp.get("dropped_physical") or []
                 snap.dvs = cp.get("dvs") or {}
+                snap.bucket_by = cp.get("bucket_by") or {}
                 replay_from = cv
                 break
 
@@ -313,6 +325,8 @@ class TableLog:
                 snap.dropped_physical = c["dropped_physical"]
             if "dvs" in c:  # same carry-forward rule
                 snap.dvs = c["dvs"]
+            if "bucket_by" in c:  # same carry-forward rule
+                snap.bucket_by = c["bucket_by"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -524,6 +538,11 @@ class TableLog:
                     f"cannot rename partition column {old!r}: its physical "
                     "name is baked into the directory layout"
                 )
+            if old in (cur.bucket_by.get("cols") or []):
+                raise ValueError(
+                    f"cannot rename bucket column {old!r}: its physical "
+                    "name is baked into the bucket file layout"
+                )
             hit = [
                 n
                 for n, e in cur.constraints.items()
@@ -668,6 +687,11 @@ class TableLog:
                     f"cannot drop partition column {name!r}: its physical "
                     "name is baked into the directory layout"
                 )
+            if name in (cur.bucket_by.get("cols") or []):
+                raise ValueError(
+                    f"cannot drop bucket column {name!r}: its physical "
+                    "name is baked into the bucket file layout"
+                )
             hit = [
                 n
                 for n, e in cur.constraints.items()
@@ -740,6 +764,7 @@ class TableLog:
                 "operation": "restore",
                 "schema": old.schema_json,
                 "partition_by": list(old.partition_by or []),
+                "bucket_by": old.bucket_by,
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
@@ -806,6 +831,120 @@ class TableLog:
         _rmtree(staging)
         return adds
 
+    def _stage_bucketed(
+        self,
+        df: DataFrame,
+        n_buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None,
+    ) -> list[dict]:
+        """Stage df through Spark's BUCKETED writer (the only writer that
+        produces the bucket-tagged file names a bucketed scan trusts):
+        an EXTERNAL saveAsTable into a scratch location, metadata dropped
+        immediately, files moved — names intact, the bucket id lives in
+        them — into a fresh ``data/b-<hex>/`` directory. One directory
+        per bucketed version keeps the active set equal to a directory
+        listing, which is what lets read_bucketed() expose the snapshot
+        as a catalog bucketed table (LOCATION must not see other
+        versions' files)."""
+        spark = df.sparkSession
+        staging = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
+        tmp_table = f"__txb_stage_{uuid.uuid4().hex[:12]}"
+        w = df.write.mode("errorifexists").option("path", staging)
+        w = w.bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(tmp_table)
+        spark.sql(f"DROP TABLE `{tmp_table}`")  # external: files stay
+
+        bdir = f"b-{uuid.uuid4().hex[:12]}"
+        adds: list[dict] = []
+        for dirpath, _dirs, fnames in os.walk(staging):
+            for fname in fnames:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.join(bdir, fname)  # NAME KEPT: bucket tag
+                dest = os.path.join(self.data_dir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(dirpath, fname), dest)
+                stats, rows = _file_stats(dest)
+                adds.append(
+                    {
+                        "path": rel,
+                        "rows": rows,
+                        "bytes": os.path.getsize(dest),
+                        "partition_values": {},
+                        "stats": stats,
+                    }
+                )
+        _rmtree(staging)
+        return adds
+
+    def read_bucketed(self, version: int | None = None) -> DataFrame:
+        """The snapshot as a session-catalog BUCKETED table: joins and
+        aggregations keyed on the bucket columns plan with ZERO Exchange
+        (the write already co-located the rows — the 100 TB fact-join
+        contract, test_bucketed_txlog_join_has_no_shuffle). Registers an
+        external bucketed table over the version's bucket directory on
+        first use (deterministic name per (table, version): re-calls and
+        time travel each get their own binding). Plain ``read()`` stays
+        available and identical in VALUES — bucketing is a physical
+        property."""
+        snap = self.snapshot(version)
+        if not snap.bucket_by:
+            raise ValueError(
+                f"table {self.root} is not bucketed at version "
+                f"{snap.version}; write(bucket_by=(n, cols)) first or use "
+                "read()"
+            )
+        dirs = {os.path.dirname(p) for p in snap.files}
+        if len(dirs) != 1:
+            raise AssertionError(
+                "bucketed snapshot must hold exactly one bucket directory "
+                f"(got {sorted(dirs)}) — bucketed tables are overwrite-only"
+            )
+        loc = os.path.join(self.data_dir, dirs.pop())
+        spark = self.spark
+        name = (
+            "__txb_"
+            + hashlib.md5(
+                f"{os.path.abspath(self.root)}@{snap.version}".encode()
+            ).hexdigest()[:16]
+        )
+        if not spark.catalog.tableExists(name):
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in _physical_schema(
+                    snap.schema, snap.column_mapping
+                ).fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in snap.bucket_by["cols"])
+            sort_clause = (
+                " SORTED BY (" + ", ".join(
+                    f"`{c}`" for c in snap.bucket_by.get("sort") or []
+                ) + ")"
+                if snap.bucket_by.get("sort")
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE `{name}` ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bcols}){sort_clause} "
+                f"INTO {snap.bucket_by['n']} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        df = spark.table(name)
+        inverse = {p: l for l, p in snap.column_mapping.items()}
+        return _rename_columns(df, inverse)
+
+    def _refuse_bucketed(self, snap: "Snapshot", op: str) -> None:
+        if snap.bucket_by:
+            raise ValueError(
+                f"{op} on bucketed table {self.root} would emit files "
+                "outside the bucket layout and silently break the "
+                "co-location contract; bucketed tables are overwrite-only "
+                "(rewrite via write(mode='overwrite', bucket_by=...))"
+            )
+
     def last_txn_version(self, app_id: str) -> int | None:
         """High-water mark of an idempotent writer (see ``write(txn=…)``):
         the largest txn version this ``app_id`` has committed, or None if
@@ -853,6 +992,8 @@ class TableLog:
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
         evolve_partitioning: bool = False,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Commit df as a new table version. Modes:
 
@@ -885,6 +1026,24 @@ class TableLog:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if bucket_by is not None:
+            # bucketing spec: a full-overwrite-only physical layout (see
+            # Snapshot.bucket_by). Partitioning composes with bucketing
+            # in Hive; kept orthogonal here for a crisp one-directory-
+            # per-version invariant read_bucketed() depends on.
+            if mode != "overwrite" or replace_where:
+                raise ValueError(
+                    "bucket_by requires mode='overwrite' without "
+                    "replace_where (the bucket layout is rebuilt wholesale)"
+                )
+            if partition_by:
+                raise ValueError(
+                    "bucket_by does not compose with partition_by on this "
+                    "format; pick one physical layout"
+                )
+            missing = [c for c in bucket_by[1] if c not in df.columns]
+            if missing:
+                raise ValueError(f"bucket columns {missing} not in the data")
         if txn is not None:
             seen = self.last_txn_version(txn[0])
             if seen is not None and txn[1] <= seen:
@@ -933,6 +1092,8 @@ class TableLog:
 
         pre = self.snapshot() if self.exists() else None
         validate(pre)
+        if pre is not None and (mode == "append" or replace_where):
+            self._refuse_bucketed(pre, f"write(mode={mode!r})")
         if pre is not None:
             self._enforce_constraints(df, pre.constraints, mode)
         # column mapping: a full overwrite redefines the schema wholesale,
@@ -962,7 +1123,15 @@ class TableLog:
                     f"or dropped column name of {self.root}; run "
                     "add_column() first (it allocates a fresh physical id)"
                 )
-        adds = self._stage(df, partition_by, mapping=pre_mapping)
+        if bucket_by is not None:
+            # full overwrite resets column mapping to identity (above),
+            # so the bucketed files spell logical names — exactly what
+            # the catalog table read_bucketed() registers expects
+            adds = self._stage_bucketed(
+                df, bucket_by[0], list(bucket_by[1]), sort_by
+            )
+        else:
+            adds = self._stage(df, partition_by, mapping=pre_mapping)
 
         enforced_constraints = pre.constraints if pre else {}
         for _attempt in range(max_retries):
@@ -1027,6 +1196,14 @@ class TableLog:
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
             }
+            if bucket_by is not None:
+                payload["bucket_by"] = {
+                    "n": bucket_by[0],
+                    "cols": list(bucket_by[1]),
+                    "sort": list(sort_by or []),
+                }
+            elif mode == "overwrite" and not replace_where:
+                payload["bucket_by"] = {}  # full overwrite resets layout
             try:
                 self._commit(version, payload)
             except ConcurrentCommitError:
@@ -1054,6 +1231,7 @@ class TableLog:
                     "column_mapping": snap.column_mapping,
                     "dropped_physical": snap.dropped_physical,
                     "dvs": snap.dvs,
+                    "bucket_by": snap.bucket_by,
                 },
                 f,
             )
@@ -1524,6 +1702,12 @@ class TableLog:
         Z-ordering is an unpartitioned-table feature here — combining it
         with hive partitioning re-fragments the z-clusters per partition
         directory, recreating the small files it was meant to fix.
+
+        BUCKETED tables compact THROUGH the bucketed writer: the rewrite
+        re-stages under the standing (n, cols, sort) spec, so the
+        co-location contract survives compaction (`n_files` is ignored —
+        the bucket count IS the file-count policy; zorder_by refuses,
+        it would fight the bucket clustering).
         """
         base = self.snapshot()
         # read the FROZEN version, not latest: a commit landing between
@@ -1538,16 +1722,36 @@ class TableLog:
                     "per partition directory; z-order an unpartitioned "
                     "table or drop zorder_by"
                 )
+            if base.bucket_by:
+                raise ValueError(
+                    "zorder_by on a bucketed table would fight the bucket "
+                    "clustering; drop zorder_by or re-layout via a full "
+                    "overwrite"
+                )
             from ..operators.zorder import z_order
 
             df = z_order(df, zorder_by, n_files)
         elif base.partition_by:
             df = df.repartition(*base.partition_by)
-        else:
+        elif not base.bucket_by:
             df = df.repartition(n_files)
-        adds = self._stage(
-            df, base.partition_by or None, mapping=base.column_mapping
-        )
+        if base.bucket_by:
+            # align tasks to buckets (repartition's Murmur3 hash is the
+            # bucketed writer's own bucket function) so compaction lands
+            # ONE file per bucket instead of files-per-task-per-bucket
+            df = df.repartition(
+                base.bucket_by["n"], *base.bucket_by["cols"]
+            )
+            adds = self._stage_bucketed(
+                df,
+                base.bucket_by["n"],
+                list(base.bucket_by["cols"]),
+                list(base.bucket_by.get("sort") or []),
+            )
+        else:
+            adds = self._stage(
+                df, base.partition_by or None, mapping=base.column_mapping
+            )
         removes = list(base.files)
 
         for _attempt in range(max_retries):
@@ -1639,6 +1843,7 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "delete")
             pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
@@ -1866,6 +2071,7 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "update")
             unknown = [c for c in set_exprs if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
@@ -1975,6 +2181,7 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, op)
             unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
@@ -2156,6 +2363,7 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "merge")
             if _attempt and txn is not None:
                 # mirror write(): a lost race may have been lost to OUR
                 # OWN replayed twin (same app_id) — re-check the
@@ -2301,6 +2509,7 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "merge")
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -2467,6 +2676,7 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "merge")
             if _attempt and txn is not None:
                 # mirror write(): a lost race may have been lost to OUR
                 # OWN replayed twin (same app_id) — re-check the
@@ -2611,6 +2821,7 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
+            self._refuse_bucketed(base, "merge")
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -2812,7 +3023,11 @@ class TableLog:
 
         from pyspark.sql import functions as F
 
-        if len(keys) != 1 or not cand:
+        if len(keys) != 1 or len(cand) <= 1:
+            # nothing to refine away: the collect below would pay a full
+            # distinct over the source for a decision with one outcome
+            # (the time-local CDC case — bounds already pruned to the
+            # hot file)
             return cand
         k = keys[0]
         sk = _phys_name(mapping or {}, k)  # stats are keyed physically

@@ -63,6 +63,13 @@ def apply_changes_batch(
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # the merge machinery consumes the source THREE times (key-bounds
+        # aggregate for file pruning, key-membership refinement, the
+        # upsert join itself) — materialize the collapsed batch once or
+        # the upstream scan + window sort re-executes per consumer
+        # (measured ~2x the per-microbatch cost at the sf10 probe).
+        # Batch-sized, values untouched: slicing-invariance holds.
+        .localCheckpoint(eager=True)
     )
     log = TableLog(spark, target_root)
     if out_of_order:
@@ -98,6 +105,58 @@ def apply_changes_batch(
         # via="dv": each microbatch appends only its changed rows and
         # deletion-vectors the superseded positions — the landing table
         # never rewrites host files between OPTIMIZE passes
+        via=via,
+    )
+
+
+def apply_changes_batches(
+    spark: SparkSession,
+    batches: list[tuple[int, DataFrame]],
+    target_root: str,
+    keys: list[str],
+    order_col: str,
+    delete_col: str | None = None,
+    txn_app: str | None = None,
+    out_of_order: bool = False,
+    via: str = "cow",
+) -> dict:
+    """Backlog catch-up: apply a LIST of change-stream slices as ONE
+    merge commit instead of one commit per slice — the amortization a
+    drained queue or a batch backfill wants (commit cost is per merge:
+    log read, candidate pruning, staging, commit; a 10-slice backlog
+    pays it once here instead of 10 times).
+
+    Correctness is the slicing-invariance contract the per-batch apply
+    already tests: for a TIME-ORDERED feed, applying the union of the
+    slices with last-change-per-key collapse is bit-identical to
+    applying each slice in turn (and ``out_of_order=True`` routes to
+    merge_latest, invariant to ARBITRARY slicing). The txn token
+    recorded is the HIGHEST batch id, which is exactly the idempotence
+    the per-slice tokens give: a replay of ANY covered slice id is at
+    or below the high-water mark and commits nothing.
+
+    ``batches`` is ``[(batch_id, df), ...]``; ids must be increasing
+    (the time-ordered-feed precondition this fuses under)."""
+    if not batches:
+        raise ValueError("apply_changes_batches needs at least one batch")
+    ids = [i for i, _ in batches]
+    if ids != sorted(ids) or len(set(ids)) != len(ids):
+        raise ValueError(
+            f"batch ids must be strictly increasing (got {ids}); "
+            "out-of-order SLICES need apply_changes_batch per slice"
+        )
+    union = batches[0][1]
+    for _, df in batches[1:]:
+        union = union.unionByName(df)
+    return apply_changes_batch(
+        spark,
+        union,
+        target_root,
+        keys,
+        order_col,
+        delete_col=delete_col,
+        txn=((txn_app or f"cdc-apply:{target_root}"), ids[-1]),
+        out_of_order=out_of_order,
         via=via,
     )
 

@@ -1,0 +1,175 @@
+"""Round-8 bucketed-table DDL surface (verdict task 9): bucketBy as a
+first-class txlog table property — written through Spark's bucketed
+writer, recorded in the commit log, surfaced in DESCRIBE DETAIL, and
+readable as a session-catalog bucketed relation whose joins/aggregations
+on the bucket key plan with ZERO Exchange (the shuffle is paid once at
+write time — the 100 TB fact-join contract that
+test_bucketed_join_has_no_shuffle demonstrated with throwaway catalog
+tables, now a durable table format property)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+    TxLogWarehouse,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    TableLog,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return prev
+
+
+def test_bucketed_txlog_roundtrip_and_detail(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(200)], "k long, g long, s string"
+    )
+    v = log.write(df, bucket_by=(8, ["k"]), sort_by=["k"])
+    assert v == 1
+    snap = log.snapshot()
+    assert snap.bucket_by == {"n": 8, "cols": ["k"], "sort": ["k"]}
+    # plain read: values identical (bucketing is a physical property)
+    assert sorted(r.k for r in log.read().collect()) == list(range(200))
+    # bucketed read: same values, catalog-bucketed relation
+    bdf = log.read_bucketed()
+    assert sorted(r.k for r in bdf.collect()) == list(range(200))
+    assert set(bdf.columns) == {"k", "g", "s"}
+    # DESCRIBE DETAIL carries CLUSTERED BY
+    wh = TxLogWarehouse(spark, str(tmp_path))
+    d = wh.sql("DESCRIBE DETAIL t").head()
+    assert list(d.clustered_by) == ["k"] and d.num_buckets == 8
+
+
+def test_bucketed_txlog_join_has_no_shuffle(spark, tmp_path):
+    """Two bucketed txlog tables co-bucketed on the join key join with
+    no Exchange — the durable-table version of
+    test_bucketed_join_has_no_shuffle."""
+    a = TableLog(spark, str(tmp_path / "a"))
+    b = TableLog(spark, str(tmp_path / "b"))
+    a.write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(500)], "k long, va long"
+        ),
+        bucket_by=(8, ["k"]),
+        sort_by=["k"],
+    )
+    b.write(
+        spark.createDataFrame(
+            [(i, i * 100) for i in range(0, 500, 2)], "k long, vb long"
+        ),
+        bucket_by=(8, ["k"]),
+        sort_by=["k"],
+    )
+    prev = _no_broadcast(spark)
+    try:
+        j = a.read_bucketed().join(b.read_bucketed(), "k")
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 250
+        # aggregation on the bucket key is exchange-free too
+        g = a.read_bucketed().groupBy("k").agg(F.sum("va").alias("s"))
+        assert "Exchange" not in _plan(g)
+        assert g.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_txlog_is_overwrite_only(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    log.write(df, bucket_by=(4, ["k"]))
+    with pytest.raises(ValueError, match="bucket"):
+        log.write(df, mode="append")
+    with pytest.raises(ValueError, match="bucket"):
+        log.delete([("k", "==", 1)])
+    with pytest.raises(ValueError, match="bucket"):
+        log.update([("k", "==", 1)], {"v": "3"})
+    with pytest.raises(ValueError, match="bucket"):
+        log.merge(df, ["k"])
+    # OPTIMIZE compacts THROUGH the bucketed writer (layout preserved)
+    v_opt = log.optimize()
+    snap_opt = log.snapshot()
+    assert snap_opt.version == v_opt
+    assert snap_opt.bucket_by == {"n": 4, "cols": ["k"], "sort": []}
+    assert log.read_bucketed().count() == 1
+    with pytest.raises(ValueError, match="bucket"):
+        log.optimize(zorder_by=["v"])
+    with pytest.raises(ValueError, match="bucket column"):
+        log.rename_column("k", "k2")
+    with pytest.raises(ValueError, match="bucket column"):
+        log.drop_column("k")
+    # a full overwrite may re-layout (bucketed -> plain or re-bucketed)
+    v = log.write(df)
+    assert log.snapshot().bucket_by == {}
+    log.write(df, mode="append")  # plain table: appends work again
+    # RESTORE to the bucketed version round-trips the layout
+    log.restore(1)
+    assert log.snapshot().bucket_by == {"n": 4, "cols": ["k"], "sort": []}
+    assert log.read_bucketed().count() == 1
+    assert v  # silence lints
+
+
+def test_bucketed_txlog_time_travel(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    df2 = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    log.write(df1, bucket_by=(4, ["k"]))
+    log.write(df2)  # plain overwrite drops the layout
+    assert log.read_bucketed(version=1).count() == 10
+    with pytest.raises(ValueError, match="not bucketed"):
+        log.read_bucketed()
+    assert log.read(1).count() == 10 and log.read().count() == 20
+
+
+def test_trade_graph_composition_over_bucketed_edges(spark, tmp_path):
+    """The trade_pagerank inner loop over a PERSISTED bucketed edge
+    table: the per-round contribution join and the degree aggregation
+    both plan with zero Exchange on the edge side — the cluster-scale
+    shape graph.py's docstring points at."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import (
+        Catalog,
+    )
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    pairs = (
+        cat.orders.join(
+            cat.lineitem, cat.orders.o_orderkey == cat.lineitem.l_orderkey
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    log = TableLog(spark, str(tmp_path / "edges"))
+    log.write(pairs, bucket_by=(8, ["c"]), sort_by=["c"])
+    edges = log.read_bucketed()
+    prev = _no_broadcast(spark)
+    try:
+        deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
+        assert "Exchange" not in _plan(deg)  # degree derivation: in place
+        mass = deg.select("c", F.lit(1000).alias("mass"))
+        contrib = (
+            edges.join(deg, "c")
+            .join(mass, "c")
+            .select("s", F.expr("mass div outdeg").alias("contrib"))
+        )
+        # the edge relation is never exchanged: the only hash exchanges
+        # in the plan may touch the node-sized mass side, not the scan
+        plan = _plan(contrib)
+        scan_side = plan.split("Scan parquet")[0]
+        assert "Exchange hashpartitioning(c" not in scan_side
+        assert contrib.count() == pairs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -38,15 +38,16 @@ def _emb(spark, rows):
     )
 
 
-def test_triplet_mining_excludes_null_cosine_candidates(spark):
+def test_triplet_mining_null_cosine_ranks_last(spark):
     """A zero-norm different-label candidate (NULL cosine) must NOT
-    become the rank-1 'hardest negative' — the SQL oracle (NULLS LAST)
-    and the pre-round-7 desc() form both put it last."""
+    become the rank-1 'hardest negative': NULLs order LAST on both
+    window sides (asc_nulls_last), exactly the SQL oracle's default
+    NULLS LAST under ASC/DESC — the divergence ADVICE.md flagged."""
     rows = [
         (0, "a", [1.0, 0.0]),
         (1, "a", [0.9, 0.1]),   # positive for anchor 0
         (2, "b", [0.8, 0.2]),   # real hardest negative
-        (3, "b", [0.0, 0.0]),   # zero-norm: cosine NULL, must be ignored
+        (3, "b", [0.0, 0.0]),   # zero-norm: cosine NULL, ranks LAST
         (4, "b", [-1.0, 0.0]),  # easy negative
     ]
     out = similarity.triplet_mining(_emb(spark, rows), n_anchors=1).collect()
@@ -55,13 +56,17 @@ def test_triplet_mining_excludes_null_cosine_candidates(spark):
     assert r.neg_id == 2 and r.neg_cos is not None
     assert r.pos_id == 1 and r.pos_cos is not None
     assert r.margin is not None
-    # the zero-norm vector as ANCHOR yields NULL cosines everywhere ->
-    # no candidates survive the filter -> no triplet row, no NULL output
+    # a zero-norm ANCHOR yields NULL cosines everywhere: both sides
+    # rank their lowest-id candidate with NULL scores — exactly the row
+    # the SQL oracle emits (NULLS LAST among all-NULL = c_id tiebreak)
     rows2 = [(0, "a", [0.0, 0.0])] + [
         (i, l, v) for (i, l, v) in rows[1:]
     ]
     out2 = similarity.triplet_mining(_emb(spark, rows2), n_anchors=1).collect()
-    assert out2 == []
+    assert len(out2) == 1
+    r2 = out2[0]
+    assert (r2.pos_id, r2.neg_id) == (1, 2)
+    assert r2.pos_cos is None and r2.neg_cos is None and r2.margin is None
 
 
 def test_column_profile_approx_nonfinite_and_overflow(spark):
@@ -299,6 +304,64 @@ def test_codec_seam_detection_and_routing(monkeypatch):
     assert (out["sample_rate"], out["n_samples"], len(out["body"])) == (
         16000, 4, 8,
     )
+
+
+def test_apply_changes_batches_equals_sequential(spark, tmp_path):
+    """Backlog catch-up (one merge for a list of slices) is bit-identical
+    to the per-slice apply for a time-ordered feed, records the highest
+    batch id as the txn high-water mark (replays of covered slices
+    commit nothing), and refuses non-increasing ids."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.streaming.upsert import (
+        apply_changes_batch,
+        apply_changes_batches,
+    )
+
+    def slices():
+        out = []
+        for i in range(5):
+            rows = [(k, i * 100 + k, f"b{i}", False) for k in range(i, i + 6)]
+            if i == 3:
+                rows.append((1, 300 + 1, "del", True))  # delete key 1
+            out.append(
+                (
+                    i,
+                    spark.createDataFrame(
+                        rows, "k long, lsn long, payload string, dead boolean"
+                    ),
+                )
+            )
+        return out
+
+    seq_root = str(tmp_path / "seq")
+    for i, df in slices():
+        apply_changes_batch(
+            spark, df, seq_root, ["k"], "lsn",
+            delete_col="dead", txn=("app", i),
+        )
+    bat_root = str(tmp_path / "bat")
+    res = apply_changes_batches(
+        spark, slices(), bat_root, ["k"], "lsn",
+        delete_col="dead", txn_app="app",
+    )
+    seq = sorted(map(tuple, TableLog(spark, seq_root).read().collect()))
+    bat = sorted(map(tuple, TableLog(spark, bat_root).read().collect()))
+    assert seq == bat and len(bat) > 0
+    # replay of any covered slice id is a no-op on the batched table
+    v = TableLog(spark, bat_root).snapshot().version
+    apply_changes_batch(
+        spark, slices()[2][1], bat_root, ["k"], "lsn",
+        delete_col="dead", txn=("app", 2),
+    )
+    assert TableLog(spark, bat_root).snapshot().version == v
+    assert res["version"] >= 1
+    with pytest.raises(ValueError, match="increasing"):
+        apply_changes_batches(
+            spark, [slices()[1], slices()[0]], str(tmp_path / "x"),
+            ["k"], "lsn",
+        )
 
 
 def test_iceberg_timestamp_option_is_epoch_millis():
