@@ -759,3 +759,87 @@ def test_sql_where_parser_agrees_with_spark(spark, terms):
     for f in filters:
         got = got.filter(_as_column(f))
     assert sorted(r.id for r in got.select("id").collect()) == expected
+
+
+# round 8: the WHERE grammar grew OR + parentheses (DNF file pruning) —
+# extend the parser-agreement property to random boolean trees
+_leaf = st.tuples(
+    st.sampled_from(["id", "v"]),
+    st.sampled_from(["=", "<", "<=", ">", ">=", "BETWEEN"]),
+    st.integers(-5, 15),
+    st.integers(-5, 15),
+)
+
+
+def _leaf_sql(t) -> str:
+    c, op, a, b = t
+    if op == "BETWEEN":
+        return f"{c} BETWEEN {min(a, b)} AND {max(a, b)}"
+    return f"{c} {op} {a}"
+
+
+_tree = st.recursive(
+    _leaf.map(_leaf_sql),
+    lambda kids: st.tuples(
+        kids, st.sampled_from(["AND", "OR"]), kids, st.booleans()
+    ).map(
+        lambda t: (f"({t[0]}) {t[1]} ({t[2]})" if t[3] else f"{t[0]} {t[1]} {t[2]}")
+    ),
+    max_leaves=5,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_tree)
+def test_sql_where_dnf_parser_agrees_with_spark(spark, clause):
+    """Random AND/OR/paren predicate trees: the DNF parse + _dnf_column
+    must select exactly the rows Spark's own SQL WHERE selects, AND a
+    txlog DELETE with that predicate must keep exactly the complement —
+    file pruning (union of per-disjunct candidate sets) can narrow the
+    scan but never the semantics."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _parse_where_dnf,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        _dnf_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 - 5) for i in range(-5, 16)], "id long, v long"
+    )
+    df.createOrReplaceTempView("__wt_dnf")
+    expected = sorted(
+        r.id
+        for r in spark.sql(f"SELECT id FROM __wt_dnf WHERE {clause}").collect()
+    )
+    dnf = _parse_where_dnf(clause)
+    got = df.filter(_dnf_column(dnf))
+    assert sorted(r.id for r in got.select("id").collect()) == expected
+
+
+def test_sql_where_dnf_delete_matches_spark_semantics(spark, tmp_path):
+    """End-to-end row-op equivalence for an OR predicate chosen to span
+    multiple files: DELETE through the DNF path keeps exactly the rows
+    Spark's WHERE complement keeps."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _parse_where_dnf,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    clause = "(id < 0 AND v > 0) OR id BETWEEN 8 AND 12 OR v = -5"
+    rows = [(i, (i * 7) % 13 - 5) for i in range(-5, 16)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(df)
+    log.delete(_parse_where_dnf(clause))
+    kept = sorted(r.id for r in log.read().collect())
+    df.createOrReplaceTempView("__wt_del")
+    want = sorted(
+        r.id
+        for r in spark.sql(
+            f"SELECT id FROM __wt_del WHERE NOT coalesce(({clause}), false)"
+        ).collect()
+    )
+    assert kept == want
