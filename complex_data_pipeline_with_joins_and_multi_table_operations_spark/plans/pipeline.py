@@ -759,6 +759,49 @@ class Warehouse:
         if m_files:
             return self.files(m_files.group(1))
 
+        # CTAS with optional partition/bucket layout (round 8): the SELECT
+        # runs back through .sql() so VERSION AS OF / table_changes() /
+        # warehouse table references all resolve inside it
+        m_ctas = re.match(
+            r"\s*CREATE\s+TABLE\s+`?(\w+)`?\s*"
+            r"(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?"
+            r"(?:CLUSTERED\s+BY\s*\(([^)]+)\)\s*"
+            r"(?:SORTED\s+BY\s*\(([^)]+)\)\s*)?"
+            r"INTO\s+(\d+)\s+BUCKETS\s*)?"
+            r"AS\s+(SELECT\b.+?)\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_ctas:
+            t = m_ctas.group(1)
+            split = lambda g: (
+                [c.strip(" `") for c in g.split(",")] if g else None
+            )
+            part, bcols, scols = (
+                split(m_ctas.group(2)), split(m_ctas.group(3)),
+                split(m_ctas.group(4)),
+            )
+            df = self.sql(m_ctas.group(6))
+            if bcols:
+                try:
+                    v = self.write_snapshot(
+                        df, t, partition_by=part,
+                        bucket_by=(int(m_ctas.group(5)), bcols),
+                        sort_by=scols,
+                    )
+                except TypeError:
+                    raise ValueError(
+                        "CLUSTERED BY … INTO n BUCKETS requires the txlog "
+                        "backend (TxLogWarehouse); this backend's snapshots "
+                        "have no bucket layout"
+                    ) from None
+            else:
+                v = self.write_snapshot(df, t, partition_by=part)
+            return self.spark.createDataFrame(
+                [(t, "CREATE TABLE AS", v)],
+                "table_name string, operation string, version long",
+            )
+
         m_del = re.match(
             r"\s*DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.+?)\s*;?\s*$",
             query,

@@ -120,6 +120,56 @@ def test_bucketed_txlog_is_overwrite_only(spark, tmp_path):
     assert v  # silence lints
 
 
+def test_ctas_sql_with_and_without_bucketing(spark, tmp_path):
+    """CREATE TABLE … AS SELECT through Warehouse.sql — plain, partitioned,
+    and CLUSTERED BY … INTO n BUCKETS (txlog only; the base backend
+    refuses the bucket clause loudly)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(60)], "k long, g long, v long"
+        ),
+        "src",
+    )
+    r = wh.sql(
+        "CREATE TABLE t1 AS SELECT k, v FROM src WHERE k < 30"
+    ).head()
+    assert r.operation == "CREATE TABLE AS" and r.version == 1
+    assert wh.read_snapshot("t1").count() == 30
+    r = wh.sql(
+        "CREATE TABLE t2 CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS "
+        "AS SELECT k, v FROM src"
+    ).head()
+    assert r.version == 1
+    d = wh.sql("DESCRIBE DETAIL t2").head()
+    assert list(d.clustered_by) == ["k"] and d.num_buckets == 4
+    prev = _no_broadcast(spark)
+    try:
+        j = wh.read_bucketed("t2").groupBy("k").count()
+        assert "Exchange" not in _plan(j) and j.count() == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the SELECT runs through .sql(): time travel resolves inside CTAS
+    wh.write_snapshot(
+        spark.createDataFrame([(99, 0, 0)], "k long, g long, v long"), "src"
+    )
+    wh.sql("CREATE TABLE t3 AS SELECT k FROM src VERSION AS OF 1")
+    assert wh.read_snapshot("t3").count() == 60
+    # base backend: plain CTAS works, the bucket clause refuses
+    base = Warehouse(spark, str(tmp_path / "base"))
+    base.write_snapshot(spark.createDataFrame([(1,)], "k long"), "s")
+    assert base.sql("CREATE TABLE b1 AS SELECT * FROM s").head().version == 1
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql(
+            "CREATE TABLE b2 CLUSTERED BY (k) INTO 2 BUCKETS "
+            "AS SELECT * FROM s"
+        )
+
+
 def test_bucketed_txlog_time_travel(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "t"))
     df1 = spark.createDataFrame([(i,) for i in range(10)], "k long")
