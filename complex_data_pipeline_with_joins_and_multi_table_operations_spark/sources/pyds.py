@@ -419,6 +419,18 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                         f"physical or dropped column name of {self.root}; "
                         "run add_column() first"
                     )
+            if cur and cur.bucket_by and not self.overwrite:
+                # same layout guard as TableLog.write: this writer's files
+                # are not bucket-tagged, so appending them would silently
+                # break the co-location contract (overwrite is fine — the
+                # payload below resets the layout with the active set)
+                raise ValueError(
+                    f"table {self.root} is bucketed "
+                    f"({cur.bucket_by['cols']} into {cur.bucket_by['n']} "
+                    "buckets); format('txlog') appends would break the "
+                    "bucket layout — rewrite via TableLog.write("
+                    "mode='overwrite', bucket_by=...)"
+                )
             if cur and cur.partition_by and not self.overwrite:
                 # same layout guard as TableLog.write: an append must match
                 # the table's partitioning, and this DataSource writer only
@@ -453,6 +465,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "adds": adds,
                 "removes": removes,
             }
+            if self.overwrite:
+                # a full overwrite resets any bucket layout: these files
+                # are plain parquet, and carrying bucket_by forward would
+                # point read_bucketed() at untagged files
+                payload["bucket_by"] = {}
             try:
                 log._commit(version, payload)
                 return

@@ -850,11 +850,19 @@ class TableLog:
         spark = df.sparkSession
         staging = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
         tmp_table = f"__txb_stage_{uuid.uuid4().hex[:12]}"
-        w = df.write.mode("errorifexists").option("path", staging)
-        w = w.bucketBy(n_buckets, *bucket_cols)
-        if sort_cols:
-            w = w.sortBy(*sort_cols)
-        w.saveAsTable(tmp_table)
+        try:
+            w = df.write.mode("errorifexists").option("path", staging)
+            w = w.bucketBy(n_buckets, *bucket_cols)
+            if sort_cols:
+                w = w.sortBy(*sort_cols)
+            w.saveAsTable(tmp_table)
+        except Exception:
+            # a failed staging write must not leak the scratch catalog
+            # entry or half-written files (same crash contract as _stage:
+            # files without a commit are invisible, but tidy up anyway)
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+            _rmtree(staging)
+            raise
         spark.sql(f"DROP TABLE `{tmp_table}`")  # external: files stay
 
         bdir = f"b-{uuid.uuid4().hex[:12]}"
@@ -897,6 +905,8 @@ class TableLog:
                 f"{snap.version}; write(bucket_by=(n, cols)) first or use "
                 "read()"
             )
+        if not snap.files:  # empty bucketed write — no directory to bind
+            return self.spark.createDataFrame([], snap.schema)
         dirs = {os.path.dirname(p) for p in snap.files}
         if len(dirs) != 1:
             raise AssertionError(
@@ -1251,8 +1261,10 @@ class TableLog:
         timestamp_ms: int | None = None,
     ) -> DataFrame:
         """DataFrame over a snapshot. ``filters`` — [(col, op, value)] with
-        op in {"==", "<", "<=", ">", ">=", "between"} — prune files by log
-        partition values and footer min/max BEFORE Spark plans the scan,
+        op in {"==", "<", "<=", ">", ">=", "between"}, or a DNF
+        list-of-conjunctions [[...], [...]] (OR of AND-groups; each
+        disjunct prunes independently, candidates union) — prune files by
+        log partition values and footer min/max BEFORE Spark plans the scan,
         then re-apply as real Spark filters (correctness never depends on
         stats; skipping is purely an I/O win, same contract as Iceberg
         manifest pruning). ``timestamp_ms`` is TIMESTAMP AS OF: the
@@ -1263,11 +1275,10 @@ class TableLog:
             version = self.version_at(timestamp_ms)
         snap = self.snapshot(version)
         metas = list(snap.files.values())
-        if filters:
-            pfilters = _physical_filters(filters, snap.column_mapping)
-            metas = [
-                m for m in metas if all(_may_match(m, f) for f in pfilters)
-            ]
+        dnf = _as_dnf(filters or [])
+        if dnf:
+            pdnf = _dnf_physical(dnf, snap.column_mapping)
+            metas = [m for m in metas if _dnf_may_match(m, pdnf)]
         paths = [os.path.join(self.data_dir, m["path"]) for m in metas]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
@@ -1278,8 +1289,11 @@ class TableLog:
         df = self._read_file_metas(
             metas, snap.schema, snap.column_mapping, snap.dvs
         )
-        for f in filters or []:
-            df = df.filter(_as_column(f))
+        if dnf:
+            # the exact predicate re-applies on the rows (skipping is an
+            # I/O win, never a correctness dependency) — same OR-of-ANDs
+            # shape the row ops take since round 8
+            df = df.filter(_dnf_column(dnf))
         return df
 
     def _read_file_metas(

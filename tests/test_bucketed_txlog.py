@@ -170,6 +170,30 @@ def test_ctas_sql_with_and_without_bucketing(spark, tmp_path):
         )
 
 
+def test_pyds_writes_respect_bucket_layout(spark, tmp_path):
+    """format('txlog') writes cannot silently break a bucketed layout:
+    appends refuse (their files carry no bucket tags), and a DataSource
+    overwrite RESETS bucket_by alongside the active set — stale layout
+    metadata must never point read_bucketed at untagged files."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    root = str(tmp_path / "t")
+    log = TableLog(spark, root)
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    log.write(df, bucket_by=(4, ["k"]))
+    with pytest.raises(Exception, match="bucket"):
+        df.write.format("txlog").mode("append").save(root)
+    assert log.snapshot().bucket_by  # nothing committed
+    df.write.format("txlog").mode("overwrite").save(root)
+    assert log.snapshot().bucket_by == {}
+    with pytest.raises(ValueError, match="not bucketed"):
+        log.read_bucketed()
+    assert log.read().count() == 1
+
+
 def test_bucketed_txlog_time_travel(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "t"))
     df1 = spark.createDataFrame([(i,) for i in range(10)], "k long")
