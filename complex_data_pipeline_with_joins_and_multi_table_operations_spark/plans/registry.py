@@ -3289,6 +3289,53 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_dnf_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 SQL DML grammar end-to-end: an OR/parenthesized DELETE
+    then an OR/parenthesized UPDATE through ``Warehouse.sql`` against a
+    freshly-built transaction-log table (DNF parse → per-disjunct file
+    pruning → stats-pruned row ops → atomic commits), returning the
+    final table. The oracle recomputes both mutations as plain SQL over
+    the source slice — DELETE keeps NULL-predicate rows, UPDATE leaves
+    them unchanged (SQL tri-state, mirrored with coalesce)."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="dnf_row_ops_"))
+    src = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 10 == 0)
+        .repartition(8, "o_orderkey")  # multi-file: pruning is real
+    )
+    wh.write_snapshot(src, "t")
+    wh.sql(
+        "DELETE FROM t WHERE (o_orderpriority = '1-URGENT' AND "
+        "o_totalprice > 150000.0) OR o_orderkey BETWEEN 500 AND 5000"
+    )
+    wh.sql(
+        "UPDATE t SET o_orderstatus = 'X' WHERE o_totalprice < 20000.0 "
+        "OR (o_orderpriority = '5-LOW' AND o_custkey < 500)"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_DNF_ROW_OPS = """
+WITH src AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+kept AS (
+  SELECT * FROM src
+  WHERE NOT coalesce(
+    (o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
+    OR o_orderkey BETWEEN 500 AND 5000, FALSE)
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN coalesce(o_totalprice < 20000.0
+                 OR (o_orderpriority = '5-LOW' AND o_custkey < 500), FALSE)
+            THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM kept
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5223,7 +5270,7 @@ WHERE sa.split <> sb.split
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r08*.json) --------
-    # Round-8 rotation: slots 1-8 are this round's CHANGED queries
+    # Round-8 rotation: slots 1-9 are this round's CHANGED + NEW queries
     # (approx_event_stats recomposed onto the oracled sketch twins;
     # triplet_mining's NULL-cosine fix; column_profile_approx's
     # non-finite sentinels; trade_pagerank's bipartite rebuild;
@@ -5242,6 +5289,7 @@ QUERIES: dict[str, QueryFn] = {
     "rank_fusion_cached": q_rank_fusion_cached,
     "perplexity_scores": q_perplexity_scores,
     "perplexity_cached": q_perplexity_cached,
+    "sql_dnf_row_ops": q_sql_dnf_row_ops,  # NEW in r8: first driver row
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5284,11 +5332,11 @@ QUERIES: dict[str, QueryFn] = {
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
-    "promotable_suppliers": q_promotable_suppliers,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
     "hash_sample": q_hash_sample,
@@ -5423,6 +5471,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "gk_quantiles": SQL_GK_QUANTILES,
     "approx_event_stats": SQL_APPROX_EVENT_STATS,
+    "sql_dnf_row_ops": SQL_SQL_DNF_ROW_OPS,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

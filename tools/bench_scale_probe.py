@@ -120,6 +120,9 @@ SUBSET = [
     # embedding-space leakage gate (composes the LSH near-dup + split)
     "column_profile_approx",
     "embedding_leakage_report",
+    # round 8: the DNF SQL-DML end-to-end (OR/paren DELETE + UPDATE over
+    # a fresh txlog table — near-flat: rewrite bounded by candidates)
+    "sql_dnf_row_ops",
 ]
 
 
