@@ -761,9 +761,12 @@ class Warehouse:
 
         # CTAS with optional partition/bucket layout (round 8): the SELECT
         # runs back through .sql() so VERSION AS OF / table_changes() /
-        # warehouse table references all resolve inside it
+        # warehouse table references all resolve inside it. CREATE TABLE
+        # refuses when the table already exists (Spark/Delta/Iceberg
+        # TableAlreadyExists semantics — a bare CTAS must never clobber
+        # data); CREATE OR REPLACE TABLE is the explicit-overwrite form.
         m_ctas = re.match(
-            r"\s*CREATE\s+TABLE\s+`?(\w+)`?\s*"
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`?(\w+)`?\s*"
             r"(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?"
             r"(?:CLUSTERED\s+BY\s*\(([^)]+)\)\s*"
             r"(?:SORTED\s+BY\s*\(([^)]+)\)\s*)?"
@@ -773,32 +776,45 @@ class Warehouse:
             re.IGNORECASE | re.DOTALL,
         )
         if m_ctas:
-            t = m_ctas.group(1)
+            replace = bool(m_ctas.group(1))
+            t = m_ctas.group(2)
+            if not replace and self.exists(t):
+                raise ValueError(
+                    f"table {t!r} already exists; use CREATE OR REPLACE "
+                    "TABLE … AS to overwrite it"
+                )
             split = lambda g: (
                 [c.strip(" `") for c in g.split(",")] if g else None
             )
             part, bcols, scols = (
-                split(m_ctas.group(2)), split(m_ctas.group(3)),
-                split(m_ctas.group(4)),
+                split(m_ctas.group(3)), split(m_ctas.group(4)),
+                split(m_ctas.group(5)),
             )
-            df = self.sql(m_ctas.group(6))
+            df = self.sql(m_ctas.group(7))
             if bcols:
-                try:
-                    v = self.write_snapshot(
-                        df, t, partition_by=part,
-                        bucket_by=(int(m_ctas.group(5)), bcols),
-                        sort_by=scols,
-                    )
-                except TypeError:
+                # capability check up front (never catch TypeError around
+                # the write — an unrelated TypeError from Spark or user
+                # data must not be misreported as a backend gap)
+                import inspect as _inspect
+
+                if "bucket_by" not in _inspect.signature(
+                    self.write_snapshot
+                ).parameters:
                     raise ValueError(
                         "CLUSTERED BY … INTO n BUCKETS requires the txlog "
                         "backend (TxLogWarehouse); this backend's snapshots "
                         "have no bucket layout"
-                    ) from None
+                    )
+                v = self.write_snapshot(
+                    df, t, partition_by=part,
+                    bucket_by=(int(m_ctas.group(6)), bcols),
+                    sort_by=scols,
+                )
             else:
                 v = self.write_snapshot(df, t, partition_by=part)
             return self.spark.createDataFrame(
-                [(t, "CREATE TABLE AS", v)],
+                [(t, "CREATE OR REPLACE TABLE AS" if replace
+                  else "CREATE TABLE AS", v)],
                 "table_name string, operation string, version long",
             )
 

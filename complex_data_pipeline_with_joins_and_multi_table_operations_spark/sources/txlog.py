@@ -168,9 +168,11 @@ class Snapshot:
     # the snapshot as a session-catalog bucketed table whose joins and
     # aggregations on the bucket columns run with ZERO Exchange — the
     # shuffle is paid once at write time, the 100 TB fact-table
-    # contract. Bucketed tables are OVERWRITE-ONLY (append and row-level
-    # ops would emit files outside the bucket layout and silently break
-    # the co-location promise — they refuse with a precise error).
+    # contract. Appends PRESERVE the layout (round 9): they re-stage
+    # through the bucketed writer under the standing spec, so new files
+    # join the bucket layout (bucket ids in their names keep grouping
+    # correct); row-level ops and replace_where still refuse — their
+    # rewrites would emit files outside the layout.
     bucket_by: dict = field(default_factory=dict)
 
     @property
@@ -837,16 +839,32 @@ class TableLog:
         n_buckets: int,
         bucket_cols: list[str],
         sort_cols: list[str] | None,
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Stage df through Spark's BUCKETED writer (the only writer that
         produces the bucket-tagged file names a bucketed scan trusts):
         an EXTERNAL saveAsTable into a scratch location, metadata dropped
         immediately, files moved — names intact, the bucket id lives in
-        them — into a fresh ``data/b-<hex>/`` directory. One directory
-        per bucketed version keeps the active set equal to a directory
-        listing, which is what lets read_bucketed() expose the snapshot
-        as a catalog bucketed table (LOCATION must not see other
-        versions' files)."""
+        them — into a fresh ``data/b-<hex>/`` directory. A single-write
+        snapshot therefore holds ONE bucket directory (read_bucketed
+        binds LOCATION straight at it); layout-preserving appends
+        (round 9) add further ``b-*`` directories under the SAME
+        (n, cols) spec — Spark's bucketed scan groups files into buckets
+        by the bucket id in each file name, so multiple files per bucket
+        across directories keep the co-location contract, and
+        read_bucketed unifies multi-directory snapshots through a
+        hardlink view (``_bucket_view``). ``mapping`` (logical→physical,
+        column mapping): appends write under the standing physical
+        names, exactly like ``_stage``; bucket columns are always
+        identity-mapped (rename_column refuses them)."""
+        if mapping:
+            df = _rename_columns(df, mapping)
+            bucket_cols = [_phys_name(mapping, c) for c in bucket_cols]
+            sort_cols = (
+                [_phys_name(mapping, c) for c in sort_cols]
+                if sort_cols
+                else sort_cols
+            )
         spark = df.sparkSession
         staging = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
         tmp_table = f"__txb_stage_{uuid.uuid4().hex[:12]}"
@@ -908,12 +926,16 @@ class TableLog:
         if not snap.files:  # empty bucketed write — no directory to bind
             return self.spark.createDataFrame([], snap.schema)
         dirs = {os.path.dirname(p) for p in snap.files}
-        if len(dirs) != 1:
-            raise AssertionError(
-                "bucketed snapshot must hold exactly one bucket directory "
-                f"(got {sorted(dirs)}) — bucketed tables are overwrite-only"
-            )
-        loc = os.path.join(self.data_dir, dirs.pop())
+        if len(dirs) == 1:
+            # single-write snapshot: bind LOCATION straight at its bucket
+            # directory (listing == active set by construction)
+            loc = os.path.join(self.data_dir, dirs.pop())
+        else:
+            # layout-preserving appends (round 9) leave the active set
+            # spread over several b-* directories; the catalog table needs
+            # ONE LOCATION whose listing equals the active set, so build a
+            # per-version hardlink view (metadata-only, no data copied)
+            loc = self._bucket_view(snap)
         spark = self.spark
         name = (
             "__txb_"
@@ -921,6 +943,33 @@ class TableLog:
                 f"{os.path.abspath(self.root)}@{snap.version}".encode()
             ).hexdigest()[:16]
         )
+        if spark.catalog.tableExists(name):
+            # the binding is keyed by (table path, version), but the
+            # version counter restarts when a table root is deleted and
+            # recreated, and vacuum can remove an old bucket directory —
+            # either way the cached entry would serve a missing or WRONG
+            # location (it also persists in a metastore across sessions).
+            # Validate the registered LOCATION against this snapshot's
+            # bucket directory and rebind on any mismatch.
+            import urllib.parse as _up
+
+            bound = next(
+                (
+                    r.data_type
+                    for r in spark.sql(
+                        f"DESCRIBE FORMATTED `{name}`"
+                    ).collect()
+                    if r.col_name == "Location"
+                ),
+                None,
+            )
+            bound_path = (
+                os.path.abspath(_up.unquote(_up.urlparse(bound).path))
+                if bound
+                else None
+            )
+            if bound_path != os.path.abspath(loc):
+                spark.sql(f"DROP TABLE `{name}`")  # external: files stay
         if not spark.catalog.tableExists(name):
             cols_ddl = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
@@ -946,13 +995,48 @@ class TableLog:
         inverse = {p: l for l, p in snap.column_mapping.items()}
         return _rename_columns(df, inverse)
 
+    def _bucket_view(self, snap: "Snapshot") -> str:
+        """One directory whose listing IS the active file set of a
+        multi-directory bucketed snapshot: hard links into
+        ``_bucketview/v<version>`` (atomic rename from a tmp dir, so a
+        crashed builder leaves nothing half-visible; a stale or partial
+        view — e.g. after a vacuumed file — is detected by listing
+        comparison and rebuilt). Hard links cost no data copy; vacuum
+        drops views outside its retention horizon so reclaimed files
+        actually free their bytes."""
+        view_root = os.path.join(self.root, "_bucketview")
+        view = os.path.join(view_root, f"v{snap.version}")
+        want = {os.path.basename(p): p for p in snap.files}
+        if len(want) != len(snap.files):
+            raise AssertionError(
+                "bucketed file basenames must be unique across the "
+                f"snapshot of {self.root} (staging writes uuid-fresh "
+                "names; a collision means the data tree was edited "
+                "out-of-band)"
+            )
+        if os.path.isdir(view):
+            have = {f for f in os.listdir(view) if f.endswith(".parquet")}
+            if have == set(want):
+                return view
+            _rmtree(view)  # partial/stale — rebuild below
+        tmp = os.path.join(view_root, f".tmp-{uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        for base, rel in want.items():
+            os.link(os.path.join(self.data_dir, rel), os.path.join(tmp, base))
+        try:
+            os.rename(tmp, view)
+        except OSError:
+            _rmtree(tmp)  # a racing reader built the same view first
+        return view
+
     def _refuse_bucketed(self, snap: "Snapshot", op: str) -> None:
         if snap.bucket_by:
             raise ValueError(
                 f"{op} on bucketed table {self.root} would emit files "
                 "outside the bucket layout and silently break the "
-                "co-location contract; bucketed tables are overwrite-only "
-                "(rewrite via write(mode='overwrite', bucket_by=...))"
+                "co-location contract; grow a bucketed table with "
+                "write(mode='append') (layout-preserving) or rewrite it "
+                "via write(mode='overwrite', bucket_by=...)"
             )
 
     def last_txn_version(self, app_id: str) -> int | None:
@@ -1037,14 +1121,17 @@ class TableLog:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         if bucket_by is not None:
-            # bucketing spec: a full-overwrite-only physical layout (see
-            # Snapshot.bucket_by). Partitioning composes with bucketing
-            # in Hive; kept orthogonal here for a crisp one-directory-
-            # per-version invariant read_bucketed() depends on.
-            if mode != "overwrite" or replace_where:
+            # bucketing spec: a physical layout established by a full
+            # overwrite (see Snapshot.bucket_by) and PRESERVED by appends
+            # (round 9: append re-stages through the bucketed writer under
+            # the table's standing spec — validated against the live
+            # snapshot below). Partitioning composes with bucketing in
+            # Hive; kept orthogonal here for a crisp dirs-are-the-active-
+            # set invariant read_bucketed() depends on.
+            if replace_where:
                 raise ValueError(
-                    "bucket_by requires mode='overwrite' without "
-                    "replace_where (the bucket layout is rebuilt wholesale)"
+                    "bucket_by does not compose with replace_where "
+                    "(partition reloads have no bucket layout)"
                 )
             if partition_by:
                 raise ValueError(
@@ -1102,8 +1189,53 @@ class TableLog:
 
         pre = self.snapshot() if self.exists() else None
         validate(pre)
-        if pre is not None and (mode == "append" or replace_where):
-            self._refuse_bucketed(pre, f"write(mode={mode!r})")
+        # staged_bucket: the bucket spec this write's files were staged
+        # under (None = plain files). For appends it is the TABLE'S
+        # standing spec — the layout-preserving append contract: new files
+        # go through the same bucketed writer, so their bucket-tagged
+        # names join the existing layout and co-bucketed joins on the
+        # grown table still plan zero Exchange. The retry loop re-checks
+        # the live snapshot against this spec every attempt (a concurrent
+        # overwrite may change the layout mid-write).
+        staged_bucket: dict | None = None
+        if pre is not None and replace_where:
+            self._refuse_bucketed(pre, "write(replace_where=...)")
+        elif pre is not None and mode == "append":
+            if pre.bucket_by:
+                spec = pre.bucket_by
+                if bucket_by is not None and (
+                    bucket_by[0] != spec["n"]
+                    or list(bucket_by[1]) != list(spec["cols"])
+                ):
+                    raise ValueError(
+                        f"append bucket spec ({bucket_by[0]}, "
+                        f"{list(bucket_by[1])}) differs from the table's "
+                        f"standing layout ({spec['n']}, {spec['cols']}); "
+                        "appends must preserve the layout — re-bucket via "
+                        "a full overwrite"
+                    )
+                if sort_by is not None and list(sort_by) != list(
+                    spec.get("sort") or []
+                ):
+                    raise ValueError(
+                        f"append sort spec {list(sort_by)} differs from "
+                        f"the table's standing layout "
+                        f"{spec.get('sort') or []}; appends must preserve "
+                        "the layout"
+                    )
+                staged_bucket = spec
+            elif bucket_by is not None:
+                raise ValueError(
+                    "append with bucket_by requires the table to already "
+                    "be bucketed with the same spec; establish a bucket "
+                    "layout via mode='overwrite'"
+                )
+        if bucket_by is not None and mode == "overwrite":
+            staged_bucket = {
+                "n": bucket_by[0],
+                "cols": list(bucket_by[1]),
+                "sort": list(sort_by or []),
+            }
         if pre is not None:
             self._enforce_constraints(df, pre.constraints, mode)
         # column mapping: a full overwrite redefines the schema wholesale,
@@ -1133,12 +1265,18 @@ class TableLog:
                     f"or dropped column name of {self.root}; run "
                     "add_column() first (it allocates a fresh physical id)"
                 )
-        if bucket_by is not None:
-            # full overwrite resets column mapping to identity (above),
-            # so the bucketed files spell logical names — exactly what
-            # the catalog table read_bucketed() registers expects
+        if staged_bucket is not None:
+            # overwrite: the reset-to-identity mapping (above) means the
+            # bucketed files spell logical names — exactly what the
+            # catalog table read_bucketed() registers expects. Append:
+            # files write under the standing physical names (mapping
+            # applied inside _stage_bucketed), same as _stage.
             adds = self._stage_bucketed(
-                df, bucket_by[0], list(bucket_by[1]), sort_by
+                df,
+                staged_bucket["n"],
+                list(staged_bucket["cols"]),
+                list(staged_bucket.get("sort") or []) or None,
+                mapping=pre_mapping,
             )
         else:
             adds = self._stage(df, partition_by, mapping=pre_mapping)
@@ -1146,6 +1284,29 @@ class TableLog:
         enforced_constraints = pre.constraints if pre else {}
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
+            if mode == "append" and (
+                ((cur.bucket_by if cur else {}) or {})
+                != (staged_bucket or {})
+            ):
+                # a concurrent overwrite changed the bucket layout after
+                # we staged: committing these files would either inject
+                # untagged files into a bucketed snapshot (breaking the
+                # bucket-directory invariant read_bucketed trusts) or
+                # carry a stale spec — surface the race, don't guess
+                raise ConcurrentCommitError(
+                    f"append to {self.root} raced a concurrent layout "
+                    f"change (bucket spec now "
+                    f"{(cur.bucket_by if cur else {}) or None}, files "
+                    f"staged for {staged_bucket or None}); re-run the "
+                    "append against the current layout"
+                )
+            if replace_where and cur is not None and cur.bucket_by:
+                # same race for partition reloads: the table became
+                # bucketed between staging and commit
+                raise ConcurrentCommitError(
+                    f"replace_where on {self.root} raced a concurrent "
+                    "bucketed overwrite; re-run against the current layout"
+                )
             cur_constraints = cur.constraints if cur else {}
             if cur_constraints != enforced_constraints:
                 # a concurrent add/drop-constraint landed after our
@@ -3150,6 +3311,20 @@ class TableLog:
                 if rel not in live and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted += 1
+        # bucket-view hardlink dirs (read_bucketed over multi-directory
+        # snapshots) pin the linked inodes: drop views outside the
+        # retention horizon so vacuumed files actually free their bytes
+        # (views rebuild on demand for any still-readable version)
+        view_root = os.path.join(self.root, "_bucketview")
+        if os.path.isdir(view_root):
+            for d in os.listdir(view_root):
+                v_ok = (
+                    d.startswith("v")
+                    and d[1:].isdigit()
+                    and int(d[1:]) in keep_versions
+                )
+                if not v_ok:
+                    _rmtree(os.path.join(view_root, d))
         return deleted
 
     def remove_orphans(self, min_age_s: float = 3600.0) -> int:
@@ -3364,16 +3539,31 @@ def _as_column(flt: tuple):
 
 def _as_dnf(filters) -> list[list[tuple]]:
     """Normalize filters to DNF. A flat list of (col, op, val) tuples is
-    one conjunction; a list of lists is taken as-is (each inner list one
-    AND-group). Empty input normalizes to [] (no predicate)."""
+    one conjunction; a list of sequences-of-tuples is a DNF (each inner
+    sequence one AND-group) — the discriminator is the first element of
+    the first entry (a str column name ⇒ flat conjunction; a nested
+    sequence ⇒ DNF), so tuple-of-tuples input prunes identically to
+    list-of-lists instead of being silently mistaken for a flat
+    conjunction. Empty input normalizes to [] (no predicate)."""
     if not filters:
         return []
-    if isinstance(filters[0], (list,)):
+    first = filters[0]
+    if not isinstance(first, (list, tuple)) or not first:
+        raise ValueError(
+            f"filters entries must be (col, op, val) tuples or "
+            f"sequences of them, got {first!r}"
+        )
+    if isinstance(first[0], str):
+        return [list(filters)]
+    if isinstance(first[0], (list, tuple)):
         dnf = [list(d) for d in filters]
         if any(not d for d in dnf):
             raise ValueError("empty disjunct in DNF filters")
         return dnf
-    return [list(filters)]
+    raise ValueError(
+        f"cannot interpret filters: first entry {first!r} is neither a "
+        "(col, op, val) term nor a conjunction of terms"
+    )
 
 
 def _dnf_physical(dnf: list[list[tuple]], mapping: dict[str, str]):
