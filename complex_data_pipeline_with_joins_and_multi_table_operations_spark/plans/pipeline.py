@@ -53,22 +53,129 @@ def _where_lit(tok: str):
     )
 
 
+def _split_in_list(s: str) -> list[str]:
+    """Split an IN-list body on top-level commas, respecting ''-escaped
+    string literals (a quoted comma is part of the literal)."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in {s!r}")
+            cur.append(s[i : j + 1])
+            i = j + 1
+        elif ch == ",":
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    out.append("".join(cur).strip())
+    return out
+
+
 def _parse_where_term(term: str) -> tuple:
-    """One ``col op literal`` / ``col BETWEEN a AND b`` leaf as a
-    read()-style pruning filter tuple."""
+    """One WHERE leaf as a read()-style pruning filter tuple: ``col op
+    literal`` (op also ``!=``/``<>``), ``col BETWEEN a AND b``,
+    ``col [NOT] IN (…)``, ``col IS [NOT] NULL`` (round 9 — each a
+    first-class stats-prunable op, so an IN over a thousand ids never
+    explodes the DNF and IS NULL prunes on per-file null counts)."""
     import re as _re
 
     term = term.strip().rstrip(";").strip()
+    m = _re.match(r"^`?(\w+)`?\s+IS\s+NOT\s+NULL$", term, _re.IGNORECASE)
+    if m:
+        return (m.group(1), "notnull", None)
+    m = _re.match(r"^`?(\w+)`?\s+IS\s+NULL$", term, _re.IGNORECASE)
+    if m:
+        return (m.group(1), "isnull", None)
+    m = _re.match(
+        r"^`?(\w+)`?\s+(NOT\s+)?IN\s*\(\s*(.+?)\s*\)$",
+        term,
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    if m:
+        items = _split_in_list(m.group(3))
+        if not items or any(not it for it in items):
+            raise ValueError(f"empty IN list in WHERE term {term!r}")
+        vals = tuple(_where_lit(it) for it in items)
+        return (m.group(1), "notin" if m.group(2) else "in", vals)
     m = _re.match(
         r"^`?(\w+)`?\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", term, _re.IGNORECASE
     )
     if m:
         return (m.group(1), "between", (_where_lit(m.group(2)), _where_lit(m.group(3))))
-    m = _re.match(r"^`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*(.+)$", term, _re.DOTALL)
+    m = _re.match(
+        r"^`?(\w+)`?\s*(!=|<>|==|=|<=|>=|<|>)\s*(.+)$", term, _re.DOTALL
+    )
     if m:
-        op = "==" if m.group(2) in ("=", "==") else m.group(2)
+        op = m.group(2)
+        op = "==" if op in ("=", "==") else ("!=" if op in ("!=", "<>") else op)
         return (m.group(1), op, _where_lit(m.group(3)))
     raise ValueError(f"cannot parse WHERE term {term!r}")
+
+
+# NOT over a leaf negates the op (tri-state-preserving: both sides of
+# each pair are null-unsafe, so a NULL input selects nothing either way)
+_NEG_OP = {
+    "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "in": "notin", "notin": "in", "isnull": "notnull", "notnull": "isnull",
+}
+
+
+def _negate_term_dnf(t: tuple) -> list[list[tuple]]:
+    """NOT over one leaf term, as DNF. BETWEEN negates to the two-range
+    disjunction (NULL-equivalent under WHERE: both forms select no NULL
+    rows)."""
+    col, op, val = t
+    if op == "between":
+        lo, hi = val
+        return [[(col, "<", lo)], [(col, ">", hi)]]
+    if op in _NEG_OP:
+        return [[(col, _NEG_OP[op], val)]]
+    raise ValueError(f"cannot negate WHERE operator {op!r}")
+
+
+def _negate_leaf_dnf(dnf: list[list[tuple]]) -> list[list[tuple]]:
+    """NOT over a leaf-derived DNF (each disjunct a single term — the
+    only shape leaf parsing produces): De Morgan turns the OR of terms
+    into an AND of negated terms, re-distributed to DNF (a negated
+    BETWEEN contributes a two-range disjunction)."""
+    if not all(len(d) == 1 for d in dnf):
+        raise ValueError("cannot negate a composite WHERE predicate")
+    out: list[list[tuple]] = [[]]
+    for (t,) in dnf:
+        nd = _negate_term_dnf(t)
+        out = [a + b for a in out for b in nd]
+    return out
+
+
+def _parse_where_leaf(text: str) -> list[list[tuple]]:
+    """One leaf as DNF: ``col NOT BETWEEN a AND b`` is the two-range
+    disjunction (it cannot be a single pruning tuple); everything else
+    is a single term."""
+    import re as _re
+
+    m = _re.match(
+        r"^`?(\w+)`?\s+NOT\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+        text.strip(),
+        _re.IGNORECASE,
+    )
+    if m:
+        lo, hi = _where_lit(m.group(2)), _where_lit(m.group(3))
+        return [[(m.group(1), "<", lo)], [(m.group(1), ">", hi)]]
+    return [[_parse_where_term(text)]]
 
 
 def _parse_where_conjunction(text: str) -> list[tuple]:
@@ -111,10 +218,15 @@ def _parse_where_dnf(text: str) -> list[list[tuple]]:
     [(b,==,2), (c,<,3)]]``: every disjunct prunes files independently
     and the candidate set is their union, so `DELETE FROM t WHERE a=1
     OR b=2` keeps file skipping instead of being refused (round 8;
-    Delta/Iceberg accept this shape on day one).  Functions, NOT, and
-    subqueries still refuse loudly — use the TableLog API with real
-    Column predicates.  AND-over-OR distribution is capped at
-    ``_DNF_DISJUNCT_CAP`` disjuncts (DNF is worst-case exponential)."""
+    Delta/Iceberg accept this shape on day one).  Round 9 widens the
+    leaves to ``IN (…)`` / ``NOT IN (…)`` (membership pruning, never a
+    DNF explosion), ``IS [NOT] NULL`` (per-file null-count pruning),
+    ``!=``/``<>``, and prefix ``NOT`` over a leaf (op negation; NOT
+    over a parenthesized group still refuses — general DNF negation is
+    exponential).  Functions and subqueries refuse loudly — use the
+    TableLog API with real Column predicates.  AND-over-OR distribution
+    is capped at ``_DNF_DISJUNCT_CAP`` disjuncts (DNF is worst-case
+    exponential)."""
     import re as _re
 
     tok_pat = _re.compile(
@@ -156,6 +268,21 @@ def _parse_where_dnf(text: str) -> list[list[tuple]]:
 
     def parse_factor() -> list[list[tuple]]:
         nonlocal pos
+        if pos < len(toks) and toks[pos].upper() == "NOT" and (
+            pos + 1 >= len(toks) or toks[pos + 1].upper() != "IN"
+        ):
+            # prefix NOT: negate the following leaf. NOT over a
+            # parenthesized group refuses loudly (general DNF negation
+            # is exponential; distribute the negation by hand).
+            pos += 1
+            if pos < len(toks) and toks[pos] == "(":
+                raise ValueError(
+                    "NOT over a parenthesized predicate is not supported "
+                    "in SQL DML WHERE — distribute the negation (De "
+                    "Morgan's law) or use the TableLog API with a real "
+                    "Column predicate"
+                )
+            return _negate_leaf_dnf(parse_factor())
         if pos < len(toks) and toks[pos] == "(":
             pos += 1
             dnf = parse_or()
@@ -167,8 +294,26 @@ def _parse_where_dnf(text: str) -> list[list[tuple]]:
         between_pending = False
         while pos < len(toks):
             t, u = toks[pos], toks[pos].upper()
-            if t in ("(", ")") or u == "OR":
+            if t == ")" or u == "OR":
                 break
+            if t == "(":
+                if buf and buf[-1].upper() == "IN":
+                    # the leaf's own IN-list: consume '( items )' whole
+                    buf.append(t)
+                    pos += 1
+                    while pos < len(toks) and toks[pos] != ")":
+                        if toks[pos] == "(":
+                            raise ValueError(
+                                "nested parentheses in IN list"
+                            )
+                        buf.append(toks[pos])
+                        pos += 1
+                    if pos >= len(toks):
+                        raise ValueError("unterminated IN list in WHERE")
+                    buf.append(")")
+                    pos += 1
+                    continue
+                break  # grouping paren — ends this leaf
             if u == "AND":
                 if not between_pending:
                     break
@@ -179,7 +324,7 @@ def _parse_where_dnf(text: str) -> list[list[tuple]]:
             pos += 1
         if not buf:
             raise ValueError("empty WHERE term")
-        return [[_parse_where_term(" ".join(buf))]]
+        return _parse_where_leaf(" ".join(buf))
 
     dnf = parse_or()
     if pos != len(toks):

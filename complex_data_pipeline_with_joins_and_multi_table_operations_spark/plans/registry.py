@@ -3336,6 +3336,66 @@ FROM kept
 """
 
 
+def q_sql_in_null_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 SQL DML grammar end-to-end: IN-lists, IS [NOT] NULL,
+    NOT IN, prefix NOT, and != through ``Warehouse.sql`` against a
+    freshly-built transaction-log table — each leaf a first-class
+    stats-prunable op (membership prunes via min/max, null tests via
+    the exact per-file null counts the footer harvest records). The
+    oracle recomputes both mutations as plain SQL over the source
+    slice with identical tri-state semantics (DELETE keeps
+    NULL-predicate rows, UPDATE leaves them unchanged)."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="in_null_row_ops_"))
+    src = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_tag",
+            F.when(
+                F.col("o_orderkey") % 70 == 0, F.lit(None).cast("string")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .repartition(8, "o_orderkey")  # multi-file: pruning is real
+    )
+    wh.write_snapshot(src, "t")
+    wh.sql(
+        "DELETE FROM t WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "AND o_totalprice > 150000.0 OR o_tag IS NULL"
+    )
+    wh.sql(
+        "UPDATE t SET o_orderstatus = 'Z' WHERE o_custkey NOT IN (1, 2, 3) "
+        "AND NOT o_totalprice >= 50000.0 AND o_orderstatus != 'F'"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_IN_NULL_ROW_OPS = """
+WITH src AS (
+  SELECT *, CASE WHEN o_orderkey % 70 = 0 THEN NULL
+                 ELSE o_orderpriority END AS o_tag
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+kept AS (
+  SELECT * FROM src
+  WHERE NOT coalesce(
+    (o_orderpriority IN ('1-URGENT', '2-HIGH')
+     AND o_totalprice > 150000.0)
+    OR o_tag IS NULL, FALSE)
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN coalesce(o_custkey NOT IN (1, 2, 3)
+                 AND NOT (o_totalprice >= 50000.0)
+                 AND o_orderstatus <> 'F', FALSE)
+            THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority, o_tag
+FROM kept
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5290,6 +5350,7 @@ QUERIES: dict[str, QueryFn] = {
     "perplexity_scores": q_perplexity_scores,
     "perplexity_cached": q_perplexity_cached,
     "sql_dnf_row_ops": q_sql_dnf_row_ops,  # NEW in r8: first driver row
+    "sql_in_null_row_ops": q_sql_in_null_row_ops,  # NEW in r9
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5331,11 +5392,11 @@ QUERIES: dict[str, QueryFn] = {
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
-    "supplier_part_counts": q_supplier_part_counts,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
     "mixture_sample": q_mixture_sample,
@@ -5472,6 +5533,7 @@ ORACLES: dict[str, str] = {
     "gk_quantiles": SQL_GK_QUANTILES,
     "approx_event_stats": SQL_APPROX_EVENT_STATS,
     "sql_dnf_row_ops": SQL_SQL_DNF_ROW_OPS,
+    "sql_in_null_row_ops": SQL_SQL_IN_NULL_ROW_OPS,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

@@ -91,32 +91,56 @@ _OPS = {
     LessThanOrEqual: "<=",
 }
 
+# NOT over a single-term filter negates the op (round 9) — the same
+# negation table the SQL WHERE parser uses; NULL semantics are preserved
+# because both sides of each pair are null-unsafe (NULL input selects
+# nothing either way).
+_NEG = {
+    "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "in": "notin", "notin": "in", "isnull": "notnull", "notnull": "isnull",
+}
+
+
+def _translate_one(f: Filter) -> tuple | None:
+    """One Spark filter -> one txlog pruning term, or None (keep file)."""
+    from pyspark.sql.datasource import IsNotNull, IsNull, Not
+
+    if isinstance(f, Not):
+        inner = _translate_one(f.child)
+        if inner is None or inner[1] not in _NEG:
+            return None
+        return (inner[0], _NEG[inner[1]], inner[2])
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested column — no scalar stats
+    col = attr[0]
+    op = _OPS.get(type(f))
+    if op is not None:
+        return (col, op, f.value) if f.value is not None else None
+    if isinstance(f, In):
+        # None members never match rows (x IN (…, NULL) is never TRUE),
+        # so dropping them keeps membership pruning exact
+        vals = tuple(v for v in f.value if v is not None)
+        return (col, "in", vals) if vals else None
+    if isinstance(f, IsNull):
+        return (col, "isnull", None)
+    if isinstance(f, IsNotNull):
+        return (col, "notnull", None)
+    return None
+
 
 def translate_filters(filters: Sequence[Filter]) -> list[tuple]:
     """Spark pushed filters -> txlog ``(col, op, value)`` pruning tuples.
 
-    Only top-level-column comparisons translate; anything else is skipped
-    (file kept — conservative). ``In`` collapses to its value range: a file
-    whose [min,max] misses [min(values),max(values)] can hold no match, so
-    ``between`` prunes correctly even though it is weaker than membership.
-    """
+    Top-level-column comparisons, ``In`` (true membership pruning),
+    ``IsNull``/``IsNotNull`` (null-count pruning), and ``Not`` over any
+    of them translate; anything else is skipped (file kept —
+    conservative)."""
     out: list[tuple] = []
     for f in filters:
-        op = _OPS.get(type(f))
-        attr = getattr(f, "attribute", None)
-        if attr is None or len(attr) != 1:
-            continue  # nested column — no scalar stats
-        col = attr[0]
-        if op is not None:
-            if f.value is not None:
-                out.append((col, op, f.value))
-        elif isinstance(f, In):
-            vals = [v for v in f.value if v is not None]
-            if vals:
-                try:
-                    out.append((col, "between", (min(vals), max(vals))))
-                except TypeError:
-                    pass  # mixed/incomparable literals — keep the file
+        t = _translate_one(f)
+        if t is not None:
+            out.append(t)
     return out
 
 

@@ -109,9 +109,21 @@ def _file_stats(path: str) -> tuple[dict[str, dict], int]:
             if "." in name:  # nested — no scalar pruning
                 continue
             st = col.statistics
-            cur = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            # nulls_ok: EVERY row group reported a null count, so the
+            # aggregated null total is exact — the precondition for
+            # IS [NOT] NULL file skipping (round 9). A single row group
+            # without the count poisons the flag (conservative: keep).
+            cur = agg.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "nulls_ok": True}
+            )
+            if st is None or not st.has_null_count:
+                cur["nulls_ok"] = False
+            else:
+                cur["nulls"] += st.null_count
             if st is None or not st.has_min_max:
                 # a single stats-less row group makes the file unprunable
+                # by min/max (null-count pruning above stays independent:
+                # an all-null row group legitimately has no min/max)
                 cur["min"] = cur["max"] = None
                 cur["no_stats"] = True
                 continue
@@ -123,8 +135,6 @@ def _file_stats(path: str) -> tuple[dict[str, dict], int]:
                 else:
                     cur["min"] = lo if cur["min"] is None else min(cur["min"], lo, key=_dec_key)
                     cur["max"] = hi if cur["max"] is None else max(cur["max"], hi, key=_dec_key)
-            if st.has_null_count:
-                cur["nulls"] += st.null_count
     return agg, md.num_rows
 
 
@@ -3441,14 +3451,30 @@ def _snapshot_id(version: int, adds: list, removes: list, parent) -> str:
 def _may_match(meta: dict, flt: tuple) -> bool:
     """Can this file contain rows satisfying the filter? (False ⇒ safe to
     skip: partition value is exact; stats ranges are conservative — files
-    with no stats for the column are always kept.)"""
+    with no stats for the column are always kept.)
+
+    Ops beyond the classic comparisons (round 9): ``in``/``notin`` (val
+    is a tuple of literals), ``!=``, and the null tests ``isnull``/
+    ``notnull`` (val ignored). Null tests prune on the exact per-file
+    null counts the footer harvest records (``nulls`` + ``nulls_ok``);
+    ``!=``/``notin`` can only skip a file whose min==max pins every
+    non-null row to an excluded value — null rows never satisfy a
+    comparison, so they never block that skip."""
     col, op, val = flt
     pvals = meta.get("partition_values", {})
     if col in pvals:
         pv = pvals[col]
+        if op == "isnull":
+            return pv is None
+        if op == "notnull":
+            return pv is not None
         if pv is None:
             return False  # null partitions satisfy no comparison predicate
-        ref = val[0] if op == "between" else val
+        ref = (
+            val[0]
+            if op == "between"
+            else (val[0] if op in ("in", "notin") and val else val)
+        )
         typed = _typed(pv, ref)
         if isinstance(typed, str) and not isinstance(ref, str):
             # literal type _typed cannot coerce (Decimal, …): pruning must
@@ -3458,6 +3484,12 @@ def _may_match(meta: dict, flt: tuple) -> bool:
         try:
             if op == "==":
                 return typed == val
+            if op == "!=":
+                return typed != val
+            if op == "in":
+                return any(typed == v for v in val)
+            if op == "notin":
+                return all(typed != v for v in val)
             if op == "<":
                 return typed < val
             if op == "<=":
@@ -3473,12 +3505,29 @@ def _may_match(meta: dict, flt: tuple) -> bool:
             return True  # incomparable types — keep the file
         return True
     st = (meta.get("stats") or {}).get(col)
+    if op in ("isnull", "notnull"):
+        if not st or not st.get("nulls_ok"):
+            return True  # null counts unknown (old log / missing) — keep
+        if op == "isnull":
+            return int(st.get("nulls") or 0) > 0
+        rows = meta.get("rows")
+        if rows is None:
+            return True
+        return int(st.get("nulls") or 0) < int(rows)
     if not st or st.get("no_stats") or st.get("min") is None:
         return True
     lo, hi = _dec(st["min"]), _dec(st["max"])
     try:
         if op == "==":
             return lo <= val <= hi
+        if op == "!=":
+            # skippable only when every non-null row equals val (null
+            # rows don't satisfy != either, so they don't block the skip)
+            return not (lo == hi == val)
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+        if op == "notin":
+            return not (lo == hi and any(lo == v for v in val))
         if op == "<":
             return lo < val
         if op == "<=":
@@ -3514,10 +3563,19 @@ def _typed(path_value: str, like: Any) -> Any:
 
 
 def _as_column(flt: tuple):
+    """The exact row predicate for one filter term. SQL tri-state is
+    preserved by construction: ``!=``/``notin`` are null-UNSAFE (NULL
+    input → NULL → row not selected), matching what a WHERE clause —
+    and therefore DELETE/UPDATE row selection — does with them."""
     col, op, val = flt
     c = F.col(col)
     return {
         "==": lambda: c == val,
+        "!=": lambda: c != val,
+        "in": lambda: c.isin(list(val)),
+        "notin": lambda: ~c.isin(list(val)),
+        "isnull": lambda: c.isNull(),
+        "notnull": lambda: c.isNotNull(),
         "<": lambda: c < val,
         "<=": lambda: c <= val,
         ">": lambda: c > val,

@@ -843,3 +843,116 @@ def test_sql_where_dnf_delete_matches_spark_semantics(spark, tmp_path):
         ).collect()
     )
     assert kept == want
+
+
+# round 9: the WHERE grammar grew IN (…) / IS [NOT] NULL / != / <> /
+# prefix NOT — extend the parser-agreement property to those shapes,
+# over data that actually contains NULLs (tri-state semantics must
+# agree with Spark's own WHERE, not just two-valued logic)
+_cols9 = st.sampled_from(["id", "v", "w"])
+
+
+def _in_sql(t) -> str:
+    c, neg, vals = t
+    return f"{c} {'NOT ' if neg else ''}IN ({', '.join(map(str, vals))})"
+
+
+_leaf9 = st.one_of(
+    st.tuples(
+        _cols9,
+        st.sampled_from(["=", "!=", "<>", "<", "<=", ">", ">="]),
+        st.integers(-5, 15),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        _cols9, st.booleans(), st.lists(st.integers(-5, 15), min_size=1, max_size=4)
+    ).map(_in_sql),
+    st.tuples(_cols9, st.booleans()).map(
+        lambda t: f"{t[0]} IS {'NOT ' if t[1] else ''}NULL"
+    ),
+    st.tuples(
+        _cols9, st.integers(-5, 15), st.integers(-5, 15), st.booleans()
+    ).map(
+        lambda t: f"{t[0]} {'NOT ' if t[3] else ''}BETWEEN "
+        f"{min(t[1], t[2])} AND {max(t[1], t[2])}"
+    ),
+)
+_leaf9n = st.tuples(_leaf9, st.booleans()).map(
+    lambda t: ("NOT " + t[0]) if t[1] else t[0]
+)
+
+_tree9 = st.recursive(
+    _leaf9n,
+    lambda kids: st.tuples(
+        kids, st.sampled_from(["AND", "OR"]), kids, st.booleans()
+    ).map(
+        lambda t: (
+            f"({t[0]}) {t[1]} ({t[2]})" if t[3] else f"{t[0]} {t[1]} {t[2]}"
+        )
+    ),
+    max_leaves=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_tree9)
+def test_sql_where_round9_grammar_agrees_with_spark(spark, clause):
+    """Random predicate trees over the round-9 leaf grammar (IN / NOT
+    IN / IS [NOT] NULL / != / <> / NOT / NOT BETWEEN) on data WITH
+    NULLs: the DNF parse + _dnf_column must select exactly the rows
+    Spark's own SQL WHERE selects — SQL tri-state included."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _parse_where_dnf,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        _dnf_column,
+    )
+
+    rows = [
+        (i, (i * 7) % 13 - 5, None if i % 3 == 0 else i % 5)
+        for i in range(-5, 16)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    df.createOrReplaceTempView("__wt9")
+    expected = sorted(
+        r.id
+        for r in spark.sql(f"SELECT id FROM __wt9 WHERE {clause}").collect()
+    )
+    dnf = _parse_where_dnf(clause)
+    got = df.filter(_dnf_column(dnf))
+    assert sorted(r.id for r in got.select("id").collect()) == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(_tree9)
+def test_sql_where_round9_delete_matches_spark(spark, tmp_path_factory, clause):
+    """The same random round-9 predicates driven through an actual
+    txlog DELETE over a multi-file table: the kept set must equal
+    Spark's WHERE complement (stats pruning — now including null-count
+    and membership pruning — can narrow the scan, never the
+    semantics)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _parse_where_dnf,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    rows = [
+        (i, (i * 7) % 13 - 5, None if i % 3 == 0 else i % 5)
+        for i in range(-5, 16)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(4)
+    log = TableLog(
+        spark, str(tmp_path_factory.mktemp("r9del") / "t")
+    )
+    log.write(df)
+    log.delete(_parse_where_dnf(clause))
+    kept = sorted(r.id for r in log.read().collect())
+    df.createOrReplaceTempView("__wt9_del")
+    want = sorted(
+        r.id
+        for r in spark.sql(
+            f"SELECT id FROM __wt9_del WHERE NOT coalesce(({clause}), false)"
+        ).collect()
+    )
+    assert kept == want
