@@ -30,9 +30,11 @@ README.md:143-154 — `VERSION AS OF` verification):
   tails the commit log: offsets are table versions, each microbatch is
   the add-actions of the commits in ``(start, end]``. The Delta-style CDC
   ingestion surface: downstream pipelines consume appends incrementally
-  with exactly-once semantics from the sink's checkpoint. Non-append
-  commits (overwrite/replace) fail the stream unless
-  ``ignoreChanges=true``, mirroring Delta's guardrail.
+  with exactly-once semantics from the sink's checkpoint. OPTIMIZE
+  commits carry ``dataChange=false`` (Delta protocol semantics) and are
+  skipped silently — a routine compaction never kills or double-feeds a
+  stream; other non-append commits (overwrite/replace/row ops) fail the
+  stream unless ``ignoreChanges=true``, mirroring Delta's guardrail.
 
 Scale notes: partitions are one-per-data-file, so read parallelism tracks
 the file count; pruning happens on log metadata only (O(active files),
@@ -559,6 +561,14 @@ class TxLogStreamReader(DataSourceStreamReader):
                 continue
             with open(log._commit_path(v)) as f:
                 c = _json.load(f)
+            if c.get("dataChange") is False or c["operation"] == "optimize":
+                # compaction (OPTIMIZE/Z-ORDER) rewrites files without
+                # changing rows — Delta marks such file actions
+                # dataChange=false and streams skip them silently; every
+                # row in the commit's adds was already emitted from the
+                # original appends, so emitting OR failing here would be
+                # wrong (operation-name fallback covers pre-round-9 logs)
+                continue
             if c["operation"] != "append" and (
                 c.get("removes") or c["operation"].endswith("_dv")
             ):

@@ -1962,6 +1962,11 @@ class TableLog:
                 "partition_by": list(base.partition_by or []),
                 "adds": adds,
                 "removes": removes,
+                # Delta protocol semantics: a compaction's file actions
+                # carry dataChange=false — every row in the new files was
+                # already in the table, so streaming readers skip the
+                # commit instead of dying (or double-emitting) on it
+                "dataChange": False,
             }
             try:
                 self._commit(version, payload)

@@ -94,14 +94,15 @@ def test_translate_filters():
             GreaterThan(("id",), 50),
             LessThanOrEqual(("val",), 9.5),
             In(("grp",), (1, 3, 2)),
-            IsNotNull(("id",)),  # not translatable -> dropped (kept file)
+            IsNotNull(("id",)),  # round 9: translates to null-count pruning
             EqualTo(("nested", "x"), 1),  # nested -> dropped
         ]
     ) == [
         ("grp", "==", 2),
         ("id", ">", 50),
         ("val", "<=", 9.5),
-        ("grp", "between", (1, 3)),
+        ("grp", "in", (1, 3, 2)),
+        ("id", "notnull", None),
     ]
 
 
@@ -290,3 +291,60 @@ def test_stream_continues_across_rename_and_restart_picks_new_names(
     fresh = drain("b")
     assert fresh.columns == ["id", "val"]
     assert {(r.id, r.val) for r in fresh.collect()} == {(1, 10), (2, 20)}
+
+
+def test_stream_survives_optimize_with_no_dup_or_loss(spark, tmp_path):
+    """Round 9 (verdict task 2): OPTIMIZE commits carry dataChange=false
+    (Delta protocol semantics), so a routine compaction mid-stream
+    neither kills the stream nor double-emits the compacted rows —
+    appends before and after arrive exactly once; DELETE commits still
+    fail the stream as before."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    root = str(tmp_path / "otbl")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    register_txlog(spark)
+    spark.range(0, 20).coalesce(2).write.format("txlog").mode("append").save(
+        root
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 20
+    # compaction mid-stream: many files -> few, rows unchanged
+    log = TableLog(spark, root)
+    spark.range(100, 110).coalesce(2).write.format("txlog").mode(
+        "append"
+    ).save(root)
+    log.optimize(n_files=1)
+    spark.range(200, 205).coalesce(1).write.format("txlog").mode(
+        "append"
+    ).save(root)
+    run()
+    got = spark.read.parquet(out)
+    # exactly once: the optimize's rewritten files were NOT re-emitted
+    assert got.count() == 35
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    assert got.filter("id >= 200").count() == 5
+    # checkpoint replay unaffected: another idle drain emits nothing new
+    run()
+    assert spark.read.parquet(out).count() == 35
+    # a data-CHANGING commit (delete) still fails the stream loudly
+    log.delete([("id", "==", 0)])
+    spark.range(300, 302).write.format("txlog").mode("append").save(root)
+    with pytest.raises(Exception, match="delete|ignoreChanges"):
+        run()
