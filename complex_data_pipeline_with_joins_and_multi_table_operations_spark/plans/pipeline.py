@@ -557,6 +557,40 @@ class Warehouse:
             df.drop(col), name, partition_by=part_by or None
         )
 
+    def alter_column_type(self, name: str, col: str, dtype: str) -> int:
+        """ALTER COLUMN … TYPE — widening-only, same promotion matrix as
+        the txlog backend (semantic parity across backends even though
+        this one could cast anything: narrowing must refuse everywhere).
+        This backend rewrites the next snapshot with the cast applied."""
+        from pyspark.sql.types import StructType as _StructType
+
+        from ..sources.txlog import _is_widening
+
+        versions = self.versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        df = self.read_snapshot(name)
+        if col not in df.columns:
+            raise ValueError(f"no column {col!r} in table {name}")
+        try:
+            new_simple = (
+                _StructType.fromDDL(f"`{col}` {dtype}")
+                .fields[0]
+                .dataType.simpleString()
+            )
+        except Exception:
+            raise ValueError(f"cannot parse column type {dtype!r}") from None
+        old_simple = df.schema[col].dataType.simpleString()
+        if not _is_widening(old_simple, new_simple):
+            raise ValueError(
+                f"ALTER COLUMN {col!r} TYPE {old_simple} -> {new_simple} "
+                "is not a supported widening"
+            )
+        part_by = self._snapshot_partition_by(name, versions[-1])
+        out = df.withColumn(col, F.col(col).cast(new_simple))
+        # preserve declared column order (withColumn keeps position)
+        return self.write_snapshot(out, name, partition_by=part_by or None)
+
     def restore_table(self, name: str, version: int) -> int:
         """RESTORE TABLE … TO VERSION AS OF (Delta semantics: a NEW
         version with the target version's state — history stays
@@ -894,6 +928,7 @@ class Warehouse:
             r"RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?"
             r"|ADD\s+COLUMNS?\s+([`\w()\s,]+?)"
             r"|DROP\s+COLUMNS?\s*\(?\s*`?(\w+)`?\s*\)?"
+            r"|ALTER\s+COLUMN\s+`?(\w+)`?\s+TYPE\s+([\w()\s,]+?)"
             r")\s*;?\s*$",
             query,
             re.IGNORECASE,
@@ -1182,9 +1217,14 @@ class Warehouse:
                 # single atomic application: name collisions (live schema
                 # or intra-list) are rejected before anything commits
                 v = self.add_columns(t, parsed)
-            else:
+            elif m_alter.group(5):
                 op = "DROP COLUMN"
                 v = self.drop_column(t, m_alter.group(5))
+            else:
+                op = "ALTER COLUMN TYPE"
+                v = self.alter_column_type(
+                    t, m_alter.group(6), m_alter.group(7).strip()
+                )
             return self.spark.createDataFrame(
                 [(t, op, v)], "table_name string, operation string, version long"
             )
@@ -1273,6 +1313,10 @@ class TxLogWarehouse(Warehouse):
 
     def drop_column(self, name: str, col: str) -> int:
         return self._log(name).drop_column(col)
+
+    def alter_column_type(self, name: str, col: str, dtype: str) -> int:
+        # metadata-only widening on this backend (see TableLog)
+        return self._log(name).alter_column_type(col, dtype)
 
     def restore_table(self, name: str, version: int) -> int:
         return self._log(name).restore(version)

@@ -128,7 +128,13 @@ def _file_stats(path: str) -> tuple[dict[str, dict], int]:
                 cur["no_stats"] = True
                 continue
             if not cur.get("no_stats"):
-                lo, hi = _enc(st.min), _enc(st.max)
+                try:
+                    lo, hi = _enc(st.min), _enc(st.max)
+                except Exception:
+                    # pyarrow cannot extract min/max for some physical
+                    # types (e.g. INT32-backed decimals) — the file simply
+                    # stays unprunable by range, never an error
+                    lo = hi = None
                 if lo is None or hi is None:
                     cur["no_stats"] = True
                     cur["min"] = cur["max"] = None
@@ -222,6 +228,35 @@ def _physical_filters(filters: list[tuple], mapping: dict[str, str]) -> list[tup
     if not mapping:
         return filters
     return [(_phys_name(mapping, c), op, v) for c, op, v in filters]
+
+
+# type-widening promotion rules (Iceberg's schema-evolution matrix):
+# metadata-only changes whose every existing value survives exactly
+_WIDEN_OK = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _is_widening(src: str, dst: str) -> bool:
+    """True iff dst is a lossless widening of src (Spark simpleString
+    spellings). decimal(p,s) widens to decimal(p2,s) for p2 > p — same
+    scale, more precision headroom."""
+    import re as _re
+
+    src, dst = src.lower(), dst.lower()
+    if dst in _WIDEN_OK.get(src, ()):
+        return True
+    ms = _re.fullmatch(r"decimal\((\d+),(\d+)\)", src)
+    md = _re.fullmatch(r"decimal\((\d+),(\d+)\)", dst)
+    return bool(
+        ms
+        and md
+        and ms.group(2) == md.group(2)
+        and int(md.group(1)) > int(ms.group(1))
+    )
 
 
 class ConstraintViolationError(ValueError):
@@ -659,6 +694,78 @@ class TableLog:
                 "partition_by": list(cur.partition_by or []),
                 "constraints": cur.constraints,
                 "column_mapping": mapping,
+                "adds": [],
+                "removes": [],
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def alter_column_type(
+        self, name: str, dtype: str, max_retries: int = 3
+    ) -> int:
+        """ALTER TABLE ALTER COLUMN … TYPE — metadata-only type WIDENING
+        per the Iceberg promotion rules (tinyint→smallint/int/bigint,
+        smallint→int/bigint, int→bigint, float→double, decimal(p,s)→
+        decimal(p+,s)): no data file is rewritten — existing files keep
+        their frozen physical type and every reader widens at scan time
+        (Spark's parquet reader performs these promotions natively;
+        the Arrow DataSource path casts to the logical schema). Narrowing
+        and unrelated changes refuse loudly — they would corrupt or
+        truncate existing data. Bucket columns refuse: the bucket hash is
+        type-sensitive (Murmur3 over int and long differ), so widening
+        one would scatter future appends across wrong buckets. Time
+        travel to a pre-widen version still reads the old type exactly."""
+        from pyspark.sql.types import StructType as _StructType
+
+        try:
+            new_fld = _StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+        except Exception:
+            raise ValueError(f"cannot parse column type {dtype!r}") from None
+        new_simple = new_fld.dataType.simpleString()
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            names = [f.name for f in cur.schema.fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} in {self.root}")
+            old_simple = cur.schema[name].dataType.simpleString()
+            if not _is_widening(old_simple, new_simple):
+                raise ValueError(
+                    f"ALTER COLUMN {name!r} TYPE {old_simple} -> "
+                    f"{new_simple} is not a supported widening "
+                    "(tinyint→smallint/int/bigint, smallint→int/bigint, "
+                    "int→bigint, float→double, decimal(p,s)→decimal(p+,s)); "
+                    "narrowing or re-typing requires rewriting the table "
+                    "via a full overwrite"
+                )
+            if name in (cur.bucket_by.get("cols") or []):
+                raise ValueError(
+                    f"cannot widen bucket column {name!r}: the bucket "
+                    "hash is type-sensitive, so appends after the widen "
+                    "would land in wrong buckets — re-bucket via a full "
+                    "overwrite"
+                )
+            d = json.loads(cur.schema_json)
+            nf = json.loads(_StructType([new_fld]).json())["fields"][0]
+            for f in d["fields"]:
+                if f["name"] == name:
+                    f["type"] = nf["type"]
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "alter_column_type",
+                "schema": json.dumps(d),
+                "partition_by": list(cur.partition_by or []),
+                "constraints": cur.constraints,
+                "column_mapping": cur.column_mapping,
                 "adds": [],
                 "removes": [],
             }
