@@ -143,6 +143,131 @@ def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _trade_pairs(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Distinct (c, s) trade pairs, hash(c)-partitioned with the
+    distinct folded into the one exchange: the orders⋈lineitem pair
+    derivation joins SHUFFLED-HASH (both sides are facts), the output
+    exchanges ONCE on c, and the dropDuplicates aggregate runs
+    exchange-free on top (hash(c) satisfies clustering by (c, s))."""
+    joined = orders.hint("shuffle_hash").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    return joined.repartition("c").dropDuplicates(["c", "s"])
+
+
+def trade_edge_index_build(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    root: str,
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """Persist the trade graph's per-round state as TABLES — the
+    build-once/iterate-many split of :func:`trade_pagerank` (verdict-r8
+    task 4): the (c, s, outdeg) edge cache lands as a txlog table
+    BUCKETED BY c (sources/txlog.py bucketed layout), so every
+    :func:`trade_pagerank_over_index` run gets the c→s join and the
+    per-customer aggregation exchange-free ON DISK — the shuffle the
+    in-memory form pays per run is paid once here, at index build. The
+    supplier-degree relation (node-sized) lands as a plain table.
+    Returns (edges_root, deg_s_root)."""
+    import os
+
+    from ..sources.txlog import TableLog
+
+    spark = orders.sparkSession
+    pc = _trade_pairs(orders, lineitem).persist()
+    deg_c = pc.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
+    a_edges = pc.join(deg_c.hint("shuffle_hash"), "c")
+    deg_s = pc.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_root = os.path.join(root, "edges")
+    s_root = os.path.join(root, "deg_s")
+    try:
+        TableLog(spark, e_root).write(
+            a_edges, bucket_by=(n_buckets, ["c"]), sort_by=["c"]
+        )
+        TableLog(spark, s_root).write(deg_s)
+    finally:
+        pc.unpersist()
+    return e_root, s_root
+
+
+def trade_pagerank_over_index(
+    spark, edges_root: str, deg_s_root: str, iters: int = 3
+) -> DataFrame:
+    """:func:`trade_pagerank`'s fixed-point loop over the PERSISTED
+    bucketed edge index (:func:`trade_edge_index_build`) — masses
+    bit-identical to the fused form (the trajectory is pure BIGINT
+    arithmetic over the same edge set; asserted in tests/test_graph.py).
+
+    Plan shape per round: the bucketed scan of (c, s, outdeg) is never
+    exchanged — the c→s join hashes only the node-sized mass relation
+    against it, and the s→c per-customer sum aggregates in place on the
+    bucket partitioning; the only edge-sized exchange left is the
+    groupBy(s) map-side-combined toward supplier cardinality. At
+    cluster scale this is the composition the in-memory form's
+    docstring pointed at: pay the hash(c) shuffle once at write time,
+    iterate exchange-free forever after."""
+    from ..sources.txlog import TableLog
+
+    a_edges = TableLog(spark, edges_root).read_bucketed().persist()
+    deg_s = TableLog(spark, deg_s_root).read().persist()
+    deg_c_nodes = a_edges.select(F.col("c").alias("node")).distinct()
+    nodes = (
+        deg_c_nodes.unionByName(deg_s.select(F.col("s").alias("node")))
+        .persist()
+    )
+    try:
+        mass = nodes.select("node", F.lit(SCALE).cast("long").alias("mass"))
+        for _it in range(iters):
+            ins_s = (
+                a_edges.join(
+                    mass.hint("shuffle_hash"), a_edges.c == mass.node
+                )
+                .select(
+                    F.col("s").alias("node2"),
+                    F.expr("mass div outdeg").alias("contrib"),
+                )
+                .groupBy("node2")
+                .agg(F.sum("contrib").alias("insum"))
+            )
+            w_s = F.broadcast(
+                mass.join(deg_s, mass.node == deg_s.s).select(
+                    F.col("s").alias("ws_s"),
+                    F.expr("mass div outdeg").alias("contrib"),
+                )
+            )
+            ins_c = (
+                a_edges.join(w_s, a_edges.s == F.col("ws_s"))
+                .select(F.col("c").alias("node2"), "contrib")
+                .groupBy("node2")
+                .agg(F.sum("contrib").alias("insum"))
+            )
+            insum = ins_s.unionByName(ins_c).withColumnRenamed(
+                "node2", "node"
+            )
+            mass = nodes.join(insum, "node", "left").select(
+                "node",
+                (
+                    F.lit(TELEPORT)
+                    + F.expr(
+                        "coalesce(insum, 0L) div 20 * 17"
+                        " + (coalesce(insum, 0L) % 20) * 17 div 20"
+                    )
+                ).alias("mass"),
+            )
+            # node-sized materialization per round (see trade_pagerank)
+            mass = mass.localCheckpoint(eager=True)
+        out = mass
+    finally:
+        a_edges.unpersist()
+        deg_s.unpersist()
+        nodes.unpersist()
+    return out
+
+
 def trade_pagerank(
     orders: DataFrame, lineitem: DataFrame, iters: int = 3
 ) -> DataFrame:
@@ -188,14 +313,7 @@ def trade_pagerank(
     (sums regroup across the direction split; integer addition is
     order-free), unchanged oracle.
     """
-    joined = orders.hint("shuffle_hash").join(
-        lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).select(
-        (F.col("o_custkey") * 2).alias("c"),
-        (F.col("l_suppkey") * 2 + 1).alias("s"),
-    )
-    # ONE exchange on c; the distinct aggregate reuses that partitioning
-    pc = joined.repartition("c").dropDuplicates(["c", "s"]).persist()
+    pc = _trade_pairs(orders, lineitem).persist()
     pc.count()
     deg_c = pc.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
     a_edges = pc.join(deg_c.hint("shuffle_hash"), "c").persist()

@@ -4463,6 +4463,36 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.trade_pagerank(cat.orders, cat.lineitem, iters=3)
 
 
+_TRADE_EDGE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def q_trade_pagerank_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the PERSISTED bucketed trade-edge index
+    (operators/graph.py trade_edge_index_build / trade_pagerank_over_index)
+    — the build-once/iterate-many production split of `trade_pagerank`,
+    which re-derives the orders⋈lineitem edge cache per invocation. The
+    (c, s, outdeg) edge table is BUCKETED BY c in the txlog layout, so
+    every round's c-side join and per-customer aggregation plan with
+    zero Exchange against the scan — the hash(c) shuffle is paid once
+    at index build, on disk. Masses bit-identical to the fused form
+    (same BIGINT trajectory over the same edge set; asserted in
+    tests/test_graph.py), so the SAME unrolled oracle must land on
+    identical rows — the bucketed-table round-trip is part of what the
+    hash check proves."""
+    import os
+    import tempfile
+
+    from ..operators import graph
+
+    paths = _TRADE_EDGE_CACHE.get(sf_dir)
+    if paths is None or not os.path.isdir(paths[0]):
+        cat = Catalog(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="trade_edges_")
+        paths = graph.trade_edge_index_build(cat.orders, cat.lineitem, root)
+        _TRADE_EDGE_CACHE[sf_dir] = paths
+    return graph.trade_pagerank_over_index(spark, paths[0], paths[1], iters=3)
+
+
 def _pagerank_sql(iters: int) -> str:
     """DuckDB mirror of the fixed-point PageRank trajectory: same
     distinct edge set, same integer floor divisions, unrolled round by
@@ -5345,6 +5375,7 @@ QUERIES: dict[str, QueryFn] = {
     "triplet_mining": q_triplet_mining,
     "column_profile_approx": q_column_profile_approx,
     "trade_pagerank": q_trade_pagerank,
+    "trade_pagerank_cached": q_trade_pagerank_cached,  # NEW in r9
     "rank_fusion_curation": q_rank_fusion_curation,
     "rank_fusion_cached": q_rank_fusion_cached,
     "perplexity_scores": q_perplexity_scores,
@@ -5391,11 +5422,11 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
-    "top_supplier": q_top_supplier,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
     "bm25_topk": q_bm25_topk,
@@ -5523,6 +5554,7 @@ ORACLES: dict[str, str] = {
     "bpe_subword_counts": SQL_BPE_SUBWORD_COUNTS,
     "bpe_counts_cached": SQL_BPE_SUBWORD_COUNTS,
     "trade_pagerank": SQL_TRADE_PAGERANK,
+    "trade_pagerank_cached": SQL_TRADE_PAGERANK,  # bit-identical trajectory
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_weights_cached": SQL_DSIR_WEIGHTS,
     "column_profile": SQL_COLUMN_PROFILE,

@@ -190,6 +190,14 @@ class Snapshot:
     # correct); row-level ops and replace_where still refuse — their
     # rewrites would emit files outside the layout.
     bucket_by: dict = field(default_factory=dict)
+    # Opt-in per-column Bloom-filter file skipping (round 9 — Delta's
+    # Bloom filter index / Iceberg's bloom write property): columns
+    # listed here get a small per-file Bloom bitmap harvested at write
+    # time (one distributed pass over each commit's new files) and
+    # stored in the add-action. Equality/IN predicates consult it after
+    # min/max: a point DELETE on a uniformly distributed key — which
+    # ranges can never prune — touches only Bloom-positive files.
+    bloom_cols: list = field(default_factory=list)
 
     @property
     def schema(self) -> StructType:
@@ -351,6 +359,7 @@ class TableLog:
                 snap.dropped_physical = cp.get("dropped_physical") or []
                 snap.dvs = cp.get("dvs") or {}
                 snap.bucket_by = cp.get("bucket_by") or {}
+                snap.bloom_cols = cp.get("bloom_cols") or []
                 replay_from = cv
                 break
 
@@ -374,6 +383,8 @@ class TableLog:
                 snap.dvs = c["dvs"]
             if "bucket_by" in c:  # same carry-forward rule
                 snap.bucket_by = c["bucket_by"]
+            if "bloom_cols" in c:  # same carry-forward rule
+                snap.bloom_cols = c["bloom_cols"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -884,6 +895,7 @@ class TableLog:
                 "schema": old.schema_json,
                 "partition_by": list(old.partition_by or []),
                 "bucket_by": old.bucket_by,
+                "bloom_cols": old.bloom_cols,
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
@@ -903,11 +915,74 @@ class TableLog:
 
     # -- write path ---------------------------------------------------------
 
+    def _harvest_blooms(
+        self,
+        adds: list[dict],
+        bloom_cols: list[str] | None,
+        mapping: dict[str, str] | None,
+    ) -> None:
+        """Attach per-file Bloom bitmaps for the opted-in columns to the
+        freshly staged add-actions: ONE distributed pass over the
+        commit's new files per column (never the whole table — write
+        amplification stays proportional to the commit). The driver
+        collects only (file, distinct bit positions ≤ _BLOOM_M) pairs.
+        Partition columns are skipped (partition pruning is already
+        exact and the values aren't in the files); a column absent from
+        the staged files (subset-schema append) gets an EMPTY bitmap —
+        correct, those files read it as all-NULL and equality never
+        matches NULL."""
+        if not adds or not bloom_cols:
+            return
+        import base64
+
+        phys = [
+            _phys_name(mapping or {}, c)
+            for c in bloom_cols
+            if c not in (adds[0].get("partition_values") or {})
+        ]
+        if not phys:
+            return
+        full = [os.path.join(self.data_dir, a["path"]) for a in adds]
+        df = self.spark.read.parquet(*full)
+        by_base = {os.path.basename(a["path"]): a for a in adds}
+        for pc in phys:
+            hits: dict[str, list] = {}
+            if pc in df.columns:
+                h = F.md5(F.col(pc).cast("string"))
+                poss = F.array(
+                    *[
+                        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
+                        .cast("long")
+                        % _BLOOM_M
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+                rows = (
+                    df.where(F.col(pc).isNotNull())
+                    .select(
+                        F.input_file_name().alias("f"),
+                        F.explode(poss).alias("p"),
+                    )
+                    .groupBy("f")
+                    .agg(F.collect_set("p").alias("ps"))
+                    .collect()
+                )
+                hits = {os.path.basename(r.f): r.ps for r in rows}
+            for base, a in by_base.items():
+                arr = bytearray(_BLOOM_M // 8)
+                for p in hits.get(base, []):
+                    p = int(p)
+                    arr[p >> 3] |= 1 << (p & 7)
+                a.setdefault("bloom", {})[pc] = base64.b64encode(
+                    bytes(arr)
+                ).decode()
+
     def _stage(
         self,
         df: DataFrame,
         partition_by: list[str] | None,
         mapping: dict[str, str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write df's files into the shared data tree (via a staging dir so
         a crash mid-write leaves no half-registered state — files without a
@@ -948,6 +1023,7 @@ class TableLog:
                     }
                 )
         _rmtree(staging)
+        self._harvest_blooms(adds, bloom_cols, mapping)
         return adds
 
     def _stage_bucketed(
@@ -957,6 +1033,7 @@ class TableLog:
         bucket_cols: list[str],
         sort_cols: list[str] | None,
         mapping: dict[str, str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[dict]:
         """Stage df through Spark's BUCKETED writer (the only writer that
         produces the bucket-tagged file names a bucketed scan trusts):
@@ -1021,6 +1098,7 @@ class TableLog:
                     }
                 )
         _rmtree(staging)
+        self._harvest_blooms(adds, bloom_cols, mapping)
         return adds
 
     def read_bucketed(self, version: int | None = None) -> DataFrame:
@@ -1205,6 +1283,7 @@ class TableLog:
         evolve_partitioning: bool = False,
         bucket_by: tuple[int, list[str]] | None = None,
         sort_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Commit df as a new table version. Modes:
 
@@ -1224,6 +1303,18 @@ class TableLog:
         reader (``_read_file_metas``). Row-level ops rewrite touched
         rows into the current spec (Iceberg's rewrite behavior);
         ``replace_where`` stays spec-strict.
+
+        ``bloom_cols=[col, …]`` sets the table's Bloom-indexed columns
+        (Delta's Bloom filter index, opt-in per column): every listed
+        column gets a small per-file bitmap harvested at write time —
+        one distributed pass over each commit's NEW files — consulted
+        by equality/IN pruning, so a point DELETE on a uniformly
+        distributed key touches only Bloom-positive files. The property
+        persists in the log (carried by every later commit, including
+        appends and row-op rewrites) until explicitly changed;
+        ``bloom_cols=[]`` clears it, None inherits. Restricted to
+        string/integral/date/boolean columns (the cross-engine hash
+        rendering must be exact) and non-partition columns.
 
         ``txn=(app_id, version)`` is the Delta-style idempotent-writer
         token (txnAppId/txnVersion): the pair is recorded in the commit,
@@ -1382,6 +1473,30 @@ class TableLog:
                     f"or dropped column name of {self.root}; run "
                     "add_column() first (it allocates a fresh physical id)"
                 )
+        # Bloom property: explicit arg sets/clears, None inherits the
+        # table's standing list (survives overwrites like constraints —
+        # it is a table property, not a layout)
+        eff_bloom = (
+            list(bloom_cols)
+            if bloom_cols is not None
+            else list(pre.bloom_cols if pre else [])
+        )
+        if bloom_cols:
+            for c in bloom_cols:
+                if c in (partition_by or []):
+                    raise ValueError(
+                        f"bloom column {c!r} is a partition column — "
+                        "partition pruning is already exact"
+                    )
+                if c not in df.columns:
+                    raise ValueError(f"bloom column {c!r} not in the data")
+                t = df.schema[c].dataType.simpleString()
+                if t not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"bloom column {c!r} has type {t}; Bloom file "
+                        f"skipping supports {sorted(_BLOOM_TYPES)} (the "
+                        "cross-engine hash rendering must be exact)"
+                    )
         if staged_bucket is not None:
             # overwrite: the reset-to-identity mapping (above) means the
             # bucketed files spell logical names — exactly what the
@@ -1394,9 +1509,12 @@ class TableLog:
                 list(staged_bucket["cols"]),
                 list(staged_bucket.get("sort") or []) or None,
                 mapping=pre_mapping,
+                bloom_cols=eff_bloom,
             )
         else:
-            adds = self._stage(df, partition_by, mapping=pre_mapping)
+            adds = self._stage(
+                df, partition_by, mapping=pre_mapping, bloom_cols=eff_bloom
+            )
 
         enforced_constraints = pre.constraints if pre else {}
         for _attempt in range(max_retries):
@@ -1480,6 +1598,7 @@ class TableLog:
                 "partition_by": list(partition_by or []),
                 "column_mapping": pre_mapping,
                 "dropped_physical": pre_dropped,
+                "bloom_cols": eff_bloom,
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
@@ -1520,6 +1639,7 @@ class TableLog:
                     "dropped_physical": snap.dropped_physical,
                     "dvs": snap.dvs,
                     "bucket_by": snap.bucket_by,
+                    "bloom_cols": snap.bloom_cols,
                 },
                 f,
             )
@@ -2039,10 +2159,12 @@ class TableLog:
                 base.bucket_by["n"],
                 list(base.bucket_by["cols"]),
                 list(base.bucket_by.get("sort") or []),
+                bloom_cols=base.bloom_cols,
             )
         else:
             adds = self._stage(
-                df, base.partition_by or None, mapping=base.column_mapping
+                df, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
         removes = list(base.files)
 
@@ -2424,7 +2546,8 @@ class TableLog:
             updated = matched.select(*cols)
             self._enforce_constraints(updated, base.constraints, "update")
             adds = self._stage(
-                updated, base.partition_by or None, mapping=base.column_mapping
+                updated, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():
@@ -2534,7 +2657,8 @@ class TableLog:
                 # constraints (delete survivors satisfied them already)
                 self._enforce_constraints(new_df, base.constraints, op)
             adds = self._stage(
-                new_df, base.partition_by or None, mapping=base.column_mapping
+                new_df, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             removes = list(cand)
             cur = self.snapshot()
@@ -2725,7 +2849,8 @@ class TableLog:
             )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(
-                merged, base.partition_by or None, mapping=base.column_mapping
+                merged, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             removes = list(cand)
             cur = self.snapshot()
@@ -2876,7 +3001,8 @@ class TableLog:
             new_rows = src_eff.select(*table_cols)
             self._enforce_constraints(new_rows, base.constraints, "merge")
             adds = self._stage(
-                new_rows, base.partition_by or None, mapping=base.column_mapping
+                new_rows, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():
@@ -3039,7 +3165,8 @@ class TableLog:
             )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(
-                merged, base.partition_by or None, mapping=base.column_mapping
+                merged, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             removes = list(cand)
             cur = self.snapshot()
@@ -3209,7 +3336,8 @@ class TableLog:
             ).select(*table_cols)
             self._enforce_constraints(winners, base.constraints, "merge")
             adds = self._stage(
-                winners, base.partition_by or None, mapping=base.column_mapping
+                winners, base.partition_by or None, mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
             )
             base_by_name = {os.path.basename(p): p for p in cand}
             dvs = {p: list(v) for p, v in base.dvs.items()}
@@ -3560,6 +3688,64 @@ def _snapshot_id(version: int, adds: list, removes: list, parent) -> str:
     return h.hexdigest()[:16]
 
 
+# --- per-file Bloom filters (round 9, opt-in via Snapshot.bloom_cols) ------
+#
+# 2048 bits / 4 hashes per column per file (256 B in the commit log; FPR
+# ≈1% at ~250 distinct values per file and degrades gracefully above —
+# a false positive only costs the I/O min/max would have spent anyway).
+# The hash is md5 over the value's STRING rendering, chosen because the
+# Spark-side harvest (F.md5(col.cast("string"))) and the driver-side
+# probe (hashlib.md5(str(v))) must agree byte-for-byte; that restricts
+# bloom columns to types whose renderings match across both engines:
+# strings, integrals, dates, booleans.
+
+_BLOOM_M = 2048
+_BLOOM_K = 4
+_BLOOM_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "date", "boolean"}
+
+
+def _bloom_render(v: Any) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"  # Spark's cast(bool as string)
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return v.isoformat()
+    return None  # unsupported literal type — bloom gives no answer
+
+
+def _bloom_positions(s: str) -> list[int]:
+    h = hashlib.md5(s.encode()).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_may_contain(b64: str, v: Any) -> bool:
+    s = _bloom_render(v)
+    if s is None:
+        return True
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(s))
+
+
+def _bloom_ok(meta: dict, col: str, op: str, val: Any) -> bool:
+    """Bloom veto for equality/membership terms: False ⇒ the file holds
+    no matching non-null value, safe to skip (and == / IN never match
+    null rows). Files without a bitmap for the column — written before
+    the property was set, or never harvested — always pass."""
+    bl = (meta.get("bloom") or {}).get(col)
+    if not bl:
+        return True
+    if op == "==":
+        return _bloom_may_contain(bl, val)
+    if op == "in":
+        return any(_bloom_may_contain(bl, v) for v in val)
+    return True
+
+
 def _may_match(meta: dict, flt: tuple) -> bool:
     """Can this file contain rows satisfying the filter? (False ⇒ safe to
     skip: partition value is exact; stats ranges are conservative — files
@@ -3616,6 +3802,8 @@ def _may_match(meta: dict, flt: tuple) -> bool:
         except TypeError:
             return True  # incomparable types — keep the file
         return True
+    if op in ("==", "in") and not _bloom_ok(meta, col, op, val):
+        return False  # bloom veto: no matching non-null value in file
     st = (meta.get("stats") or {}).get(col)
     if op in ("isnull", "notnull"):
         if not st or not st.get("nulls_ok"):

@@ -124,3 +124,48 @@ def test_damping_split_form_matches_naive_over_full_bigint_domain(spark):
         ).collect()
     }
     assert got == {v: 17 * v // 20 for v in vals}
+
+
+def test_trade_pagerank_over_bucketed_index_bit_identical(spark, tmp_path):
+    """Round 9 (verdict task 4): the persisted bucketed-edge composition
+    must produce bit-identical masses to the fused form, and its
+    per-round plan must never exchange the edge scan — the c-side join
+    hashes only the node-sized mass relation and the per-customer sum
+    aggregates on the bucket partitioning."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        graph,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources import (
+        Catalog,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    fused = {
+        r.node: r.mass
+        for r in graph.trade_pagerank(cat.orders, cat.lineitem, iters=3).collect()
+    }
+    e_root, s_root = graph.trade_edge_index_build(
+        cat.orders, cat.lineitem, str(tmp_path / "idx"), n_buckets=8
+    )
+    over = {
+        r.node: r.mass
+        for r in graph.trade_pagerank_over_index(
+            spark, e_root, s_root, iters=3
+        ).collect()
+    }
+    assert over == fused
+    # plan shape: the bucketed edge scan side is never hash-exchanged
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = TableLog(spark, e_root).read_bucketed()
+        from pyspark.sql import functions as F
+
+        deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+        plan = deg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -212,3 +212,103 @@ def test_pyds_scan_prunes_and_matches_with_new_filters(spark, tmp_path):
     assert df.filter(F.col("k").isin(3, 7, 11)).count() == 3
     assert df.filter(F.col("w").isNull()).count() == 10
     assert df.filter(F.col("w").isNotNull() & (F.col("k") != 1)).count() == 19
+
+
+# --- per-file Bloom file skipping (round 9, verdict task 5) ---------------
+
+
+def test_bloom_point_delete_touches_only_positive_files(spark, tmp_path):
+    """Uniformly distributed key: every file spans the full id range, so
+    min/max can never prune a point DELETE — the opt-in Bloom bitmap
+    must. Exactly the 100 TB needle-in-haystack shape."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(400)], "id long, s string"
+    ).repartition(8)
+    log.write(df, bloom_cols=["id"])
+    assert log.snapshot().bloom_cols == ["id"]
+    res = log.delete([("id", "==", 123)])
+    assert res["rows_deleted"] == 1
+    assert res["files_skipped"] >= 6  # bloom-negative files untouched
+    assert log.read().count() == 399
+    # read-path equality and IN pruning consult the bitmaps too
+    got = log.read(filters=[("id", "==", 200)])
+    assert len(got.inputFiles()) <= 2 and got.count() == 1
+    got = log.read(filters=[("id", "in", (7, 9, 11))])
+    assert got.count() == 3
+    # correctness is never bloom-dependent: a value absent everywhere
+    assert log.read(filters=[("id", "==", 99999)]).count() == 0
+
+
+def test_bloom_property_persists_and_harvests_on_append_and_rewrite(
+    spark, tmp_path
+):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame([(i, i % 3) for i in range(60)], "id long, g long"),
+        bloom_cols=["id"],
+    )
+    v1_files = set(log.snapshot().files)
+    # append inherits the property and harvests bitmaps for its files
+    log.write(
+        spark.createDataFrame([(1000, 0)], "id long, g long"), mode="append"
+    )
+    snap = log.snapshot()
+    assert snap.bloom_cols == ["id"]
+    new = [m for p, m in snap.files.items() if p not in v1_files]
+    assert new and all("bloom" in m and "id" in m["bloom"] for m in new)
+    assert len(log.read(filters=[("id", "==", 1000)]).inputFiles()) == 1
+    # row-op rewrites re-harvest (survivor files keep skippability)
+    log.update([("id", "==", 5)], {"g": "99"})
+    snap2 = log.snapshot()
+    rewritten = [m for p, m in snap2.files.items() if p not in snap.files]
+    assert rewritten and all("bloom" in m for m in rewritten)
+    # OPTIMIZE compaction keeps bitmaps on the compacted files
+    log.optimize(n_files=2)
+    assert all("bloom" in m for m in log.snapshot().files.values())
+    assert log.read(filters=[("id", "==", 5)]).head().g == 99
+    # clearing the property stops harvesting
+    log.write(
+        spark.createDataFrame([(1, 1)], "id long, g long"), bloom_cols=[]
+    )
+    assert log.snapshot().bloom_cols == []
+    assert all(
+        "bloom" not in m for m in log.snapshot().files.values()
+    )
+
+
+def test_bloom_validation_and_types(spark, tmp_path):
+    import datetime as _dt
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", _dt.date(2020, 1, 1), True)],
+        "k long, f double, s string, d date, b boolean",
+    )
+    with pytest.raises(ValueError, match="supports"):
+        log.write(df, bloom_cols=["f"])  # float: rendering not exact
+    with pytest.raises(ValueError, match="not in the data"):
+        log.write(df, bloom_cols=["zz"])
+    with pytest.raises(ValueError, match="partition column"):
+        log.write(df, partition_by=["k"], bloom_cols=["k"])
+    # string/date/boolean render identically in Spark and Python
+    log.write(df, bloom_cols=["s", "d", "b"])
+    assert log.read(filters=[("s", "==", "a")]).count() == 1
+    assert log.read(filters=[("d", "==", _dt.date(2020, 1, 1))]).count() == 1
+    assert log.read(filters=[("b", "==", True)]).count() == 1
+    assert log.read(filters=[("s", "==", "zzz")]).count() == 0
+    m = next(iter(log.snapshot().files.values()))
+    assert set(m["bloom"]) == {"s", "d", "b"}
+
+
+def test_bloom_restore_and_time_travel(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame([(i,) for i in range(20)], "id long"),
+        bloom_cols=["id"],
+    )
+    log.write(spark.createDataFrame([(99,)], "id long"), bloom_cols=[])
+    assert log.snapshot().bloom_cols == []
+    log.restore(1)
+    assert log.snapshot().bloom_cols == ["id"]
+    assert log.read().count() == 20
