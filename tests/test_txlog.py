@@ -983,8 +983,8 @@ def test_rowop_aborts_when_concurrent_overwrite_removes_candidates(
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_overwrite(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_concurrent_overwrite(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         # restore FIRST: the concurrent writer below must stage normally
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         # another writer overwrites the table AFTER we staged but BEFORE
@@ -1087,8 +1087,8 @@ def test_merge_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_append(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_concurrent_append(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         # a concurrent writer APPENDS the very key our merge is about to
         # classify as unmatched-insert
@@ -1115,8 +1115,8 @@ def test_delete_retries_over_concurrent_append(spark, tmp_path, monkeypatch):
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_append(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_concurrent_append(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         TableLog(spark, self.root).write(
             spark.range(3).selectExpr("id", "id AS v"), mode="append"
@@ -1306,8 +1306,8 @@ def test_write_reenforces_constraint_added_during_staging(
 
     original_stage = TableLog._stage
 
-    def stage_with_concurrent_constraint(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_concurrent_constraint(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         # the concurrent constraint validates against COMMITTED data only
         # (v=10 passes) — it cannot see our staged v=-5 row
@@ -1323,8 +1323,8 @@ def test_write_reenforces_constraint_added_during_staging(
     monkeypatch.setattr(TableLog, "_stage", original_stage)
     log.drop_constraint("v_positive")
 
-    def stage_with_ok_constraint(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_ok_constraint(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         monkeypatch.setattr(TableLog, "_stage", original_stage)
         TableLog(spark, self.root).add_constraint("v_positive", "v > 0")
         return adds
@@ -1618,8 +1618,8 @@ def test_rowop_retries_over_concurrent_column_drop(spark, tmp_path, monkeypatch)
 
     original_stage = TL._stage
 
-    def stage_with_concurrent_drop(self, df, partition_by, mapping=None):
-        adds = original_stage(self, df, partition_by, mapping=mapping)
+    def stage_with_concurrent_drop(self, df, partition_by, mapping=None, **kw):
+        adds = original_stage(self, df, partition_by, mapping=mapping, **kw)
         monkeypatch.setattr(TL, "_stage", original_stage)
         TL(spark, self.root).drop_column("w")
         return adds
