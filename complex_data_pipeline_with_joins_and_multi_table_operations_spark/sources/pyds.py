@@ -274,6 +274,7 @@ class TxLogWriteMessage(WriterCommitMessage):
     rows: int
     bytes: int
     stats: dict
+    bloom: dict | None = None
 
 
 class TxLogBatchWriter(DataSourceArrowWriter):
@@ -285,6 +286,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         mapping: dict | None = None,
         dropped: list | None = None,
         constraints: dict | None = None,
+        bloom_cols: list | None = None,
     ):
         self.root = root
         self.schema_json = schema_json
@@ -303,16 +305,23 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         # constraint set that changed since capture as a concurrency
         # race, mirroring the rename/drop guards
         self.constraints = constraints or {}
+        # Bloom property captured at writer construction (PHYSICAL names —
+        # files and probes both spell physical): each task folds its own
+        # file's bitmap while streaming batches, so DataSource-written
+        # files stay equality-skippable like TableLog-staged ones
+        m = mapping or {}
+        self.bloom_cols = [m.get(c, c) for c in (bloom_cols or [])]
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> TxLogWriteMessage:
         """Executor-side: stream this task's batches into one immutable
         parquet file under data/, then harvest ITS footer stats right here
         — the stats work distributes with the write instead of a driver
-        re-read of every footer."""
+        re-read of every footer. Bloom bitmaps (when the table opted in)
+        fold per batch in the same pass."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from .txlog import _file_stats
+        from .txlog import _BLOOM_M, _bloom_positions, _bloom_render, _file_stats
 
         rel = f"part-{uuid.uuid4().hex}.parquet"
         dest = os.path.join(self.root, "data", rel)
@@ -332,6 +341,9 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         writer = None
         rows = 0
         con = None
+        blooms: dict[str, bytearray] = {
+            c: bytearray(_BLOOM_M // 8) for c in self.bloom_cols
+        }
         try:
             for batch in iterator:
                 if check_sql is not None:
@@ -367,6 +379,19 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                             for n in batch.schema.names
                         ],
                     )
+                if blooms:
+                    # same md5-over-rendering hash as the Spark-side
+                    # harvest (_harvest_blooms) — the bitmaps must agree
+                    names = batch.schema.names
+                    for c, arr in blooms.items():
+                        if c not in names:
+                            continue  # absent column reads all-NULL
+                        for v in batch.column(names.index(c)).to_pylist():
+                            s = _bloom_render(v)
+                            if s is None:
+                                continue
+                            for p in _bloom_positions(s):
+                                arr[p >> 3] |= 1 << (p & 7)
                 if writer is None:
                     writer = pq.ParquetWriter(dest, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
@@ -379,8 +404,18 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         if writer is None:  # empty task — nothing to publish
             return TxLogWriteMessage(path="", rows=0, bytes=0, stats={})
         stats, _ = _file_stats(dest)
+        import base64 as _b64
+
         return TxLogWriteMessage(
-            path=rel, rows=rows, bytes=os.path.getsize(dest), stats=stats
+            path=rel,
+            rows=rows,
+            bytes=os.path.getsize(dest),
+            stats=stats,
+            bloom={
+                c: _b64.b64encode(bytes(a)).decode()
+                for c, a in blooms.items()
+            }
+            or None,
         )
 
     def commit(self, messages: list[TxLogWriteMessage]) -> None:
@@ -399,6 +434,7 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                 "bytes": m.bytes,
                 "partition_values": {},
                 "stats": m.stats,
+                **({"bloom": m.bloom} if getattr(m, "bloom", None) else {}),
             }
             for m in messages
             if m is not None and m.path
@@ -652,8 +688,10 @@ class TxLogDataSource(DataSource):
             mapping=snap.column_mapping if snap else {},
             dropped=snap.dropped_physical if snap else [],
             # constraints survive an overwrite (carry-forward commit key),
-            # so they are captured from the CURRENT snapshot either way
+            # so they are captured from the CURRENT snapshot either way;
+            # the bloom property follows the same rule
             constraints=cur.constraints if cur else {},
+            bloom_cols=cur.bloom_cols if cur else [],
         )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:

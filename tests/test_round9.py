@@ -312,3 +312,36 @@ def test_bloom_restore_and_time_travel(spark, tmp_path):
     log.restore(1)
     assert log.snapshot().bloom_cols == ["id"]
     assert log.read().count() == 20
+
+
+def test_pyds_writer_harvests_blooms_executor_side(spark, tmp_path):
+    """format('txlog') appends into a bloom-opted table fold each task
+    file's bitmap executor-side (same md5-over-rendering hash as the
+    Spark harvest), so DataSource-written files stay equality-skippable."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    root = str(tmp_path / "t")
+    log = TableLog(spark, root)
+    log.write(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(100)], "id long, s string"
+        ).repartition(4),
+        bloom_cols=["id"],
+    )
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000, 1100)], "id long, s string"
+    ).repartition(4).write.format("txlog").mode("append").save(root)
+    snap = log.snapshot()
+    assert snap.bloom_cols == ["id"]
+    assert all(
+        "bloom" in m and "id" in m["bloom"] for m in snap.files.values()
+    )
+    # a point read prunes down to one file across both write paths
+    for probe in (42, 1042):
+        got = log.read(filters=[("id", "==", probe)])
+        assert got.count() == 1
+        assert len(got.inputFiles()) == 1
+    assert log.read(filters=[("id", "==", 555)]).count() == 0
