@@ -126,6 +126,91 @@ def _parse_where_term(term: str) -> tuple:
     raise ValueError(f"cannot parse WHERE term {term!r}")
 
 
+def _parse_values_rows(text: str) -> list[list]:
+    """INSERT … VALUES body: top-level parenthesized tuples (scanned
+    with ''-escaped string awareness), each split on commas and parsed
+    with the WHERE-literal grammar plus NULL."""
+    rows: list[list] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "(":
+            j, depth = i + 1, 1
+            while j < n and depth:
+                if text[j] == "'":
+                    k = j + 1
+                    while k < n:
+                        if text[k] == "'" and k + 1 < n and text[k + 1] == "'":
+                            k += 2
+                            continue
+                        if text[k] == "'":
+                            break
+                        k += 1
+                    if k >= n:
+                        raise ValueError("unterminated string in VALUES")
+                    j = k + 1
+                    continue
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in VALUES")
+            body = text[i + 1 : j - 1]
+            rows.append(
+                [
+                    None
+                    if it.strip().upper() == "NULL"
+                    else _where_lit(it)
+                    for it in _split_in_list(body)
+                ]
+            )
+            i = j
+        elif ch in " ,\t\r\n":
+            i += 1
+        else:
+            raise ValueError(
+                f"cannot parse VALUES at {text[i : i + 20]!r}; expected "
+                "comma-separated parenthesized rows"
+            )
+    if not rows:
+        raise ValueError("empty VALUES list")
+    return rows
+
+
+def _coerce_literal(v, dtype):
+    """Coerce a parsed SQL literal to the python type Spark's
+    createDataFrame verifier expects for ``dtype`` (an int literal into
+    a DOUBLE column, a 'yyyy-mm-dd' string into a DATE, …)."""
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+    from decimal import Decimal as _Dec
+
+    if v is None:
+        return None
+    s = dtype.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if s in ("float", "double"):
+        return float(v)
+    if s.startswith("decimal"):
+        return _Dec(str(v))
+    if s == "string":
+        return str(v)
+    if s == "boolean":
+        return bool(v)
+    if s == "date":
+        return v if isinstance(v, _date) else _date.fromisoformat(str(v))
+    if s.startswith("timestamp"):
+        return (
+            v
+            if isinstance(v, _datetime)
+            else _datetime.fromisoformat(str(v))
+        )
+    return v
+
+
 # NOT over a leaf negates the op (tri-state-preserving: both sides of
 # each pair are null-unsafe, so a NULL input selects nothing either way)
 _NEG_OP = {
@@ -996,6 +1081,119 @@ class Warehouse:
                 [(t, "CREATE OR REPLACE TABLE AS" if replace
                   else "CREATE TABLE AS", v)],
                 "table_name string, operation string, version long",
+            )
+
+        # INSERT INTO … VALUES / SELECT (round 9): the day-one append
+        # verb. VALUES rows parse with the WHERE-literal grammar (+NULL)
+        # and coerce to the table's schema; a column list fills the rest
+        # with NULL; the SELECT form runs back through .sql() so time
+        # travel / table_changes() resolve inside it. Appends on the
+        # txlog backend are atomic commits; the base backend appends by
+        # writing the next snapshot (same cost as any write there).
+        m_ins = re.match(
+            r"\s*INSERT\s+INTO\s+`?(\w+)`?\s*"
+            r"(?:\(([^)]+)\)\s*)?"
+            r"(?:VALUES\s*(.+?)|(SELECT\b.+?))\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_ins:
+            t = m_ins.group(1)
+            cols = (
+                [c.strip(" `") for c in m_ins.group(2).split(",")]
+                if m_ins.group(2)
+                else None
+            )
+            target = self.read_snapshot(t).schema
+            if m_ins.group(4):
+                df = self.sql(m_ins.group(4))
+                # INSERT … SELECT binds POSITIONALLY (SQL semantics):
+                # the SELECT's outputs map onto the column list — or the
+                # full table schema when no list is given — by position,
+                # never by the SELECT's own output names
+                bind = cols or list(target.names)
+                if len(bind) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT binds {len(bind)} column(s) "
+                        f"({bind}) but the SELECT produces "
+                        f"{len(df.columns)}"
+                    )
+                df = df.toDF(*bind)
+            else:
+                rows = _parse_values_rows(m_ins.group(3))
+                names = cols or [f.name for f in target.fields]
+                bad = [c for c in names if c not in target.names]
+                if bad:
+                    raise ValueError(
+                        f"INSERT columns {bad} not in table {t!r} "
+                        f"(has {list(target.names)})"
+                    )
+                for i, r in enumerate(rows):
+                    if len(r) != len(names):
+                        raise ValueError(
+                            f"INSERT VALUES row {i + 1} has {len(r)} "
+                            f"values for {len(names)} columns"
+                        )
+                from pyspark.sql.types import StructType as _St
+
+                sub = _St([target[c] for c in names])
+                coerced = [
+                    tuple(
+                        _coerce_literal(v, sub[j].dataType)
+                        for j, v in enumerate(r)
+                    )
+                    for r in rows
+                ]
+                df = self.spark.createDataFrame(coerced, sub)
+            # columns the INSERT omitted read NULL (SQL semantics)
+            for f in target.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[df[f.name] for f in target.fields])
+            n = df.count()
+            if hasattr(self, "append"):
+                v = self.append(df, t)
+            else:
+                v = self.write_snapshot(
+                    self.read_snapshot(t).unionByName(df), t
+                )
+            return self.spark.createDataFrame(
+                [(t, "INSERT INTO", v, n)],
+                "table_name string, operation string, version long, rows long",
+            )
+
+        # DELETE without WHERE / TRUNCATE TABLE (round 9): whole-table
+        # clear as one commit — the surviving snapshot is the empty
+        # table under the SAME schema; history stays time-travelable.
+        m_trunc = re.match(
+            r"\s*(?:TRUNCATE\s+TABLE|DELETE\s+FROM)\s+`?(\w+)`?\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_trunc:
+            t = m_trunc.group(1)
+            cur = self.read_snapshot(t)
+            n = cur.count()
+            spec = (
+                self._log(t).snapshot().bucket_by
+                if hasattr(self, "_log")
+                else {}
+            )
+            if spec:
+                # a bucketed table keeps its declared layout across
+                # TRUNCATE (Hive semantics: truncation clears rows, not
+                # table metadata)
+                v = self.write_snapshot(
+                    cur.limit(0),
+                    t,
+                    bucket_by=(spec["n"], list(spec["cols"])),
+                    sort_by=list(spec.get("sort") or []) or None,
+                )
+            else:
+                v = self.write_snapshot(cur.limit(0), t)
+            return self.spark.createDataFrame(
+                [(t, "TRUNCATE", v, n)],
+                "table_name string, operation string, version long, rows long",
             )
 
         m_del = re.match(

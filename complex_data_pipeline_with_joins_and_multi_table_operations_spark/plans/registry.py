@@ -3396,6 +3396,52 @@ FROM kept
 """
 
 
+def q_sql_insert_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 INSERT verbs end-to-end: INSERT INTO … VALUES (typed
+    literals incl. NULL, positional coercion to the table schema) and
+    INSERT INTO … SELECT (positional binding, the SELECT resolving back
+    through .sql()) against a fresh transaction-log table — both are
+    atomic append commits. The oracle recomputes the final table as the
+    source slice UNION ALL the literal rows UNION ALL the re-selected
+    slice."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="insert_ops_"))
+    src = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 100 == 0
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    wh.write_snapshot(src, "t")
+    wh.sql(
+        "INSERT INTO t VALUES (900000001, 1, 'V', 12345.67), "
+        "(900000002, 2, 'V', NULL)"
+    )
+    wh.sql(
+        "INSERT INTO t SELECT o_orderkey + 900001000, o_custkey, 'S', "
+        "o_totalprice * 2 FROM t WHERE o_orderkey % 500 = 0 "
+        "AND o_orderkey < 900000000"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_INSERT_OPS = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT * FROM src
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(900000001 AS BIGINT), CAST(1 AS BIGINT), 'V', 12345.67),
+  (CAST(900000002 AS BIGINT), CAST(2 AS BIGINT), 'V', NULL)
+) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+UNION ALL
+SELECT o_orderkey + 900001000, o_custkey, 'S', o_totalprice * 2
+FROM src WHERE o_orderkey % 500 = 0
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5382,6 +5428,7 @@ QUERIES: dict[str, QueryFn] = {
     "perplexity_cached": q_perplexity_cached,
     "sql_dnf_row_ops": q_sql_dnf_row_ops,  # NEW in r8: first driver row
     "sql_in_null_row_ops": q_sql_in_null_row_ops,  # NEW in r9
+    "sql_insert_ops": q_sql_insert_ops,  # NEW in r9
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5421,11 +5468,11 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_segment_overlap": q_kmv_segment_overlap,
     "forecast_revenue": q_forecast_revenue,
     "product_type_profit": q_product_type_profit,
-    "customer_distribution": q_customer_distribution,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
     "promotable_suppliers": q_promotable_suppliers,
@@ -5566,6 +5613,7 @@ ORACLES: dict[str, str] = {
     "approx_event_stats": SQL_APPROX_EVENT_STATS,
     "sql_dnf_row_ops": SQL_SQL_DNF_ROW_OPS,
     "sql_in_null_row_ops": SQL_SQL_IN_NULL_ROW_OPS,
+    "sql_insert_ops": SQL_SQL_INSERT_OPS,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

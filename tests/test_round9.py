@@ -345,3 +345,85 @@ def test_pyds_writer_harvests_blooms_executor_side(spark, tmp_path):
         assert got.count() == 1
         assert len(got.inputFiles()) == 1
     assert log.read(filters=[("id", "==", 555)]).count() == 0
+
+
+# --- INSERT INTO / TRUNCATE SQL verbs (round 9) ---------------------------
+
+
+def test_sql_insert_values_and_select_both_backends(spark, tmp_path):
+    """INSERT INTO … VALUES (typed-literal coercion, column list, NULL
+    fill) and INSERT INTO … SELECT on both warehouse backends."""
+    import datetime as _dt
+
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+        Warehouse,
+    )
+
+    for wh in (
+        TxLogWarehouse(spark, str(tmp_path / "tx")),
+        Warehouse(spark, str(tmp_path / "base")),
+    ):
+        wh.write_snapshot(
+            spark.createDataFrame(
+                [(1, 1.5, "a", _dt.date(2020, 1, 1))],
+                "k long, v double, s string, d date",
+            ),
+            "t",
+        )
+        r = wh.sql(
+            "INSERT INTO t VALUES (2, 2.5, 'b', DATE '2021-02-03'), "
+            "(3, 4, 'c''x', NULL)"
+        ).head()
+        assert r.operation == "INSERT INTO" and r.rows == 2
+        got = {x.k: x for x in wh.read_snapshot("t").collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[3].v == 4.0 and got[3].s == "c'x" and got[3].d is None
+        assert got[2].d == _dt.date(2021, 2, 3)
+        # column list: unlisted columns fill NULL
+        wh.sql("INSERT INTO t (k, s) VALUES (9, 'z')")
+        got9 = wh.sql("SELECT * FROM t WHERE k = 9").head()
+        assert got9.s == "z" and got9.v is None and got9.d is None
+        # INSERT … SELECT (self-referencing, runs through .sql)
+        r = wh.sql(
+            "INSERT INTO t SELECT k + 100, v, s, d FROM t WHERE k <= 2"
+        ).head()
+        assert r.rows == 2
+        assert wh.read_snapshot("t").count() == 6
+        assert wh.sql("SELECT count(*) AS n FROM t WHERE k > 100").head().n == 2
+        # bad shapes refuse loudly
+        with pytest.raises(ValueError, match="columns"):
+            wh.sql("INSERT INTO t (k, nope) VALUES (1, 2)")
+        with pytest.raises(ValueError, match="row 1"):
+            wh.sql("INSERT INTO t (k, s) VALUES (1, 'a', 'extra')")
+
+
+def test_sql_truncate_and_delete_without_where(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "tx"))
+    wh.write_snapshot(
+        spark.createDataFrame([(i, i * 2) for i in range(10)], "k long, v long"),
+        "t",
+    )
+    r = wh.sql("TRUNCATE TABLE t").head()
+    assert r.operation == "TRUNCATE" and r.rows == 10
+    assert wh.read_snapshot("t").count() == 0
+    # schema survives; history stays time-travelable
+    assert [f.name for f in wh.read_snapshot("t").schema.fields] == ["k", "v"]
+    assert wh.read_snapshot("t", 1).count() == 10
+    wh.sql("INSERT INTO t VALUES (1, 2)")
+    r = wh.sql("DELETE FROM t").head()  # DELETE without WHERE == truncate
+    assert r.operation == "TRUNCATE" and r.rows == 1
+    assert wh.read_snapshot("t").count() == 0
+    # a bucketed table keeps its layout across TRUNCATE
+    wh.write_snapshot(
+        spark.createDataFrame([(1, 2)], "k long, v long"),
+        "b",
+        bucket_by=(4, ["k"]),
+    )
+    wh.sql("TRUNCATE TABLE b")
+    snap = wh._log("b").snapshot()
+    assert snap.bucket_by["n"] == 4 and wh.read_snapshot("b").count() == 0
