@@ -5405,18 +5405,18 @@ WHERE sa.split <> sb.split
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
-    # entries; full-registry evidence lives in SWEEP_r08*.json) --------
-    # Round-8 rotation: slots 1-9 are this round's CHANGED + NEW queries
-    # (approx_event_stats recomposed onto the oracled sketch twins;
-    # triplet_mining's NULL-cosine fix; column_profile_approx's
-    # non-finite sentinels; trade_pagerank's bipartite rebuild;
-    # the rank-fusion/perplexity family over the checkpointed LM) —
-    # every implementation change gets a driver row in its introduction
-    # round. Slots 9-50 are the oldest-evidence entries from the r7
-    # tail (r5/r6-evidence remainder, oldest first). Displaced r7-fresh
-    # entries park at the tail end; the r01-r07 union already covers
-    # all 135 queries at least once (r7 verdict), preserved by keeping
-    # every displaced entry's newest row within two rounds.
+    # entries; full-registry evidence lives in SWEEP_r09*.json) --------
+    # Round-9 rotation: the r8 window head is kept (its queries carry
+    # the freshest implementation changes) with this round's NEW queries
+    # inserted — trade_pagerank_cached (slot 5, the bucketed-edge-index
+    # composition), sql_in_null_row_ops (slot 11, the widened WHERE
+    # grammar), sql_insert_ops (slot 12, the INSERT/TRUNCATE verbs) —
+    # every round-9 addition gets a driver row in its introduction
+    # round. Displaced entries (supplier_part_counts, top_supplier,
+    # customer_distribution) moved to the tail top; the r01-r08 union
+    # covers all prior queries at least once (r8 verdict), and every
+    # displaced entry's newest green row is within two rounds
+    # (SWEEP_r08/r09 at two scale factors).
     "approx_event_stats": q_approx_event_stats,
     "triplet_mining": q_triplet_mining,
     "column_profile_approx": q_column_profile_approx,
