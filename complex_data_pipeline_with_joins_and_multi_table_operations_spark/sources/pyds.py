@@ -245,7 +245,9 @@ class TxLogBatchReader(DataSourceReader):
 
             prune = _physical_filters(prune, self.mapping)
             self.metas = [
-                m for m in self.metas if all(_may_match(m, f) for f in prune)
+                m
+                for m in self.metas
+                if all(_may_match(m, f, self.data_dir) for f in prune)
             ]
         # report every filter unhandled: Spark re-applies them post-scan,
         # so pruning can never change results — only skip dead I/O
@@ -318,10 +320,19 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         — the stats work distributes with the write instead of a driver
         re-read of every footer. Bloom bitmaps (when the table opted in)
         fold per batch in the same pass."""
+        import hashlib as _hl
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from .txlog import _BLOOM_M, _bloom_positions, _bloom_render, _file_stats
+        from .txlog import (
+            _BLOOM_INLINE_MAX,
+            _BLOOM_K,
+            _bloom_m_for,
+            _bloom_render,
+            _bloom_sidecar_rel,
+            _file_stats,
+        )
 
         rel = f"part-{uuid.uuid4().hex}.parquet"
         dest = os.path.join(self.root, "data", rel)
@@ -341,9 +352,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         writer = None
         rows = 0
         con = None
-        blooms: dict[str, bytearray] = {
-            c: bytearray(_BLOOM_M // 8) for c in self.bloom_cols
-        }
+        # adaptive per-file bloom: a file's m must be sized to its value
+        # count, which is only known at close — so the streaming pass
+        # accumulates the DISTINCT 32-bit hash words (bounded by
+        # 4 x distinct values) and the bitmap is folded mod m at the end
+        bloom_hashes: dict[str, set] = {c: set() for c in self.bloom_cols}
         try:
             for batch in iterator:
                 if check_sql is not None:
@@ -379,19 +392,20 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                             for n in batch.schema.names
                         ],
                     )
-                if blooms:
+                if bloom_hashes:
                     # same md5-over-rendering hash as the Spark-side
                     # harvest (_harvest_blooms) — the bitmaps must agree
                     names = batch.schema.names
-                    for c, arr in blooms.items():
+                    for c, acc in bloom_hashes.items():
                         if c not in names:
                             continue  # absent column reads all-NULL
                         for v in batch.column(names.index(c)).to_pylist():
                             s = _bloom_render(v)
                             if s is None:
                                 continue
-                            for p in _bloom_positions(s):
-                                arr[p >> 3] |= 1 << (p & 7)
+                            hx = _hl.md5(s.encode()).hexdigest()
+                            for i in range(_BLOOM_K):
+                                acc.add(int(hx[8 * i : 8 * i + 8], 16))
                 if writer is None:
                     writer = pq.ParquetWriter(dest, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
@@ -406,16 +420,28 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         stats, _ = _file_stats(dest)
         import base64 as _b64
 
+        bloom: dict = {}
+        for c, acc in bloom_hashes.items():
+            m = _bloom_m_for(max(1, len(acc) // _BLOOM_K))
+            arr = bytearray(m // 8)
+            for h32 in acc:
+                p = h32 % m
+                arr[p >> 3] |= 1 << (p & 7)
+            entry: dict = {"m": m, "k": _BLOOM_K}
+            if m <= _BLOOM_INLINE_MAX:
+                entry["b64"] = _b64.b64encode(bytes(arr)).decode()
+            else:
+                side = _bloom_sidecar_rel(rel, c)
+                with open(os.path.join(self.root, "data", side), "wb") as fh:
+                    fh.write(bytes(arr))
+                entry["sidecar"] = side
+            bloom[c] = entry
         return TxLogWriteMessage(
             path=rel,
             rows=rows,
             bytes=os.path.getsize(dest),
             stats=stats,
-            bloom={
-                c: _b64.b64encode(bytes(a)).decode()
-                for c, a in blooms.items()
-            }
-            or None,
+            bloom=bloom or None,
         )
 
     def commit(self, messages: list[TxLogWriteMessage]) -> None:

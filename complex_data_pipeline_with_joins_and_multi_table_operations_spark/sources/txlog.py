@@ -43,6 +43,7 @@ metadata O(files active) — the checkpoint is the compaction knob.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import json
 import os
@@ -945,37 +946,104 @@ class TableLog:
         full = [os.path.join(self.data_dir, a["path"]) for a in adds]
         df = self.spark.read.parquet(*full)
         by_base = {os.path.basename(a["path"]): a for a in adds}
+        kk = _BLOOM_K
+        # m per file is sized UP FRONT from the add-action's row count
+        # (rows ≥ non-null values, so the bitmap is never undersized),
+        # which lets the fold run as mapInPandas with ZERO shuffle:
+        # each scan partition folds partial bitmaps for the file
+        # fragments it holds and the driver ORs the partials. The md5 +
+        # hex-word extraction runs JVM-SIDE (whole-stage codegen — a
+        # pure-python md5 loop measured ~10x slower at 15M rows, and the
+        # groupBy-by-filename variant paid a 2 GB shuffle of the
+        # filename-tagged words).
+        by_m = {
+            os.path.basename(a["path"]): _bloom_m_for(
+                max(1, int(a.get("rows") or 1))
+            )
+            for a in adds
+        }
         for pc in phys:
-            hits: dict[str, list] = {}
+            results: dict[str, tuple[int, bytes]] = {}
             if pc in df.columns:
                 h = F.md5(F.col(pc).cast("string"))
-                poss = F.array(
-                    *[
-                        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
-                        .cast("long")
-                        % _BLOOM_M
-                        for i in range(_BLOOM_K)
-                    ]
-                )
+                words = [
+                    F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
+                    .cast("long")
+                    .alias(f"w{i}")
+                    for i in range(_BLOOM_K)
+                ]
+
+                def fold(batches):
+                    # SELF-CONTAINED closure (python workers don't share
+                    # the driver's sys.path). One bool array per file
+                    # accumulated ACROSS the partition's Arrow batches —
+                    # yielding per batch would ship a full-size partial
+                    # bitmap every 10k rows (measured 1.5 GB collected at
+                    # 15M rows). Boolean fancy-assignment + packbits:
+                    # duplicate positions are legal for bits[p]=True and
+                    # it runs ~20x faster than np.bitwise_or.at.
+                    import numpy as np
+                    import pandas as pd
+
+                    accs: dict = {}
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        for b, sub in pdf.groupby("f", sort=False):
+                            m = by_m.get(b)
+                            if not m:
+                                continue
+                            bits = accs.get(b)
+                            if bits is None:
+                                bits = accs[b] = np.zeros(m, dtype=bool)
+                            for i in range(kk):
+                                bits[
+                                    sub[f"w{i}"].to_numpy(dtype=np.int64) % m
+                                ] = True
+                    for b, bits in accs.items():
+                        yield pd.DataFrame(
+                            {
+                                "f": [b],
+                                "m": [len(bits)],
+                                "bm": [
+                                    np.packbits(
+                                        bits, bitorder="little"
+                                    ).tobytes()
+                                ],
+                            }
+                        )
+
                 rows = (
                     df.where(F.col(pc).isNotNull())
                     .select(
-                        F.input_file_name().alias("f"),
-                        F.explode(poss).alias("p"),
+                        F.substring_index(
+                            F.input_file_name(), "/", -1
+                        ).alias("f"),
+                        *words,
                     )
-                    .groupBy("f")
-                    .agg(F.collect_set("p").alias("ps"))
+                    .mapInPandas(fold, "f string, m long, bm binary")
                     .collect()
                 )
-                hits = {os.path.basename(r.f): r.ps for r in rows}
+                import numpy as _np
+
+                acc: dict[str, Any] = {}
+                for r in rows:
+                    a8 = _np.frombuffer(bytes(r.bm), dtype=_np.uint8)
+                    acc[r.f] = (acc[r.f] | a8) if r.f in acc else a8
+                results = {
+                    f: (by_m[f], a8.tobytes()) for f, a8 in acc.items()
+                }
             for base, a in by_base.items():
-                arr = bytearray(_BLOOM_M // 8)
-                for p in hits.get(base, []):
-                    p = int(p)
-                    arr[p >> 3] |= 1 << (p & 7)
-                a.setdefault("bloom", {})[pc] = base64.b64encode(
-                    bytes(arr)
-                ).decode()
+                m, bm = results.get(base, (by_m[base], bytes(by_m[base] // 8)))
+                entry: dict = {"m": m, "k": _BLOOM_K}
+                if m <= _BLOOM_INLINE_MAX:
+                    entry["b64"] = base64.b64encode(bm).decode()
+                else:
+                    rel = _bloom_sidecar_rel(a["path"], pc)
+                    with open(os.path.join(self.data_dir, rel), "wb") as fh:
+                        fh.write(bm)
+                    entry["sidecar"] = rel
+                a.setdefault("bloom", {})[pc] = entry
 
     def _stage(
         self,
@@ -1270,7 +1338,7 @@ class TableLog:
             return False
         pdnf = _as_dnf(filters)
         new_files = [m for p, m in cur.files.items() if p not in base.files]
-        return any(_dnf_may_match(m, pdnf) for m in new_files)
+        return any(_dnf_may_match(m, pdnf, self.data_dir) for m in new_files)
 
     def write(
         self,
@@ -1676,7 +1744,7 @@ class TableLog:
         dnf = _as_dnf(filters or [])
         if dnf:
             pdnf = _dnf_physical(dnf, snap.column_mapping)
-            metas = [m for m in metas if _dnf_may_match(m, pdnf)]
+            metas = [m for m in metas if _dnf_may_match(m, pdnf, self.data_dir)]
         paths = [os.path.join(self.data_dir, m["path"]) for m in metas]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
@@ -2267,7 +2335,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if _dnf_may_match(m, pdnf)
+                if _dnf_may_match(m, pdnf, self.data_dir)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -2498,7 +2566,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if _dnf_may_match(m, pdnf)
+                if _dnf_may_match(m, pdnf, self.data_dir)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -2609,7 +2677,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if _dnf_may_match(m, pdnf)
+                if _dnf_may_match(m, pdnf, self.data_dir)
             }
             skipped = len(base.files) - len(cand)
             if not cand:
@@ -2820,7 +2888,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if all(_may_match(m, f, self.data_dir) for f in pfilters)
             }
             # global key bounds are coarse for scattered keys (a trickle
             # touching ids 5 and 2000 spans every file); for single-key
@@ -2951,7 +3019,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if all(_may_match(m, f, self.data_dir) for f in pfilters)
             }
             cand = self._refine_by_key_membership(
                 cand, source, keys, base.column_mapping
@@ -3134,7 +3202,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if all(_may_match(m, f, self.data_dir) for f in pfilters)
             }
             cand = self._refine_by_key_membership(
                 cand, source, keys, base.column_mapping
@@ -3272,7 +3340,7 @@ class TableLog:
             cand = {
                 p: m
                 for p, m in base.files.items()
-                if all(_may_match(m, f) for f in pfilters)
+                if all(_may_match(m, f, self.data_dir) for f in pfilters)
             }
             cand = self._refine_by_key_membership(
                 cand, source, keys, base.column_mapping
@@ -3558,7 +3626,10 @@ class TableLog:
             for fname in fnames:
                 full = os.path.join(dirpath, fname)
                 rel = os.path.relpath(full, self.data_dir)
-                if rel not in live and os.path.getmtime(full) <= cutoff:
+                # a bloom sidecar lives exactly as long as its data file
+                owner = _bloom_sidecar_owner(rel)
+                key = owner if owner is not None else rel
+                if key not in live and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted += 1
         # bucket-view hardlink dirs (read_bucketed over multi-directory
@@ -3601,7 +3672,10 @@ class TableLog:
             for fname in fnames:
                 full = os.path.join(dirpath, fname)
                 rel = os.path.relpath(full, self.data_dir)
-                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                # a bloom sidecar is referenced iff its data file is
+                owner = _bloom_sidecar_owner(rel)
+                key = owner if owner is not None else rel
+                if key not in referenced and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted += 1
         for d in os.listdir(self.root):
@@ -3690,18 +3764,50 @@ def _snapshot_id(version: int, adds: list, removes: list, parent) -> str:
 
 # --- per-file Bloom filters (round 9, opt-in via Snapshot.bloom_cols) ------
 #
-# 2048 bits / 4 hashes per column per file (256 B in the commit log; FPR
-# ≈1% at ~250 distinct values per file and degrades gracefully above —
-# a false positive only costs the I/O min/max would have spent anyway).
-# The hash is md5 over the value's STRING rendering, chosen because the
-# Spark-side harvest (F.md5(col.cast("string"))) and the driver-side
-# probe (hashlib.md5(str(v))) must agree byte-for-byte; that restricts
-# bloom columns to types whose renderings match across both engines:
+# ADAPTIVELY sized per file: m grows with the file's non-null row count
+# (m ≈ 12 bits per value, power of two, floored at 2048 and capped at
+# 2^23 = 1 MiB) so a high-cardinality key — the needle-in-haystack
+# point-DELETE shape where min/max prunes nothing — keeps FPR ≲1% at
+# hundreds of thousands of distinct values per file instead of
+# saturating (the fixed-2048-bit first cut pruned nothing past ~500
+# distinct values/file, measured at sf10). Small bitmaps (≤4 KiB)
+# inline in the commit log; larger ones land as an underscore-prefixed
+# SIDECAR next to the data file (Spark's file index ignores _-prefixed
+# files, so directory-bound bucketed scans never see them) and the
+# add-action carries only {m, k, sidecar}. The hash is md5 over the
+# value's STRING rendering, chosen because the Spark-side harvest
+# (cast-to-string in the executor) and the driver-side probe
+# (hashlib.md5(str(v))) must agree byte-for-byte; that restricts bloom
+# columns to types whose renderings match across both engines:
 # strings, integrals, dates, booleans.
 
-_BLOOM_M = 2048
+_BLOOM_M = 2048  # floor (bits)
 _BLOOM_K = 4
+_BLOOM_M_MAX = 1 << 23  # 1 MiB bitmap cap per column per file
+_BLOOM_BITS_PER_VALUE = 12  # k=4 ⇒ FPR ≈ 0.6% at this load
+_BLOOM_INLINE_MAX = 1 << 15  # ≤ 4 KiB bitmaps inline in the commit log
 _BLOOM_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "date", "boolean"}
+
+
+def _bloom_m_for(n_values: int) -> int:
+    m = _BLOOM_M
+    while m < _BLOOM_BITS_PER_VALUE * max(1, n_values) and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
+
+
+def _bloom_sidecar_rel(data_rel: str, col: str) -> str:
+    d, base = os.path.dirname(data_rel), os.path.basename(data_rel)
+    return os.path.join(d, f"_{base}.bloom-{col}")
+
+
+def _bloom_sidecar_owner(rel: str) -> str | None:
+    """Inverse of :func:`_bloom_sidecar_rel`: the data file a sidecar
+    belongs to, or None if ``rel`` is not a sidecar path."""
+    base = os.path.basename(rel)
+    if not base.startswith("_") or ".bloom-" not in base:
+        return None
+    return os.path.join(os.path.dirname(rel), base[1:].rsplit(".bloom-", 1)[0])
 
 
 def _bloom_render(v: Any) -> str | None:
@@ -3716,22 +3822,48 @@ def _bloom_render(v: Any) -> str | None:
     return None  # unsupported literal type — bloom gives no answer
 
 
-def _bloom_positions(s: str) -> list[int]:
+def _bloom_positions(s: str, m: int) -> list[int]:
     h = hashlib.md5(s.encode()).hexdigest()
-    return [int(h[8 * i : 8 * i + 8], 16) % _BLOOM_M for i in range(_BLOOM_K)]
+    return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(_BLOOM_K)]
 
 
-def _bloom_may_contain(b64: str, v: Any) -> bool:
+def _bloom_bytes(entry: dict, data_dir: str | None) -> bytes | None:
+    """The bitmap behind a bloom entry: inline b64, or the sidecar file
+    (LRU-cached — one read serves every probe of the same file)."""
+    b64 = entry.get("b64")
+    if b64 is not None:
+        import base64
+
+        return base64.b64decode(b64)
+    side = entry.get("sidecar")
+    if side and data_dir:
+        return _bloom_sidecar_read(os.path.join(data_dir, side))
+    return None  # sidecar unavailable from this call site — no answer
+
+
+@_functools.lru_cache(maxsize=256)
+def _bloom_sidecar_read(path: str) -> bytes | None:
+    try:
+        with open(path, "rb") as fh:
+            return fh.read()
+    except OSError:
+        return None  # vacuumed/missing sidecar — conservative
+
+
+def _bloom_may_contain(entry: dict, v: Any, data_dir: str | None) -> bool:
     s = _bloom_render(v)
     if s is None:
         return True
-    import base64
+    bits = _bloom_bytes(entry, data_dir)
+    if not bits:
+        return True
+    m = int(entry.get("m") or len(bits) * 8)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(s, m))
 
-    bits = base64.b64decode(b64)
-    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(s))
 
-
-def _bloom_ok(meta: dict, col: str, op: str, val: Any) -> bool:
+def _bloom_ok(
+    meta: dict, col: str, op: str, val: Any, data_dir: str | None = None
+) -> bool:
     """Bloom veto for equality/membership terms: False ⇒ the file holds
     no matching non-null value, safe to skip (and == / IN never match
     null rows). Files without a bitmap for the column — written before
@@ -3740,16 +3872,18 @@ def _bloom_ok(meta: dict, col: str, op: str, val: Any) -> bool:
     if not bl:
         return True
     if op == "==":
-        return _bloom_may_contain(bl, val)
+        return _bloom_may_contain(bl, val, data_dir)
     if op == "in":
-        return any(_bloom_may_contain(bl, v) for v in val)
+        return any(_bloom_may_contain(bl, v, data_dir) for v in val)
     return True
 
 
-def _may_match(meta: dict, flt: tuple) -> bool:
+def _may_match(meta: dict, flt: tuple, data_dir: str | None = None) -> bool:
     """Can this file contain rows satisfying the filter? (False ⇒ safe to
     skip: partition value is exact; stats ranges are conservative — files
-    with no stats for the column are always kept.)
+    with no stats for the column are always kept.) ``data_dir`` lets the
+    bloom probe resolve sidecar bitmaps; without it only inline bitmaps
+    answer (conservative).
 
     Ops beyond the classic comparisons (round 9): ``in``/``notin`` (val
     is a tuple of literals), ``!=``, and the null tests ``isnull``/
@@ -3802,7 +3936,7 @@ def _may_match(meta: dict, flt: tuple) -> bool:
         except TypeError:
             return True  # incomparable types — keep the file
         return True
-    if op in ("==", "in") and not _bloom_ok(meta, col, op, val):
+    if op in ("==", "in") and not _bloom_ok(meta, col, op, val, data_dir):
         return False  # bloom veto: no matching non-null value in file
     st = (meta.get("stats") or {}).get(col)
     if op in ("isnull", "notnull"):
@@ -3928,12 +4062,16 @@ def _dnf_physical(dnf: list[list[tuple]], mapping: dict[str, str]):
     return [_physical_filters(d, mapping) for d in dnf]
 
 
-def _dnf_may_match(meta: dict, pdnf: list[list[tuple]]) -> bool:
+def _dnf_may_match(
+    meta: dict, pdnf: list[list[tuple]], data_dir: str | None = None
+) -> bool:
     """File-skip test for a DNF predicate: keep the file iff any
     disjunct's every term may match (empty DNF = no predicate = keep)."""
     if not pdnf:
         return True
-    return any(all(_may_match(meta, f) for f in d) for d in pdnf)
+    return any(
+        all(_may_match(meta, f, data_dir) for f in d) for d in pdnf
+    )
 
 
 def _dnf_column(dnf: list[list[tuple]]):

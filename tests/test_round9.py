@@ -427,3 +427,47 @@ def test_sql_truncate_and_delete_without_where(spark, tmp_path):
     wh.sql("TRUNCATE TABLE b")
     snap = wh._log("b").snapshot()
     assert snap.bucket_by["n"] == 4 and wh.read_snapshot("b").count() == 0
+
+
+def test_bloom_sidecar_large_files_and_vacuum(spark, tmp_path):
+    """Files big enough that m outgrows the inline threshold store the
+    bitmap as an underscore-prefixed SIDECAR next to the data file
+    (ignored by Spark's file index, so bucketed LOCATION scans never see
+    it); vacuum deletes a sidecar exactly when it deletes its data file
+    and never before."""
+    import os
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(200_000)], "id long, g long"
+    ).repartition(4)
+    log.write(df, bloom_cols=["id"])
+    snap = log.snapshot()
+    entries = [m["bloom"]["id"] for m in snap.files.values()]
+    assert all("sidecar" in e and "b64" not in e for e in entries)
+    assert all(e["m"] >= 12 * 40_000 for e in entries)
+    for p, m in snap.files.items():
+        side = os.path.join(log.data_dir, m["bloom"]["id"]["sidecar"])
+        assert os.path.exists(side)
+        assert os.path.basename(side).startswith("_")
+    # needle probe: every file spans the full range, bloom prunes
+    res = log.delete([("id", "==", 123_456)])
+    assert res["rows_deleted"] == 1 and res["files_skipped"] >= 2
+    # overwrite then vacuum: the old files AND their sidecars go, the
+    # live ones stay
+    log.write(df.limit(10), bloom_cols=["id"])
+    live_sides = {
+        m["bloom"]["id"].get("sidecar")
+        for m in log.snapshot().files.values()
+    } - {None}
+    n = log.vacuum(retain_last=1, min_file_age_s=0)
+    assert n > 0
+    remaining = {
+        os.path.relpath(os.path.join(dp, f), log.data_dir)
+        for dp, _, fs in os.walk(log.data_dir)
+        for f in fs
+    }
+    assert live_sides <= remaining
+    stale = [r for r in remaining if ".bloom-" in r and r not in live_sides]
+    assert not stale
+    assert log.read().count() == 10
