@@ -35,6 +35,14 @@ README.md:143-154 — `VERSION AS OF` verification):
   skipped silently — a routine compaction never kills or double-feeds a
   stream; other non-append commits (overwrite/replace/row ops) fail the
   stream unless ``ignoreChanges=true``, mirroring Delta's guardrail.
+  Options (Delta parity): ``startingVersion`` / ``startingTimestamp``
+  (stream commits strictly after the resolved point), and
+  ``maxFilesPerTrigger`` (each microbatch ends at the largest version
+  whose cumulative adds fit the cap, always >= 1 commit forward — note
+  that Trigger.AvailableNow captures ONE capped offset per run with this
+  python API, so a capped availableNow run drains up to the cap and
+  stops checkpoint-consistent; use a processing-time trigger for
+  continuous capped draining).
 
 Scale notes: partitions are one-per-data-file, so read parallelism tracks
 the file count; pruning happens on log metadata only (O(active files),
@@ -582,30 +590,88 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.schema_json = schema_json
-        self.starting_version = int(options.get("startingversion", "0"))
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # rate limiting (Delta's maxFilesPerTrigger): a microbatch ends
+        # at the largest version whose cumulative add-count stays within
+        # the cap — always advancing at least one commit so the stream
+        # can never stall behind one oversized commit
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        from .txlog import TableLog
+
+        log = TableLog(None, root)
+        # startingTimestamp (Delta parity): resolve to the version
+        # current AT that commit wall-clock — the stream emits commits
+        # strictly AFTER it, i.e. everything that happened since then
+        st_ts = options.get("startingtimestamp")
+        if st_ts is not None:
+            if "startingversion" in options:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, not both"
+                )
+            self.starting_version = log.version_at(int(st_ts))
+        else:
+            self.starting_version = int(options.get("startingversion", "0"))
         # column mapping at stream start; the tail only carries appends,
         # and a rename mid-stream is a non-append metadata commit the
         # checkpoint restart picks up with the fresh mapping
-        from .txlog import TableLog
-
         self.mapping = (
-            TableLog(None, root).snapshot().column_mapping
-            if TableLog(None, root).exists()
-            else {}
+            log.snapshot().column_mapping if log.exists() else {}
         )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
+        # NOTE: pyspark's DataSourceStreamReader calls latestOffset with
+        # no arguments (the two-arg latestOffset(start, limit) form is
+        # the JVM API), so rate limiting reads the sink's progress from
+        # the last reported offset via partitions() — instead we cap
+        # here against the checkpointed initial offset only when the
+        # engine first asks, and against each microbatch's start through
+        # _capped_end. Without a cap: the latest version.
         from .txlog import TableLog
 
         versions = TableLog(None, self.root).versions()
         latest = versions[-1] if versions else self.starting_version
-        return {"version": max(latest, self.starting_version)}
+        if self.max_files is None:
+            return {"version": max(latest, self.starting_version)}
+        start = getattr(self, "_last_end", self.starting_version)
+        return {"version": self._capped_end(start, latest)}
+
+    def _capped_end(self, start: int, latest: int) -> int:
+        """Largest version ≤ latest whose cumulative data-changing adds
+        over (start, v] fit maxFilesPerTrigger — always at least one
+        commit forward when any exists."""
+        import json as _json
+
+        from .txlog import TableLog
+
+        log = TableLog(None, self.root)
+        total = 0
+        end = start
+        for v in log.versions():
+            if not (start < v <= latest):
+                continue
+            with open(log._commit_path(v)) as f:
+                c = _json.load(f)
+            n = (
+                0
+                if (c.get("dataChange") is False or c["operation"] == "optimize")
+                else len(c.get("adds", []))
+            )
+            if total + n > self.max_files and end > start:
+                break
+            total += n
+            end = v
+            if total >= self.max_files:
+                break
+        self._last_end = max(end, start)
+        return self._last_end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         """Add-actions of commits in (start, end] — one partition per file.

@@ -348,3 +348,87 @@ def test_stream_survives_optimize_with_no_dup_or_loss(spark, tmp_path):
     spark.range(300, 302).write.format("txlog").mode("append").save(root)
     with pytest.raises(Exception, match="delete|ignoreChanges"):
         run()
+
+
+def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
+    """Round 9: Delta-parity stream options. maxFilesPerTrigger caps each
+    microbatch's add-count (the stream drains in several batches, every
+    row exactly once); startingTimestamp resolves to the version current
+    at that wall-clock and streams only what came after."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        TableLog,
+    )
+
+    root = str(tmp_path / "t")
+    register_txlog(spark)
+    for lo in range(0, 50, 10):  # five append commits, 2 files each
+        spark.range(lo, lo + 10).coalesce(2).write.format("txlog").mode(
+            "append"
+        ).save(root)
+
+    out, chk = str(tmp_path / "o1"), str(tmp_path / "c1")
+    # a CONTINUOUS trigger: the cap shapes batch sizes while the stream
+    # keeps polling (under availableNow the engine captures ONE capped
+    # offset and stops there — checkpoint-consistent, the next run
+    # continues; documented on the option)
+    q = (
+        spark.readStream.format("txlog")
+        .option("maxFilesPerTrigger", "3")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 50:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    # several microbatches ran (10 files / cap 3 -> >= 4 batches)
+    import os
+
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(chk, "commits")) if f.isdigit()]
+    )
+    assert n_batches >= 4
+    # startingTimestamp: stream only the commits after v3's wall-clock
+    log = TableLog(spark, root)
+    ts3 = next(h["ts_ms"] for h in log.history() if h["version"] == 3)
+    out2, chk2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    q = (
+        spark.readStream.format("txlog")
+        .option("startingTimestamp", str(ts3))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", chk2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(out2)
+    # versions 4 and 5 only: ids 30..49
+    assert sorted(r.id for r in got2.collect()) == list(range(30, 50))
+    # conflicting start options refuse (reader construction is lazy in a
+    # query, so assert on the reader directly)
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        TxLogStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="not both"):
+        TxLogStreamReader(
+            root,
+            "{}",
+            {"startingtimestamp": str(ts3), "startingversion": "2"},
+        )
