@@ -723,11 +723,24 @@ class Warehouse:
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
 
     def optimize_table(
-        self, name: str, n_files: int = 1, zorder_by: list[str] | None = None
+        self,
+        name: str,
+        n_files: int = 1,
+        zorder_by: list[str] | None = None,
+        where: list | None = None,
     ) -> int:
-        """OPTIMIZE <table> [ZORDER BY (…)]: small-file compaction as the
-        next snapshot version on this backend (txlog overrides with its
-        atomic remove-and-add commit over the shared data tree)."""
+        """OPTIMIZE <table> [WHERE …] [ZORDER BY (…)]: small-file
+        compaction as the next snapshot version on this backend (txlog
+        overrides with its atomic remove-and-add commit over the shared
+        data tree; scoped WHERE compaction is a txlog capability — this
+        backend's copy-per-version snapshots rewrite wholesale anyway,
+        so a WHERE here refuses rather than pretending to scope)."""
+        if where:
+            raise ValueError(
+                "OPTIMIZE WHERE requires the txlog backend "
+                "(TxLogWarehouse); this backend's snapshots are "
+                "whole-table rewrites"
+            )
         versions = self.versions(name)
         if not versions:
             raise FileNotFoundError(f"no snapshots for table {name}")
@@ -1327,18 +1340,22 @@ class Warehouse:
 
         m_opt = re.match(
             r"\s*OPTIMIZE\s+`?(\w+)`?"
+            r"(?:\s+WHERE\s+(.+?))?"
             r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\))?\s*;?\s*$",
             query,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if m_opt:
             t = m_opt.group(1)
             zcols = (
-                [c.strip(" `") for c in m_opt.group(2).split(",")]
-                if m_opt.group(2)
+                [c.strip(" `") for c in m_opt.group(3).split(",")]
+                if m_opt.group(3)
                 else None
             )
-            v = self.optimize_table(t, zorder_by=zcols)
+            where = (
+                _parse_where(m_opt.group(2)) if m_opt.group(2) else None
+            )
+            v = self.optimize_table(t, zorder_by=zcols, where=where)
             return self.spark.createDataFrame(
                 [(t, "OPTIMIZE", v)],
                 "table_name string, operation string, version long",
@@ -1550,9 +1567,19 @@ class TxLogWarehouse(Warehouse):
         return self.spark.createDataFrame([row], self._DETAIL_SCHEMA)
 
     def optimize_table(
-        self, name: str, n_files: int = 1, zorder_by: list[str] | None = None
+        self,
+        name: str,
+        n_files: int = 1,
+        zorder_by: list[str] | None = None,
+        where: list | None = None,
+        max_file_bytes: int | None = None,
     ) -> int:
-        return self._log(name).optimize(n_files=n_files, zorder_by=zorder_by)
+        return self._log(name).optimize(
+            n_files=n_files,
+            zorder_by=zorder_by,
+            where=where,
+            max_file_bytes=max_file_bytes,
+        )
 
     def vacuum_table(self, name: str, retain_last: int = 1) -> int:
         return self._log(name).vacuum(retain_last=retain_last)

@@ -2161,6 +2161,8 @@ class TableLog:
         n_files: int = 8,
         zorder_by: list[str] | None = None,
         max_retries: int = 3,
+        where: list[tuple] | None = None,
+        max_file_bytes: int | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the active data files into ``n_files`` larger
         ones — optionally Z-ORDER clustered (operators/zorder.py) so range
@@ -2188,13 +2190,64 @@ class TableLog:
         co-location contract survives compaction (`n_files` is ignored —
         the bucket count IS the file-count policy; zorder_by refuses,
         it would fight the bucket clustering).
+
+        SCOPED compaction (round 9 — at 100 TB a whole-table OPTIMIZE is
+        not an operation, it is an outage): ``where`` restricts the
+        rewrite to files whose PARTITION VALUES match the predicate
+        (Delta's `OPTIMIZE … WHERE`, with Delta's restriction: only
+        partition columns may appear — row-level predicates would make
+        "which files to compact" depend on data reads);
+        ``max_file_bytes`` compacts only files smaller than the
+        threshold (the small-files-only policy: already-right-sized
+        files keep their paths and are never rewritten). Both compose;
+        untouched files' deletion vectors survive the commit untouched,
+        selected files' vectors materialize into the rewrite as always.
+        A selection of one-or-zero files commits nothing (returns the
+        current version) unless z-ordering was requested.
         """
         base = self.snapshot()
-        # read the FROZEN version, not latest: a commit landing between
+        sel = dict(base.files)
+        if where:
+            wdnf = _as_dnf(where)
+            pdnf = _dnf_physical(wdnf, base.column_mapping)
+            part_cols = set(base.partition_by or [])
+            bad = sorted(
+                {
+                    c
+                    for d in pdnf
+                    for (c, _op, _v) in d
+                    if c not in part_cols
+                }
+            )
+            if bad:
+                raise ValueError(
+                    f"OPTIMIZE WHERE supports partition columns only "
+                    f"(got {bad}; partition columns are "
+                    f"{sorted(part_cols) or None})"
+                )
+            sel = {
+                p: m
+                for p, m in sel.items()
+                if _dnf_may_match(m, pdnf, self.data_dir)
+            }
+        if max_file_bytes is not None:
+            sel = {
+                p: m
+                for p, m in sel.items()
+                if int(m.get("bytes") or 0) < max_file_bytes
+            }
+        if not sel or (len(sel) <= 1 and not zorder_by):
+            return base.version  # nothing to compact — no commit
+        # read the FROZEN selection, not latest: a commit landing between
         # snapshot() and read() would otherwise get its rows copied into
         # the compacted files while its own files stay active — permanent
         # row duplication
-        df = self.read(base.version)
+        df = self._read_file_metas(
+            list(sel.values()),
+            base.schema,
+            base.column_mapping,
+            {p: v for p, v in base.dvs.items() if p in sel},
+        )
         if zorder_by:
             if base.partition_by:
                 raise ValueError(
@@ -2234,7 +2287,7 @@ class TableLog:
                 df, base.partition_by or None, mapping=base.column_mapping,
                 bloom_cols=base.bloom_cols,
             )
-        removes = list(base.files)
+        removes = list(sel)
 
         for _attempt in range(max_retries):
             cur = self.snapshot()

@@ -471,3 +471,115 @@ def test_bloom_sidecar_large_files_and_vacuum(spark, tmp_path):
     stale = [r for r in remaining if ".bloom-" in r and r not in live_sides]
     assert not stale
     assert log.read().count() == 10
+
+
+# --- scoped OPTIMIZE (round 9): WHERE + small-files-only ------------------
+
+
+def test_optimize_where_compacts_only_matching_partitions(spark, tmp_path):
+    """At 100 TB a whole-table OPTIMIZE is an outage: OPTIMIZE WHERE
+    rewrites only the files whose partition values match (Delta
+    semantics incl. the partition-columns-only restriction); everything
+    else keeps its path, and untouched files' deletion vectors
+    survive."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(80)], "k long, p long, v long"
+    ).repartition(8)
+    log.write(df, partition_by=["p"])
+    # fragment partition p=1 further with appends
+    for lo in (100, 200):
+        log.write(
+            spark.createDataFrame(
+                [(lo + i, 1, 0) for i in range(5)], "k long, p long, v long"
+            ),
+            mode="append",
+            partition_by=["p"],
+        )
+    before = log.snapshot()
+    p1_before = {p for p, m in before.files.items()
+                 if m["partition_values"].get("p") == "1"}
+    other_before = set(before.files) - p1_before
+    assert len(p1_before) >= 3
+    v = log.optimize(where=[("p", "==", 1)])
+    after = log.snapshot()
+    assert after.version == v
+    # every non-p1 file kept its exact path; p1 was compacted
+    assert other_before <= set(after.files)
+    p1_after = {p for p, m in after.files.items()
+                if m["partition_values"].get("p") == "1"}
+    assert p1_after.isdisjoint(p1_before) and len(p1_after) < len(p1_before)
+    assert log.read().count() == 90
+    # non-partition columns refuse (Delta's restriction)
+    with pytest.raises(ValueError, match="partition columns only"):
+        log.optimize(where=[("k", "<", 10)])
+    # a WHERE matching nothing commits nothing
+    assert log.optimize(where=[("p", "==", 99)]) == after.version
+
+
+def test_optimize_small_files_only(spark, tmp_path):
+    """max_file_bytes: already-right-sized files keep their paths —
+    only the small-file tail is rewritten."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    big = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("k"),
+            # incompressible payload so the file is genuinely large
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 8).alias("s"),
+        )
+        .coalesce(1)
+    )
+    log.write(big)
+    for i in range(3):  # three tiny appends
+        log.write(
+            spark.createDataFrame([(100000 + i, "y")], "k long, s string"),
+            mode="append",
+        )
+    before = log.snapshot()
+    big_files = {p for p, m in before.files.items()
+                 if int(m["bytes"]) >= 50_000}
+    n_small = len(before.files) - len(big_files)
+    assert len(big_files) == 1 and n_small >= 3
+    v = log.optimize(n_files=1, max_file_bytes=50_000)
+    after = log.snapshot()
+    assert after.version == v
+    assert big_files <= set(after.files)  # the big file untouched
+    assert len(after.files) < len(before.files)  # small tail compacted
+    assert log.read().count() == 5003
+    # nothing small left: second pass is a no-op (no commit)
+    assert log.optimize(n_files=1, max_file_bytes=50_000) == after.version
+
+
+def test_optimize_where_sql_verb_and_dv_survival(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+        Warehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 2, i) for i in range(40)], "k long, p long, v long"
+        ).repartition(4),
+        "t",
+        partition_by=["p"],
+    )
+    wh.append(
+        spark.createDataFrame([(100, 0, 0)], "k long, p long, v long"),
+        "t",
+        partition_by=["p"],
+    )
+    # a DV delete on the p=1 side must survive an OPTIMIZE scoped to p=0
+    wh.delete("t", [("p", "==", 1), ("k", "==", 7)], via="dv")
+    assert wh._log("t").snapshot().dvs
+    r = wh.sql("OPTIMIZE t WHERE p = 0").head()
+    assert r.operation == "OPTIMIZE"
+    snap = wh._log("t").snapshot()
+    assert snap.dvs  # untouched partition's vector survived
+    assert wh.read_snapshot("t").count() == 40  # 41 rows - 1 dv delete
+    # base backend refuses the scoped form loudly
+    base = Warehouse(spark, str(tmp_path / "base"))
+    base.write_snapshot(spark.createDataFrame([(1,)], "k long"), "s")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql("OPTIMIZE s WHERE k = 1")
