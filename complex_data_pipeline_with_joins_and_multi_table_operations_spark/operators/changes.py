@@ -82,6 +82,7 @@ def merge_upsert(
     keys: list[str],
     delete_condition: Column | None = None,
     insert_unmatched_deletes: bool = True,
+    update_set: dict[str, str] | None = None,
 ) -> DataFrame:
     """MERGE INTO as a batch operator: WHEN MATCHED THEN UPDATE (source row
     wins), WHEN NOT MATCHED THEN INSERT, and optionally WHEN MATCHED AND
@@ -106,7 +107,45 @@ def merge_upsert(
     from SQL MERGE's (falls through to INSERT) to CDC apply's (a delete
     record for a key the table never had is a NO-OP) — and drops the
     membership probe with it.
+
+    ``update_set`` (round 9 — the explicit-assignment MERGE form,
+    ``WHEN MATCHED THEN UPDATE SET col = expr``): maps target columns to
+    SQL expressions over the aliases ``t`` (the matched target row) and
+    ``s`` (the source row); unlisted columns KEEP their target values —
+    unlike the default source-wins ``SET *``. The matched branch then
+    needs the target row's values, so it runs as one inner join of the
+    target against the source on the merge keys (the anti-join shape of
+    the default form cannot express it); the INSERT branch still takes
+    source values wholesale. SQL MERGE's multiple-matches rule is
+    enforced: duplicate source keys raise (with ``SET *`` they
+    historically pass through; the explicit form would silently
+    duplicate target rows, so it refuses like Delta does).
     """
+    if update_set is not None:
+        bad = [c for c in update_set if c not in target.columns]
+        if bad:
+            raise ValueError(
+                f"UPDATE SET columns {bad} not in the target "
+                f"(has {target.columns})"
+            )
+        if any(c in keys for c in update_set):
+            raise ValueError(
+                "UPDATE SET cannot assign a merge key (Delta/SQL MERGE "
+                "restriction — reassigning keys makes matching ambiguous)"
+            )
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE with UPDATE SET assignments requires unique "
+                "source keys: multiple source rows matched the same "
+                "target row (SQL MERGE cardinality violation)"
+            )
     # anti-join on ALL source keys (delete rows included — their target
     # matches must disappear)
     all_keys = source.select(*keys).distinct()
@@ -128,7 +167,29 @@ def merge_upsert(
             source = source.filter(~cond).unionByName(unmatched_del)
         else:
             source = source.filter(~cond)
-    return survivors.unionByName(source.select(*target.columns))
+    if update_set is None:
+        return survivors.unionByName(source.select(*target.columns))
+    # explicit-assignment matched branch: target ⋈ source on the keys,
+    # assignments evaluated over the t/s aliases, unlisted columns keep
+    # the target value; inserts are the source rows matching no target
+    matched = (
+        target.alias("t")
+        .join(source.alias("s"), keys, "inner")
+        .select(
+            *[
+                F.expr(update_set[c]).cast(
+                    target.schema[c].dataType
+                ).alias(c)
+                if c in update_set
+                else F.col(f"t.`{c}`").alias(c)
+                for c in target.columns
+            ]
+        )
+    )
+    inserts = source.join(target.select(*keys), keys, "left_anti")
+    return survivors.unionByName(matched).unionByName(
+        inserts.select(*target.columns)
+    )
 
 
 def merge_partial_aggregates(

@@ -54,11 +54,14 @@ def _where_lit(tok: str):
 
 
 def _split_in_list(s: str) -> list[str]:
-    """Split an IN-list body on top-level commas, respecting ''-escaped
-    string literals (a quoted comma is part of the literal)."""
+    """Split a comma-separated SQL fragment on TOP-LEVEL commas,
+    respecting ''-escaped string literals (a quoted comma is part of
+    the literal) and parenthesized sub-expressions (``round(x, 2)``
+    stays one item) — used for IN-list bodies and UPDATE SET
+    assignment lists."""
     out: list[str] = []
     cur: list[str] = []
-    i, n = 0, len(s)
+    i, n, depth = 0, len(s), 0
     while i < n:
         ch = s[i]
         if ch == "'":
@@ -74,11 +77,15 @@ def _split_in_list(s: str) -> list[str]:
                 raise ValueError(f"unterminated string literal in {s!r}")
             cur.append(s[i : j + 1])
             i = j + 1
-        elif ch == ",":
+        elif ch == "," and depth == 0:
             out.append("".join(cur).strip())
             cur = []
             i += 1
         else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
             cur.append(ch)
             i += 1
     out.append("".join(cur).strip())
@@ -1260,16 +1267,17 @@ class Warehouse:
             r"\s+USING\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
             r"\s+ON\s+(.+?)"
             r"(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?"
-            r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|.+?)"
             r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
         if m_merge:
             # the deliberately NARROW upsert-by-key grammar (Delta's most
-            # common MERGE shape): equality ON terms, UPDATE SET * /
-            # INSERT *, and an optional WHEN MATCHED AND <cond> THEN
-            # DELETE branch. Everything richer is refused loudly — use
+            # common MERGE shape): equality ON terms, UPDATE SET * or
+            # explicit SET col = expr assignments (round 9), INSERT *,
+            # and an optional WHEN MATCHED AND <cond> THEN DELETE
+            # branch. Everything richer is refused loudly — use
             # Warehouse.merge / TableLog.merge with real predicates.
             t, src = m_merge.group(1), m_merge.group(4)
             t_alias = m_merge.group(2) or m_merge.group(3) or t
@@ -1326,7 +1334,40 @@ class Warehouse:
                 delete_cond = re.sub(
                     rf"\b{re.escape(s_alias)}\s*\.\s*", "", delete_cond
                 ).strip()
-            res = self.merge(source, t, keys, delete_condition=delete_cond)
+            set_clause = m_merge.group(9).strip()
+            update_set = None
+            if set_clause != "*":
+                # explicit assignments: 'col = expr, …' — expressions may
+                # reference both rows; the statement's aliases rewrite to
+                # merge_upsert's canonical t (target) / s (source)
+                update_set = {}
+                for assign in _split_in_list(set_clause):
+                    lhs, eq, rhs = assign.partition("=")
+                    if not eq:
+                        raise ValueError(
+                            f"cannot parse UPDATE SET assignment "
+                            f"{assign!r}"
+                        )
+                    lhs = lhs.strip(" `")
+                    if "." in lhs:
+                        qual, _, col = lhs.partition(".")
+                        if qual.strip(" `") != t_alias:
+                            raise ValueError(
+                                f"UPDATE SET target {lhs!r} must be a "
+                                f"column of {t_alias!r}"
+                            )
+                        lhs = col.strip(" `")
+                    rhs = re.sub(
+                        rf"\b{re.escape(t_alias)}\s*\.\s*", "t.", rhs
+                    )
+                    rhs = re.sub(
+                        rf"\b{re.escape(s_alias)}\s*\.\s*", "s.", rhs
+                    )
+                    update_set[lhs] = rhs.strip()
+            res = self.merge(
+                source, t, keys, delete_condition=delete_cond,
+                update_set=update_set,
+            )
             return self.spark.createDataFrame(
                 [(t, "MERGE", res["version"], res.get("rows_written"))],
                 "table_name string, operation string, version long, rows long",
@@ -1669,9 +1710,12 @@ class TxLogWarehouse(Warehouse):
         keys: list[str],
         delete_condition: str | None = None,
         via: str = "cow",
+        update_set: dict[str, str] | None = None,
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
-        return self._log(name).merge(source, keys, delete_condition, via=via)
+        return self._log(name).merge(
+            source, keys, delete_condition, via=via, update_set=update_set
+        )
 
     def versions(self, name: str) -> list[int]:
         return self._log(name).versions()

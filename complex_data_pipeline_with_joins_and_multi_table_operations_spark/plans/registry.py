@@ -3442,6 +3442,65 @@ FROM src WHERE o_orderkey % 500 = 0
 """
 
 
+def q_sql_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 explicit-assignment MERGE end-to-end: WHEN MATCHED THEN
+    UPDATE SET col = expr over the t/s aliases through the SQL verb —
+    listed columns take the expression, unlisted columns KEEP their
+    target values (vs the source-wins SET *), unmatched source rows
+    insert wholesale. The oracle recomputes the three-way split
+    (matched-transformed ∪ survivors ∪ inserts) as plain SQL."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="merge_set_"))
+    orders = Catalog(spark, sf_dir).orders
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ),
+        "t",
+    )
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("S").alias("o_orderstatus"),
+            (F.col("o_totalprice") / 10).alias("o_totalprice"),
+        ),
+        "s",
+    )
+    wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.o_orderkey = sr.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_totalprice = tg.o_totalprice + (sr.o_totalprice * 2), "
+        "o_orderstatus = 'M' "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_MERGE_SET = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+src AS (
+  SELECT o_orderkey, o_custkey, 'S' AS o_orderstatus,
+         o_totalprice / 10 AS o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT t.o_orderkey, t.o_custkey, 'M' AS o_orderstatus,
+       t.o_totalprice + (s.o_totalprice * 2) AS o_totalprice
+FROM tgt t JOIN src s USING (o_orderkey)
+UNION ALL
+SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT * FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5429,6 +5488,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_dnf_row_ops": q_sql_dnf_row_ops,  # NEW in r8: first driver row
     "sql_in_null_row_ops": q_sql_in_null_row_ops,  # NEW in r9
     "sql_insert_ops": q_sql_insert_ops,  # NEW in r9
+    "sql_merge_set": q_sql_merge_set,  # NEW in r9
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5467,11 +5527,11 @@ QUERIES: dict[str, QueryFn] = {
     "gk_quantiles": q_gk_quantiles,
     "kmv_segment_overlap": q_kmv_segment_overlap,
     "forecast_revenue": q_forecast_revenue,
-    "product_type_profit": q_product_type_profit,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "supplier_part_counts": q_supplier_part_counts,
@@ -5614,6 +5674,7 @@ ORACLES: dict[str, str] = {
     "sql_dnf_row_ops": SQL_SQL_DNF_ROW_OPS,
     "sql_in_null_row_ops": SQL_SQL_IN_NULL_ROW_OPS,
     "sql_insert_ops": SQL_SQL_INSERT_OPS,
+    "sql_merge_set": SQL_SQL_MERGE_SET,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

@@ -2847,6 +2847,7 @@ class TableLog:
         txn: tuple[str, int] | None = None,
         insert_unmatched_deletes: bool = True,
         via: str = "cow",
+        update_set: dict[str, str] | None = None,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2872,11 +2873,26 @@ class TableLog:
         rewriting every touched host file. merge_upsert's source-wins
         rule makes the appended set exactly the source after the
         delete-branch rules, so the two forms commit identical logical
-        states. Same cap-and-fallback policy as delete(via='dv')."""
+        states. Same cap-and-fallback policy as delete(via='dv').
+
+        ``update_set`` (round 9): explicit WHEN MATCHED THEN UPDATE SET
+        assignments — target column → SQL expression over the ``t``
+        (target row) / ``s`` (source row) aliases; unlisted columns keep
+        their target values (see operators/changes.merge_upsert).
+        Copy-on-write only: the merge-on-read form appends
+        source-derived rows without reading targets, which the default
+        source-wins semantics permit but a partial update cannot."""
         from pyspark.sql import functions as F
 
         from ..operators.changes import merge_upsert
 
+        if update_set is not None and via == "dv":
+            raise ValueError(
+                "merge(update_set=…) requires via='cow': the "
+                "merge-on-read form appends source rows without reading "
+                "the matched targets, and explicit assignments need the "
+                "target row's values"
+            )
         if via == "dv":
             return self._merge_dv(
                 source,
@@ -2967,6 +2983,7 @@ class TableLog:
                     else None
                 ),
                 insert_unmatched_deletes=insert_unmatched_deletes,
+                update_set=update_set,
             )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(

@@ -583,3 +583,119 @@ def test_optimize_where_sql_verb_and_dv_survival(spark, tmp_path):
     base.write_snapshot(spark.createDataFrame([(1,)], "k long"), "s")
     with pytest.raises(ValueError, match="txlog backend"):
         base.sql("OPTIMIZE s WHERE k = 1")
+
+
+# --- MERGE with explicit UPDATE SET assignments (round 9) ------------------
+
+
+def test_merge_update_set_assignments(spark, tmp_path):
+    """WHEN MATCHED THEN UPDATE SET col = expr: listed columns take the
+    expression over the t/s aliases, unlisted columns KEEP target
+    values (unlike source-wins SET *); inserts still take source rows
+    wholesale; duplicate source keys refuse (SQL MERGE cardinality)."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, v long, tag string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, 5, "S"), (9, 90, "N")], "k long, v long, tag string"
+    )
+    res = log.merge(
+        src,
+        ["k"],
+        update_set={"v": "t.v + s.v", "tag": "upper(t.tag)"},
+    )
+    got = {r.k: (r.v, r.tag) for r in log.read().collect()}
+    assert got == {
+        1: (10, "a"),      # untouched
+        2: (25, "B"),      # v = t.v + s.v, tag = upper(t.tag) — NOT 'S'
+        3: (30, "c"),
+        9: (90, "N"),      # unmatched -> inserted wholesale
+    }
+    assert res["rows_written"] >= 2
+    # assignment guards
+    with pytest.raises(ValueError, match="not in the target"):
+        log.merge(src, ["k"], update_set={"zz": "1"})
+    with pytest.raises(ValueError, match="merge key"):
+        log.merge(src, ["k"], update_set={"k": "s.k + 1"})
+    dup = spark.createDataFrame(
+        [(2, 1, "x"), (2, 2, "y")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="unique source keys"):
+        log.merge(dup, ["k"], update_set={"v": "s.v"})
+    with pytest.raises(ValueError, match="cow"):
+        log.merge(src, ["k"], via="dv", update_set={"v": "s.v"})
+
+
+def test_merge_update_set_with_delete_branch(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, -1), (2, 7), (99, 5)], "k long, v long"
+    )
+    # v < 0 flags delete; matched k=1 drops, k=2 updates, 99 inserts
+    log.merge(
+        src, ["k"], delete_condition="v < 0", update_set={"v": "t.v + s.v"}
+    )
+    got = {r.k: r.v for r in log.read().collect()}
+    assert 1 not in got
+    assert got[2] == 27 and got[99] == 5
+    assert got[0] == 0 and got[5] == 50
+
+
+def test_merge_update_set_sql_verb(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"
+        ),
+        "t",
+    )
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(2, 300, 0), (5, 50, 0)], "k long, v long, ver long"
+        ),
+        "s",
+    )
+    r = wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.k = sr.k "
+        "WHEN MATCHED THEN UPDATE SET v = sr.v, ver = tg.ver + 1 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert r.operation == "MERGE"
+    got = {x.k: (x.v, x.ver) for x in wh.read_snapshot("t").collect()}
+    assert got == {1: (10, 1), 2: (300, 2), 5: (50, 0)}
+    # SET * still works (source-wins)
+    wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.k = sr.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {x.k: (x.v, x.ver) for x in wh.read_snapshot("t").collect()}
+    assert got[2] == (300, 0)
+
+
+def test_split_in_list_respects_parens_and_quotes():
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        _split_in_list,
+    )
+
+    assert _split_in_list("v = round(t.v + s.v, 2), tag = 'a,b'") == [
+        "v = round(t.v + s.v, 2)",
+        "tag = 'a,b'",
+    ]
+    assert _split_in_list("coalesce(s.v, 0, greatest(1, 2)), x") == [
+        "coalesce(s.v, 0, greatest(1, 2))",
+        "x",
+    ]
