@@ -2236,8 +2236,12 @@ class TableLog:
                 for p, m in sel.items()
                 if int(m.get("bytes") or 0) < max_file_bytes
             }
-        if not sel or (len(sel) <= 1 and not zorder_by):
-            return base.version  # nothing to compact — no commit
+        sel_has_dv = any(base.dvs.get(p) for p in sel)
+        if not sel or (len(sel) <= 1 and not zorder_by and not sel_has_dv):
+            # nothing to compact — no commit (a single file WITH a
+            # deletion vector still compacts: materializing the vector
+            # is the point)
+            return base.version
         # read the FROZEN selection, not latest: a commit landing between
         # snapshot() and read() would otherwise get its rows copied into
         # the compacted files while its own files stay active — permanent
@@ -3911,7 +3915,7 @@ def _bloom_bytes(entry: dict, data_dir: str | None) -> bytes | None:
     return None  # sidecar unavailable from this call site — no answer
 
 
-@_functools.lru_cache(maxsize=256)
+@_functools.lru_cache(maxsize=64)  # ≤ 64 MiB of driver-side bitmap cache
 def _bloom_sidecar_read(path: str) -> bytes | None:
     try:
         with open(path, "rb") as fh:
