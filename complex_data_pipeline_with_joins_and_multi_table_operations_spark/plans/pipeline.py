@@ -1249,7 +1249,9 @@ class Warehouse:
                     "whole-table writes"
                 )
             sets = {}
-            for assign in m_upd.group(2).split(","):
+            # quote/paren-aware split: 'v = round(x, 2), s = 'a,b'' is
+            # two assignments, not four fragments
+            for assign in _split_in_list(m_upd.group(2)):
                 col, _, expr = assign.partition("=")
                 if not expr:
                     raise ValueError(f"cannot parse SET clause {assign!r}")

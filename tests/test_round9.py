@@ -699,3 +699,22 @@ def test_split_in_list_respects_parens_and_quotes():
         "coalesce(s.v, 0, greatest(1, 2))",
         "x",
     ]
+
+
+def test_update_set_clause_with_function_commas(spark, tmp_path):
+    """UPDATE … SET with commas inside function calls parses as whole
+    assignments (the naive comma split would shred round(x, 2))."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, 1.234, "x"), (2, 5.678, "y")], "k long, v double, s string"
+        ),
+        "t",
+    )
+    wh.sql("UPDATE t SET v = round(v * 2, 1), s = concat(s, ',z') WHERE k = 1")
+    got = {r.k: (r.v, r.s) for r in wh.read_snapshot("t").collect()}
+    assert got[1] == (2.5, "x,z") and got[2] == (5.678, "y")
