@@ -1038,6 +1038,38 @@ class Warehouse:
             query,
             re.IGNORECASE,
         )
+        # CHECK-constraint DDL (Delta syntax; round 9): metadata commits
+        # on the txlog backend — ADD validates existing rows first, then
+        # every later write/merge/update enforces in one aggregate pass
+        m_con = re.match(
+            r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(?:"
+            r"ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.+)\)"
+            r"|DROP\s+CONSTRAINT\s+`?(\w+)`?"
+            r")\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_con:
+            t = m_con.group(1)
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "CHECK constraints require the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots carry no "
+                    "constraint metadata"
+                )
+            if m_con.group(2):
+                op = "ADD CONSTRAINT"
+                v = self._log(t).add_constraint(
+                    m_con.group(2), m_con.group(3).strip()
+                )
+            else:
+                op = "DROP CONSTRAINT"
+                v = self._log(t).drop_constraint(m_con.group(4))
+            return self.spark.createDataFrame(
+                [(t, op, v)],
+                "table_name string, operation string, version long",
+            )
+
         m_files = re.match(
             r"\s*DESCRIBE\s+FILES\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
         )

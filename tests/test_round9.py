@@ -718,3 +718,37 @@ def test_update_set_clause_with_function_commas(spark, tmp_path):
     wh.sql("UPDATE t SET v = round(v * 2, 1), s = concat(s, ',z') WHERE k = 1")
     got = {r.k: (r.v, r.s) for r in wh.read_snapshot("t").collect()}
     assert got[1] == (2.5, "x,z") and got[2] == (5.678, "y")
+
+
+def test_constraint_ddl_sql_verbs(spark, tmp_path):
+    """ALTER TABLE … ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT
+    through .sql() (Delta syntax): ADD validates existing rows first;
+    subsequent violating writes refuse; DROP lifts enforcement; the
+    base backend refuses loudly."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+        Warehouse,
+    )
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+        ConstraintViolationError,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), "t"
+    )
+    r = wh.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)").head()
+    assert r.operation == "ADD CONSTRAINT" and r.version == 2
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        wh.append(spark.createDataFrame([(3, -5)], "k long, v long"), "t")
+    # existing violations block the ADD
+    with pytest.raises(Exception, match="v_big"):
+        wh.sql("ALTER TABLE t ADD CONSTRAINT v_big CHECK (v > 15)")
+    r = wh.sql("ALTER TABLE t DROP CONSTRAINT v_pos").head()
+    assert r.operation == "DROP CONSTRAINT"
+    wh.append(spark.createDataFrame([(3, -5)], "k long, v long"), "t")
+    assert wh.read_snapshot("t").count() == 3
+    base = Warehouse(spark, str(tmp_path / "base"))
+    base.write_snapshot(spark.createDataFrame([(1,)], "k long"), "s")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql("ALTER TABLE s ADD CONSTRAINT c CHECK (k > 0)")
