@@ -83,6 +83,8 @@ def merge_upsert(
     delete_condition: Column | None = None,
     insert_unmatched_deletes: bool = True,
     update_set: dict[str, str] | None = None,
+    not_matched_by_source_delete: bool = False,
+    not_matched_by_source_condition: Column | None = None,
 ) -> DataFrame:
     """MERGE INTO as a batch operator: WHEN MATCHED THEN UPDATE (source row
     wins), WHEN NOT MATCHED THEN INSERT, and optionally WHEN MATCHED AND
@@ -150,6 +152,17 @@ def merge_upsert(
     # matches must disappear)
     all_keys = source.select(*keys).distinct()
     survivors = target.join(all_keys, keys, "left_anti")
+    if not_matched_by_source_delete:
+        # Delta's three-way merge (full-sync shape): target rows whose
+        # keys are absent from the source DELETE — optionally only those
+        # satisfying a condition over the TARGET row (SQL tri-state: a
+        # NULL condition keeps the row, same as WHEN MATCHED AND)
+        if not_matched_by_source_condition is not None:
+            survivors = survivors.filter(
+                ~F.coalesce(not_matched_by_source_condition, F.lit(False))
+            )
+        else:
+            survivors = survivors.filter(F.lit(False))
     if delete_condition is not None:
         # SQL MERGE's WHEN MATCHED AND <cond> treats an unknown (NULL)
         # condition as false: those rows take the UPDATE/INSERT path, so

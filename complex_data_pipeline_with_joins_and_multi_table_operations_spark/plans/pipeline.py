@@ -1302,7 +1302,9 @@ class Warehouse:
             r"\s+ON\s+(.+?)"
             r"(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?"
             r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|.+?)"
-            r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+            r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+            r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE"
+            r"(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE)?\s*;?\s*$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1398,9 +1400,22 @@ class Warehouse:
                         rf"\b{re.escape(s_alias)}\s*\.\s*", "s.", rhs
                     )
                     update_set[lhs] = rhs.strip()
+            nmbs_cond = m_merge.group(10)
+            if nmbs_cond is not None:
+                # the condition evaluates over the TARGET row inside
+                # merge(): strip/canonicalize the target qualifier
+                nmbs_cond = re.sub(
+                    rf"\b{re.escape(t_alias)}\s*\.\s*", "", nmbs_cond
+                ).strip()
             res = self.merge(
                 source, t, keys, delete_condition=delete_cond,
                 update_set=update_set,
+                not_matched_by_source_delete=bool(
+                    re.search(
+                        r"NOT\s+MATCHED\s+BY\s+SOURCE", query, re.IGNORECASE
+                    )
+                ),
+                not_matched_by_source_condition=nmbs_cond,
             )
             return self.spark.createDataFrame(
                 [(t, "MERGE", res["version"], res.get("rows_written"))],
@@ -1745,10 +1760,18 @@ class TxLogWarehouse(Warehouse):
         delete_condition: str | None = None,
         via: str = "cow",
         update_set: dict[str, str] | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: str | None = None,
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
         return self._log(name).merge(
-            source, keys, delete_condition, via=via, update_set=update_set
+            source,
+            keys,
+            delete_condition,
+            via=via,
+            update_set=update_set,
+            not_matched_by_source_delete=not_matched_by_source_delete,
+            not_matched_by_source_condition=not_matched_by_source_condition,
         )
 
     def versions(self, name: str) -> list[int]:

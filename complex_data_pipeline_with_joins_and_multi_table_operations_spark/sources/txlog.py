@@ -2852,6 +2852,8 @@ class TableLog:
         insert_unmatched_deletes: bool = True,
         via: str = "cow",
         update_set: dict[str, str] | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: str | None = None,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2885,7 +2887,17 @@ class TableLog:
         their target values (see operators/changes.merge_upsert).
         Copy-on-write only: the merge-on-read form appends
         source-derived rows without reading targets, which the default
-        source-wins semantics permit but a partial update cannot."""
+        source-wins semantics permit but a partial update cannot.
+
+        ``not_matched_by_source_delete=True`` (round 9 — Delta's
+        three-way merge, the full-sync shape): target rows whose keys
+        are ABSENT from the source delete, optionally gated by
+        ``not_matched_by_source_condition`` (a SQL expression over the
+        target row; NULL keeps the row). This branch makes every active
+        file a rewrite candidate BY DEFINITION — any target row may be
+        unmatched — so the stats-based candidate pruning is disabled
+        for it (a full-sync merge reads the full table, exactly like
+        Delta). Copy-on-write only."""
         from pyspark.sql import functions as F
 
         from ..operators.changes import merge_upsert
@@ -2896,6 +2908,12 @@ class TableLog:
                 "merge-on-read form appends source rows without reading "
                 "the matched targets, and explicit assignments need the "
                 "target row's values"
+            )
+        if not_matched_by_source_delete and via == "dv":
+            raise ValueError(
+                "merge(not_matched_by_source_delete=True) requires "
+                "via='cow': the merge-on-read form never reads unmatched "
+                "target rows"
             )
         if via == "dv":
             return self._merge_dv(
@@ -2940,37 +2958,49 @@ class TableLog:
                         "files_skipped": len(base.files),
                         "rows_written": 0,
                     }
-            aggs = []
-            for k in keys:
-                aggs += [F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}")]
-            bounds = source.agg(*aggs).head()
-            filters = [
-                (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
-                for k in keys
-                if bounds[f"mn_{k}"] is not None
-            ]
-            if not filters:
-                # empty source (or all-null keys): MERGE is a no-op
-                return {
-                    "version": base.version,
-                    "files_rewritten": 0,
-                    "files_skipped": len(base.files),
-                    "rows_written": 0,
+            if not_matched_by_source_delete:
+                # full-sync semantics: EVERY file may hold unmatched
+                # target rows — no pruning possible, all files rewrite
+                pfilters: list[tuple] = []
+                cand = dict(base.files)
+            else:
+                aggs = []
+                for k in keys:
+                    aggs += [
+                        F.min(k).alias(f"mn_{k}"),
+                        F.max(k).alias(f"mx_{k}"),
+                    ]
+                bounds = source.agg(*aggs).head()
+                filters = [
+                    (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                    for k in keys
+                    if bounds[f"mn_{k}"] is not None
+                ]
+                if not filters:
+                    # empty source (or all-null keys): MERGE is a no-op
+                    return {
+                        "version": base.version,
+                        "files_rewritten": 0,
+                        "files_skipped": len(base.files),
+                        "rows_written": 0,
+                    }
+                pfilters = _physical_filters(filters, base.column_mapping)
+                cand = {
+                    p: m
+                    for p, m in base.files.items()
+                    if all(
+                        _may_match(m, f, self.data_dir) for f in pfilters
+                    )
                 }
-            pfilters = _physical_filters(filters, base.column_mapping)
-            cand = {
-                p: m
-                for p, m in base.files.items()
-                if all(_may_match(m, f, self.data_dir) for f in pfilters)
-            }
-            # global key bounds are coarse for scattered keys (a trickle
-            # touching ids 5 and 2000 spans every file); for single-key
-            # merges with a broadcast-sized key set, prune per file by
-            # bisecting the sorted distinct keys against its [min, max] —
-            # the same answer a stats⋈keys join would give, driver-side
-            cand = self._refine_by_key_membership(
-                cand, source, keys, base.column_mapping
-            )
+                # global key bounds are coarse for scattered keys (a
+                # trickle touching ids 5 and 2000 spans every file); for
+                # single-key merges with a broadcast-sized key set, prune
+                # per file by bisecting the sorted distinct keys against
+                # its [min, max] — the same answer a stats⋈keys join
+                # would give, driver-side
+                cand = self._refine_by_key_membership(
+                    cand, source, keys, base.column_mapping
+                )
             tgt = self._read_file_metas(
                 list(cand.values()),
                 base.schema,
@@ -2988,6 +3018,12 @@ class TableLog:
                 ),
                 insert_unmatched_deletes=insert_unmatched_deletes,
                 update_set=update_set,
+                not_matched_by_source_delete=not_matched_by_source_delete,
+                not_matched_by_source_condition=(
+                    F.expr(not_matched_by_source_condition)
+                    if not_matched_by_source_condition is not None
+                    else None
+                ),
             )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(

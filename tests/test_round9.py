@@ -752,3 +752,80 @@ def test_constraint_ddl_sql_verbs(spark, tmp_path):
     base.write_snapshot(spark.createDataFrame([(1,)], "k long"), "s")
     with pytest.raises(ValueError, match="txlog backend"):
         base.sql("ALTER TABLE s ADD CONSTRAINT c CHECK (k > 0)")
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """Delta's three-way merge (full-sync shape): target rows whose keys
+    are absent from the source DELETE — unconditionally or gated by a
+    target-row condition (NULL keeps the row); every file is a rewrite
+    candidate by definition."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        ).repartition(3)
+    )
+    src = spark.createDataFrame([(1, 111), (9, 999)], "k long, v long")
+    res = log.merge(src, ["k"], not_matched_by_source_delete=True)
+    got = {r.k: r.v for r in log.read().collect()}
+    # matched k=1 updated (source wins), unmatched source k=9 inserted,
+    # every other target row deleted
+    assert got == {1: 111, 9: 999}
+    assert res["files_rewritten"] == 3  # no pruning: full-sync reads all
+    # conditional form: only unmatched targets with v >= 30 delete
+    log2 = TableLog(spark, str(tmp_path / "t2"))
+    log2.write(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "k long, v long"
+        )
+    )
+    log2.merge(
+        src,
+        ["k"],
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="v >= 30",
+    )
+    got2 = {r.k: r.v for r in log2.read().collect()}
+    assert got2 == {0: 0, 1: 111, 2: 20, 9: 999}
+    with pytest.raises(ValueError, match="cow"):
+        log2.merge(src, ["k"], via="dv", not_matched_by_source_delete=True)
+
+
+def test_merge_not_matched_by_source_sql_verb(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse,
+    )
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        "t",
+    )
+    wh.write_snapshot(
+        spark.createDataFrame([(2, 200), (5, 50)], "k long, v long"), "s"
+    )
+    wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.k = sr.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r.k: r.v for r in wh.read_snapshot("t").collect()}
+    assert got == {2: 200, 5: 50}
+    # conditional NOT MATCHED BY SOURCE over the target alias
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        "t2",
+    )
+    wh.sql(
+        "MERGE INTO t2 AS tg USING s AS sr ON tg.k = sr.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND tg.v > 15 THEN DELETE"
+    )
+    got = {r.k: r.v for r in wh.read_snapshot("t2").collect()}
+    assert got == {1: 10, 2: 200, 5: 50}  # k=3 (v=30>15) deleted, k=1 kept
