@@ -596,7 +596,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         # rate limiting (Delta's maxFilesPerTrigger): a microbatch ends
         # at the largest version whose cumulative add-count stays within
         # the cap — always advancing at least one commit so the stream
-        # can never stall behind one oversized commit
+        # can never stall behind one oversized commit. Restart caveat
+        # (Python DS API: latestOffset() can't see the checkpoint): the
+        # FIRST batch after a query restart is uncapped — see
+        # latestOffset() for why that's the only exactly-once-safe answer
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
@@ -604,16 +607,30 @@ class TxLogStreamReader(DataSourceStreamReader):
         from .txlog import TableLog
 
         log = TableLog(None, root)
-        # startingTimestamp (Delta parity): resolve to the version
-        # current AT that commit wall-clock — the stream emits commits
-        # strictly AFTER it, i.e. everything that happened since then
+        # startingTimestamp (Delta parity): INCLUSIVE — the stream emits
+        # every commit whose wall-clock is at or after the timestamp, so
+        # the exclusive start is (first version with ts_ms >= ts) - 1;
+        # a commit stamped exactly at the timestamp IS emitted (Delta's
+        # documented boundary). A timestamp past the latest commit
+        # starts at the tail and emits only what comes next.
         st_ts = options.get("startingtimestamp")
         if st_ts is not None:
             if "startingversion" in options:
                 raise ValueError(
                     "pass startingVersion or startingTimestamp, not both"
                 )
-            self.starting_version = log.version_at(int(st_ts))
+            hist = log.history() if log.exists() else []
+            at_or_after = [
+                h["version"]
+                for h in hist
+                if (h["ts_ms"] or 0) >= int(st_ts)
+            ]
+            if at_or_after:
+                self.starting_version = min(at_or_after) - 1
+            else:
+                self.starting_version = (
+                    hist[-1]["version"] if hist else 0
+                )
         else:
             self.starting_version = int(options.get("startingversion", "0"))
         # column mapping at stream start; the tail only carries appends,
@@ -623,25 +640,52 @@ class TxLogStreamReader(DataSourceStreamReader):
             log.snapshot().column_mapping if log.exists() else {}
         )
 
+    def _advance_floor(self, version: int) -> int:
+        """Monotone progress floor, learned from EVERY offset that passes
+        between the reader and the engine (returned latestOffsets, batch
+        starts/ends in partitions(), committed ends). latestOffset() must
+        never return below it: pyspark compares offsets by equality only,
+        so a regressed offset gets recorded in the offset log and the
+        next batch re-emits rows that were already delivered."""
+        self._floor = max(getattr(self, "_floor", self.starting_version), version)
+        return self._floor
+
     def initialOffset(self) -> dict:
+        self._advance_floor(self.starting_version)
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         # NOTE: pyspark's DataSourceStreamReader calls latestOffset with
         # no arguments (the two-arg latestOffset(start, limit) form is
-        # the JVM API), so rate limiting reads the sink's progress from
-        # the last reported offset via partitions() — instead we cap
-        # here against the checkpointed initial offset only when the
-        # engine first asks, and against each microbatch's start through
-        # _capped_end. Without a cap: the latest version.
+        # the JVM API), so rate limiting tracks the engine's progress
+        # through _last_end, advanced by every offset the engine shows
+        # us (initialOffset / partitions / commit). Without a cap: the
+        # latest version.
         from .txlog import TableLog
 
         versions = TableLog(None, self.root).versions()
         latest = versions[-1] if versions else self.starting_version
         if self.max_files is None:
             return {"version": max(latest, self.starting_version)}
-        start = getattr(self, "_last_end", self.starting_version)
-        return {"version": self._capped_end(start, latest)}
+        # The cap needs a progress floor, and this API only shows the
+        # reader one through engine calls — and the engine's FIRST call
+        # on a new reader is latestOffset() itself (observed order, both
+        # fresh and restarted queries: latestOffset → initialOffset →
+        # partitions). A restarted query whose batches all committed
+        # never reveals the checkpointed offset at all, so capping the
+        # floorless call from starting_version can return an offset at
+        # or BEHIND the committed one: equal ⇒ the stream stalls forever
+        # (every later availableNow run re-derives the same stale
+        # offset); behind ⇒ the regressed offset is recorded and the
+        # next batch re-emits delivered rows. The only safe floorless
+        # answer is the uncapped latest — so the FIRST microbatch of a
+        # run is unbounded (backlog catch-up), and maxFilesPerTrigger
+        # shapes every batch after it. That is the honest limit of the
+        # no-argument latestOffset() contract; Delta's JVM source gets
+        # latestOffset(start, limit) and can do better.
+        if not hasattr(self, "_floor"):
+            return {"version": self._advance_floor(max(latest, self.starting_version))}
+        return {"version": self._advance_floor(self._capped_end(self._floor, latest))}
 
     def _capped_end(self, start: int, latest: int) -> int:
         """Largest version ≤ latest whose cumulative data-changing adds
@@ -670,8 +714,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             end = v
             if total >= self.max_files:
                 break
-        self._last_end = max(end, start)
-        return self._last_end
+        return max(end, start)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         """Add-actions of commits in (start, end] — one partition per file.
@@ -682,10 +725,22 @@ class TxLogStreamReader(DataSourceStreamReader):
 
         from .txlog import TableLog
 
+        # engine-shown offsets advance the rate-limit floor (a replayed
+        # batch after restart arrives here before any latestOffset), and
+        # a batch START also raises the emission floor: everything at or
+        # below it was delivered by earlier, committed batches —
+        # defense-in-depth so even a regressed batch range (start > end)
+        # can never re-emit rows
+        self._advance_floor(max(start["version"], end["version"]))
+        self._emit_floor = max(
+            getattr(self, "_emit_floor", self.starting_version),
+            start["version"],
+        )
+        lo = max(start["version"], self._emit_floor)
         log = TableLog(None, self.root)
         parts: list[_FilePartition] = []
         for v in log.versions():
-            if not (start["version"] < v <= end["version"]):
+            if not (lo < v <= end["version"]):
                 continue
             with open(log._commit_path(v)) as f:
                 c = _json.load(f)
@@ -715,7 +770,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # the sink's checkpoint owns progress; the log retains history
+        # the sink's checkpoint owns progress; the log retains history —
+        # but a committed end raises both floors: latestOffset() must
+        # never fall behind it, and its rows must never re-emit
+        self._advance_floor(end["version"])
+        self._emit_floor = max(
+            getattr(self, "_emit_floor", self.starting_version),
+            end["version"],
+        )
 
 
 # ---------------------------------------------------------------------------

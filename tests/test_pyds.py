@@ -351,10 +351,15 @@ def test_stream_survives_optimize_with_no_dup_or_loss(spark, tmp_path):
 
 
 def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
-    """Round 9: Delta-parity stream options. maxFilesPerTrigger caps each
-    microbatch's add-count (the stream drains in several batches, every
-    row exactly once); startingTimestamp resolves to the version current
-    at that wall-clock and streams only what came after."""
+    """Round 9/10: Delta-parity stream options. maxFilesPerTrigger caps
+    each microbatch's add-count AFTER the first batch of a run — the
+    Python DS API's no-arg latestOffset() cannot see the checkpoint, so
+    the floorless first call must return the uncapped latest (anything
+    else stalls or duplicates a restarted stream; see
+    TxLogStreamReader.latestOffset). Data arriving while the stream runs
+    is shaped by the cap, every row exactly once. startingTimestamp is
+    INCLUSIVE (Delta parity): the commit stamped exactly at the
+    timestamp is emitted too."""
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
         TableLog,
     )
@@ -367,10 +372,6 @@ def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
         ).save(root)
 
     out, chk = str(tmp_path / "o1"), str(tmp_path / "c1")
-    # a CONTINUOUS trigger: the cap shapes batch sizes while the stream
-    # keeps polling (under availableNow the engine captures ONE capped
-    # offset and stops there — checkpoint-consistent, the next run
-    # continues; documented on the option)
     q = (
         spark.readStream.format("txlog")
         .option("maxFilesPerTrigger", "3")
@@ -383,26 +384,38 @@ def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
     )
     import time
 
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        try:
-            if spark.read.parquet(out).count() >= 50:
-                break
-        except Exception:
-            pass
-        time.sleep(1)
+    def wait_rows(n):
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(1)
+
+    # batch 1 bootstraps the backlog (uncapped — documented)
+    wait_rows(50)
+    # four MORE commits (8 files) arrive mid-stream: the cap (3) splits
+    # them over >= ceil(8/3) = 3 capped microbatches
+    for lo in range(50, 90, 10):
+        spark.range(lo, lo + 10).coalesce(2).write.format("txlog").mode(
+            "append"
+        ).save(root)
+    wait_rows(90)
     q.stop()
     got = spark.read.parquet(out)
-    assert got.count() == 50
+    assert got.count() == 90
     assert got.groupBy("id").count().filter("count > 1").count() == 0
-    # several microbatches ran (10 files / cap 3 -> >= 4 batches)
+    # 1 bootstrap batch + >= 3 capped batches for the live appends
     import os
 
     n_batches = len(
         [f for f in os.listdir(os.path.join(chk, "commits")) if f.isdigit()]
     )
     assert n_batches >= 4
-    # startingTimestamp: stream only the commits after v3's wall-clock
+    # startingTimestamp: INCLUSIVE of the at-timestamp commit — streaming
+    # from v3's wall-clock emits v3, v4, v5 (Delta's documented boundary)
     log = TableLog(spark, root)
     ts3 = next(h["ts_ms"] for h in log.history() if h["version"] == 3)
     out2, chk2 = str(tmp_path / "o2"), str(tmp_path / "c2")
@@ -418,8 +431,8 @@ def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
     )
     q.awaitTermination(120)
     got2 = spark.read.parquet(out2)
-    # versions 4 and 5 only: ids 30..49
-    assert sorted(r.id for r in got2.collect()) == list(range(30, 50))
+    # versions 3..9: ids 20..89 (v3 is AT the timestamp → included)
+    assert sorted(r.id for r in got2.collect()) == list(range(20, 90))
     # conflicting start options refuse (reader construction is lazy in a
     # query, so assert on the reader directly)
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
@@ -432,3 +445,104 @@ def test_stream_max_files_per_trigger_and_starting_timestamp(spark, tmp_path):
             "{}",
             {"startingtimestamp": str(ts3), "startingversion": "2"},
         )
+
+
+def test_stream_max_files_restart_is_exactly_once(spark, tmp_path):
+    """Round 10 (advice, high): a RESTARTED maxFilesPerTrigger stream must
+    never report an offset behind the checkpointed one — the Python DS
+    API's no-arg latestOffset() can't see the checkpoint, so capping the
+    floorless first call from startingVersion regressed the offset
+    (pyspark compares offsets by equality only), stalling the stream or
+    re-emitting committed batches. The fix: floorless → uncapped latest;
+    thereafter a monotone floor advances from every engine-shown offset
+    (initialOffset/partitions/commit). Each availableNow run constructs a
+    fresh reader, i.e. IS the restart path."""
+    root, out, chk = (str(tmp_path / p) for p in ("t", "o", "c"))
+    register_txlog(spark)
+    for lo in range(0, 30, 10):  # three append commits, 2 files each
+        spark.range(lo, lo + 10).coalesce(2).write.format("txlog").mode(
+            "append"
+        ).save(root)
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .option("maxFilesPerTrigger", "4")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1 (fresh query): floorless first offset = uncapped bootstrap
+    run()
+    assert spark.read.parquet(out).count() == 30
+    # three MORE commits, then restarted runs (fresh reader each): pre-fix
+    # the fresh reader capped from version 0 and returned an offset
+    # at/behind the committed one — the stream NEVER emitted the new rows
+    # (or re-emitted old ones after recording the regressed offset).
+    # Post-fix each run advances (capped: the engine replays the trailing
+    # offset-log batch, teaching the reader its floor before the next
+    # latestOffset) until drained — every row exactly once.
+    for lo in range(30, 60, 10):
+        spark.range(lo, lo + 10).coalesce(2).write.format("txlog").mode(
+            "append"
+        ).save(root)
+    prev = 30
+    for _ in range(4):
+        run()
+        got = spark.read.parquet(out)
+        n = got.count()
+        assert n > prev or n == 60, "restarted run made no progress"
+        assert got.groupBy("id").count().filter("count > 1").count() == 0
+        prev = n
+        if n == 60:
+            break
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(60))
+    # one more run: nothing new, nothing re-emitted
+    run()
+    assert spark.read.parquet(out).count() == 60
+
+
+def test_stream_reader_floor_and_cap_unit(tmp_path, spark):
+    """Unit-level simulation of the engine's observed call order
+    (latestOffset → initialOffset → partitions → commit → latestOffset…):
+    the floorless call is uncapped, later calls step by the cap, offsets
+    never regress, and a regressed batch range emits nothing (emission
+    floor)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        TxLogStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    register_txlog(spark)
+    for lo in range(0, 50, 10):  # five commits, 2 files each
+        spark.range(lo, lo + 10).coalesce(2).write.format("txlog").mode(
+            "append"
+        ).save(root)
+
+    r = TxLogStreamReader(root, "{}", {"maxfilespertrigger": "3"})
+    # floorless first call: uncapped latest (restart-safe)
+    assert r.latestOffset() == {"version": 5}
+    assert r.initialOffset() == {"version": 0}
+    assert len(r.partitions({"version": 0}, {"version": 5})) == 10
+    r.commit({"version": 5})
+    # nothing new: offset holds (no regression below the floor)
+    assert r.latestOffset() == {"version": 5}
+
+    # a RESTARTED mid-backlog reader: engine replays the uncommitted
+    # batch first — partitions() teaches the floor, the next offset
+    # steps by the cap from there, never from startingVersion
+    r2 = TxLogStreamReader(root, "{}", {"maxfilespertrigger": "3"})
+    assert len(r2.partitions({"version": 2}, {"version": 3})) == 2
+    assert r2.latestOffset() == {"version": 4}  # 3 + one 2-file commit
+    # a regressed range (engine replaying after an offset-log anomaly)
+    # emits NOTHING: versions <= the committed floor never re-emit
+    r2.commit({"version": 4})
+    assert r2.partitions({"version": 1}, {"version": 4}) == []
+    # capped progression continues from the floor
+    assert r2.latestOffset() == {"version": 5}
