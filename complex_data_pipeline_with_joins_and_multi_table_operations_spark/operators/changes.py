@@ -15,6 +15,9 @@ expressed as pure DataFrame plans:
 - :func:`merge_upsert` — MERGE INTO semantics (update matched, insert
   unmatched, optional delete) as a batch operator; pairs with
   ``sources.txlog.TableLog`` for a transactional MERGE on stored tables.
+- :func:`merge_branches` — the full multi-branch MERGE grammar (ordered
+  conditional WHEN MATCHED clauses, conditional INSERT, WHEN NOT MATCHED
+  BY SOURCE UPDATE/DELETE) — Delta's CDC-apply statement shape.
 - :func:`merge_partial_aggregates` — incremental summary maintenance:
   fold a new slice's partial aggregates into an existing summary without
   re-scanning history. Works for any decomposable measure (count/sum, and
@@ -203,6 +206,245 @@ def merge_upsert(
     return survivors.unionByName(matched).unionByName(
         inserts.select(*target.columns)
     )
+
+
+def _clause_condition(cond: str | None) -> Column:
+    """SQL MERGE tri-state rule: a missing condition is always-true, an
+    UNKNOWN (NULL) condition is false."""
+    if cond is None:
+        return F.lit(True)
+    return F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+
+
+def _first_match_branch(clauses: list[dict]) -> Column:
+    """Index of the FIRST clause whose condition holds (SQL MERGE /
+    Delta: clauses are evaluated in statement order, first match wins);
+    NULL when none does."""
+    out = None
+    for i, cl in enumerate(clauses):
+        c = _clause_condition(cl.get("condition"))
+        out = F.when(c, F.lit(i)) if out is None else out.when(c, F.lit(i))
+    if out is None:
+        return F.lit(None).cast("int")
+    return out.otherwise(F.lit(None).cast("int"))
+
+
+def _clause_projection(
+    clauses: list[dict],
+    columns: list[str],
+    schema,
+    branch_col: str,
+    qualified: bool,
+) -> list[Column]:
+    """Per-column CASE over the branch index: each update clause's value
+    for the winning branch, the pre-image otherwise. ``qualified=True``
+    resolves against the ``t``/``s`` join aliases (matched clauses);
+    ``False`` against bare target columns (NOT MATCHED BY SOURCE)."""
+    proj = []
+    for c in columns:
+        dt = schema[c].dataType
+        w = None
+        for i, cl in enumerate(clauses):
+            if cl["action"] != "update":
+                continue
+            sets = cl.get("set")
+            if qualified:
+                if sets is None:  # SET * — source wins
+                    v = F.col(f"s.`{c}`").cast(dt)
+                elif c in sets:
+                    v = F.expr(sets[c]).cast(dt)
+                else:
+                    continue
+            else:
+                if c not in (sets or {}):
+                    continue
+                v = F.expr(sets[c]).cast(dt)
+            cond_i = F.col(branch_col) == i
+            w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
+        pre = F.col(f"t.`{c}`") if qualified else F.col(f"`{c}`")
+        proj.append((w.otherwise(pre) if w is not None else pre).alias(c))
+    return proj
+
+
+def _validate_clauses(
+    clauses: list[dict], target_cols: list[str], keys: list[str], kind: str
+) -> None:
+    for cl in clauses:
+        action = cl.get("action")
+        if action not in ("update", "delete"):
+            raise ValueError(
+                f"{kind} clause action must be 'update' or 'delete', "
+                f"got {action!r}"
+            )
+        sets = cl.get("set")
+        if action == "delete" and sets is not None:
+            raise ValueError(f"{kind} DELETE clause cannot carry SET")
+        if action == "update" and sets is not None:
+            bad = [c for c in sets if c not in target_cols]
+            if bad:
+                raise ValueError(
+                    f"{kind} UPDATE SET columns {bad} not in the target "
+                    f"(has {target_cols})"
+                )
+            if any(c in keys for c in sets):
+                raise ValueError(
+                    "UPDATE SET cannot assign a merge key (Delta/SQL "
+                    "MERGE restriction — reassigning keys makes matching "
+                    "ambiguous)"
+                )
+        if action == "update" and sets is None and kind == "NOT MATCHED BY SOURCE":
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE requires explicit "
+                "SET assignments (there is no source row to take * from)"
+            )
+
+
+def merge_branches(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    not_matched_by_source: list[dict] | None = None,
+) -> DataFrame:
+    """The FULL multi-branch MERGE (Delta's CDC-apply shape) as one batch
+    operator::
+
+        MERGE INTO t USING s ON <keys>
+        {WHEN MATCHED [AND cond] THEN UPDATE SET (*|col=expr,…) | DELETE}*
+        [WHEN NOT MATCHED [AND cond] THEN INSERT *]
+        {WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE}*
+
+    ``matched`` / ``not_matched_by_source`` are ordered lists of clause
+    dicts ``{"action": "update"|"delete", "condition": sql|None,
+    "set": {col: sql}|None}`` — ``set=None`` on an update means ``SET *``
+    (source wins). Clause conditions and set expressions are SQL over the
+    canonical aliases ``t`` (target row) and ``s`` (source row); NOT
+    MATCHED BY SOURCE clauses see only the target row (bare column
+    names). Per SQL/Delta semantics: clauses are evaluated IN ORDER and
+    the first whose condition holds wins; a matched pair satisfying no
+    clause keeps the target row unchanged; a NULL condition is false.
+
+    Plan shape — scale notes for the 100 TB CDC apply: ONE inner equi-
+    join of target×source on the merge keys evaluates every matched
+    clause in a single projection (a CASE over the branch index per
+    column — no per-clause join, no per-clause shuffle); unmatched target
+    rows come from one anti join (none needed when a NOT MATCHED BY
+    SOURCE clause exists: those are the same rows, filtered in the same
+    pass); inserts are one anti join of the source. All three shuffle on
+    the SAME keys, so AQE plans one exchange per side. The trickle-sized
+    source broadcasts.
+
+    Duplicate source keys raise (SQL MERGE cardinality violation): with
+    conditional or partial updates, two source rows hitting one target
+    row would apply both or duplicate it — Delta refuses too.
+
+    Reference analog: the upsert semantics implied by SDSIcebergWriter
+    (IngestionJob.scala:80-84), generalized to the standard Delta/SQL
+    multi-branch grammar.
+    """
+    matched = matched or []
+    nmbs = not_matched_by_source or []
+    _validate_clauses(matched, target.columns, keys, "MATCHED")
+    _validate_clauses(nmbs, target.columns, keys, "NOT MATCHED BY SOURCE")
+    if matched:
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE with matched clauses requires unique source keys: "
+                "multiple source rows matched the same target row (SQL "
+                "MERGE cardinality violation)"
+            )
+
+    out_parts: list[DataFrame] = []
+
+    # ---- matched pairs: one join, branch index, one projection --------
+    if matched:
+        pairs = target.alias("t").join(source.alias("s"), keys, "inner")
+        branch = _first_match_branch(matched)
+        keep_idx = [
+            i for i, cl in enumerate(matched) if cl["action"] == "update"
+        ]
+        # no-clause-matched pairs keep the target row (NULL branch ⇒
+        # keep); delete-branch rows drop
+        keep_cond = F.col("__m_branch").isNull()
+        if keep_idx:
+            keep_cond = keep_cond | F.col("__m_branch").isin(keep_idx)
+        pairs = pairs.withColumn("__m_branch", branch).filter(keep_cond)
+        out_parts.append(
+            pairs.select(
+                *_clause_projection(
+                    matched, target.columns, target.schema,
+                    "__m_branch", qualified=True,
+                )
+            )
+        )
+        unmatched_target = target.join(
+            source.select(*keys).distinct(), keys, "left_anti"
+        )
+    else:
+        # no matched clause: every target row passes through untouched
+        # (matched or not) — skip the join entirely unless NMBS needs
+        # the matched/unmatched split
+        unmatched_target = (
+            target.join(source.select(*keys).distinct(), keys, "left_anti")
+            if nmbs
+            else None
+        )
+        if nmbs:
+            out_parts.append(
+                target.join(
+                    source.select(*keys).distinct(), keys, "left_semi"
+                )
+            )
+        else:
+            out_parts.append(target)
+
+    # ---- target rows unmatched by source -------------------------------
+    if unmatched_target is not None:
+        if nmbs:
+            nbranch = _first_match_branch(nmbs)
+            keep_idx = [
+                i for i, cl in enumerate(nmbs) if cl["action"] == "update"
+            ]
+            keep_cond = F.col("__n_branch").isNull()
+            if keep_idx:
+                keep_cond = keep_cond | F.col("__n_branch").isin(keep_idx)
+            rows = unmatched_target.withColumn("__n_branch", nbranch).filter(
+                keep_cond
+            )
+            out_parts.append(
+                rows.select(
+                    *_clause_projection(
+                        nmbs, target.columns, target.schema,
+                        "__n_branch", qualified=False,
+                    )
+                )
+            )
+        else:
+            out_parts.append(unmatched_target)
+
+    # ---- inserts --------------------------------------------------------
+    if insert:
+        # aliased so the condition can say s.<col> like the SQL clause does
+        inserts = source.alias("s").join(
+            target.select(*keys), keys, "left_anti"
+        )
+        if insert_condition is not None:
+            inserts = inserts.filter(_clause_condition(insert_condition))
+        out_parts.append(inserts.select(*target.columns))
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_partial_aggregates(

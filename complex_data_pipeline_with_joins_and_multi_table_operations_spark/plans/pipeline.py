@@ -92,6 +92,117 @@ def _split_in_list(s: str) -> list[str]:
     return out
 
 
+def _outside_literal_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of ``s`` OUTSIDE ''-escaped string literals —
+    the structural scanner under the MERGE clause splitter and the alias
+    canonicalizer, so SQL keywords or alias-lookalikes inside a string
+    literal are never treated as syntax."""
+    spans = []
+    i, n, start = 0, len(s), 0
+    while i < n:
+        if s[i] == "'":
+            spans.append((start, i))
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in {s!r}")
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    spans.append((start, n))
+    return spans
+
+
+def _split_top_level_when(s: str) -> list[str]:
+    """Split on clause-starting WHEN keywords outside string literals:
+    segment 0 is the text before the first WHEN (the MERGE ON
+    expression), each further segment is one clause body (sans the WHEN
+    itself). Only ``WHEN MATCHED``/``WHEN NOT`` split, so a ``CASE WHEN
+    <expr>`` inside a condition or SET expression survives — unless the
+    CASE predicate itself starts with the token ``matched`` or ``not``,
+    which the clause parser then rejects loudly rather than silently
+    mis-scoping."""
+    import re as _re
+
+    cuts = []
+    for lo, hi in _outside_literal_spans(s):
+        for m in _re.finditer(
+            r"\bWHEN\b(?=\s+(?:MATCHED|NOT)\b)", s[lo:hi], _re.IGNORECASE
+        ):
+            cuts.append((lo + m.start(), lo + m.end()))
+    parts = []
+    prev = 0
+    for lo, hi in cuts:
+        parts.append(s[prev:lo].strip())
+        prev = hi
+    parts.append(s[prev:].strip())
+    return parts
+
+
+def _split_top_level_then(seg: str) -> tuple[str, str]:
+    """One MERGE clause body → (head, action) at its first THEN outside
+    string literals."""
+    import re as _re
+
+    for lo, hi in _outside_literal_spans(seg):
+        m = _re.search(r"\bTHEN\b", seg[lo:hi], _re.IGNORECASE)
+        if m:
+            return seg[: lo + m.start()], seg[lo + m.end():]
+    raise ValueError(f"MERGE clause 'WHEN {seg.strip()}' has no THEN")
+
+
+def _canon_merge_expr(
+    expr: str, t_alias: str, s_alias: str, aliases: str
+) -> str:
+    """Rewrite the statement's aliases to the engine's canonical ``t``/
+    ``s`` in ONE pass (so the swapped alias pair ``target AS s, source
+    AS t`` maps correctly — sequential substitution would collapse both
+    onto one side), skipping string literals. ``aliases`` names the rows
+    the clause may see: ``"ts"`` (matched: both), ``"t_bare"`` (NOT
+    MATCHED BY SOURCE: the target row, bare column names), ``"s"``
+    (NOT MATCHED insert condition: the source row)."""
+    import re as _re
+
+    pat = _re.compile(
+        rf"\b({_re.escape(t_alias)}|{_re.escape(s_alias)})\s*\.\s*",
+        _re.IGNORECASE,
+    )
+
+    def repl(m: "_re.Match") -> str:
+        is_t = m.group(1).lower() == t_alias.lower()
+        if aliases == "ts":
+            return "t." if is_t else "s."
+        if aliases == "t_bare":
+            if not is_t:
+                raise ValueError(
+                    f"a NOT MATCHED BY SOURCE clause sees only the target "
+                    f"row; {m.group(0).strip()!r} references the source"
+                )
+            return ""
+        if is_t:
+            raise ValueError(
+                f"a NOT MATCHED insert condition sees only the source "
+                f"row; {m.group(0).strip()!r} references the target"
+            )
+        return "s."
+
+    out = []
+    prev = 0
+    for lo, hi in _outside_literal_spans(expr):
+        out.append(expr[prev:lo])
+        out.append(pat.sub(repl, expr[lo:hi]))
+        prev = hi
+    out.append(expr[prev:])
+    return "".join(out).strip()
+
+
 def _parse_where_term(term: str) -> tuple:
     """One WHERE leaf as a read()-style pruning filter tuple: ``col op
     literal`` (op also ``!=``/``<>``), ``col BETWEEN a AND b``,
@@ -206,7 +317,18 @@ def _coerce_literal(v, dtype):
     if s == "string":
         return str(v)
     if s == "boolean":
-        return bool(v)
+        # only TRUE/FALSE literals (parsed to python bools) are valid:
+        # bool('false') is True, so a quoted string here would silently
+        # invert — parse the two spellings, refuse everything else
+        # (Spark's string→boolean cast accepts exactly these, case-
+        # insensitively; anything else is an error, not truthiness)
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str) and v.strip().lower() in ("true", "false"):
+            return v.strip().lower() == "true"
+        raise ValueError(
+            f"cannot coerce literal {v!r} to BOOLEAN; use TRUE/FALSE"
+        )
     if s == "date":
         return v if isinstance(v, _date) else _date.fromisoformat(str(v))
     if s.startswith("timestamp"):
@@ -1299,22 +1421,24 @@ class Warehouse:
         m_merge = re.match(
             r"\s*MERGE\s+INTO\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
             r"\s+USING\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
-            r"\s+ON\s+(.+?)"
-            r"(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?"
-            r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|.+?)"
-            r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
-            r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE"
-            r"(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE)?\s*;?\s*$",
-            query,
+            r"\s+ON\s+(.+)$",
+            query.rstrip().rstrip(";"),
             re.IGNORECASE | re.DOTALL,
         )
         if m_merge:
-            # the deliberately NARROW upsert-by-key grammar (Delta's most
-            # common MERGE shape): equality ON terms, UPDATE SET * or
-            # explicit SET col = expr assignments (round 9), INSERT *,
-            # and an optional WHEN MATCHED AND <cond> THEN DELETE
-            # branch. Everything richer is refused loudly — use
-            # Warehouse.merge / TableLog.merge with real predicates.
+            # the FULL multi-branch MERGE grammar (round 10): equality
+            # ON terms, then any ordered mix of
+            #   WHEN MATCHED [AND cond] THEN UPDATE SET (*|col=expr,…)
+            #   WHEN MATCHED [AND cond] THEN DELETE
+            #   WHEN NOT MATCHED [AND cond] THEN INSERT *
+            #   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …
+            #   WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+            # Clauses are split structurally on top-level WHEN tokens
+            # (string literals respected), so the phrase 'NOT MATCHED BY
+            # SOURCE' inside a literal or condition can never enable
+            # full-sync semantics by accident. Everything richer (non-
+            # equality ON, INSERT column lists) is refused loudly — use
+            # the merge() API.
             t, src = m_merge.group(1), m_merge.group(4)
             t_alias = m_merge.group(2) or m_merge.group(3) or t
             s_alias = m_merge.group(5) or m_merge.group(6) or src
@@ -1324,7 +1448,17 @@ class Warehouse:
                     "(TxLogWarehouse); this backend's snapshots are "
                     "whole-table writes"
                 )
-            on = m_merge.group(7)
+            if t_alias.lower() == s_alias.lower():
+                raise ValueError(
+                    f"MERGE target and source aliases collide ({t_alias!r})"
+                    " — alias one side differently"
+                )
+            segments = _split_top_level_when(m_merge.group(7))
+            on = segments[0]
+            if len(segments) < 2:
+                raise ValueError(
+                    "MERGE requires at least one WHEN clause"
+                )
             if re.search(r"\(|\)|\bOR\b", on, re.IGNORECASE):
                 raise ValueError(
                     "MERGE ON supports a plain AND of equality terms "
@@ -1363,26 +1497,14 @@ class Warehouse:
                     f"MERGE source {src!r} is neither a warehouse table "
                     "nor a registered view"
                 )
-            delete_cond = m_merge.group(8)
-            if delete_cond is not None:
-                # strip the source qualifier: the condition evaluates on
-                # source rows inside merge()
-                delete_cond = re.sub(
-                    rf"\b{re.escape(s_alias)}\s*\.\s*", "", delete_cond
-                ).strip()
-            set_clause = m_merge.group(9).strip()
-            update_set = None
-            if set_clause != "*":
-                # explicit assignments: 'col = expr, …' — expressions may
-                # reference both rows; the statement's aliases rewrite to
-                # merge_upsert's canonical t (target) / s (source)
-                update_set = {}
-                for assign in _split_in_list(set_clause):
+
+            def _parse_set(assigns: str, aliases: str) -> dict:
+                out = {}
+                for assign in _split_in_list(assigns):
                     lhs, eq, rhs = assign.partition("=")
                     if not eq:
                         raise ValueError(
-                            f"cannot parse UPDATE SET assignment "
-                            f"{assign!r}"
+                            f"cannot parse UPDATE SET assignment {assign!r}"
                         )
                     lhs = lhs.strip(" `")
                     if "." in lhs:
@@ -1393,29 +1515,120 @@ class Warehouse:
                                 f"column of {t_alias!r}"
                             )
                         lhs = col.strip(" `")
-                    rhs = re.sub(
-                        rf"\b{re.escape(t_alias)}\s*\.\s*", "t.", rhs
+                    out[lhs] = _canon_merge_expr(
+                        rhs.strip(), t_alias, s_alias, aliases
                     )
-                    rhs = re.sub(
-                        rf"\b{re.escape(s_alias)}\s*\.\s*", "s.", rhs
+                return out
+
+            matched: list[dict] = []
+            nmbs: list[dict] = []
+            has_insert = False
+            insert_cond: str | None = None
+            for seg in segments[1:]:
+                head, action = _split_top_level_then(seg)
+                m_h = re.match(
+                    r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE"
+                    r"(?:\s+AND\s+(.+))?\s*$",
+                    head, re.IGNORECASE | re.DOTALL,
+                )
+                kind = None
+                if m_h:
+                    kind = "nmbs"
+                else:
+                    m_h = re.match(
+                        r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+                        r"(?:\s+AND\s+(.+))?\s*$",
+                        head, re.IGNORECASE | re.DOTALL,
                     )
-                    update_set[lhs] = rhs.strip()
-            nmbs_cond = m_merge.group(10)
-            if nmbs_cond is not None:
-                # the condition evaluates over the TARGET row inside
-                # merge(): strip/canonicalize the target qualifier
-                nmbs_cond = re.sub(
-                    rf"\b{re.escape(t_alias)}\s*\.\s*", "", nmbs_cond
-                ).strip()
+                    if m_h:
+                        kind = "insert"
+                    else:
+                        m_h = re.match(
+                            r"^\s*MATCHED(?:\s+AND\s+(.+))?\s*$",
+                            head, re.IGNORECASE | re.DOTALL,
+                        )
+                        if m_h:
+                            kind = "matched"
+                if kind is None:
+                    raise ValueError(
+                        f"cannot parse MERGE clause 'WHEN {seg.strip()}'"
+                    )
+                cond = m_h.group(1)
+                m_del = re.match(r"^\s*DELETE\s*$", action, re.IGNORECASE)
+                m_upd = re.match(
+                    r"^\s*UPDATE\s+SET\s+(.+)$",
+                    action, re.IGNORECASE | re.DOTALL,
+                )
+                m_ins = re.match(
+                    r"^\s*INSERT\s+\*\s*$", action, re.IGNORECASE
+                )
+                if kind == "insert":
+                    if not m_ins:
+                        raise ValueError(
+                            "WHEN NOT MATCHED supports THEN INSERT * only "
+                            f"(got {action.strip()!r}); use the merge() "
+                            "API for column-list inserts"
+                        )
+                    if has_insert:
+                        raise ValueError(
+                            "at most one WHEN NOT MATCHED … INSERT clause "
+                            "is supported"
+                        )
+                    has_insert = True
+                    if cond is not None:
+                        insert_cond = _canon_merge_expr(
+                            cond.strip(), t_alias, s_alias, "s"
+                        )
+                    continue
+                aliases = "ts" if kind == "matched" else "t_bare"
+                c_cond = (
+                    _canon_merge_expr(cond.strip(), t_alias, s_alias, aliases)
+                    if cond is not None
+                    else None
+                )
+                if m_del:
+                    clause = {"action": "delete", "condition": c_cond}
+                elif m_upd:
+                    sets = m_upd.group(1).strip()
+                    if sets == "*":
+                        if kind == "nmbs":
+                            raise ValueError(
+                                "WHEN NOT MATCHED BY SOURCE THEN UPDATE "
+                                "requires explicit SET assignments"
+                            )
+                        clause = {
+                            "action": "update",
+                            "condition": c_cond,
+                            "set": None,
+                        }
+                    else:
+                        clause = {
+                            "action": "update",
+                            "condition": c_cond,
+                            "set": _parse_set(sets, aliases),
+                        }
+                else:
+                    raise ValueError(
+                        f"cannot parse MERGE action {action.strip()!r}; "
+                        "expected DELETE or UPDATE SET …"
+                    )
+                (matched if kind == "matched" else nmbs).append(clause)
+            for grp, label in ((matched, "WHEN MATCHED"),
+                               (nmbs, "WHEN NOT MATCHED BY SOURCE")):
+                for cl in grp[:-1]:
+                    if cl["condition"] is None:
+                        raise ValueError(
+                            f"only the LAST {label} clause may omit its "
+                            "AND condition (earlier unconditional clauses "
+                            "make later ones unreachable — Delta refuses "
+                            "this too)"
+                        )
             res = self.merge(
-                source, t, keys, delete_condition=delete_cond,
-                update_set=update_set,
-                not_matched_by_source_delete=bool(
-                    re.search(
-                        r"NOT\s+MATCHED\s+BY\s+SOURCE", query, re.IGNORECASE
-                    )
-                ),
-                not_matched_by_source_condition=nmbs_cond,
+                source, t, keys,
+                matched_clauses=matched,
+                insert=has_insert,
+                insert_condition=insert_cond,
+                not_matched_by_source_clauses=nmbs or None,
             )
             return self.spark.createDataFrame(
                 [(t, "MERGE", res["version"], res.get("rows_written"))],
@@ -1762,6 +1975,10 @@ class TxLogWarehouse(Warehouse):
         update_set: dict[str, str] | None = None,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
+        matched_clauses: list[dict] | None = None,
+        insert: bool = True,
+        insert_condition: str | None = None,
+        not_matched_by_source_clauses: list[dict] | None = None,
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
         return self._log(name).merge(
@@ -1772,6 +1989,10 @@ class TxLogWarehouse(Warehouse):
             update_set=update_set,
             not_matched_by_source_delete=not_matched_by_source_delete,
             not_matched_by_source_condition=not_matched_by_source_condition,
+            matched_clauses=matched_clauses,
+            insert=insert,
+            insert_condition=insert_condition,
+            not_matched_by_source_clauses=not_matched_by_source_clauses,
         )
 
     def versions(self, name: str) -> list[int]:

@@ -3501,6 +3501,89 @@ SELECT * FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
 """
 
 
+def q_sql_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 multi-branch MERGE end-to-end (the Delta CDC-apply
+    statement shape): ordered WHEN MATCHED clauses — conditional DELETE,
+    conditional partial UPDATE, unconditional fallback UPDATE —
+    evaluated first-match-wins, a CONDITIONAL INSERT, and both WHEN NOT
+    MATCHED BY SOURCE branches (conditional DELETE, fallback UPDATE over
+    the target row). The oracle recomputes the five-way split as plain
+    SQL: matched survivors with CASE over the clause conditions,
+    unmatched-by-source rows with the NMBS CASE, gated inserts."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="merge_br_"))
+    orders = Catalog(spark, sf_dir).orders
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ),
+        "t",
+    )
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 30 == 0).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 90 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "o_custkey",
+            F.lit("S").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        ),
+        "s",
+    )
+    wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.o_orderkey = sr.o_orderkey "
+        "WHEN MATCHED AND sr.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND sr.o_totalprice > 100000 THEN UPDATE SET "
+        "o_totalprice = sr.o_totalprice, o_orderstatus = 'H' "
+        "WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M' "
+        "WHEN NOT MATCHED AND sr.op <> 'D' THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND tg.o_totalprice < 1000 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "o_orderstatus = lower(tg.o_orderstatus)"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_MERGE_BRANCHES = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 90 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_custkey, 'S' AS o_orderstatus,
+         o_totalprice * 1.5 AS o_totalprice
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+-- matched pairs, first-clause-wins: DELETE (op='D') drops, the
+-- high-price clause takes source price + 'H', the fallback sets 'M'
+SELECT t.o_orderkey, t.o_custkey,
+       CASE WHEN s.o_totalprice > 100000 THEN 'H' ELSE 'M' END
+         AS o_orderstatus,
+       CASE WHEN s.o_totalprice > 100000 THEN s.o_totalprice
+            ELSE t.o_totalprice END AS o_totalprice
+FROM tgt t JOIN src s USING (o_orderkey)
+WHERE s.op <> 'D'
+UNION ALL
+-- NOT MATCHED BY SOURCE: conditional DELETE, else lowercase the status
+SELECT o_orderkey, o_custkey, lower(o_orderstatus) AS o_orderstatus,
+       o_totalprice
+FROM tgt
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  AND NOT (o_totalprice < 1000)
+UNION ALL
+-- conditional INSERT: delete-flagged unmatched source rows stay out
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM src
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt) AND op <> 'D'
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5465,17 +5548,14 @@ WHERE sa.split <> sb.split
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
     # entries; full-registry evidence lives in SWEEP_r09*.json) --------
-    # Round-9 rotation: the r8 window head is kept (its queries carry
-    # the freshest implementation changes) with this round's NEW queries
-    # inserted — trade_pagerank_cached (slot 5, the bucketed-edge-index
-    # composition), sql_in_null_row_ops (slot 11, the widened WHERE
-    # grammar), sql_insert_ops (slot 12, the INSERT/TRUNCATE verbs) —
-    # every round-9 addition gets a driver row in its introduction
-    # round. Displaced entries (supplier_part_counts, top_supplier,
-    # customer_distribution) moved to the tail top; the r01-r08 union
-    # covers all prior queries at least once (r8 verdict), and every
-    # displaced entry's newest green row is within two rounds
-    # (SWEEP_r08/r09 at two scale factors).
+    # Round-10 rotation: the r9 window head is kept with this round's
+    # NEW query inserted — sql_merge_branches (slot 14, the multi-branch
+    # MERGE grammar + its dv twin machinery) — every round-10 addition
+    # gets a driver row in its introduction round. Displaced entry
+    # (forecast_revenue) moved to the tail top; the r01-r09 union covers
+    # all prior queries at least once (r9 verdict), and every displaced
+    # entry's newest green row is within two rounds (SWEEP_r09 at two
+    # scale factors).
     "approx_event_stats": q_approx_event_stats,
     "triplet_mining": q_triplet_mining,
     "column_profile_approx": q_column_profile_approx,
@@ -5489,6 +5569,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_in_null_row_ops": q_sql_in_null_row_ops,  # NEW in r9
     "sql_insert_ops": q_sql_insert_ops,  # NEW in r9
     "sql_merge_set": q_sql_merge_set,  # NEW in r9
+    "sql_merge_branches": q_sql_merge_branches,  # NEW in r10
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5526,11 +5607,11 @@ QUERIES: dict[str, QueryFn] = {
     "decoded_media_stats": q_decoded_media_stats,
     "gk_quantiles": q_gk_quantiles,
     "kmv_segment_overlap": q_kmv_segment_overlap,
-    "forecast_revenue": q_forecast_revenue,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "forecast_revenue": q_forecast_revenue,  # displaced r10 (green r9)
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
@@ -5675,6 +5756,7 @@ ORACLES: dict[str, str] = {
     "sql_in_null_row_ops": SQL_SQL_IN_NULL_ROW_OPS,
     "sql_insert_ops": SQL_SQL_INSERT_OPS,
     "sql_merge_set": SQL_SQL_MERGE_SET,
+    "sql_merge_branches": SQL_SQL_MERGE_BRANCHES,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,

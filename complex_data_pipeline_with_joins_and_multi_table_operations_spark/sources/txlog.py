@@ -2854,6 +2854,10 @@ class TableLog:
         update_set: dict[str, str] | None = None,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
+        matched_clauses: list[dict] | None = None,
+        insert: bool = True,
+        insert_condition: str | None = None,
+        not_matched_by_source_clauses: list[dict] | None = None,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2897,25 +2901,74 @@ class TableLog:
         file a rewrite candidate BY DEFINITION — any target row may be
         unmatched — so the stats-based candidate pruning is disabled
         for it (a full-sync merge reads the full table, exactly like
-        Delta). Copy-on-write only."""
+        Delta).
+
+        Clause mode (round 10 — the full multi-branch grammar):
+        ``matched_clauses`` is an ORDERED list of
+        ``{"action": "update"|"delete", "condition": sql|None,
+        "set": {col: sql}|None}`` clauses (``set=None`` = ``SET *``),
+        first-match-wins, conditions over the canonical ``t``/``s``
+        aliases; ``insert=False`` drops the INSERT branch and
+        ``insert_condition`` gates it; ``not_matched_by_source_clauses``
+        generalizes the r9 delete flag to ordered UPDATE/DELETE clauses
+        over the target row. Clause mode is mutually exclusive with the
+        legacy ``delete_condition``/``update_set``/
+        ``not_matched_by_source_delete`` params — see
+        operators/changes.merge_branches for the semantics and plan
+        shape.
+
+        Round 10: every form now works under ``via="dv"`` (merge-on-read)
+        too — explicit assignments and NOT MATCHED BY SOURCE clauses read
+        the affected target rows (candidates only, stats-pruned, unless
+        an NMBS clause forces the full scan by definition), mask their
+        positions, and append the rewritten rows — a CDC trickle with
+        partial updates never rewrites host files. Same cap-and-fallback
+        policy as delete(via='dv')."""
         from pyspark.sql import functions as F
 
-        from ..operators.changes import merge_upsert
+        from ..operators.changes import merge_branches, merge_upsert
 
-        if update_set is not None and via == "dv":
+        clause_mode = (
+            matched_clauses is not None
+            or not_matched_by_source_clauses is not None
+            or insert_condition is not None
+            or insert is not True
+        )
+        if clause_mode and (
+            delete_condition is not None
+            or update_set is not None
+            or not_matched_by_source_delete
+            or not_matched_by_source_condition is not None
+        ):
             raise ValueError(
-                "merge(update_set=…) requires via='cow': the "
-                "merge-on-read form appends source rows without reading "
-                "the matched targets, and explicit assignments need the "
-                "target row's values"
+                "merge clause mode (matched_clauses / insert_condition / "
+                "not_matched_by_source_clauses / insert=False) is mutually "
+                "exclusive with the legacy delete_condition / update_set / "
+                "not_matched_by_source_* parameters — express everything "
+                "as clauses"
             )
-        if not_matched_by_source_delete and via == "dv":
-            raise ValueError(
-                "merge(not_matched_by_source_delete=True) requires "
-                "via='cow': the merge-on-read form never reads unmatched "
-                "target rows"
-            )
+        nmbs_any = not_matched_by_source_delete or bool(
+            not_matched_by_source_clauses
+        )
         if via == "dv":
+            if clause_mode or update_set is not None or nmbs_any:
+                # the general merge-on-read path: reads affected target
+                # rows, masks positions, appends rewritten rows
+                return self._merge_dv_general(
+                    source,
+                    keys,
+                    delete_condition=delete_condition,
+                    insert_unmatched_deletes=insert_unmatched_deletes,
+                    update_set=update_set,
+                    matched_clauses=matched_clauses,
+                    insert=insert,
+                    insert_condition=insert_condition,
+                    nmbs_clauses=not_matched_by_source_clauses,
+                    nmbs_delete=not_matched_by_source_delete,
+                    nmbs_condition=not_matched_by_source_condition,
+                    max_retries=max_retries,
+                    txn=txn,
+                )
             return self._merge_dv(
                 source,
                 keys,
@@ -2958,7 +3011,7 @@ class TableLog:
                         "files_skipped": len(base.files),
                         "rows_written": 0,
                     }
-            if not_matched_by_source_delete:
+            if nmbs_any:
                 # full-sync semantics: EVERY file may hold unmatched
                 # target rows — no pruning possible, all files rewrite
                 pfilters: list[tuple] = []
@@ -3007,24 +3060,35 @@ class TableLog:
                 base.column_mapping,
                 base.dvs,
             )
-            merged = merge_upsert(
-                tgt,
-                source,
-                keys,
-                delete_condition=(
-                    F.expr(delete_condition)
-                    if delete_condition is not None
-                    else None
-                ),
-                insert_unmatched_deletes=insert_unmatched_deletes,
-                update_set=update_set,
-                not_matched_by_source_delete=not_matched_by_source_delete,
-                not_matched_by_source_condition=(
-                    F.expr(not_matched_by_source_condition)
-                    if not_matched_by_source_condition is not None
-                    else None
-                ),
-            )
+            if clause_mode:
+                merged = merge_branches(
+                    tgt,
+                    source,
+                    keys,
+                    matched=matched_clauses,
+                    insert=insert,
+                    insert_condition=insert_condition,
+                    not_matched_by_source=not_matched_by_source_clauses,
+                )
+            else:
+                merged = merge_upsert(
+                    tgt,
+                    source,
+                    keys,
+                    delete_condition=(
+                        F.expr(delete_condition)
+                        if delete_condition is not None
+                        else None
+                    ),
+                    insert_unmatched_deletes=insert_unmatched_deletes,
+                    update_set=update_set,
+                    not_matched_by_source_delete=not_matched_by_source_delete,
+                    not_matched_by_source_condition=(
+                        F.expr(not_matched_by_source_condition)
+                        if not_matched_by_source_condition is not None
+                        else None
+                    ),
+                )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage(
                 merged, base.partition_by or None, mapping=base.column_mapping,
@@ -3181,6 +3245,286 @@ class TableLog:
             adds = self._stage(
                 new_rows, base.partition_by or None, mapping=base.column_mapping,
                 bloom_cols=base.bloom_cols,
+            )
+            dvs = {p: list(v) for p, v in base.dvs.items()}
+            for p, pos in hits.items():
+                dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
+            cur = self.snapshot()
+            if cur.version != base.version:
+                # positions, membership probe, and staged rows are only
+                # valid against the exact base state — retry from fresh
+                continue
+            version = base.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, [], base),
+                "parent_id": base.snapshot_id,
+                "operation": "merge_dv",
+                "schema": base.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "dvs": dvs,
+                "adds": adds,
+                "removes": [],
+                **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": skipped,
+                "rows_written": sum(a.get("rows", 0) for a in adds),
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _merge_dv_general(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        delete_condition: str | None = None,
+        insert_unmatched_deletes: bool = True,
+        update_set: dict[str, str] | None = None,
+        matched_clauses: list[dict] | None = None,
+        insert: bool = True,
+        insert_condition: str | None = None,
+        nmbs_clauses: list[dict] | None = None,
+        nmbs_delete: bool = False,
+        nmbs_condition: str | None = None,
+        max_retries: int = 3,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """The GENERAL merge-on-read MERGE (round 10): any mix of
+        conditional/partial WHEN MATCHED clauses, conditional INSERT, and
+        NOT MATCHED BY SOURCE clauses commits as deletion-vector masks
+        over the affected target rows plus one appended file of rewritten
+        rows — a CDC trickle with explicit assignments never rewrites
+        host files. Legacy parameters (``update_set`` /
+        ``delete_condition`` / ``not_matched_by_source_delete``)
+        translate to clause form here, so the copy-on-write and
+        merge-on-read answers stay equality-identical.
+
+        Candidate pruning is the CoW merge's stats argument verbatim:
+        non-candidate files provably hold no source key, so their rows
+        are untouched and insert detection against candidates alone is
+        exact — EXCEPT when an NMBS clause exists, which touches
+        unmatched rows anywhere (full scan by definition, like Delta).
+        Cap-and-fallback: if the masked-position count would exceed
+        ``_DV_INLINE_CAP``, fall back to the equivalent copy-on-write
+        merge with the ORIGINAL parameters."""
+        from ..operators.changes import (
+            _clause_condition,
+            _clause_projection,
+            _first_match_branch,
+            _validate_clauses,
+        )
+
+        def _cow_fallback() -> dict:
+            return self.merge(
+                source,
+                keys,
+                delete_condition=delete_condition,
+                max_retries=max_retries,
+                txn=txn,
+                insert_unmatched_deletes=insert_unmatched_deletes,
+                update_set=update_set,
+                not_matched_by_source_delete=nmbs_delete,
+                not_matched_by_source_condition=nmbs_condition,
+                matched_clauses=matched_clauses,
+                insert=insert,
+                insert_condition=insert_condition,
+                not_matched_by_source_clauses=nmbs_clauses,
+                via="cow",
+            )
+
+        def _noop(version: int, n_files: int) -> dict:
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_skipped": n_files,
+                "rows_written": 0,
+            }
+
+        # ---- translate the legacy parameter forms into clause form ----
+        src = source
+        mc = matched_clauses
+        ic = insert_condition
+        do_insert = insert
+        if mc is None:
+            # legacy matched semantics: optional source-side delete flag,
+            # then UPDATE SET */assignments. The flag column reproduces
+            # merge_upsert's rule exactly: a delete-flagged source row
+            # drops its target match, and inserts only under
+            # insert_unmatched_deletes.
+            mc = []
+            if delete_condition is not None:
+                src = source.withColumn(
+                    "__mrg_del",
+                    F.coalesce(
+                        F.expr(delete_condition).cast("boolean"),
+                        F.lit(False),
+                    ),
+                )
+                mc.append(
+                    {"action": "delete", "condition": "s.__mrg_del"}
+                )
+                if not insert_unmatched_deletes:
+                    ic = "NOT s.__mrg_del"
+            mc.append(
+                {"action": "update", "condition": None, "set": update_set}
+            )
+        nc = nmbs_clauses
+        if nc is None and nmbs_delete:
+            nc = [{"action": "delete", "condition": nmbs_condition}]
+        nc = nc or []
+
+        if txn is not None:
+            seen = self.last_txn_version(txn[0])
+            if seen is not None and txn[1] <= seen:
+                return _noop(self.versions()[-1], len(self.snapshot().files))
+
+        for _attempt in range(max_retries):
+            base = self.snapshot()
+            self._refuse_bucketed(base, "merge")
+            if _attempt and txn is not None:
+                seen = self.last_txn_version(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return _noop(self.versions()[-1], len(base.files))
+            table_cols = [f.name for f in base.schema.fields]
+            _validate_clauses(mc, table_cols, keys, "MATCHED")
+            _validate_clauses(nc, table_cols, keys, "NOT MATCHED BY SOURCE")
+            if nc:
+                # NMBS touches unmatched rows anywhere: no pruning
+                cand = dict(base.files)
+            else:
+                aggs = []
+                for k in keys:
+                    aggs += [
+                        F.min(k).alias(f"mn_{k}"),
+                        F.max(k).alias(f"mx_{k}"),
+                    ]
+                bounds = src.agg(*aggs).head()
+                filters = [
+                    (k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                    for k in keys
+                    if bounds[f"mn_{k}"] is not None
+                ]
+                if not filters:
+                    # empty source and no NMBS clause: nothing matches,
+                    # nothing inserts
+                    return _noop(base.version, len(base.files))
+                pfilters = _physical_filters(filters, base.column_mapping)
+                cand = {
+                    p: m
+                    for p, m in base.files.items()
+                    if all(_may_match(m, f, self.data_dir) for f in pfilters)
+                }
+                cand = self._refine_by_key_membership(
+                    cand, src, keys, base.column_mapping
+                )
+            skipped = len(base.files) - len(cand)
+            if mc:
+                dup = (
+                    src.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "MERGE with matched clauses requires unique "
+                        "source keys: multiple source rows matched the "
+                        "same target row (SQL MERGE cardinality violation)"
+                    )
+            scan = self._scan_with_positions(cand, base)
+            mask_parts: list[DataFrame] = []
+            append_parts: list[DataFrame] = []
+
+            if mc:
+                pairs = scan.alias("t").join(
+                    src.alias("s"), keys, "inner"
+                ).withColumn("__m_branch", _first_match_branch(mc))
+                touched = pairs.filter(F.col("__m_branch").isNotNull())
+                mask_parts.append(
+                    touched.select(
+                        F.col("t.__dv_file").alias("__dv_file"),
+                        F.col("t.__dv_pos").alias("__dv_pos"),
+                    )
+                )
+                upd_idx = [
+                    i for i, cl in enumerate(mc) if cl["action"] == "update"
+                ]
+                if upd_idx:
+                    append_parts.append(
+                        touched.filter(F.col("__m_branch").isin(upd_idx))
+                        .select(
+                            *_clause_projection(
+                                mc, table_cols, base.schema,
+                                "__m_branch", qualified=True,
+                            )
+                        )
+                    )
+            if nc:
+                unmatched = scan.join(
+                    src.select(*keys).distinct(), keys, "left_anti"
+                ).withColumn("__n_branch", _first_match_branch(nc))
+                ntouched = unmatched.filter(F.col("__n_branch").isNotNull())
+                mask_parts.append(
+                    ntouched.select("__dv_file", "__dv_pos")
+                )
+                n_upd = [
+                    i for i, cl in enumerate(nc) if cl["action"] == "update"
+                ]
+                if n_upd:
+                    append_parts.append(
+                        ntouched.filter(F.col("__n_branch").isin(n_upd))
+                        .select(
+                            *_clause_projection(
+                                nc, table_cols, base.schema,
+                                "__n_branch", qualified=False,
+                            )
+                        )
+                    )
+            if do_insert:
+                # alive candidate keys are exact for insert detection
+                # (pruning argument above)
+                ins = src.alias("s").join(
+                    scan.select(*keys), keys, "left_anti"
+                )
+                if ic is not None:
+                    ins = ins.filter(_clause_condition(ic))
+                append_parts.append(ins.select(*table_cols))
+
+            if mask_parts:
+                mask = mask_parts[0]
+                for m in mask_parts[1:]:
+                    mask = mask.unionByName(m)
+                hits, truncated = self._collect_positions(mask, cand)
+            else:
+                hits, truncated = {}, False
+            n_hits = sum(len(v) for v in hits.values())
+            if truncated or (
+                n_hits + sum(len(v) for v in base.dvs.values())
+                > self._DV_INLINE_CAP
+            ):
+                return _cow_fallback()
+
+            if append_parts:
+                new_rows = append_parts[0]
+                for p in append_parts[1:]:
+                    new_rows = new_rows.unionByName(p)
+            else:
+                new_rows = self.spark.createDataFrame([], base.schema)
+            self._enforce_constraints(new_rows, base.constraints, "merge")
+            adds = self._stage(
+                new_rows, base.partition_by or None,
+                mapping=base.column_mapping, bloom_cols=base.bloom_cols,
             )
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():

@@ -1,0 +1,320 @@
+"""Round 10: the full multi-branch MERGE grammar — ordered conditional
+WHEN MATCHED clauses, conditional INSERT, WHEN NOT MATCHED BY SOURCE
+UPDATE/DELETE — plus merge-on-read (dv) parity for every form and the
+advice-driven parser hardening (structural clause detection, one-pass
+alias canonicalization, boolean literal coercion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+    merge_branches,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+    TxLogWarehouse,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    TableLog,
+)
+
+TARGET = [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40), (5, "e", 50)]
+T_SCHEMA = "id int, name string, val int"
+SOURCE = [
+    (1, "U", "A", 100),
+    (2, "D", "x", 0),
+    (3, "U", "C", 300),
+    (6, "I", "f", 60),
+    (7, "D", "g", 70),
+]
+S_SCHEMA = "id int, op string, name string, val int"
+
+CDC_MATCHED = [
+    {"action": "delete", "condition": "s.op = 'D'"},
+    {
+        "action": "update",
+        "condition": "s.op = 'U' AND s.val > 150",
+        "set": {"val": "s.val", "name": "s.name"},
+    },
+    {"action": "update", "condition": None, "set": {"name": "upper(s.name)"}},
+]
+CDC_NMBS = [
+    {"action": "delete", "condition": "val >= 50"},
+    {"action": "update", "condition": None, "set": {"name": "concat(name, '!')"}},
+]
+# expected final state for TARGET ⊕ SOURCE under the clauses above:
+# id1 matched op=U val=100≤150 → 3rd clause: name=upper('A'), val keeps 10
+# id2 matched op=D → deleted | id3 matched op=U val=300>150 → (C, 300)
+# id4 unmatched-by-source val<50 → name='d!' | id5 val≥50 → deleted
+# id6 inserts | id7 op='D' blocked by the insert condition
+CDC_WANT = [(1, "A", 10), (3, "C", 300), (4, "d!", 40), (6, "f", 60)]
+
+
+def test_merge_branches_operator_semantics(spark):
+    """The batch operator: ordered clauses, first-match-wins, SQL
+    tri-state NULL conditions, conditional insert, NMBS update+delete,
+    cardinality refusal."""
+    t = spark.createDataFrame(TARGET, T_SCHEMA)
+    s = spark.createDataFrame(SOURCE, S_SCHEMA)
+    out = merge_branches(
+        t, s, ["id"],
+        matched=CDC_MATCHED,
+        insert=True,
+        insert_condition="s.op <> 'D'",
+        not_matched_by_source=CDC_NMBS,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(CDC_WANT)
+
+    # first-clause-wins: the earlier of two overlapping updates applies
+    out2 = merge_branches(
+        t, s, ["id"],
+        matched=[
+            {"action": "update", "condition": "s.val >= 0",
+             "set": {"val": "t.val + 1"}},
+            {"action": "update", "condition": None,
+             "set": {"val": "t.val + 1000"}},
+        ],
+        insert=False,
+    )
+    assert {r.id: r.val for r in out2.collect()} == {
+        1: 11, 2: 21, 3: 31, 4: 40, 5: 50
+    }
+
+    # NULL condition is FALSE (tri-state): a pair matching no clause
+    # keeps the target row byte-for-byte
+    s_null = spark.createDataFrame([(1, None, "z", 5)], S_SCHEMA)
+    out3 = merge_branches(
+        t, s_null, ["id"],
+        matched=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "condition": "s.op = 'U'", "set": None},
+        ],
+        insert=False,
+    )
+    kept = [r for r in out3.collect() if r.id == 1][0]
+    assert (kept.name, kept.val) == ("a", 10)
+
+    # NMBS-only merge (prune-to-source sync)
+    out4 = merge_branches(
+        t, s, ["id"], matched=[], insert=False,
+        not_matched_by_source=[{"action": "delete", "condition": None}],
+    )
+    assert sorted(r.id for r in out4.collect()) == [1, 2, 3]
+
+    # duplicate source keys refuse when matched clauses exist
+    with pytest.raises(ValueError, match="unique source keys"):
+        merge_branches(
+            t, s.unionByName(s.limit(1)), ["id"],
+            matched=[{"action": "update", "condition": None, "set": None}],
+        ).collect()
+
+    # NMBS UPDATE without SET refuses (no source row to take * from)
+    with pytest.raises(ValueError, match="explicit SET"):
+        merge_branches(
+            t, s, ["id"],
+            not_matched_by_source=[
+                {"action": "update", "condition": None, "set": None}
+            ],
+        )
+
+
+def test_sql_merge_multi_branch_end_to_end(spark, tmp_path):
+    """The statement form — ordered WHEN MATCHED clauses, conditional
+    INSERT, NMBS UPDATE and DELETE — lands the same state as the
+    operator."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    spark.createDataFrame(SOURCE, S_SCHEMA).createOrReplaceTempView(
+        "chg_r10"
+    )
+    r = wh.sql(
+        """
+        MERGE INTO t AS tg USING chg_r10 AS c ON tg.id = c.id
+        WHEN MATCHED AND c.op = 'D' THEN DELETE
+        WHEN MATCHED AND c.op = 'U' AND c.val > 150
+            THEN UPDATE SET val = c.val, name = c.name
+        WHEN MATCHED THEN UPDATE SET name = upper(c.name)
+        WHEN NOT MATCHED AND c.op <> 'D' THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND tg.val >= 50 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = concat(tg.name, '!')
+        """
+    ).head()
+    assert r.operation == "MERGE"
+    got = sorted(tuple(x) for x in wh.read_snapshot("t").collect())
+    assert got == sorted(CDC_WANT)
+
+
+def test_sql_merge_literal_cannot_enable_full_sync(spark, tmp_path):
+    """Advice (medium): the phrase NOT MATCHED BY SOURCE inside a string
+    literal must NOT flip the merge into full-sync delete semantics —
+    clause detection is structural, not a substring search over the
+    statement."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    spark.createDataFrame(
+        [(1, "hit", 1)], T_SCHEMA
+    ).createOrReplaceTempView("probe_r10")
+    wh.sql(
+        "MERGE INTO t USING probe_r10 AS p ON t.id = p.id "
+        "WHEN MATCHED THEN UPDATE SET "
+        "name = 'WHEN NOT MATCHED BY SOURCE THEN DELETE' "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.name for r in wh.read_snapshot("t").collect()}
+    # every unmatched target row SURVIVES; only id=1 was touched
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    assert got[2] == "b"
+
+
+def test_sql_merge_swapped_aliases_canonicalize(spark, tmp_path):
+    """Advice (low): aliasing target AS s and source AS t must map each
+    qualifier to its own side — the one-pass canonicalizer cannot
+    collapse both onto one alias like sequential substitution did. The
+    alias-lookalike inside a string literal stays untouched."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    spark.createDataFrame(
+        [(2, 7), (6, 60)], "id int, bump int"
+    ).createOrReplaceTempView("swap_r10")
+    with pytest.raises(Exception):
+        # source lacks name/val: INSERT * cannot apply — but the UPDATE
+        # path must still resolve, so run without insert first
+        wh.sql(
+            "MERGE INTO t AS s USING swap_r10 AS t ON s.id = t.id "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    wh.sql(
+        "MERGE INTO t AS s USING swap_r10 AS t ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val + t.bump, "
+        "name = concat(s.name, ' s.val ')"
+    )
+    got = {r.id: (r.name, r.val) for r in wh.read_snapshot("t").collect()}
+    # s.val = TARGET val (20) + t.bump = SOURCE bump (7)
+    assert got[2] == ("b s.val ", 27)
+    assert got[1] == ("a", 10)
+    # identical aliases refuse
+    with pytest.raises(ValueError, match="collide"):
+        wh.sql(
+            "MERGE INTO t AS x USING swap_r10 AS x ON x.id = x.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_merge_clause_order_rules(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    spark.createDataFrame([(1, "z", 1)], "id int, name string, val int"
+                          ).createOrReplaceTempView("one_r10")
+    with pytest.raises(ValueError, match="LAST"):
+        wh.sql(
+            "MERGE INTO t USING one_r10 AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.val > 0 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        wh.sql("MERGE INTO t USING one_r10 AS s ON t.id = s.id")
+    # matched-clauses-only merges are legal (no INSERT branch)
+    wh.sql(
+        "MERGE INTO t USING one_r10 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert {r.name for r in wh.read_snapshot("t").filter("id = 1").collect()} == {"z"}
+
+
+def test_merge_clauses_dv_matches_cow_and_never_rewrites(spark, tmp_path):
+    """Round 10 dv parity: the clause-mode MERGE under via='dv' commits
+    the identical logical state with zero host-file rewrites, for the
+    full grammar (conditional matched clauses, partial updates,
+    conditional insert, NMBS update+delete)."""
+    results = {}
+    for via in ("cow", "dv"):
+        log = TableLog(spark, str(tmp_path / via))
+        log.write(
+            spark.createDataFrame(TARGET, T_SCHEMA).repartition(3)
+        )
+        files_before = set(log.snapshot().files)
+        res = log.merge(
+            spark.createDataFrame(SOURCE, S_SCHEMA),
+            ["id"],
+            via=via,
+            matched_clauses=CDC_MATCHED,
+            insert=True,
+            insert_condition="s.op <> 'D'",
+            not_matched_by_source_clauses=CDC_NMBS,
+        )
+        if via == "dv":
+            assert res["files_rewritten"] == 0
+            assert files_before <= set(log.snapshot().files)
+        results[via] = sorted(tuple(r) for r in log.read().collect())
+    assert results["cow"] == results["dv"] == sorted(CDC_WANT)
+    # time travel across the dv merge still serves the pre-image
+    log = TableLog(spark, str(tmp_path / "dv"))
+    assert log.read(1).count() == len(TARGET)
+
+
+def test_merge_clauses_dv_slicing_invariance(spark, tmp_path):
+    """Applying a time-ordered change feed in 1 slice vs 3 slices via
+    clause-mode dv merges lands the bit-identical table (the CDC-apply
+    contract extended to explicit assignments)."""
+    changes = [  # (lsn, id, op, name, val)
+        (1, 1, "U", "a1", 11),
+        (2, 2, "U", "b1", 21),
+        (3, 1, "U", "a2", 12),
+        (4, 2, "D", None, 0),
+        (5, 6, "U", "f1", 61),
+        (6, 5, "D", None, 0),
+    ]
+    c_schema = "lsn long, id int, op string, name string, val int"
+    slicings = {"one": [changes], "three": [changes[:2], changes[2:4], changes[4:]]}
+    results = {}
+    for name, slices in slicings.items():
+        log = TableLog(spark, str(tmp_path / name))
+        log.write(spark.createDataFrame(TARGET, T_SCHEMA))
+        for sl in slices:
+            # collapse to last change per key (CDC precondition for
+            # unique source keys)
+            from pyspark.sql import Window
+
+            w = F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("lsn"))
+            )
+            src = (
+                spark.createDataFrame(sl, c_schema)
+                .withColumn("_rn", w)
+                .filter("_rn = 1")
+                .drop("_rn", "lsn")
+            )
+            log.merge(
+                src, ["id"], via="dv",
+                matched_clauses=[
+                    {"action": "delete", "condition": "s.op = 'D'"},
+                    {"action": "update", "condition": None,
+                     "set": {"name": "s.name", "val": "s.val"}},
+                ],
+                insert=True,
+                insert_condition="s.op <> 'D'",
+            )
+        results[name] = sorted(tuple(r) for r in log.read().collect())
+    assert results["one"] == results["three"]
+    assert (1, "a2", 12) in results["one"] and (2, "b", 20) not in results["one"]
+
+
+def test_insert_values_boolean_literal_guard(spark, tmp_path):
+    """Advice (low): a quoted 'false' (or any string) must not coerce to
+    True via bool() — TRUE/FALSE literals (and their quoted spellings)
+    parse, everything else refuses."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame([(1, True)], "id int, flag boolean"), "t"
+    )
+    wh.sql("INSERT INTO t VALUES (2, FALSE), (3, TRUE)")
+    got = {r.id: r.flag for r in wh.read_snapshot("t").collect()}
+    assert got == {1: True, 2: False, 3: True}
+    wh.sql("INSERT INTO t VALUES (4, 'false')")
+    got = {r.id: r.flag for r in wh.read_snapshot("t").collect()}
+    assert got[4] is False
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        wh.sql("INSERT INTO t VALUES (5, 'yes')")

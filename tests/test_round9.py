@@ -626,8 +626,14 @@ def test_merge_update_set_assignments(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unique source keys"):
         log.merge(dup, ["k"], update_set={"v": "s.v"})
-    with pytest.raises(ValueError, match="cow"):
-        log.merge(src, ["k"], via="dv", update_set={"v": "s.v"})
+    # round 10: via='dv' no longer refuses — merge-on-read commits the
+    # SAME logical state (masked positions + one appended file)
+    state_cow = sorted(tuple(r) for r in log.read().collect())
+    res_dv = log.merge(src, ["k"], via="dv", update_set={"v": "s.v"})
+    assert res_dv["files_rewritten"] == 0
+    got_dv = {r.k: (r.v, r.tag) for r in log.read().collect()}
+    assert got_dv[2] == (5, "B") and got_dv[9] == (90, "N")
+    assert len(got_dv) == len(state_cow)
 
 
 def test_merge_update_set_with_delete_branch(spark, tmp_path):
@@ -787,8 +793,14 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
     )
     got2 = {r.k: r.v for r in log2.read().collect()}
     assert got2 == {0: 0, 1: 111, 2: 20, 9: 999}
-    with pytest.raises(ValueError, match="cow"):
-        log2.merge(src, ["k"], via="dv", not_matched_by_source_delete=True)
+    # round 10: via='dv' no longer refuses — the full-sync delete masks
+    # unmatched rows via deletion vectors (no host-file rewrite)
+    res_dv = log2.merge(
+        src, ["k"], via="dv", not_matched_by_source_delete=True
+    )
+    assert res_dv["files_rewritten"] == 0
+    got_dv = {r.k: r.v for r in log2.read().collect()}
+    assert got_dv == {1: 111, 9: 999}
 
 
 def test_merge_not_matched_by_source_sql_verb(spark, tmp_path):
