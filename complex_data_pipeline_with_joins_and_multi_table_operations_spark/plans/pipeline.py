@@ -47,9 +47,76 @@ def _where_lit(tok: str):
         return int(tok)
     if _re.match(r"^-?\d*\.\d+$", tok):
         return float(tok)
+    if _re.match(r"^\w+\s*\(", tok):
+        return _fold_date_fn(tok)
     raise ValueError(
         f"unsupported literal {tok!r} in WHERE (number, 'string', "
-        "TRUE/FALSE, or DATE 'yyyy-mm-dd')"
+        "TRUE/FALSE, DATE 'yyyy-mm-dd', or a foldable date function — "
+        "current_date/current_timestamp/to_date/date_sub/date_add)"
+    )
+
+
+def _fold_date_fn(tok: str):
+    """Round 10: DETERMINISTIC date functions in DML WHERE, constant-
+    folded driver-side into plain literals so the existing min/max/
+    Bloom file pruning keeps working on the folded value — the
+    retention-job shape ``DELETE WHERE ship_date <
+    date_sub(current_date(), 90)`` prunes exactly like a DATE literal.
+    Folding current_date()/current_timestamp() at parse time matches
+    Spark's semantics (both are fixed once per statement).
+    Non-deterministic functions refuse loudly."""
+    import re as _re
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+    from datetime import timedelta as _td
+
+    tok = tok.strip()
+    m = _re.match(r"^current_date\s*\(\s*\)$", tok, _re.IGNORECASE)
+    if m:
+        return _date.today()
+    m = _re.match(
+        r"^(?:current_timestamp|now)\s*\(\s*\)$", tok, _re.IGNORECASE
+    )
+    if m:
+        return _datetime.now()
+    m = _re.match(r"^(rand|randn|random|uuid)\s*\(", tok, _re.IGNORECASE)
+    if m:
+        raise ValueError(
+            f"non-deterministic function in WHERE literal {tok!r} — a "
+            "row-level DML predicate must fold to a constant"
+        )
+    m = _re.match(
+        r"^to_date\s*\(\s*'([^']+)'\s*\)$", tok, _re.IGNORECASE
+    )
+    if m:
+        return _date.fromisoformat(m.group(1))
+    m = _re.match(
+        r"^(date_sub|date_add)\s*\((.+)\)$", tok, _re.IGNORECASE | _re.DOTALL
+    )
+    if m:
+        args = _split_in_list(m.group(2))
+        if len(args) != 2:
+            raise ValueError(
+                f"{m.group(1)} takes (date_expr, days), got {tok!r}"
+            )
+        base = _where_lit(args[0])  # literal or nested foldable fn
+        if isinstance(base, str):
+            base = _date.fromisoformat(base)  # Spark casts 'yyyy-mm-dd'
+        if not isinstance(base, _date):
+            raise ValueError(
+                f"{m.group(1)} needs a date first argument, got {base!r}"
+            )
+        days = _where_lit(args[1])
+        if not isinstance(days, int):
+            raise ValueError(
+                f"{m.group(1)} needs an integer day count, got {args[1]!r}"
+            )
+        sign = 1 if m.group(1).lower() == "date_add" else -1
+        return base + _td(days=sign * days)
+    raise ValueError(
+        f"cannot fold function {tok!r} in a WHERE literal; supported: "
+        "current_date(), current_timestamp(), to_date('yyyy-mm-dd'), "
+        "date_sub(d, n), date_add(d, n) — pre-compute anything richer"
     )
 
 
@@ -526,6 +593,31 @@ def _parse_where_dnf(text: str) -> list[list[tuple]]:
                         raise ValueError("unterminated IN list in WHERE")
                     buf.append(")")
                     pos += 1
+                    continue
+                if (
+                    buf
+                    and _re.match(r"^\w+$", buf[-1])
+                    and buf[-1].upper()
+                    not in ("AND", "OR", "NOT", "BETWEEN", "IS", "NULL")
+                ):
+                    # a FUNCTION CALL inside the leaf (round 10:
+                    # date_sub(current_date(), 90) …) — consume the
+                    # balanced argument list whole; _where_lit folds it
+                    # to a constant (or refuses) later
+                    depth = 0
+                    while pos < len(toks):
+                        if toks[pos] == "(":
+                            depth += 1
+                        elif toks[pos] == ")":
+                            depth -= 1
+                        buf.append(toks[pos])
+                        pos += 1
+                        if depth == 0:
+                            break
+                    if depth != 0:
+                        raise ValueError(
+                            "unbalanced parentheses in WHERE function call"
+                        )
                     continue
                 break  # grouping paren — ends this leaf
             if u == "AND":

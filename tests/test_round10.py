@@ -302,6 +302,52 @@ def test_merge_clauses_dv_slicing_invariance(spark, tmp_path):
     assert (1, "a2", 12) in results["one"] and (2, "b", 20) not in results["one"]
 
 
+def test_dml_where_folds_date_functions(spark, tmp_path):
+    """Round 10 (verdict task 5): deterministic date functions in DML
+    WHERE constant-fold driver-side — the retention-job shape
+    ``DELETE WHERE d < date_sub(current_date(), 90)`` — so stats-based
+    file pruning sees a plain DATE literal. Results must equal Spark
+    SQL's own evaluation of the identical predicate; non-deterministic
+    functions refuse."""
+    from datetime import date, timedelta
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    today = date.today()
+    rows = [(i, today - timedelta(days=i * 10)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, d date")
+    wh.write_snapshot(df, "t")
+    # Spark's own answer for the surviving rows
+    df.createOrReplaceTempView("ret_src_r10")
+    want = sorted(
+        r.id
+        for r in spark.sql(
+            "SELECT id FROM ret_src_r10 "
+            "WHERE NOT (d < date_sub(current_date(), 90))"
+        ).collect()
+    )
+    res = wh.sql(
+        "DELETE FROM t WHERE d < date_sub(current_date(), 90)"
+    ).head()
+    assert res.operation == "DELETE" and res.rows == 30 - len(want)
+    assert sorted(r.id for r in wh.read_snapshot("t").collect()) == want
+
+    # nested fold + to_date + date_add, in an UPDATE predicate
+    wh.write_snapshot(df, "u")
+    wh.sql(
+        "UPDATE u SET id = id + 1000 "
+        "WHERE d BETWEEN date_add(to_date('1970-01-01'), 0) "
+        "AND date_sub(date_sub(current_date(), 50), 40)"
+    )
+    got = {r.id for r in wh.read_snapshot("u").collect()}
+    assert got == {i + (1000 if i * 10 >= 90 else 0) for i in range(30)}
+
+    # non-deterministic functions refuse loudly
+    with pytest.raises(ValueError, match="non-deterministic"):
+        wh.sql("DELETE FROM t WHERE id < rand()")
+    with pytest.raises(ValueError, match="cannot fold function"):
+        wh.sql("DELETE FROM t WHERE d < some_udf(1)")
+
+
 def test_insert_values_boolean_literal_guard(spark, tmp_path):
     """Advice (low): a quoted 'false' (or any string) must not coerce to
     True via bool() — TRUE/FALSE literals (and their quoted spellings)
