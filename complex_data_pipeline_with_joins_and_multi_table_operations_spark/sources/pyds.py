@@ -328,8 +328,6 @@ class TxLogBatchWriter(DataSourceArrowWriter):
         — the stats work distributes with the write instead of a driver
         re-read of every footer. Bloom bitmaps (when the table opted in)
         fold per batch in the same pass."""
-        import hashlib as _hl
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -340,6 +338,8 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             _bloom_render,
             _bloom_sidecar_rel,
             _file_stats,
+            _murmur3_bytes,
+            _murmur3_int,
         )
 
         rel = f"part-{uuid.uuid4().hex}.parquet"
@@ -401,8 +401,10 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                         ],
                     )
                 if bloom_hashes:
-                    # same md5-over-rendering hash as the Spark-side
-                    # harvest (_harvest_blooms) — the bitmaps must agree
+                    # same Spark-Murmur3-over-rendering hash as the
+                    # round-10 Spark-side harvest (_harvest_blooms, h=m3)
+                    # — the bitmaps must agree with the driver probe's
+                    # _bloom_positions_m3 exactly
                     names = batch.schema.names
                     for c, acc in bloom_hashes.items():
                         if c not in names:
@@ -411,9 +413,9 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                             s = _bloom_render(v)
                             if s is None:
                                 continue
-                            hx = _hl.md5(s.encode()).hexdigest()
+                            base = _murmur3_bytes(s.encode("utf-8"), 42)
                             for i in range(_BLOOM_K):
-                                acc.add(int(hx[8 * i : 8 * i + 8], 16))
+                                acc.add(_murmur3_int(i, base))
                 if writer is None:
                     writer = pq.ParquetWriter(dest, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
@@ -433,9 +435,11 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             m = _bloom_m_for(max(1, len(acc) // _BLOOM_K))
             arr = bytearray(m // 8)
             for h32 in acc:
+                # python % on the SIGNED murmur3 word == Spark's pmod,
+                # matching _bloom_positions_m3
                 p = h32 % m
                 arr[p >> 3] |= 1 << (p & 7)
-            entry: dict = {"m": m, "k": _BLOOM_K}
+            entry: dict = {"m": m, "k": _BLOOM_K, "h": "m3"}
             if m <= _BLOOM_INLINE_MAX:
                 entry["b64"] = _b64.b64encode(bytes(arr)).decode()
             else:

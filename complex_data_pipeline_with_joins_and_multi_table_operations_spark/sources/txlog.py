@@ -943,35 +943,56 @@ class TableLog:
         ]
         if not phys:
             return
+        import zlib
+
         full = [os.path.join(self.data_dir, a["path"]) for a in adds]
         df = self.spark.read.parquet(*full)
         by_base = {os.path.basename(a["path"]): a for a in adds}
         kk = _BLOOM_K
-        # m per file is sized UP FRONT from the add-action's row count
-        # (rows ≥ non-null values, so the bitmap is never undersized),
-        # which lets the fold run as mapInPandas with ZERO shuffle:
-        # each scan partition folds partial bitmaps for the file
-        # fragments it holds and the driver ORs the partials. The md5 +
-        # hex-word extraction runs JVM-SIDE (whole-stage codegen — a
-        # pure-python md5 loop measured ~10x slower at 15M rows, and the
-        # groupBy-by-filename variant paid a 2 GB shuffle of the
-        # filename-tagged words).
-        by_m = {
-            os.path.basename(a["path"]): _bloom_m_for(
-                max(1, int(a.get("rows") or 1))
-            )
-            for a in adds
+        # Round 10 (verdict task 6): the per-row payload shipped to the
+        # Python fold is cut from (filename string + K int64 md5 words)
+        # to (crc32 file code + K int32 POSITIONS) — Arrow transfer was
+        # the measured floor of the harvest, and positions beat raw hash
+        # words because pmod runs JVM-side. That requires ONE m for the
+        # whole commit (a per-file m would need a per-row map lookup),
+        # sized from the LARGEST add's row count — small files in a
+        # mixed commit get a bigger-than-needed bitmap (bounded by
+        # _BLOOM_M_MAX), never an undersized one. Hashing is Spark
+        # Murmur3 (hash(col, i), whole-stage codegen) instead of
+        # md5+hex-conv; entries carry h=m3 and the driver probe mirrors
+        # the exact Spark variant (_murmur3_*). The fold still runs as
+        # mapInPandas with ZERO shuffle: each scan partition folds
+        # partial bitmaps and the driver ORs them.
+        m_commit = _bloom_m_for(
+            max(max(1, int(a.get("rows") or 1)) for a in adds)
+        )
+        code_of = {
+            b: zlib.crc32(b.encode("utf-8")) & 0xFFFFFFFF for b in by_base
         }
+        collision = len(set(code_of.values())) < len(code_of)
+        base_of_code = {c: b for b, c in code_of.items()}
         for pc in phys:
-            results: dict[str, tuple[int, bytes]] = {}
+            results: dict[str, bytes] = {}
             if pc in df.columns:
-                h = F.md5(F.col(pc).cast("string"))
-                words = [
-                    F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10)
-                    .cast("long")
-                    .alias(f"w{i}")
+                positions = [
+                    F.pmod(
+                        F.hash(F.col(pc).cast("string"), F.lit(i)),
+                        F.lit(m_commit),
+                    )
+                    .cast("int")
+                    .alias(f"p{i}")
                     for i in range(_BLOOM_K)
                 ]
+                fname = F.substring_index(F.input_file_name(), "/", -1)
+                if collision:
+                    # ~2^-22 per commit even at 1000 files; keep the
+                    # exact string key rather than risk misattribution
+                    fcol = fname.alias("f")
+                    fschema = "f string, bm binary"
+                else:
+                    fcol = F.crc32(F.encode(fname, "UTF-8")).alias("f")
+                    fschema = "f long, bm binary"
+                mm = m_commit
 
                 def fold(batches):
                     # SELF-CONTAINED closure (python workers don't share
@@ -990,21 +1011,17 @@ class TableLog:
                         if not len(pdf):
                             continue
                         for b, sub in pdf.groupby("f", sort=False):
-                            m = by_m.get(b)
-                            if not m:
-                                continue
                             bits = accs.get(b)
                             if bits is None:
-                                bits = accs[b] = np.zeros(m, dtype=bool)
+                                bits = accs[b] = np.zeros(mm, dtype=bool)
                             for i in range(kk):
                                 bits[
-                                    sub[f"w{i}"].to_numpy(dtype=np.int64) % m
+                                    sub[f"p{i}"].to_numpy(dtype=np.int64)
                                 ] = True
                     for b, bits in accs.items():
                         yield pd.DataFrame(
                             {
                                 "f": [b],
-                                "m": [len(bits)],
                                 "bm": [
                                     np.packbits(
                                         bits, bitorder="little"
@@ -1015,28 +1032,22 @@ class TableLog:
 
                 rows = (
                     df.where(F.col(pc).isNotNull())
-                    .select(
-                        F.substring_index(
-                            F.input_file_name(), "/", -1
-                        ).alias("f"),
-                        *words,
-                    )
-                    .mapInPandas(fold, "f string, m long, bm binary")
+                    .select(fcol, *positions)
+                    .mapInPandas(fold, fschema)
                     .collect()
                 )
                 import numpy as _np
 
                 acc: dict[str, Any] = {}
                 for r in rows:
+                    b = r.f if collision else base_of_code[int(r.f)]
                     a8 = _np.frombuffer(bytes(r.bm), dtype=_np.uint8)
-                    acc[r.f] = (acc[r.f] | a8) if r.f in acc else a8
-                results = {
-                    f: (by_m[f], a8.tobytes()) for f, a8 in acc.items()
-                }
+                    acc[b] = (acc[b] | a8) if b in acc else a8
+                results = {f: a8.tobytes() for f, a8 in acc.items()}
             for base, a in by_base.items():
-                m, bm = results.get(base, (by_m[base], bytes(by_m[base] // 8)))
-                entry: dict = {"m": m, "k": _BLOOM_K}
-                if m <= _BLOOM_INLINE_MAX:
+                bm = results.get(base, bytes(m_commit // 8))
+                entry: dict = {"m": m_commit, "k": _BLOOM_K, "h": "m3"}
+                if m_commit <= _BLOOM_INLINE_MAX:
                     entry["b64"] = base64.b64encode(bm).decode()
                 else:
                     rel = _bloom_sidecar_rel(a["path"], pc)
@@ -4281,6 +4292,74 @@ def _bloom_positions(s: str, m: int) -> list[int]:
     return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(_BLOOM_K)]
 
 
+# -- Spark-exact Murmur3_x86_32 mirror (round 10) ---------------------------
+# The harvest hashes JVM-side with hash(cast(col AS string), i) — Spark's
+# Murmur3 — because md5+hex-conv was ~20% of the warm harvest cost. The
+# probe runs driver-side in Python, so these mirror Spark's exact variant:
+# hashUnsafeBytes consumes 4-byte LITTLE-ENDIAN words and then each tail
+# byte SIGN-EXTENDED as a full mix round (unlike reference murmur3's
+# 1-3-byte tail handling — a stock mmh3 library would NOT agree), and the
+# multi-arg hash(col, i) seeds hashInt(i) with the string's hash
+# (verified value-equal against F.hash across unicode/empty/long inputs).
+
+
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _signed32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def _murmur3_bytes(data: bytes, seed: int = 42) -> int:
+    h1 = seed & 0xFFFFFFFF
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = _mm3_mix_h1(
+            h1, _mm3_mix_k1(int.from_bytes(data[i : i + 4], "little"))
+        )
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 0x80:
+            b -= 0x100  # java bytes are signed
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(b & 0xFFFFFFFF))
+    return _signed32(_mm3_fmix(h1, n))
+
+
+def _murmur3_int(i: int, seed: int) -> int:
+    return _signed32(
+        _mm3_fmix(_mm3_mix_h1(seed & 0xFFFFFFFF, _mm3_mix_k1(i & 0xFFFFFFFF)), 4)
+    )
+
+
+def _bloom_positions_m3(s: str, m: int, k: int) -> list[int]:
+    """Positions for an ``h: m3`` bitmap: python's % IS Spark's pmod for
+    the signed int32 hash, so the probe agrees with the JVM harvest's
+    pmod(hash(col, i), m) bit for bit."""
+    base = _murmur3_bytes(s.encode("utf-8"), 42)
+    return [_murmur3_int(i, base) % m for i in range(k)]
+
+
 def _bloom_bytes(entry: dict, data_dir: str | None) -> bytes | None:
     """The bitmap behind a bloom entry: inline b64, or the sidecar file
     (LRU-cached — one read serves every probe of the same file)."""
@@ -4312,7 +4391,15 @@ def _bloom_may_contain(entry: dict, v: Any, data_dir: str | None) -> bool:
     if not bits:
         return True
     m = int(entry.get("m") or len(bits) * 8)
-    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(s, m))
+    # per-entry hash dispatch: round-10 bitmaps carry h=m3 (Spark
+    # Murmur3); entries without it are md5-era and keep probing md5 —
+    # a table can hold both generations and every file probes with the
+    # hash its bitmap was built from
+    if entry.get("h") == "m3":
+        pos = _bloom_positions_m3(s, m, int(entry.get("k") or _BLOOM_K))
+    else:
+        pos = _bloom_positions(s, m)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
 
 
 def _bloom_ok(
