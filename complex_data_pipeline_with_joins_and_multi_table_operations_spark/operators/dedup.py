@@ -1064,7 +1064,22 @@ def _near_dup_pairs_direct(
     # np.array raise instead
     df = _as_double(embeddings, "embedding", "v").filter(F.col("v").isNotNull())
 
-    corpus = df.select("vec_id", "v").toPandas()
+    # the EXACT scorer broadcasts the whole corpus matrix to every
+    # executor — O(n²) by definition, bounded by executor memory. Round
+    # 10 makes the boundary ENFORCED rather than documented: the collect
+    # is capped at CAP+1 rows (the limit bounds what the driver ever
+    # materializes — no extra probe job at normal scale) and overflowing
+    # it raises an error that names the scale path.
+    EXACT_CORPUS_CAP = 2_000_000
+    corpus = df.select("vec_id", "v").limit(EXACT_CORPUS_CAP + 1).toPandas()
+    if len(corpus) > EXACT_CORPUS_CAP:
+        raise ValueError(
+            "embedding_near_dup's exact scorer is O(n²) and broadcasts "
+            f"the full corpus matrix; more than {EXACT_CORPUS_CAP} "
+            "vectors exceed the executor-fit cap — use "
+            "embedding_near_dup_lsh (banded candidates, id-only "
+            "shuffles) at this scale"
+        )
     if len(corpus) == 0:
         cand = spark.createDataFrame([], "id_a long, id_b long")
     else:
