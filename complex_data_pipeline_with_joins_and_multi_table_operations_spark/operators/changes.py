@@ -299,6 +299,31 @@ def _validate_clauses(
             )
 
 
+def _insert_clauses(
+    insert: bool,
+    insert_condition: str | None,
+    not_matched: list[dict] | None,
+    target_cols: list[str],
+) -> list[dict]:
+    """Normalize the insert surface to an ordered clause list
+    ``{"condition": sql|None, "set": {col: sql}|None}`` (``set=None`` =
+    ``INSERT *``); the legacy ``insert``/``insert_condition`` pair maps
+    to one clause. Column-list inserts NULL-fill unlisted columns
+    (Delta semantics); unknown columns refuse."""
+    if not_matched is not None:
+        for cl in not_matched:
+            sets = cl.get("set")
+            if sets is not None:
+                bad = [c for c in sets if c not in target_cols]
+                if bad:
+                    raise ValueError(
+                        f"INSERT columns {bad} not in the target "
+                        f"(has {target_cols})"
+                    )
+        return not_matched
+    return [{"condition": insert_condition, "set": None}] if insert else []
+
+
 def merge_branches(
     target: DataFrame,
     source: DataFrame,
@@ -307,14 +332,22 @@ def merge_branches(
     insert: bool = True,
     insert_condition: str | None = None,
     not_matched_by_source: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
 ) -> DataFrame:
     """The FULL multi-branch MERGE (Delta's CDC-apply shape) as one batch
     operator::
 
         MERGE INTO t USING s ON <keys>
         {WHEN MATCHED [AND cond] THEN UPDATE SET (*|col=expr,…) | DELETE}*
-        [WHEN NOT MATCHED [AND cond] THEN INSERT *]
+        {WHEN NOT MATCHED [AND cond] THEN INSERT (*|(cols) VALUES (exprs))}*
         {WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE}*
+
+    ``not_matched`` is the ordered insert-clause list
+    ``{"condition": sql|None, "set": {col: sql}|None}`` (``set=None`` =
+    ``INSERT *``; a column-list insert NULL-fills unlisted columns,
+    first-match-wins, a source row satisfying no clause is dropped); the
+    legacy ``insert``/``insert_condition`` pair maps to one clause and is
+    superseded when ``not_matched`` is given.
 
     ``matched`` / ``not_matched_by_source`` are ordered lists of clause
     dicts ``{"action": "update"|"delete", "condition": sql|None,
@@ -432,14 +465,34 @@ def merge_branches(
             out_parts.append(unmatched_target)
 
     # ---- inserts --------------------------------------------------------
-    if insert:
-        # aliased so the condition can say s.<col> like the SQL clause does
+    # ordered conditional insert clauses (round 10: column-list VALUES
+    # too), first-match-wins; an unmatched source row satisfying no
+    # clause is dropped. Aliased so conditions/values say s.<col>.
+    nm = _insert_clauses(insert, insert_condition, not_matched, target.columns)
+    if nm:
         inserts = source.alias("s").join(
             target.select(*keys), keys, "left_anti"
         )
-        if insert_condition is not None:
-            inserts = inserts.filter(_clause_condition(insert_condition))
-        out_parts.append(inserts.select(*target.columns))
+        ibranch = _first_match_branch(nm)
+        inserts = inserts.withColumn("__i_branch", ibranch).filter(
+            F.col("__i_branch").isNotNull()
+        )
+        proj = []
+        for c in target.columns:
+            dt = target.schema[c].dataType
+            w = None
+            for i, cl in enumerate(nm):
+                sets = cl.get("set")
+                if sets is None:
+                    v = F.col(f"s.`{c}`").cast(dt)  # INSERT *
+                elif c in sets:
+                    v = F.expr(sets[c]).cast(dt)
+                else:
+                    v = F.lit(None).cast(dt)  # unlisted column NULL-fills
+                cond_i = F.col("__i_branch") == i
+                w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
+            proj.append(w.alias(c))
+        out_parts.append(inserts.select(*proj))
 
     out = out_parts[0]
     for p in out_parts[1:]:

@@ -1614,8 +1614,7 @@ class Warehouse:
 
             matched: list[dict] = []
             nmbs: list[dict] = []
-            has_insert = False
-            insert_cond: str | None = None
+            inserts: list[dict] = []
             for seg in segments[1:]:
                 head, action = _split_top_level_then(seg)
                 m_h = re.match(
@@ -1654,23 +1653,42 @@ class Warehouse:
                 m_ins = re.match(
                     r"^\s*INSERT\s+\*\s*$", action, re.IGNORECASE
                 )
+                m_ins_cols = re.match(
+                    r"^\s*INSERT\s*\(\s*([\w\s,`]+?)\s*\)\s*"
+                    r"VALUES\s*\((.+)\)\s*$",
+                    action, re.IGNORECASE | re.DOTALL,
+                )
                 if kind == "insert":
-                    if not m_ins:
+                    c_cond = (
+                        _canon_merge_expr(cond.strip(), t_alias, s_alias, "s")
+                        if cond is not None
+                        else None
+                    )
+                    if m_ins:
+                        sets = None  # INSERT *
+                    elif m_ins_cols:
+                        cols = [
+                            c.strip(" `")
+                            for c in m_ins_cols.group(1).split(",")
+                        ]
+                        exprs = _split_in_list(m_ins_cols.group(2))
+                        if len(cols) != len(exprs):
+                            raise ValueError(
+                                f"INSERT column list has {len(cols)} "
+                                f"columns but VALUES has {len(exprs)} "
+                                "expressions"
+                            )
+                        sets = {
+                            c: _canon_merge_expr(e, t_alias, s_alias, "s")
+                            for c, e in zip(cols, exprs)
+                        }
+                    else:
                         raise ValueError(
-                            "WHEN NOT MATCHED supports THEN INSERT * only "
-                            f"(got {action.strip()!r}); use the merge() "
-                            "API for column-list inserts"
+                            "WHEN NOT MATCHED supports THEN INSERT * or "
+                            "INSERT (cols) VALUES (exprs), got "
+                            f"{action.strip()!r}"
                         )
-                    if has_insert:
-                        raise ValueError(
-                            "at most one WHEN NOT MATCHED … INSERT clause "
-                            "is supported"
-                        )
-                    has_insert = True
-                    if cond is not None:
-                        insert_cond = _canon_merge_expr(
-                            cond.strip(), t_alias, s_alias, "s"
-                        )
+                    inserts.append({"condition": c_cond, "set": sets})
                     continue
                 aliases = "ts" if kind == "matched" else "t_bare"
                 c_cond = (
@@ -1706,6 +1724,7 @@ class Warehouse:
                     )
                 (matched if kind == "matched" else nmbs).append(clause)
             for grp, label in ((matched, "WHEN MATCHED"),
+                               (inserts, "WHEN NOT MATCHED"),
                                (nmbs, "WHEN NOT MATCHED BY SOURCE")):
                 for cl in grp[:-1]:
                     if cl["condition"] is None:
@@ -1718,8 +1737,7 @@ class Warehouse:
             res = self.merge(
                 source, t, keys,
                 matched_clauses=matched,
-                insert=has_insert,
-                insert_condition=insert_cond,
+                not_matched_clauses=inserts,
                 not_matched_by_source_clauses=nmbs or None,
             )
             return self.spark.createDataFrame(
@@ -2071,6 +2089,7 @@ class TxLogWarehouse(Warehouse):
         insert: bool = True,
         insert_condition: str | None = None,
         not_matched_by_source_clauses: list[dict] | None = None,
+        not_matched_clauses: list[dict] | None = None,
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
         return self._log(name).merge(
@@ -2085,6 +2104,7 @@ class TxLogWarehouse(Warehouse):
             insert=insert,
             insert_condition=insert_condition,
             not_matched_by_source_clauses=not_matched_by_source_clauses,
+            not_matched_clauses=not_matched_clauses,
         )
 
     def versions(self, name: str) -> list[int]:

@@ -2869,6 +2869,7 @@ class TableLog:
         insert: bool = True,
         insert_condition: str | None = None,
         not_matched_by_source_clauses: list[dict] | None = None,
+        not_matched_clauses: list[dict] | None = None,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2942,6 +2943,7 @@ class TableLog:
         clause_mode = (
             matched_clauses is not None
             or not_matched_by_source_clauses is not None
+            or not_matched_clauses is not None
             or insert_condition is not None
             or insert is not True
         )
@@ -2968,12 +2970,14 @@ class TableLog:
                 return self._merge_dv_general(
                     source,
                     keys,
+                    clause_mode=clause_mode,
                     delete_condition=delete_condition,
                     insert_unmatched_deletes=insert_unmatched_deletes,
                     update_set=update_set,
                     matched_clauses=matched_clauses,
                     insert=insert,
                     insert_condition=insert_condition,
+                    nm_clauses=not_matched_clauses,
                     nmbs_clauses=not_matched_by_source_clauses,
                     nmbs_delete=not_matched_by_source_delete,
                     nmbs_condition=not_matched_by_source_condition,
@@ -3079,6 +3083,7 @@ class TableLog:
                     matched=matched_clauses,
                     insert=insert,
                     insert_condition=insert_condition,
+                    not_matched=not_matched_clauses,
                     not_matched_by_source=not_matched_by_source_clauses,
                 )
             else:
@@ -3298,12 +3303,14 @@ class TableLog:
         source: DataFrame,
         keys: list[str],
         *,
+        clause_mode: bool = False,
         delete_condition: str | None = None,
         insert_unmatched_deletes: bool = True,
         update_set: dict[str, str] | None = None,
         matched_clauses: list[dict] | None = None,
         insert: bool = True,
         insert_condition: str | None = None,
+        nm_clauses: list[dict] | None = None,
         nmbs_clauses: list[dict] | None = None,
         nmbs_delete: bool = False,
         nmbs_condition: str | None = None,
@@ -3332,6 +3339,7 @@ class TableLog:
             _clause_condition,
             _clause_projection,
             _first_match_branch,
+            _insert_clauses,
             _validate_clauses,
         )
 
@@ -3349,6 +3357,7 @@ class TableLog:
                 matched_clauses=matched_clauses,
                 insert=insert,
                 insert_condition=insert_condition,
+                not_matched_clauses=nm_clauses,
                 not_matched_by_source_clauses=nmbs_clauses,
                 via="cow",
             )
@@ -3362,11 +3371,16 @@ class TableLog:
             }
 
         # ---- translate the legacy parameter forms into clause form ----
+        # ONLY legacy calls translate: in clause mode an absent matched
+        # list means NO matched action (the target row is untouched),
+        # not the legacy source-wins SET *.
         src = source
         mc = matched_clauses
         ic = insert_condition
         do_insert = insert
-        if mc is None:
+        if clause_mode:
+            mc = mc or []
+        elif mc is None:
             # legacy matched semantics: optional source-side delete flag,
             # then UPDATE SET */assignments. The flag column reproduces
             # merge_upsert's rule exactly: a delete-flagged source row
@@ -3502,15 +3516,32 @@ class TableLog:
                             )
                         )
                     )
-            if do_insert:
+            nm = _insert_clauses(do_insert, ic, nm_clauses, table_cols)
+            if nm:
                 # alive candidate keys are exact for insert detection
-                # (pruning argument above)
+                # (pruning argument above); ordered conditional insert
+                # clauses, first-match-wins, column-list VALUES NULL-fill
                 ins = src.alias("s").join(
                     scan.select(*keys), keys, "left_anti"
+                ).withColumn("__i_branch", _first_match_branch(nm)).filter(
+                    F.col("__i_branch").isNotNull()
                 )
-                if ic is not None:
-                    ins = ins.filter(_clause_condition(ic))
-                append_parts.append(ins.select(*table_cols))
+                proj = []
+                for c in table_cols:
+                    dt = base.schema[c].dataType
+                    w = None
+                    for i, cl in enumerate(nm):
+                        sets = cl.get("set")
+                        if sets is None:
+                            v = F.col(f"s.`{c}`").cast(dt)
+                        elif c in sets:
+                            v = F.expr(sets[c]).cast(dt)
+                        else:
+                            v = F.lit(None).cast(dt)
+                        cond_i = F.col("__i_branch") == i
+                        w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
+                    proj.append(w.alias(c))
+                append_parts.append(ins.select(*proj))
 
             if mask_parts:
                 mask = mask_parts[0]

@@ -224,6 +224,63 @@ def test_sql_merge_clause_order_rules(spark, tmp_path):
     assert {r.name for r in wh.read_snapshot("t").filter("id = 1").collect()} == {"z"}
 
 
+def test_sql_merge_column_list_and_multi_insert(spark, tmp_path):
+    """Round 10: WHEN NOT MATCHED supports column-list inserts and
+    MULTIPLE ordered conditional clauses — first-match-wins, unlisted
+    columns NULL-fill, a source row matching no clause is dropped. Both
+    CoW and merge-on-read land the same state."""
+    results = {}
+    for via in ("cow", "dv"):
+        log = TableLog(spark, str(tmp_path / via))
+        log.write(spark.createDataFrame(TARGET, T_SCHEMA).repartition(2))
+        res = log.merge(
+            spark.createDataFrame(SOURCE, S_SCHEMA),
+            ["id"],
+            via=via,
+            matched_clauses=[],
+            not_matched_clauses=[
+                {"condition": "s.op = 'I'",
+                 "set": {"id": "s.id", "name": "upper(s.name)",
+                         "val": "s.val * 10"}},
+                {"condition": "s.val > 65", "set": {"id": "s.id"}},
+            ],
+        )
+        if via == "dv":
+            assert res["files_rewritten"] == 0
+        results[via] = sorted(
+            (r.id, r.name, r.val) for r in log.read().collect()
+        )
+    # id6 op=I -> first clause: ('F', 600); id7 op=D val=70>65 -> second
+    # clause: (NULL, NULL); matched rows untouched (no matched clause)
+    want = sorted(
+        [(i, n, v) for i, n, v in TARGET] + [(6, "F", 600), (7, None, None)]
+    )
+    assert results["cow"] == results["dv"]
+    assert results["cow"] == sorted(want, key=lambda t: (t[0],))
+
+    # the SQL statement form
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    spark.createDataFrame(SOURCE, S_SCHEMA).createOrReplaceTempView(
+        "ins_r10"
+    )
+    wh.sql(
+        "MERGE INTO t USING ins_r10 AS s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.op = 'I' THEN "
+        "INSERT (id, name, val) VALUES (s.id, upper(s.name), s.val * 10) "
+        "WHEN NOT MATCHED AND s.val > 65 THEN INSERT (id) VALUES (s.id)"
+    )
+    got = sorted((r.id, r.name, r.val) for r in wh.read_snapshot("t").collect())
+    assert got == results["cow"]
+    # ordering rule applies to insert clauses too
+    with pytest.raises(ValueError, match="LAST WHEN NOT MATCHED"):
+        wh.sql(
+            "MERGE INTO t USING ins_r10 AS s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id) VALUES (s.id)"
+        )
+
+
 def test_merge_clauses_dv_matches_cow_and_never_rewrites(spark, tmp_path):
     """Round 10 dv parity: the clause-mode MERGE under via='dv' commits
     the identical logical state with zero host-file rewrites, for the
