@@ -2090,6 +2090,7 @@ class TxLogWarehouse(Warehouse):
         insert_condition: str | None = None,
         not_matched_by_source_clauses: list[dict] | None = None,
         not_matched_clauses: list[dict] | None = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """MERGE INTO a warehouse table (see TableLog.merge)."""
         return self._log(name).merge(
@@ -2105,6 +2106,7 @@ class TxLogWarehouse(Warehouse):
             insert_condition=insert_condition,
             not_matched_by_source_clauses=not_matched_by_source_clauses,
             not_matched_clauses=not_matched_clauses,
+            schema_evolution=schema_evolution,
         )
 
     def versions(self, name: str) -> list[int]:

@@ -2870,6 +2870,7 @@ class TableLog:
         insert_condition: str | None = None,
         not_matched_by_source_clauses: list[dict] | None = None,
         not_matched_clauses: list[dict] | None = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -2964,7 +2965,12 @@ class TableLog:
             not_matched_by_source_clauses
         )
         if via == "dv":
-            if clause_mode or update_set is not None or nmbs_any:
+            if (
+                clause_mode
+                or update_set is not None
+                or nmbs_any
+                or schema_evolution
+            ):
                 # the general merge-on-read path: reads affected target
                 # rows, masks positions, appends rewritten rows
                 return self._merge_dv_general(
@@ -2981,6 +2987,7 @@ class TableLog:
                     nmbs_clauses=not_matched_by_source_clauses,
                     nmbs_delete=not_matched_by_source_delete,
                     nmbs_condition=not_matched_by_source_condition,
+                    schema_evolution=schema_evolution,
                     max_retries=max_retries,
                     txn=txn,
                 )
@@ -3012,6 +3019,22 @@ class TableLog:
         for _attempt in range(max_retries):
             base = self.snapshot()
             self._refuse_bucketed(base, "merge")
+            # schema evolution (Delta's autoMerge for MERGE): source
+            # columns absent from the table extend the schema as
+            # nullable — old files read them as NULL, type conflicts on
+            # shared columns raise (same _merge_schemas contract as the
+            # schema-evolving append). Computed per attempt so a
+            # concurrent schema change retries against fresh state.
+            eff_schema_json = base.schema_json
+            eff_schema = base.schema
+            if schema_evolution:
+                eff_schema_json = _merge_schemas(
+                    base.schema_json, source.schema.json()
+                )
+                if eff_schema_json != base.schema_json:
+                    eff_schema = StructType.fromJson(
+                        json.loads(eff_schema_json)
+                    )
             if _attempt and txn is not None:
                 # mirror write(): a lost race may have been lost to OUR
                 # OWN replayed twin (same app_id) — re-check the
@@ -3075,6 +3098,11 @@ class TableLog:
                 base.column_mapping,
                 base.dvs,
             )
+            for fld in eff_schema.fields:
+                if fld.name not in tgt.columns:
+                    tgt = tgt.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
             if clause_mode:
                 merged = merge_branches(
                     tgt,
@@ -3145,7 +3173,7 @@ class TableLog:
                 "snapshot_id": _snapshot_id(version, adds, removes, cur),
                 "parent_id": cur.snapshot_id,
                 "operation": "merge",
-                "schema": base.schema_json,
+                "schema": eff_schema_json,
                 "partition_by": list(base.partition_by or []),
                 "adds": adds,
                 "removes": removes,
@@ -3314,6 +3342,7 @@ class TableLog:
         nmbs_clauses: list[dict] | None = None,
         nmbs_delete: bool = False,
         nmbs_condition: str | None = None,
+        schema_evolution: bool = False,
         max_retries: int = 3,
         txn: tuple[str, int] | None = None,
     ) -> dict:
@@ -3359,6 +3388,7 @@ class TableLog:
                 insert_condition=insert_condition,
                 not_matched_clauses=nm_clauses,
                 not_matched_by_source_clauses=nmbs_clauses,
+                schema_evolution=schema_evolution,
                 via="cow",
             )
 
@@ -3420,7 +3450,17 @@ class TableLog:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
                     return _noop(self.versions()[-1], len(base.files))
-            table_cols = [f.name for f in base.schema.fields]
+            eff_schema_json = base.schema_json
+            eff_schema = base.schema
+            if schema_evolution:
+                eff_schema_json = _merge_schemas(
+                    base.schema_json, source.schema.json()
+                )
+                if eff_schema_json != base.schema_json:
+                    eff_schema = StructType.fromJson(
+                        json.loads(eff_schema_json)
+                    )
+            table_cols = [f.name for f in eff_schema.fields]
             _validate_clauses(mc, table_cols, keys, "MATCHED")
             _validate_clauses(nc, table_cols, keys, "NOT MATCHED BY SOURCE")
             if nc:
@@ -3468,6 +3508,11 @@ class TableLog:
                         "same target row (SQL MERGE cardinality violation)"
                     )
             scan = self._scan_with_positions(cand, base)
+            for fld in eff_schema.fields:
+                if fld.name not in scan.columns:
+                    scan = scan.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
             mask_parts: list[DataFrame] = []
             append_parts: list[DataFrame] = []
 
@@ -3490,7 +3535,7 @@ class TableLog:
                         touched.filter(F.col("__m_branch").isin(upd_idx))
                         .select(
                             *_clause_projection(
-                                mc, table_cols, base.schema,
+                                mc, table_cols, eff_schema,
                                 "__m_branch", qualified=True,
                             )
                         )
@@ -3511,7 +3556,7 @@ class TableLog:
                         ntouched.filter(F.col("__n_branch").isin(n_upd))
                         .select(
                             *_clause_projection(
-                                nc, table_cols, base.schema,
+                                nc, table_cols, eff_schema,
                                 "__n_branch", qualified=False,
                             )
                         )
@@ -3528,7 +3573,7 @@ class TableLog:
                 )
                 proj = []
                 for c in table_cols:
-                    dt = base.schema[c].dataType
+                    dt = eff_schema[c].dataType
                     w = None
                     for i, cl in enumerate(nm):
                         sets = cl.get("set")
@@ -3562,7 +3607,7 @@ class TableLog:
                 for p in append_parts[1:]:
                     new_rows = new_rows.unionByName(p)
             else:
-                new_rows = self.spark.createDataFrame([], base.schema)
+                new_rows = self.spark.createDataFrame([], eff_schema)
             self._enforce_constraints(new_rows, base.constraints, "merge")
             adds = self._stage(
                 new_rows, base.partition_by or None,
@@ -3582,7 +3627,7 @@ class TableLog:
                 "snapshot_id": _snapshot_id(version, adds, [], base),
                 "parent_id": base.snapshot_id,
                 "operation": "merge_dv",
-                "schema": base.schema_json,
+                "schema": eff_schema_json,
                 "partition_by": list(base.partition_by or []),
                 "dvs": dvs,
                 "adds": adds,

@@ -281,6 +281,52 @@ def test_sql_merge_column_list_and_multi_insert(spark, tmp_path):
         )
 
 
+def test_merge_schema_evolution(spark, tmp_path):
+    """Round 10: merge(schema_evolution=True) — Delta's autoMerge for
+    MERGE. Source columns absent from the table extend the schema as
+    nullable (old rows read NULL), SET */INSERT * carry the new values,
+    type conflicts on shared columns raise; both vias agree, and time
+    travel serves the pre-evolution schema."""
+    for via in ("cow", "dv"):
+        log = TableLog(spark, str(tmp_path / via))
+        log.write(spark.createDataFrame(TARGET, T_SCHEMA))
+        src = spark.createDataFrame(
+            [(3, "c3", 33, "EXTRA-3"), (9, "i9", 99, "EXTRA-9")],
+            "id int, name string, val int, note string",
+        )
+        # without the flag: extra source columns simply don't land
+        log.merge(src.filter("id = 9"), ["id"], via=via)
+        assert "note" not in log.read().columns
+        res = log.merge(src, ["id"], via=via, schema_evolution=True)
+        out = log.read()
+        assert out.columns == ["id", "name", "val", "note"]
+        got = {r.id: r.note for r in out.collect()}
+        assert got[3] == "EXTRA-3" and got[9] == "EXTRA-9"
+        assert got[1] is None  # untouched old row reads NULL
+        # the pre-evolution snapshot still reads under its own schema
+        assert "note" not in log.read(res["version"] - 1).columns
+        # type conflict on a shared column refuses
+        bad = spark.createDataFrame([(1, 1.5)], "id int, val double")
+        with pytest.raises(ValueError, match="cannot change column"):
+            log.merge(bad, ["id"], via=via, schema_evolution=True)
+    # clause mode evolves too (explicit assignment to the new column)
+    log = TableLog(spark, str(tmp_path / "cl"))
+    log.write(spark.createDataFrame(TARGET, T_SCHEMA))
+    src = spark.createDataFrame(
+        [(2, "tagged")], "id int, note string"
+    )
+    log.merge(
+        src, ["id"], schema_evolution=True,
+        matched_clauses=[
+            {"action": "update", "condition": None,
+             "set": {"note": "concat('t:', s.note)"}}
+        ],
+        insert=False,
+    )
+    got = {r.id: r.note for r in log.read().collect()}
+    assert got[2] == "t:tagged" and got[1] is None
+
+
 def test_merge_clauses_dv_matches_cow_and_never_rewrites(spark, tmp_path):
     """Round 10 dv parity: the clause-mode MERGE under via='dv' commits
     the identical logical state with zero host-file rewrites, for the
