@@ -3505,11 +3505,13 @@ def q_sql_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 multi-branch MERGE end-to-end (the Delta CDC-apply
     statement shape): ordered WHEN MATCHED clauses — conditional DELETE,
     conditional partial UPDATE, unconditional fallback UPDATE —
-    evaluated first-match-wins, a CONDITIONAL INSERT, and both WHEN NOT
-    MATCHED BY SOURCE branches (conditional DELETE, fallback UPDATE over
-    the target row). The oracle recomputes the five-way split as plain
-    SQL: matched survivors with CASE over the clause conditions,
-    unmatched-by-source rows with the NMBS CASE, gated inserts."""
+    evaluated first-match-wins, ORDERED conditional INSERT clauses (a
+    column-list VALUES clause that NULL-fills unlisted columns, then an
+    INSERT * fallback), and both WHEN NOT MATCHED BY SOURCE branches
+    (conditional DELETE, fallback UPDATE over the target row). The
+    oracle recomputes the five-way split as plain SQL: matched survivors
+    with CASE over the clause conditions, unmatched-by-source rows with
+    the NMBS CASE, gated inserts with the insert-clause CASE."""
     import tempfile
 
     from .pipeline import TxLogWarehouse
@@ -3540,6 +3542,9 @@ def q_sql_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN MATCHED AND sr.o_totalprice > 100000 THEN UPDATE SET "
         "o_totalprice = sr.o_totalprice, o_orderstatus = 'H' "
         "WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M' "
+        "WHEN NOT MATCHED AND sr.op <> 'D' AND sr.o_totalprice > 200000 "
+        "THEN INSERT (o_orderkey, o_orderstatus, o_totalprice) "
+        "VALUES (sr.o_orderkey, 'B', sr.o_totalprice) "
         "WHEN NOT MATCHED AND sr.op <> 'D' THEN INSERT * "
         "WHEN NOT MATCHED BY SOURCE AND tg.o_totalprice < 1000 THEN DELETE "
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
@@ -3577,8 +3582,15 @@ FROM tgt
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
   AND NOT (o_totalprice < 1000)
 UNION ALL
--- conditional INSERT: delete-flagged unmatched source rows stay out
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+-- ordered conditional INSERT clauses, first-match-wins: the big-ticket
+-- clause takes a COLUMN LIST (unlisted columns NULL-fill), the fallback
+-- is INSERT *; delete-flagged unmatched source rows satisfy neither
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_custkey END
+         AS o_custkey,
+       CASE WHEN o_totalprice > 200000 THEN 'B' ELSE o_orderstatus END
+         AS o_orderstatus,
+       o_totalprice
 FROM src
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt) AND op <> 'D'
 """
