@@ -1313,6 +1313,29 @@ class TableLog:
                 "via write(mode='overwrite', bucket_by=...)"
             )
 
+    def _stage_for(self, base: "Snapshot", df: DataFrame) -> list[dict]:
+        """Stage rewrite output under the table's standing layout: a
+        bucketed table re-stages through the BUCKETED writer (round 10 —
+        copy-on-write row-level DML no longer refuses on bucketed
+        tables; the new files' bucket-tagged names join the layout
+        exactly like a layout-preserving append, so co-bucketed joins on
+        the mutated table still plan zero Exchange), everything else
+        through the plain partitioned stager."""
+        spec = base.bucket_by
+        if spec:
+            return self._stage_bucketed(
+                df,
+                spec["n"],
+                list(spec["cols"]),
+                list(spec.get("sort") or []) or None,
+                mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
+            )
+        return self._stage(
+            df, base.partition_by or None, mapping=base.column_mapping,
+            bloom_cols=base.bloom_cols,
+        )
+
     def last_txn_version(self, app_id: str) -> int | None:
         """High-water mark of an idempotent writer (see ``write(txn=…)``):
         the largest txn version this ``app_id`` has committed, or None if
@@ -2398,7 +2421,12 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "delete")
+            if base.bucket_by:
+                # merge-on-read masks would put an anti-join on top of the
+                # bucketed scan and break its zero-Exchange contract —
+                # bucketed tables take the copy-on-write path (round 10),
+                # which re-stages through the bucketed writer
+                return self._rewrite_rows(filters, None, max_retries)
             pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
@@ -2626,7 +2654,10 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "update")
+            if base.bucket_by:
+                # same bucketed-table rule as delete(via='dv'): CoW keeps
+                # the zero-Exchange layout
+                return self._rewrite_rows(filters, set_exprs, max_retries)
             unknown = [c for c in set_exprs if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
@@ -2737,7 +2768,6 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, op)
             unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
@@ -2792,10 +2822,7 @@ class TableLog:
                 # updated rows must still satisfy the table's CHECK
                 # constraints (delete survivors satisfied them already)
                 self._enforce_constraints(new_df, base.constraints, op)
-            adds = self._stage(
-                new_df, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
-            )
+            adds = self._stage_for(base, new_df)
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -2811,6 +2838,7 @@ class TableLog:
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
                 or cur.constraints != base.constraints
+                or cur.bucket_by != base.bucket_by
             ):
                 # a concurrent schema change landed (rename/add/drop column,
                 # a schema-evolving append, or an add_constraint whose
@@ -3018,7 +3046,6 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "merge")
             # schema evolution (Delta's autoMerge for MERGE): source
             # columns absent from the table extend the schema as
             # nullable — old files read them as NULL, type conflicts on
@@ -3134,10 +3161,7 @@ class TableLog:
                     ),
                 )
             self._enforce_constraints(merged, base.constraints, "merge")
-            adds = self._stage(
-                merged, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
-            )
+            adds = self._stage_for(base, merged)
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -3151,6 +3175,7 @@ class TableLog:
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
                 or cur.constraints != base.constraints
+                or cur.bucket_by != base.bucket_by
             ):
                 # a concurrent schema change landed (rename/add/drop column,
                 # a schema-evolving append, or an add_constraint whose
@@ -3217,7 +3242,18 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "merge")
+            if base.bucket_by:
+                # bucketed tables take the CoW merge (round 10): dv masks
+                # would break the zero-Exchange bucketed-scan contract
+                return self.merge(
+                    source,
+                    keys,
+                    delete_condition=delete_condition,
+                    max_retries=max_retries,
+                    txn=txn,
+                    insert_unmatched_deletes=insert_unmatched_deletes,
+                    via="cow",
+                )
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -3445,7 +3481,9 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "merge")
+            if base.bucket_by:
+                # bucketed tables take the CoW form (round 10)
+                return _cow_fallback()
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -3708,7 +3746,6 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "merge")
             if _attempt and txn is not None:
                 # mirror write(): a lost race may have been lost to OUR
                 # OWN replayed twin (same app_id) — re-check the
@@ -3773,10 +3810,7 @@ class TableLog:
                 .select(*table_cols)
             )
             self._enforce_constraints(merged, base.constraints, "merge")
-            adds = self._stage(
-                merged, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
-            )
+            adds = self._stage_for(base, merged)
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -3790,6 +3824,7 @@ class TableLog:
                 or cur.dropped_physical != base.dropped_physical
                 or cur.dvs != base.dvs
                 or cur.constraints != base.constraints
+                or cur.bucket_by != base.bucket_by
             ):
                 # a concurrent schema change landed (rename/add/drop column,
                 # a schema-evolving append, or an add_constraint whose
@@ -3854,7 +3889,17 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
-            self._refuse_bucketed(base, "merge")
+            if base.bucket_by:
+                # bucketed tables take the CoW form (round 10)
+                return self.merge_latest(
+                    source,
+                    keys,
+                    order_col,
+                    delete_col=delete_col,
+                    max_retries=max_retries,
+                    txn=txn,
+                    via="cow",
+                )
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:

@@ -85,16 +85,63 @@ def test_bucketed_txlog_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_bucketed_txlog_row_ops_refuse(spark, tmp_path):
+def test_bucketed_txlog_row_level_dml_keeps_layout(spark, tmp_path):
+    """Round 10: copy-on-write row-level DML works ON bucketed tables —
+    rewritten candidates re-stage through the BUCKETED writer, so the
+    mutated table still joins with zero Exchange; merge-on-read requests
+    transparently take the CoW path (dv masks would put an anti-join on
+    top of the bucketed scan and break its contract)."""
+    log = TableLog(spark, str(tmp_path / "dml"))
+    other = TableLog(spark, str(tmp_path / "dim"))
+    n = 500
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(n)], "k long, v long"
+    )
+    log.write(df.repartition(4), bucket_by=(4, ["k"]))
+    other.write(
+        spark.createDataFrame([(i, f"d{i}") for i in range(n)],
+                              "k long, name string").repartition(4),
+        bucket_by=(4, ["k"]),
+    )
+    log.delete([("k", "==", 1)])
+    log.update([("k", "==", 2)], {"v": "v + 100000"})
+    chg = spark.createDataFrame(
+        [(3, -3), (n + 7, 777)], "k long, v long"
+    )
+    log.merge(chg, ["k"])
+    snap = log.snapshot()
+    assert snap.bucket_by == {"n": 4, "cols": ["k"], "sort": []}
+    got = {r.k: r.v for r in log.read_bucketed().collect()}
+    assert 1 not in got
+    assert got[2] == 20 + 100000 and got[3] == -3 and got[n + 7] == 777
+    # zero-Exchange co-bucketed join SURVIVES the mutations
+    prev = _no_broadcast(spark)
+    try:
+        j = log.read_bucketed().join(other.read_bucketed(), "k")
+        assert "Exchange hashpartitioning" not in _plan(j)
+        assert j.count() == n - 1  # k=1 deleted; k=n+7 has no dim row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # merge-on-read requests fall back to CoW: no vectors ever recorded
+    res = log.delete([("k", "==", 3)], via="dv")
+    assert res["files_rewritten"] >= 1 and log.snapshot().dvs == {}
+    log.update([("k", "==", 4)], {"v": "0"}, via="dv")
+    log.merge(chg.filter("k = 3"), ["k"], via="dv")
+    log.merge(
+        chg, ["k"], via="dv",
+        matched_clauses=[{"action": "update", "condition": None,
+                          "set": {"v": "s.v"}}],
+    )
+    assert log.snapshot().dvs == {}
+    assert log.snapshot().bucket_by == {"n": 4, "cols": ["k"], "sort": []}
+    got = {r.k: r.v for r in log.read_bucketed().collect()}
+    assert got[4] == 0 and got[3] == -3
+
+
+def test_bucketed_txlog_ddl_guards_still_refuse(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "t"))
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     log.write(df, bucket_by=(4, ["k"]))
-    with pytest.raises(ValueError, match="bucket"):
-        log.delete([("k", "==", 1)])
-    with pytest.raises(ValueError, match="bucket"):
-        log.update([("k", "==", 1)], {"v": "3"})
-    with pytest.raises(ValueError, match="bucket"):
-        log.merge(df, ["k"])
     # OPTIMIZE compacts THROUGH the bucketed writer (layout preserved)
     v_opt = log.optimize()
     snap_opt = log.snapshot()
