@@ -1290,6 +1290,36 @@ class Warehouse:
         if m_files:
             return self.files(m_files.group(1))
 
+        # SHALLOW CLONE (round 10; Delta's zero-copy dev/test fork):
+        # CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n |
+        # TIMESTAMP AS OF ms] — hardlinked snapshot fork, no bytes move
+        m_clone = re.match(
+            r"\s*CREATE\s+TABLE\s+`?(\w+)`?\s+SHALLOW\s+CLONE\s+`?(\w+)`?"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_clone:
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "SHALLOW CLONE requires the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots are "
+                    "copy-per-version directories with nothing to share"
+                )
+            dst, src_t = m_clone.group(1), m_clone.group(2)
+            if not self.exists(src_t):
+                raise ValueError(f"clone source {src_t!r} does not exist")
+            src_log = self._log(src_t)
+            ver = int(m_clone.group(3)) if m_clone.group(3) else None
+            if m_clone.group(4):
+                ver = src_log.version_at(int(m_clone.group(4)))
+            src_log.shallow_clone(self.path(dst), version=ver)
+            return self.spark.createDataFrame(
+                [(dst, "SHALLOW CLONE", 1)],
+                "table_name string, operation string, version long",
+            )
+
         # CTAS with optional partition/bucket layout (round 8): the SELECT
         # runs back through .sql() so VERSION AS OF / table_changes() /
         # warehouse table references all resolve inside it. CREATE TABLE

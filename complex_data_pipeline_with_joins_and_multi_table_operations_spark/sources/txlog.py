@@ -914,6 +914,78 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def shallow_clone(
+        self, dest_root: str, version: int | None = None
+    ) -> "TableLog":
+        """``CREATE TABLE … SHALLOW CLONE src [VERSION AS OF n]`` — a
+        ZERO-COPY fork of a snapshot (Delta's dev/test-fork verb): the
+        clone is an independent table whose v1 references the source
+        snapshot's data files via HARDLINKS, so no bytes move at any
+        table size. Divergence is free both ways: writes to either table
+        never touch the other (commits are per-table; CoW rewrites
+        replace files rather than mutating them), and VACUUM on either
+        side only unlinks its own directory entry — the shared inode
+        lives until the last referent drops it. Deletion vectors, bucket
+        layout, column mapping, constraints, and Bloom sidecars all
+        carry over; history does NOT (the clone starts at v1, recording
+        its lineage in the commit's ``cloned_from``/``cloned_version``).
+        Requires same-filesystem roots (hardlink semantics ARE the
+        zero-copy contract — a cross-filesystem clone would silently
+        become a full copy, so it refuses instead)."""
+        snap = self.snapshot(version)  # validates the version
+        dest = TableLog(self.spark, dest_root)
+        if dest.exists():
+            raise ValueError(f"clone destination {dest_root} already exists")
+        os.makedirs(dest.data_dir, exist_ok=True)
+        os.makedirs(dest.log_dir, exist_ok=True)
+
+        def _link(rel: str) -> None:
+            src_p = os.path.join(self.data_dir, rel)
+            dst_p = os.path.join(dest.data_dir, rel)
+            os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+            try:
+                os.link(src_p, dst_p)
+            except OSError as e:
+                raise ValueError(
+                    f"shallow clone requires hardlink support between "
+                    f"{self.root} and {dest_root} (same filesystem); "
+                    f"linking {rel!r} failed: {e}"
+                ) from e
+
+        adds = []
+        for rel, meta in snap.files.items():
+            if not os.path.exists(os.path.join(self.data_dir, rel)):
+                raise FileNotFoundError(
+                    f"cannot clone {self.root}@v{snap.version}: {rel} was "
+                    "vacuumed"
+                )
+            _link(rel)
+            for entry in (meta.get("bloom") or {}).values():
+                side = entry.get("sidecar")
+                if side:
+                    _link(side)
+            adds.append(dict(meta))
+        payload = {
+            "version": 1,
+            "snapshot_id": _snapshot_id(1, adds, [], None),
+            "parent_id": None,
+            "operation": "clone",
+            "cloned_from": self.root,
+            "cloned_version": snap.version,
+            "schema": snap.schema_json,
+            "partition_by": list(snap.partition_by or []),
+            "bucket_by": snap.bucket_by,
+            "bloom_cols": snap.bloom_cols,
+            "constraints": snap.constraints,
+            "column_mapping": snap.column_mapping,
+            "dropped_physical": snap.dropped_physical,
+            "dvs": snap.dvs,
+            "adds": adds,
+            "removes": [],
+        }
+        dest._commit(1, payload)
+        return dest
+
     # -- write path ---------------------------------------------------------
 
     def _harvest_blooms(

@@ -527,6 +527,69 @@ def test_bloom_m3_mirror_and_md5_backcompat(spark, tmp_path):
     assert res["files_rewritten"] == 0
 
 
+def test_shallow_clone_zero_copy_fork(spark, tmp_path):
+    """Round 10: CREATE TABLE … SHALLOW CLONE — a hardlinked snapshot
+    fork: no data bytes copied (st_nlink proves the shared inodes),
+    mutations diverge both ways, VACUUM on the source cannot break the
+    clone (the inode lives until its last referent), VERSION AS OF
+    clones history points, and dv/bucket/constraint metadata carries."""
+    import os
+
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(spark.createDataFrame(TARGET, T_SCHEMA), "t")
+    wh.sql("INSERT INTO t VALUES (6, 'f', 60)")
+    wh.delete("t", [("id", "==", 5)], via="dv")  # clone must carry the dv
+    r = wh.sql("CREATE TABLE t2 SHALLOW CLONE t").head()
+    assert r.operation == "SHALLOW CLONE" and r.version == 1
+    assert sorted(x.id for x in wh.read_snapshot("t2").collect()) == [
+        1, 2, 3, 4, 6,
+    ]
+    # zero-copy: every clone data file shares its inode with the source
+    clone_log = wh._log("t2")
+    data_dir = clone_log.data_dir
+    links = [
+        os.stat(os.path.join(data_dir, p)).st_nlink
+        for p in clone_log.snapshot().files
+    ]
+    assert links and all(n >= 2 for n in links)
+    # divergence: mutate the clone — the source is untouched
+    wh.sql("DELETE FROM t2 WHERE id = 1")
+    wh.sql("INSERT INTO t2 VALUES (100, 'z', 0)")
+    assert sorted(x.id for x in wh.read_snapshot("t2").collect()) == [
+        2, 3, 4, 6, 100,
+    ]
+    assert sorted(x.id for x in wh.read_snapshot("t").collect()) == [
+        1, 2, 3, 4, 6,
+    ]
+    # …and vice versa: source mutations never reach the clone
+    wh.sql("UPDATE t SET name = 'CHANGED' WHERE id = 2")
+    assert [x.name for x in wh.read_snapshot("t2").filter("id = 2").collect()] == ["b"]
+    # VERSION AS OF clones a history point (v1: before the insert/delete)
+    wh.sql("CREATE TABLE t0 SHALLOW CLONE t VERSION AS OF 1")
+    assert sorted(x.id for x in wh.read_snapshot("t0").collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    # VACUUM the source aggressively: the clone still reads (hardlinks)
+    wh.write_snapshot(spark.createDataFrame([(0, "x", 0)], T_SCHEMA), "t")
+    wh._log("t").vacuum(retain_last=1, min_file_age_s=0.0)
+    assert wh.read_snapshot("t2").count() == 5
+    assert wh.read_snapshot("t0").count() == 5
+    # collisions and missing sources refuse
+    with pytest.raises(ValueError, match="already exists"):
+        wh.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.sql("CREATE TABLE t9 SHALLOW CLONE nope")
+    # bucketed layout carries: the clone's co-bucketed join still works
+    wh.write_snapshot(
+        spark.createDataFrame([(i, i) for i in range(100)], "k long, v long"),
+        "bt",
+        bucket_by=(4, ["k"]),
+    )
+    wh.sql("CREATE TABLE bt2 SHALLOW CLONE bt")
+    assert wh._log("bt2").snapshot().bucket_by["n"] == 4
+    assert wh._log("bt2").read_bucketed().count() == 100
+
+
 def test_insert_values_boolean_literal_guard(spark, tmp_path):
     """Advice (low): a quoted 'false' (or any string) must not coerce to
     True via bool() — TRUE/FALSE literals (and their quoted spellings)
