@@ -1284,6 +1284,36 @@ class Warehouse:
                 "table_name string, operation string, version long",
             )
 
+        # column DEFAULT DDL (round 10; Spark/Delta syntax): metadata
+        # commits; later INSERTs whose column list omits the column take
+        # the default instead of NULL
+        m_dflt = re.match(
+            r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ALTER\s+COLUMN\s+`?(\w+)`?"
+            r"\s+(?:SET\s+DEFAULT\s+(.+?)|(DROP\s+DEFAULT))\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_dflt:
+            t = m_dflt.group(1)
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "column DEFAULTs require the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots carry no "
+                    "default metadata"
+                )
+            if m_dflt.group(4):
+                op = "DROP DEFAULT"
+                v = self._log(t).drop_default(m_dflt.group(2))
+            else:
+                op = "SET DEFAULT"
+                v = self._log(t).set_default(
+                    m_dflt.group(2), m_dflt.group(3).strip()
+                )
+            return self.spark.createDataFrame(
+                [(t, op, v)],
+                "table_name string, operation string, version long",
+            )
+
         m_files = re.match(
             r"\s*DESCRIBE\s+FILES\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
         )
@@ -1441,10 +1471,21 @@ class Warehouse:
                     for r in rows
                 ]
                 df = self.spark.createDataFrame(coerced, sub)
-            # columns the INSERT omitted read NULL (SQL semantics)
+            # columns the INSERT omitted take their declared DEFAULT
+            # (round 10) and otherwise read NULL (SQL semantics)
+            defaults = (
+                self._log(t).snapshot().defaults
+                if hasattr(self, "_log") and self.exists(t)
+                else {}
+            )
             for f in target.fields:
                 if f.name not in df.columns:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    fill = (
+                        F.expr(defaults[f.name])
+                        if f.name in defaults
+                        else F.lit(None)
+                    )
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
             df = df.select(*[df[f.name] for f in target.fields])
             n = df.count()
             if hasattr(self, "append"):

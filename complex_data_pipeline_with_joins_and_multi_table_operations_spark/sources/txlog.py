@@ -188,8 +188,9 @@ class Snapshot:
     # contract. Appends PRESERVE the layout (round 9): they re-stage
     # through the bucketed writer under the standing spec, so new files
     # join the bucket layout (bucket ids in their names keep grouping
-    # correct); row-level ops and replace_where still refuse — their
-    # rewrites would emit files outside the layout.
+    # correct); round 10: row-level DML rewrites re-stage through the
+    # bucketed writer too (_stage_for), so only replace_where and the
+    # layout-redefining DDL still refuse.
     bucket_by: dict = field(default_factory=dict)
     # Opt-in per-column Bloom-filter file skipping (round 9 — Delta's
     # Bloom filter index / Iceberg's bloom write property): columns
@@ -199,6 +200,11 @@ class Snapshot:
     # min/max: a point DELETE on a uniformly distributed key — which
     # ranges can never prune — touches only Bloom-positive files.
     bloom_cols: list = field(default_factory=list)
+    # Column DEFAULT values (round 10 — Spark/Delta `ALTER COLUMN c SET
+    # DEFAULT <expr>`): SQL-literal expressions applied when an INSERT's
+    # column list omits the column; existing rows are untouched (the
+    # SET DEFAULT form, not ADD COLUMN ... DEFAULT's existence default).
+    defaults: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -361,6 +367,7 @@ class TableLog:
                 snap.dvs = cp.get("dvs") or {}
                 snap.bucket_by = cp.get("bucket_by") or {}
                 snap.bloom_cols = cp.get("bloom_cols") or []
+                snap.defaults = cp.get("defaults") or {}
                 replay_from = cv
                 break
 
@@ -386,6 +393,8 @@ class TableLog:
                 snap.bucket_by = c["bucket_by"]
             if "bloom_cols" in c:  # same carry-forward rule
                 snap.bloom_cols = c["bloom_cols"]
+            if "defaults" in c:  # same carry-forward rule
+                snap.defaults = c["defaults"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -492,6 +501,101 @@ class TableLog:
                 "adds": [],
                 "removes": [],
                 "constraints": {**cur.constraints, name: expr},
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def set_default(
+        self, column: str, expr: str, max_retries: int = 3
+    ) -> int:
+        """ALTER COLUMN … SET DEFAULT (Spark/Delta semantics): a
+        metadata-only commit recording a constant SQL expression applied
+        whenever a later INSERT's column list omits the column. Existing
+        rows are untouched. The expression must evaluate driver-side to
+        a constant castable to the column's type — non-deterministic or
+        column-referencing defaults refuse (Spark's literal-default
+        restriction)."""
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if column not in cur.schema.names:
+                raise ValueError(
+                    f"cannot set DEFAULT on unknown column {column!r} "
+                    f"(table has {cur.schema.names})"
+                )
+            dt = cur.schema[column].dataType
+            import re as _re
+
+            if _re.search(
+                r"\b(rand|randn|random|uuid|shuffle|"
+                r"monotonically_increasing_id)\s*\(",
+                expr,
+                _re.IGNORECASE,
+            ):
+                raise ValueError(
+                    f"DEFAULT for {column!r} must be deterministic; "
+                    f"{expr!r} is not (Spark's constant-default rule)"
+                )
+            try:
+                # FROM-less SELECT: no columns are in scope, so any
+                # column reference in the expression fails right here
+                self.spark.sql(
+                    f"SELECT CAST(({expr}) AS {dt.simpleString()})"
+                ).head()
+            except Exception as e:
+                raise ValueError(
+                    f"DEFAULT for {column!r} must be a constant "
+                    f"expression castable to {dt.simpleString()}; "
+                    f"{expr!r} failed: {e}"
+                ) from e
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "set_default",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "defaults": {**cur.defaults, column: expr},
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_default(self, column: str, max_retries: int = 3) -> int:
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if column not in cur.defaults:
+                raise ValueError(
+                    f"column {column!r} has no DEFAULT on {self.root}"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "drop_default",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "defaults": {
+                    k: v for k, v in cur.defaults.items() if k != column
+                },
             }
             try:
                 self._commit(version, payload)
@@ -897,6 +1001,7 @@ class TableLog:
                 "partition_by": list(old.partition_by or []),
                 "bucket_by": old.bucket_by,
                 "bloom_cols": old.bloom_cols,
+                "defaults": old.defaults,
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
@@ -976,6 +1081,7 @@ class TableLog:
             "partition_by": list(snap.partition_by or []),
             "bucket_by": snap.bucket_by,
             "bloom_cols": snap.bloom_cols,
+            "defaults": snap.defaults,
             "constraints": snap.constraints,
             "column_mapping": snap.column_mapping,
             "dropped_physical": snap.dropped_physical,
@@ -1814,6 +1920,7 @@ class TableLog:
                     "dvs": snap.dvs,
                     "bucket_by": snap.bucket_by,
                     "bloom_cols": snap.bloom_cols,
+                    "defaults": snap.defaults,
                 },
                 f,
             )

@@ -590,6 +590,58 @@ def test_shallow_clone_zero_copy_fork(spark, tmp_path):
     assert wh._log("bt2").read_bucketed().count() == 100
 
 
+def test_column_defaults(spark, tmp_path):
+    """Round 10: ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr> —
+    metadata commits; an INSERT whose column list omits the column takes
+    the default instead of NULL (both VALUES and SELECT forms), existing
+    rows stay untouched, DROP DEFAULT reverts to NULL-fill,
+    non-deterministic or column-referencing defaults refuse, and the
+    metadata survives checkpoint/restore round trips."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", None)], "id int, name string, status string"
+        ),
+        "t",
+    )
+    r = wh.sql("ALTER TABLE t ALTER COLUMN status SET DEFAULT 'active'")
+    assert r.head().operation == "SET DEFAULT"
+    wh.sql("ALTER TABLE t ALTER COLUMN name SET DEFAULT upper('anon')")
+    wh.sql("INSERT INTO t (id) VALUES (2)")
+    wh.sql("INSERT INTO t (id, status) VALUES (3, 'x')")
+    got = {r.id: (r.name, r.status) for r in wh.read_snapshot("t").collect()}
+    assert got[1] == ("a", None)  # existing row untouched
+    assert got[2] == ("ANON", "active")
+    assert got[3] == ("ANON", "x")  # explicit value wins
+    # INSERT ... SELECT with a column list uses defaults too
+    spark.createDataFrame([(4,)], "id int").createOrReplaceTempView(
+        "ids_r10"
+    )
+    wh.sql("INSERT INTO t (id) SELECT id FROM ids_r10")
+    got = {r.id: r.status for r in wh.read_snapshot("t").collect()}
+    assert got[4] == "active"
+    # DROP DEFAULT reverts to NULL-fill
+    wh.sql("ALTER TABLE t ALTER COLUMN status DROP DEFAULT")
+    wh.sql("INSERT INTO t (id) VALUES (5)")
+    got = {r.id: r.status for r in wh.read_snapshot("t").collect()}
+    assert got[5] is None
+    # guards
+    with pytest.raises(ValueError, match="deterministic"):
+        wh.sql("ALTER TABLE t ALTER COLUMN status SET DEFAULT uuid()")
+    with pytest.raises(ValueError, match="constant"):
+        wh.sql("ALTER TABLE t ALTER COLUMN status SET DEFAULT name")
+    with pytest.raises(ValueError, match="unknown column"):
+        wh.sql("ALTER TABLE t ALTER COLUMN zz SET DEFAULT 1")
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        wh.sql("ALTER TABLE t ALTER COLUMN status DROP DEFAULT")
+    # metadata survives restore (time travel to the pre-drop version)
+    log = wh._log("t")
+    log.restore(3)  # v3 = after both SET DEFAULTs, before inserts
+    assert log.snapshot().defaults == {
+        "status": "'active'", "name": "upper('anon')"
+    }
+
+
 def test_insert_values_boolean_literal_guard(spark, tmp_path):
     """Advice (low): a quoted 'false' (or any string) must not coerce to
     True via bool() — TRUE/FALSE literals (and their quoted spellings)
