@@ -119,6 +119,24 @@ def test_merge_branches_operator_semantics(spark):
         )
 
 
+def test_merge_branches_plan_is_one_join_per_side(spark):
+    """Plan-shape contract (PLANS.md §multi-branch MERGE): however many
+    matched clauses, the plan carries exactly ONE inner join (all clause
+    outcomes in a per-column CASE) plus one anti join per remaining side
+    — no per-clause joins, no extra shuffles at 100 TB."""
+    import re
+
+    t = spark.createDataFrame(TARGET, T_SCHEMA)
+    s = spark.createDataFrame(SOURCE, S_SCHEMA)
+    out = merge_branches(
+        t, s, ["id"], matched=CDC_MATCHED,
+        insert=True, insert_condition="s.op <> 'D'",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = re.findall(r"Join (\w+)", plan)
+    assert sorted(joins) == ["Inner", "LeftAnti", "LeftAnti"], joins
+
+
 def test_sql_merge_multi_branch_end_to_end(spark, tmp_path):
     """The statement form — ordered WHEN MATCHED clauses, conditional
     INSERT, NMBS UPDATE and DELETE — lands the same state as the
