@@ -311,10 +311,15 @@ def _parse_where_term(term: str) -> tuple:
     raise ValueError(f"cannot parse WHERE term {term!r}")
 
 
+# sentinel for the explicit DEFAULT keyword in INSERT VALUES (round 10)
+_DEFAULT = object()
+
+
 def _parse_values_rows(text: str) -> list[list]:
     """INSERT … VALUES body: top-level parenthesized tuples (scanned
     with ''-escaped string awareness), each split on commas and parsed
-    with the WHERE-literal grammar plus NULL."""
+    with the WHERE-literal grammar plus NULL and the DEFAULT keyword
+    (resolved to the column's declared default at bind time)."""
     rows: list[list] = []
     i, n = 0, len(text)
     while i < n:
@@ -347,6 +352,8 @@ def _parse_values_rows(text: str) -> list[list]:
                 [
                     None
                     if it.strip().upper() == "NULL"
+                    else _DEFAULT
+                    if it.strip().upper() == "DEFAULT"
                     else _where_lit(it)
                     for it in _split_in_list(body)
                 ]
@@ -1462,10 +1469,29 @@ class Warehouse:
                         )
                 from pyspark.sql.types import StructType as _St
 
+                defaults_kw = (
+                    self._log(t).snapshot().defaults
+                    if hasattr(self, "_log") and self.exists(t)
+                    else {}
+                )
+
+                def _resolve_default(col: str, dtype) -> object:
+                    # the explicit DEFAULT keyword: the declared default
+                    # evaluated driver-side (ANSI: no declared default
+                    # means NULL)
+                    expr = defaults_kw.get(col)
+                    if expr is None:
+                        return None
+                    return self.spark.sql(
+                        f"SELECT CAST(({expr}) AS {dtype.simpleString()})"
+                    ).head()[0]
+
                 sub = _St([target[c] for c in names])
                 coerced = [
                     tuple(
-                        _coerce_literal(v, sub[j].dataType)
+                        _resolve_default(names[j], sub[j].dataType)
+                        if v is _DEFAULT
+                        else _coerce_literal(v, sub[j].dataType)
                         for j, v in enumerate(r)
                     )
                     for r in rows

@@ -638,6 +638,11 @@ def test_column_defaults(spark, tmp_path):
     wh.sql("INSERT INTO t (id) SELECT id FROM ids_r10")
     got = {r.id: r.status for r in wh.read_snapshot("t").collect()}
     assert got[4] == "active"
+    # the explicit DEFAULT keyword in VALUES resolves the declared
+    # default (ANSI: NULL when none is declared)
+    wh.sql("INSERT INTO t VALUES (10, DEFAULT, DEFAULT)")
+    got = {r.id: (r.name, r.status) for r in wh.read_snapshot("t").collect()}
+    assert got[10] == ("ANON", "active")
     # DROP DEFAULT reverts to NULL-fill
     wh.sql("ALTER TABLE t ALTER COLUMN status DROP DEFAULT")
     wh.sql("INSERT INTO t (id) VALUES (5)")
