@@ -88,6 +88,7 @@ def merge_upsert(
     update_set: dict[str, str] | None = None,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_condition: Column | None = None,
+    check_cardinality: bool = True,
 ) -> DataFrame:
     """MERGE INTO as a batch operator: WHEN MATCHED THEN UPDATE (source row
     wins), WHEN NOT MATCHED THEN INSERT, and optionally WHEN MATCHED AND
@@ -138,19 +139,8 @@ def merge_upsert(
                 "UPDATE SET cannot assign a merge key (Delta/SQL MERGE "
                 "restriction — reassigning keys makes matching ambiguous)"
             )
-        dup = (
-            source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "MERGE with UPDATE SET assignments requires unique "
-                "source keys: multiple source rows matched the same "
-                "target row (SQL MERGE cardinality violation)"
-            )
+        if check_cardinality:
+            check_merge_cardinality(target, source, keys)
     # anti-join on ALL source keys (delete rows included — their target
     # matches must disappear)
     all_keys = source.select(*keys).distinct()
@@ -206,6 +196,34 @@ def merge_upsert(
     return survivors.unionByName(matched).unionByName(
         inserts.select(*target.columns)
     )
+
+
+def check_merge_cardinality(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> None:
+    """SQL MERGE's cardinality rule, scoped the way Delta/SQL scope it
+    (round 11): the statement errors only when multiple source rows
+    MATCH THE SAME TARGET ROW — duplicate source keys that match no
+    target row simply take the NOT MATCHED path (each inserts, exactly
+    like Delta). Two-phase so the common case costs one tiny aggregate
+    over the (trickle-sized) source and never touches the target: only
+    if duplicated keys exist does a broadcast semi-probe of the target
+    decide whether any of them actually matches."""
+    dups = (
+        source.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(*keys)
+    )
+    if not dups.take(1):
+        return
+    if target.join(F.broadcast(dups), keys, "left_semi").take(1):
+        raise ValueError(
+            "MERGE with matched clauses requires unique source keys "
+            "among rows that match the target: multiple source rows "
+            "matched the same target row (SQL MERGE cardinality "
+            "violation)"
+        )
 
 
 def _clause_condition(cond: str | None) -> Column:
@@ -324,6 +342,24 @@ def _insert_clauses(
     return [{"condition": insert_condition, "set": None}] if insert else []
 
 
+def _insert_value(
+    c: str, dt, sets: dict | None, defaults: dict[str, str] | None
+) -> Column:
+    """Value of one target column for one insert clause: ``sets=None``
+    is ``INSERT *`` (source column wholesale); a listed column takes its
+    VALUES expression — unless that expression is the bare ``DEFAULT``
+    keyword (round 11, ANSI/Delta: the column's declared default); an
+    UNLISTED column takes its declared default too (Delta fills
+    defaults, not NULL) and only defaults-less columns NULL-fill."""
+    if sets is None:
+        return F.col(f"s.`{c}`").cast(dt)  # INSERT *
+    expr = sets.get(c)
+    if expr is not None and expr.strip().upper() != "DEFAULT":
+        return F.expr(expr).cast(dt)
+    d = (defaults or {}).get(c)
+    return (F.expr(d) if d is not None else F.lit(None)).cast(dt)
+
+
 def merge_branches(
     target: DataFrame,
     source: DataFrame,
@@ -333,6 +369,8 @@ def merge_branches(
     insert_condition: str | None = None,
     not_matched_by_source: list[dict] | None = None,
     not_matched: list[dict] | None = None,
+    check_cardinality: bool = True,
+    defaults: dict[str, str] | None = None,
 ) -> DataFrame:
     """The FULL multi-branch MERGE (Delta's CDC-apply shape) as one batch
     operator::
@@ -344,10 +382,14 @@ def merge_branches(
 
     ``not_matched`` is the ordered insert-clause list
     ``{"condition": sql|None, "set": {col: sql}|None}`` (``set=None`` =
-    ``INSERT *``; a column-list insert NULL-fills unlisted columns,
-    first-match-wins, a source row satisfying no clause is dropped); the
-    legacy ``insert``/``insert_condition`` pair maps to one clause and is
-    superseded when ``not_matched`` is given.
+    ``INSERT *``; first-match-wins, a source row satisfying no clause is
+    dropped); the legacy ``insert``/``insert_condition`` pair maps to
+    one clause and is superseded when ``not_matched`` is given. A
+    column-list insert fills each UNLISTED column with its declared
+    default from ``defaults`` ({col: sql expr} — Delta's fill rule,
+    round 11) and NULLs only the default-less ones; a VALUES expression
+    that is the bare ``DEFAULT`` keyword resolves the same way (ANSI:
+    no declared default means NULL).
 
     ``matched`` / ``not_matched_by_source`` are ordered lists of clause
     dicts ``{"action": "update"|"delete", "condition": sql|None,
@@ -369,9 +411,15 @@ def merge_branches(
     the SAME keys, so AQE plans one exchange per side. The trickle-sized
     source broadcasts.
 
-    Duplicate source keys raise (SQL MERGE cardinality violation): with
+    Duplicate source keys raise (SQL MERGE cardinality violation) —
+    scoped like Delta/SQL scope it (round 11): only duplicates whose
+    key actually MATCHES a target row error; duplicated keys matching
+    nothing each take the NOT MATCHED path and insert. With
     conditional or partial updates, two source rows hitting one target
     row would apply both or duplicate it — Delta refuses too.
+    ``check_cardinality=False`` skips the probe when the caller already
+    ran it (the txlog dv→CoW fallback re-enters here; re-checking would
+    double the job).
 
     Reference analog: the upsert semantics implied by SDSIcebergWriter
     (IngestionJob.scala:80-84), generalized to the standard Delta/SQL
@@ -381,20 +429,8 @@ def merge_branches(
     nmbs = not_matched_by_source or []
     _validate_clauses(matched, target.columns, keys, "MATCHED")
     _validate_clauses(nmbs, target.columns, keys, "NOT MATCHED BY SOURCE")
-    if matched:
-        dup = (
-            source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "MERGE with matched clauses requires unique source keys: "
-                "multiple source rows matched the same target row (SQL "
-                "MERGE cardinality violation)"
-            )
+    if matched and check_cardinality:
+        check_merge_cardinality(target, source, keys)
 
     out_parts: list[DataFrame] = []
 
@@ -482,13 +518,7 @@ def merge_branches(
             dt = target.schema[c].dataType
             w = None
             for i, cl in enumerate(nm):
-                sets = cl.get("set")
-                if sets is None:
-                    v = F.col(f"s.`{c}`").cast(dt)  # INSERT *
-                elif c in sets:
-                    v = F.expr(sets[c]).cast(dt)
-                else:
-                    v = F.lit(None).cast(dt)  # unlisted column NULL-fills
+                v = _insert_value(c, dt, cl.get("set"), defaults)
                 cond_i = F.col("__i_branch") == i
                 w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
             proj.append(w.alias(c))

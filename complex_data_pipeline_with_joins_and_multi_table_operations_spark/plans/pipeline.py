@@ -56,6 +56,56 @@ def _where_lit(tok: str):
     )
 
 
+def _session_now():
+    """Wall-clock **in the session's timezone** — the zone Spark itself
+    evaluates ``current_date()``/``current_timestamp()`` in
+    (``spark.sql.session.timeZone``, round 11: the r10 fold used
+    driver-local time, which diverges for up to 24 h around midnight
+    when the session is configured to a different zone). Returns a
+    naive datetime representing session-zone wall time, matching how
+    Spark renders the values as literals. Region names resolve through
+    zoneinfo; ``GMT+8`` / ``+08:00`` style fixed offsets parse
+    directly; an unresolvable zone falls back to driver-local time
+    (the r10 behavior) rather than failing the statement."""
+    import re as _re
+    from datetime import datetime as _datetime
+    from datetime import timedelta as _td
+    from datetime import timezone as _tz
+
+    tz_name = None
+    try:
+        from pyspark.sql import SparkSession as _SS
+
+        spark = _SS.getActiveSession()
+        if spark is not None:
+            tz_name = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz_name = None
+    tzinfo = None
+    if tz_name:
+        m = _re.match(
+            r"^(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?$", tz_name
+        )
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            tzinfo = _tz(
+                sign
+                * _td(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+            )
+        elif tz_name.upper() in ("UTC", "GMT", "Z"):
+            tzinfo = _tz.utc
+        else:
+            try:
+                from zoneinfo import ZoneInfo as _ZI
+
+                tzinfo = _ZI(tz_name)
+            except Exception:
+                tzinfo = None
+    if tzinfo is not None:
+        return _datetime.now(_tz.utc).astimezone(tzinfo).replace(tzinfo=None)
+    return _datetime.now()
+
+
 def _fold_date_fn(tok: str):
     """Round 10: DETERMINISTIC date functions in DML WHERE, constant-
     folded driver-side into plain literals so the existing min/max/
@@ -63,7 +113,8 @@ def _fold_date_fn(tok: str):
     retention-job shape ``DELETE WHERE ship_date <
     date_sub(current_date(), 90)`` prunes exactly like a DATE literal.
     Folding current_date()/current_timestamp() at parse time matches
-    Spark's semantics (both are fixed once per statement).
+    Spark's semantics (both are fixed once per statement, evaluated in
+    the SESSION timezone — see ``_session_now``).
     Non-deterministic functions refuse loudly."""
     import re as _re
     from datetime import date as _date
@@ -73,12 +124,12 @@ def _fold_date_fn(tok: str):
     tok = tok.strip()
     m = _re.match(r"^current_date\s*\(\s*\)$", tok, _re.IGNORECASE)
     if m:
-        return _date.today()
+        return _session_now().date()
     m = _re.match(
         r"^(?:current_timestamp|now)\s*\(\s*\)$", tok, _re.IGNORECASE
     )
     if m:
-        return _datetime.now()
+        return _session_now()
     m = _re.match(r"^(rand|randn|random|uuid)\s*\(", tok, _re.IGNORECASE)
     if m:
         raise ValueError(
@@ -102,6 +153,13 @@ def _fold_date_fn(tok: str):
         base = _where_lit(args[0])  # literal or nested foldable fn
         if isinstance(base, str):
             base = _date.fromisoformat(base)  # Spark casts 'yyyy-mm-dd'
+        if isinstance(base, _datetime):
+            # Spark's date_sub/date_add cast a timestamp argument to
+            # DATE (session-zone day) before the arithmetic; a naive
+            # datetime here IS session-zone wall time, so truncation is
+            # exactly that cast (round 11 — datetime subclasses date,
+            # the bare isinstance check silently kept the time part)
+            base = base.date()
         if not isinstance(base, _date):
             raise ValueError(
                 f"{m.group(1)} needs a date first argument, got {base!r}"
@@ -1438,6 +1496,14 @@ class Warehouse:
                 else None
             )
             target = self.read_snapshot(t).schema
+            # ONE defaults fetch per statement (advice r10: it ran once
+            # per DEFAULT cell plus once more for the unlisted-column
+            # fill — O(rows) driver queries on bulk inserts)
+            defaults = (
+                self._log(t).snapshot().defaults
+                if hasattr(self, "_log") and self.exists(t)
+                else {}
+            )
             if m_ins.group(4):
                 df = self.sql(m_ins.group(4))
                 # INSERT … SELECT binds POSITIONALLY (SQL semantics):
@@ -1469,22 +1535,28 @@ class Warehouse:
                         )
                 from pyspark.sql.types import StructType as _St
 
-                defaults_kw = (
-                    self._log(t).snapshot().defaults
-                    if hasattr(self, "_log") and self.exists(t)
-                    else {}
-                )
+                _default_memo: dict = {}
 
                 def _resolve_default(col: str, dtype) -> object:
                     # the explicit DEFAULT keyword: the declared default
                     # evaluated driver-side (ANSI: no declared default
-                    # means NULL)
-                    expr = defaults_kw.get(col)
-                    if expr is None:
-                        return None
-                    return self.spark.sql(
-                        f"SELECT CAST(({expr}) AS {dtype.simpleString()})"
-                    ).head()[0]
+                    # means NULL), memoized per column for the statement
+                    # (advice r10: one driver round-trip per DEFAULT
+                    # cell; set_default validated the expression as a
+                    # constant, so one evaluation is the statement's)
+                    if col in _default_memo:
+                        return _default_memo[col]
+                    expr = defaults.get(col)
+                    val = (
+                        None
+                        if expr is None
+                        else self.spark.sql(
+                            f"SELECT CAST(({expr}) AS "
+                            f"{dtype.simpleString()})"
+                        ).head()[0]
+                    )
+                    _default_memo[col] = val
+                    return val
 
                 sub = _St([target[c] for c in names])
                 coerced = [
@@ -1499,11 +1571,6 @@ class Warehouse:
                 df = self.spark.createDataFrame(coerced, sub)
             # columns the INSERT omitted take their declared DEFAULT
             # (round 10) and otherwise read NULL (SQL semantics)
-            defaults = (
-                self._log(t).snapshot().defaults
-                if hasattr(self, "_log") and self.exists(t)
-                else {}
-            )
             for f in target.fields:
                 if f.name not in df.columns:
                     fill = (

@@ -1037,39 +1037,66 @@ class TableLog:
         Requires same-filesystem roots (hardlink semantics ARE the
         zero-copy contract — a cross-filesystem clone would silently
         become a full copy, so it refuses instead)."""
+        import errno
+
         snap = self.snapshot(version)  # validates the version
         dest = TableLog(self.spark, dest_root)
         if dest.exists():
             raise ValueError(f"clone destination {dest_root} already exists")
-        os.makedirs(dest.data_dir, exist_ok=True)
-        os.makedirs(dest.log_dir, exist_ok=True)
+        # link into a TEMP tree, publish with one atomic rename (round
+        # 11, advice r10): a mid-loop link failure or crash used to
+        # leave orphan hardlinks in the real data dir with no commit —
+        # and a retry then died on EEXIST, misreported as "no hardlink
+        # support". The temp tree is removed on any failure, so a retry
+        # always starts clean.
+        os.makedirs(dest_root, exist_ok=True)
+        if os.path.isdir(dest.data_dir):
+            # a commit-less data dir can only be debris from a pre-fix
+            # crashed clone (dest.exists() above proved no commit
+            # references it) — clear it so the rename below lands
+            _rmtree(dest.data_dir)
+        tmp_data = os.path.join(dest_root, f".tmp-clone-{uuid.uuid4().hex}")
+        os.makedirs(tmp_data)
 
         def _link(rel: str) -> None:
             src_p = os.path.join(self.data_dir, rel)
-            dst_p = os.path.join(dest.data_dir, rel)
+            dst_p = os.path.join(tmp_data, rel)
             os.makedirs(os.path.dirname(dst_p), exist_ok=True)
             try:
                 os.link(src_p, dst_p)
             except OSError as e:
+                if e.errno == errno.EXDEV:
+                    raise ValueError(
+                        f"shallow clone requires {self.root} and "
+                        f"{dest_root} on the SAME filesystem (hardlink "
+                        "semantics ARE the zero-copy contract; a cross-"
+                        "filesystem clone would silently become a full "
+                        f"copy): linking {rel!r} failed with EXDEV"
+                    ) from e
                 raise ValueError(
-                    f"shallow clone requires hardlink support between "
-                    f"{self.root} and {dest_root} (same filesystem); "
-                    f"linking {rel!r} failed: {e}"
+                    f"shallow clone of {self.root} failed linking "
+                    f"{rel!r}: {e}"
                 ) from e
 
         adds = []
-        for rel, meta in snap.files.items():
-            if not os.path.exists(os.path.join(self.data_dir, rel)):
-                raise FileNotFoundError(
-                    f"cannot clone {self.root}@v{snap.version}: {rel} was "
-                    "vacuumed"
-                )
-            _link(rel)
-            for entry in (meta.get("bloom") or {}).values():
-                side = entry.get("sidecar")
-                if side:
-                    _link(side)
-            adds.append(dict(meta))
+        try:
+            for rel, meta in snap.files.items():
+                if not os.path.exists(os.path.join(self.data_dir, rel)):
+                    raise FileNotFoundError(
+                        f"cannot clone {self.root}@v{snap.version}: {rel} "
+                        "was vacuumed"
+                    )
+                _link(rel)
+                for entry in (meta.get("bloom") or {}).values():
+                    side = entry.get("sidecar")
+                    if side:
+                        _link(side)
+                adds.append(dict(meta))
+            os.rename(tmp_data, dest.data_dir)
+        except BaseException:
+            _rmtree(tmp_data)
+            raise
+        os.makedirs(dest.log_dir, exist_ok=True)
         payload = {
             "version": 1,
             "snapshot_id": _snapshot_id(1, adds, [], None),
@@ -3078,6 +3105,7 @@ class TableLog:
         not_matched_by_source_clauses: list[dict] | None = None,
         not_matched_clauses: list[dict] | None = None,
         schema_evolution: bool = False,
+        _skip_dup_check: bool = False,
     ) -> dict:
         """MERGE INTO the table (WHEN MATCHED UPDATE, WHEN NOT MATCHED
         INSERT, optionally WHEN MATCHED AND <delete_condition> DELETE —
@@ -3319,6 +3347,8 @@ class TableLog:
                     insert_condition=insert_condition,
                     not_matched=not_matched_clauses,
                     not_matched_by_source=not_matched_by_source_clauses,
+                    check_cardinality=not _skip_dup_check,
+                    defaults=base.defaults,
                 )
             else:
                 merged = merge_upsert(
@@ -3338,6 +3368,7 @@ class TableLog:
                         if not_matched_by_source_condition is not None
                         else None
                     ),
+                    check_cardinality=not _skip_dup_check,
                 )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage_for(base, merged)
@@ -3584,8 +3615,12 @@ class TableLog:
             _clause_projection,
             _first_match_branch,
             _insert_clauses,
+            _insert_value,
             _validate_clauses,
+            check_merge_cardinality,
         )
+
+        dup_checked = False
 
         def _cow_fallback() -> dict:
             return self.merge(
@@ -3605,6 +3640,9 @@ class TableLog:
                 not_matched_by_source_clauses=nmbs_clauses,
                 schema_evolution=schema_evolution,
                 via="cow",
+                # the cardinality probe ran here already (advice r10:
+                # the cap-fallback used to re-run it twice more)
+                _skip_dup_check=dup_checked,
             )
 
         def _noop(version: int, n_files: int) -> dict:
@@ -3710,21 +3748,14 @@ class TableLog:
                     cand, src, keys, base.column_mapping
                 )
             skipped = len(base.files) - len(cand)
-            if mc:
-                dup = (
-                    src.groupBy(*keys)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dup:
-                    raise ValueError(
-                        "MERGE with matched clauses requires unique "
-                        "source keys: multiple source rows matched the "
-                        "same target row (SQL MERGE cardinality violation)"
-                    )
             scan = self._scan_with_positions(cand, base)
+            if mc and not dup_checked:
+                # scoped to rows that actually match a target row
+                # (candidates are exhaustive for source-key matches by
+                # the pruning argument above); the flag keeps the
+                # cap-fallback from re-running the probe in CoW
+                check_merge_cardinality(scan, src, keys)
+                dup_checked = True
             for fld in eff_schema.fields:
                 if fld.name not in scan.columns:
                     scan = scan.withColumn(
@@ -3782,7 +3813,9 @@ class TableLog:
             if nm:
                 # alive candidate keys are exact for insert detection
                 # (pruning argument above); ordered conditional insert
-                # clauses, first-match-wins, column-list VALUES NULL-fill
+                # clauses, first-match-wins; column-list VALUES fill
+                # unlisted/DEFAULT-keyword columns with their declared
+                # defaults (round 11 — Delta's fill rule)
                 ins = src.alias("s").join(
                     scan.select(*keys), keys, "left_anti"
                 ).withColumn("__i_branch", _first_match_branch(nm)).filter(
@@ -3793,13 +3826,9 @@ class TableLog:
                     dt = eff_schema[c].dataType
                     w = None
                     for i, cl in enumerate(nm):
-                        sets = cl.get("set")
-                        if sets is None:
-                            v = F.col(f"s.`{c}`").cast(dt)
-                        elif c in sets:
-                            v = F.expr(sets[c]).cast(dt)
-                        else:
-                            v = F.lit(None).cast(dt)
+                        v = _insert_value(
+                            c, dt, cl.get("set"), base.defaults
+                        )
                         cond_i = F.col("__i_branch") == i
                         w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
                     proj.append(w.alias(c))

@@ -1,0 +1,267 @@
+"""Round 11: advice-driven hardening — session-timezone constant
+folding for DML date functions, Delta-scoped MERGE cardinality, crash-
+safe SHALLOW CLONE, memoized DEFAULT resolution — plus the round's
+feature set (SQL MERGE schema evolution, DEFAULT in merge inserts,
+generated/identity columns, CDF update images, base-backend clone,
+dv-on-bucketed) tested in sibling blocks below as they land."""
+
+from __future__ import annotations
+
+import errno
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+    check_merge_cardinality,
+    merge_branches,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+    TxLogWarehouse,
+    _fold_date_fn,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    TableLog,
+)
+
+
+# ---------------------------------------------------------------------------
+# advice 1: _fold_date_fn folds in the SESSION timezone and truncates
+# datetime bases to DATE in date_sub/date_add (Spark's own semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "tz", ["Pacific/Kiritimati", "Etc/GMT+12", "UTC", "GMT+05:30"]
+)
+def test_fold_current_date_matches_spark_in_session_tz(spark, tz):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        for _attempt in range(2):  # re-try once across a midnight race
+            folded = _fold_date_fn("current_date()")
+            spark_val = spark.sql("SELECT current_date()").head()[0]
+            if folded == spark_val:
+                break
+        assert folded == spark_val
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_fold_date_sub_of_now_truncates_to_date(spark):
+    from datetime import date, datetime
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/GMT+12")
+    try:
+        for _attempt in range(2):
+            folded = _fold_date_fn("date_sub(now(), 90)")
+            spark_val = spark.sql(
+                "SELECT date_sub(now(), 90)"
+            ).head()[0]
+            if folded == spark_val:
+                break
+        # Spark's date_sub returns DATE even for a timestamp base; the
+        # r10 fold kept a full datetime (datetime subclasses date)
+        assert type(folded) is date and not isinstance(folded, datetime)
+        assert folded == spark_val
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_fold_timestamp_matches_spark_session_clock(spark):
+    """now() folds to session-zone WALL time — the rendering Spark
+    itself uses when a naive datetime literal enters a predicate —
+    within a minute of date_format(current_timestamp()) under a
+    far-offset zone. (Collecting the timestamp directly would render
+    it in the DRIVER's zone and prove nothing.)"""
+    from datetime import datetime
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        folded = _fold_date_fn("now()")
+        rendered = spark.sql(
+            "SELECT date_format(current_timestamp(), "
+            "'yyyy-MM-dd HH:mm:ss')"
+        ).head()[0]
+        spark_wall = datetime.strptime(rendered, "%Y-%m-%d %H:%M:%S")
+        assert abs((folded - spark_wall).total_seconds()) < 60
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# ---------------------------------------------------------------------------
+# advice 2: MERGE cardinality scoped to source rows that MATCH a target
+# row (Delta/SQL semantics) — unmatched duplicates insert instead
+# ---------------------------------------------------------------------------
+
+TARGET = [(1, "a", 10), (2, "b", 20)]
+T_SCHEMA = "id int, name string, val int"
+
+
+def test_unmatched_duplicate_source_keys_insert(spark):
+    tgt = spark.createDataFrame(TARGET, T_SCHEMA)
+    src = spark.createDataFrame(
+        [(9, "x", 90), (9, "y", 91), (1, "u", 100)], T_SCHEMA
+    )
+    out = merge_branches(
+        tgt,
+        src,
+        ["id"],
+        matched=[{"action": "update", "condition": None, "set": None}],
+    )
+    rows = {(r.id, r.name) for r in out.collect()}
+    # both id=9 duplicates insert (they match nothing); id=1 updates
+    assert rows == {(1, "u"), (2, "b"), (9, "x"), (9, "y")}
+
+
+def test_matched_duplicate_source_keys_still_raise(spark):
+    tgt = spark.createDataFrame(TARGET, T_SCHEMA)
+    src = spark.createDataFrame(
+        [(1, "x", 90), (1, "y", 91)], T_SCHEMA
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_branches(
+            tgt,
+            src,
+            ["id"],
+            matched=[{"action": "update", "condition": None, "set": None}],
+        ).collect()
+
+
+@pytest.mark.parametrize("via", ["cow", "dv"])
+def test_txlog_merge_unmatched_duplicates_insert(spark, tmp_path, via):
+    log = TableLog(spark, str(tmp_path / f"t_{via}"))
+    log.write(spark.createDataFrame(TARGET, T_SCHEMA))
+    src = spark.createDataFrame(
+        [(9, "x", 90), (9, "y", 91), (1, "u", 100)], T_SCHEMA
+    )
+    log.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": None, "set": None}
+        ],
+        via=via,
+    )
+    rows = {(r.id, r.name) for r in log.read().collect()}
+    assert rows == {(1, "u"), (2, "b"), (9, "x"), (9, "y")}
+
+
+def test_check_merge_cardinality_no_dups_never_probes_target(spark):
+    """The common no-duplicates case must not touch the target at all
+    (the probe would be a full scan at 100 TB): a target that FAILS on
+    access proves the short-circuit."""
+
+    class _Boom:
+        def join(self, *a, **k):  # pragma: no cover - must not run
+            raise AssertionError("target probed despite unique keys")
+
+    src = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], T_SCHEMA)
+    check_merge_cardinality(_Boom(), src, ["id"])  # no raise
+
+
+# ---------------------------------------------------------------------------
+# advice 3: shallow_clone is crash-safe (temp tree + atomic rename)
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_partial_failure_leaves_no_debris_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    src = TableLog(spark, str(tmp_path / "src"))
+    src.write(
+        spark.createDataFrame([(i, i * 10) for i in range(50)], "id int, v int")
+        .repartition(4)
+    )
+    dest_root = str(tmp_path / "dst")
+
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky_link(s, d, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(errno.EIO, "injected")
+        return real_link(s, d, *a, **k)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    with pytest.raises(ValueError, match="failed linking"):
+        src.shallow_clone(dest_root)
+    monkeypatch.undo()
+
+    dest = TableLog(spark, dest_root)
+    assert not dest.exists()
+    assert not os.path.isdir(dest.data_dir)  # no orphan hardlink tree
+    leftovers = (
+        [d for d in os.listdir(dest_root) if d.startswith(".tmp-clone")]
+        if os.path.isdir(dest_root)
+        else []
+    )
+    assert leftovers == []
+
+    # retry on the SAME destination succeeds (the r10 bug: EEXIST on
+    # the orphan links, misreported as "requires hardlink support")
+    clone = src.shallow_clone(dest_root)
+    assert clone.read().count() == 50
+
+
+def test_shallow_clone_exdev_names_the_filesystem_contract(
+    spark, tmp_path, monkeypatch
+):
+    src = TableLog(spark, str(tmp_path / "src2"))
+    src.write(spark.createDataFrame([(1, 2)], "id int, v int"))
+
+    def exdev_link(s, d, *a, **k):
+        raise OSError(errno.EXDEV, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "link", exdev_link)
+    with pytest.raises(ValueError, match="SAME filesystem"):
+        src.shallow_clone(str(tmp_path / "dst2"))
+    assert not os.path.isdir(str(tmp_path / "dst2" / "data"))
+
+
+# ---------------------------------------------------------------------------
+# advice 4: DEFAULT keyword resolution is memoized per statement
+# ---------------------------------------------------------------------------
+
+
+def test_insert_default_cells_resolve_once_per_column(
+    spark, tmp_path, monkeypatch
+):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.write_snapshot(
+        spark.createDataFrame([(1, "x", 5)], "id int, tag string, n int"),
+        "t",
+    )
+    wh.sql("ALTER TABLE t ALTER COLUMN tag SET DEFAULT 'pending'")
+    wh.sql("ALTER TABLE t ALTER COLUMN n SET DEFAULT 7")
+
+    real_sql = spark.sql
+    cast_calls = {"n": 0}
+
+    def counting_sql(q, *a, **k):
+        if q.lstrip().startswith("SELECT CAST(("):
+            cast_calls["n"] += 1
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", counting_sql)
+    wh.sql(
+        "INSERT INTO t (id, tag, n) VALUES "
+        "(2, DEFAULT, DEFAULT), (3, DEFAULT, 9), (4, DEFAULT, DEFAULT)"
+    )
+    monkeypatch.undo()
+    # two distinct columns used DEFAULT → exactly two evaluations,
+    # not one per cell (5 cells here)
+    assert cast_calls["n"] == 2
+    rows = {
+        (r.id, r.tag, r.n) for r in wh.read_snapshot("t").collect()
+    }
+    assert rows == {
+        (1, "x", 5),
+        (2, "pending", 7),
+        (3, "pending", 9),
+        (4, "pending", 7),
+    }
