@@ -1675,7 +1675,8 @@ class Warehouse:
             )
 
         m_merge = re.match(
-            r"\s*MERGE\s+INTO\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
+            r"\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+            r"INTO\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
             r"\s+USING\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(\w+))?"
             r"\s+ON\s+(.+)$",
             query.rstrip().rstrip(";"),
@@ -1693,11 +1694,27 @@ class Warehouse:
             # (string literals respected), so the phrase 'NOT MATCHED BY
             # SOURCE' inside a literal or condition can never enable
             # full-sync semantics by accident. Everything richer (non-
-            # equality ON, INSERT column lists) is refused loudly — use
-            # the merge() API.
-            t, src = m_merge.group(1), m_merge.group(4)
-            t_alias = m_merge.group(2) or m_merge.group(3) or t
-            s_alias = m_merge.group(5) or m_merge.group(6) or src
+            # equality ON) is refused loudly — use the merge() API.
+            #
+            # Round 11 — MERGE WITH SCHEMA EVOLUTION (the Spark 4 /
+            # Delta CDC-apply statement against an evolving source):
+            # source columns absent from the table extend the schema as
+            # nullable, clause assignments may target them. Delta's
+            # session conf spark.databricks.delta.schema.autoMerge.
+            # enabled switches the same behavior on for every MERGE in
+            # the session (both map onto merge(schema_evolution=True)).
+            t, src = m_merge.group(2), m_merge.group(5)
+            t_alias = m_merge.group(3) or m_merge.group(4) or t
+            s_alias = m_merge.group(6) or m_merge.group(7) or src
+            evolve = bool(m_merge.group(1)) or (
+                str(
+                    self.spark.conf.get(
+                        "spark.databricks.delta.schema.autoMerge.enabled",
+                        "false",
+                    )
+                ).lower()
+                == "true"
+            )
             if not hasattr(self, "merge"):
                 raise ValueError(
                     "MERGE INTO requires the txlog backend "
@@ -1709,7 +1726,7 @@ class Warehouse:
                     f"MERGE target and source aliases collide ({t_alias!r})"
                     " — alias one side differently"
                 )
-            segments = _split_top_level_when(m_merge.group(7))
+            segments = _split_top_level_when(m_merge.group(8))
             on = segments[0]
             if len(segments) < 2:
                 raise ValueError(
@@ -1903,6 +1920,7 @@ class Warehouse:
                 matched_clauses=matched,
                 not_matched_clauses=inserts,
                 not_matched_by_source_clauses=nmbs or None,
+                schema_evolution=evolve,
             )
             return self.spark.createDataFrame(
                 [(t, "MERGE", res["version"], res.get("rows_written"))],

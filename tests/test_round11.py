@@ -228,6 +228,164 @@ def test_shallow_clone_exdev_names_the_filesystem_contract(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# verdict task 1: MERGE WITH SCHEMA EVOLUTION through the SQL verb
+# (Spark 4 syntax) and Delta's autoMerge session conf
+# ---------------------------------------------------------------------------
+
+_AUTOMERGE = "spark.databricks.delta.schema.autoMerge.enabled"
+
+
+def _wh_with_t(spark, tmp_path, name="wh"):
+    wh = TxLogWarehouse(spark, str(tmp_path / name))
+    wh.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        "t",
+    )
+    return wh
+
+
+def test_sql_merge_with_schema_evolution_extends_schema(spark, tmp_path):
+    wh = _wh_with_t(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, "A", 10), (3, "c", 30)], "id int, name string, score int"
+    ).createOrReplaceTempView("cdc_src")
+    wh.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING cdc_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {(r.id, r.name, r.score) for r in wh.read_snapshot("t").collect()}
+    # evolved column: matched/inserted rows carry it, untouched rows NULL
+    assert rows == {(1, "A", 10), (2, "b", None), (3, "c", 30)}
+    # old snapshots keep their pre-evolution schema
+    assert wh.read_snapshot("t", version=1).columns == ["id", "name"]
+
+
+def test_sql_merge_evolution_clause_may_target_new_column(spark, tmp_path):
+    wh = _wh_with_t(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, 10), (3, 30)], "id int, score int"
+    ).createOrReplaceTempView("cdc_src2")
+    wh.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING cdc_src2 AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.score = s.score * 2 "
+        "WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)"
+    )
+    rows = {(r.id, r.name, r.score) for r in wh.read_snapshot("t").collect()}
+    assert rows == {(1, "a", 20), (2, "b", None), (3, None, 30)}
+
+
+def test_sql_merge_automerge_session_conf(spark, tmp_path):
+    wh = _wh_with_t(spark, tmp_path)
+    spark.createDataFrame(
+        [(2, "B", 9)], "id int, name string, extra int"
+    ).createOrReplaceTempView("cdc_src3")
+    stmt = (
+        "MERGE INTO t USING cdc_src3 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    spark.conf.set(_AUTOMERGE, "true")
+    try:
+        wh.sql(stmt)
+    finally:
+        spark.conf.unset(_AUTOMERGE)
+    assert "extra" in wh.read_snapshot("t").columns
+    rows = {(r.id, r.extra) for r in wh.read_snapshot("t").collect()}
+    assert rows == {(1, None), (2, 9)}
+
+
+def test_sql_merge_without_evolution_keeps_schema(spark, tmp_path):
+    wh = _wh_with_t(spark, tmp_path)
+    spark.createDataFrame(
+        [(2, "B", 9)], "id int, name string, extra int"
+    ).createOrReplaceTempView("cdc_src4")
+    wh.sql(
+        "MERGE INTO t USING cdc_src4 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert wh.read_snapshot("t").columns == ["id", "name"]
+
+
+# ---------------------------------------------------------------------------
+# verdict task 2: DEFAULT keyword + default-fill in MERGE insert clauses
+# ---------------------------------------------------------------------------
+
+
+def test_sql_merge_insert_default_keyword_and_unlisted_fill(
+    spark, tmp_path
+):
+    wh = TxLogWarehouse(spark, str(tmp_path / "whd"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 5, "eu")], "id int, name string, n int, region string"
+        ),
+        "t",
+    )
+    wh.sql("ALTER TABLE t ALTER COLUMN n SET DEFAULT 7")
+    wh.sql("ALTER TABLE t ALTER COLUMN region SET DEFAULT 'apac'")
+    spark.createDataFrame(
+        [(2, "b"), (3, "c")], "id int, name string"
+    ).createOrReplaceTempView("mrg_src")
+    # id=2: DEFAULT keyword in the VALUES list; region unlisted → its
+    # declared default (Delta's fill rule, NOT NULL); name unlisted on
+    # neither clause path
+    wh.sql(
+        "MERGE INTO t USING mrg_src AS s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.id = 2 THEN "
+        "INSERT (id, name, n) VALUES (s.id, s.name, DEFAULT) "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)"
+    )
+    rows = {
+        (r.id, r.name, r.n, r.region)
+        for r in wh.read_snapshot("t").collect()
+    }
+    assert rows == {
+        (1, "a", 5, "eu"),
+        (2, "b", 7, "apac"),
+        (3, "c", 7, "apac"),
+    }
+
+
+@pytest.mark.parametrize("via", ["cow", "dv"])
+def test_api_merge_insert_defaults_both_vias(spark, tmp_path, via):
+    log = TableLog(spark, str(tmp_path / f"md_{via}"))
+    log.write(
+        spark.createDataFrame([(1, "a", 5)], "id int, name string, n int")
+    )
+    log.set_default("n", "42")
+    src = spark.createDataFrame([(9, "z")], "id int, name string")
+    log.merge(
+        src,
+        ["id"],
+        not_matched_clauses=[
+            {
+                "condition": None,
+                "set": {"id": "s.id", "name": "s.name", "n": "DEFAULT"},
+            }
+        ],
+        via=via,
+    )
+    rows = {(r.id, r.name, r.n) for r in log.read().collect()}
+    assert rows == {(1, "a", 5), (9, "z", 42)}
+
+
+def test_merge_branches_default_fill_without_declared_default(spark):
+    """No declared default → unlisted columns still NULL-fill (ANSI)."""
+    tgt = spark.createDataFrame(TARGET, T_SCHEMA)
+    src = spark.createDataFrame([(8, "h", 80)], T_SCHEMA)
+    out = merge_branches(
+        tgt,
+        src,
+        ["id"],
+        not_matched=[{"condition": None, "set": {"id": "s.id"}}],
+    )
+    row = [r for r in out.collect() if r.id == 8][0]
+    assert row.name is None and row.val is None
+
+
 def test_insert_default_cells_resolve_once_per_column(
     spark, tmp_path, monkeypatch
 ):
