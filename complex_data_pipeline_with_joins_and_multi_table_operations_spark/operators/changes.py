@@ -253,11 +253,16 @@ def _clause_projection(
     schema,
     branch_col: str,
     qualified: bool,
+    keep_cols: frozenset = frozenset(),
 ) -> list[Column]:
     """Per-column CASE over the branch index: each update clause's value
     for the winning branch, the pre-image otherwise. ``qualified=True``
     resolves against the ``t``/``s`` join aliases (matched clauses);
-    ``False`` against bare target columns (NOT MATCHED BY SOURCE)."""
+    ``False`` against bare target columns (NOT MATCHED BY SOURCE).
+    ``keep_cols`` (round 11 — generated columns): columns that keep the
+    target's pre-image even under ``SET *`` — identity values persist
+    through source-wins updates, and computed columns are recomputed by
+    the caller's post-pass, so the source need not carry either."""
     proj = []
     for c in columns:
         dt = schema[c].dataType
@@ -268,6 +273,8 @@ def _clause_projection(
             sets = cl.get("set")
             if qualified:
                 if sets is None:  # SET * — source wins
+                    if c in keep_cols:
+                        continue
                     v = F.col(f"s.`{c}`").cast(dt)
                 elif c in sets:
                     v = F.expr(sets[c]).cast(dt)
@@ -343,14 +350,23 @@ def _insert_clauses(
 
 
 def _insert_value(
-    c: str, dt, sets: dict | None, defaults: dict[str, str] | None
+    c: str,
+    dt,
+    sets: dict | None,
+    defaults: dict[str, str] | None,
+    generated_cols: frozenset = frozenset(),
 ) -> Column:
     """Value of one target column for one insert clause: ``sets=None``
     is ``INSERT *`` (source column wholesale); a listed column takes its
     VALUES expression — unless that expression is the bare ``DEFAULT``
     keyword (round 11, ANSI/Delta: the column's declared default); an
     UNLISTED column takes its declared default too (Delta fills
-    defaults, not NULL) and only defaults-less columns NULL-fill."""
+    defaults, not NULL) and only defaults-less columns NULL-fill.
+    A GENERATED column (round 11) always inserts NULL here — the
+    caller's post-pass recomputes computed columns and allocates
+    identity values, so the source never needs to carry them."""
+    if c in generated_cols:
+        return F.lit(None).cast(dt)
     if sets is None:
         return F.col(f"s.`{c}`").cast(dt)  # INSERT *
     expr = sets.get(c)
@@ -371,6 +387,7 @@ def merge_branches(
     not_matched: list[dict] | None = None,
     check_cardinality: bool = True,
     defaults: dict[str, str] | None = None,
+    generated_cols: frozenset = frozenset(),
 ) -> DataFrame:
     """The FULL multi-branch MERGE (Delta's CDC-apply shape) as one batch
     operator::
@@ -452,6 +469,7 @@ def merge_branches(
                 *_clause_projection(
                     matched, target.columns, target.schema,
                     "__m_branch", qualified=True,
+                    keep_cols=generated_cols,
                 )
             )
         )
@@ -518,7 +536,9 @@ def merge_branches(
             dt = target.schema[c].dataType
             w = None
             for i, cl in enumerate(nm):
-                v = _insert_value(c, dt, cl.get("set"), defaults)
+                v = _insert_value(
+                    c, dt, cl.get("set"), defaults, generated_cols
+                )
                 cond_i = F.col("__i_branch") == i
                 w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
             proj.append(w.alias(c))

@@ -1379,6 +1379,48 @@ class Warehouse:
                 "table_name string, operation string, version long",
             )
 
+        # generated / identity column DDL (round 11; Delta's GENERATED
+        # ALWAYS AS, surfaced through ALTER like the SET DEFAULT family):
+        # metadata commits; later INSERT/MERGE writes compute the column
+        m_gen = re.match(
+            r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ALTER\s+COLUMN\s+`?(\w+)`?"
+            r"\s+(?:SET\s+GENERATED\s+ALWAYS\s+AS\s+(?:"
+            r"IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+            r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?"
+            r"|\((.+)\))"
+            r"|(DROP\s+GENERATED))\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_gen:
+            t = m_gen.group(1)
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "generated columns require the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots carry no "
+                    "generated-column metadata"
+                )
+            if m_gen.group(6):
+                op = "DROP GENERATED"
+                v = self._log(t).drop_generated(m_gen.group(2))
+            elif m_gen.group(5):
+                op = "SET GENERATED ALWAYS AS"
+                v = self._log(t).set_generated(
+                    m_gen.group(2), expr=m_gen.group(5).strip()
+                )
+            else:
+                op = "SET GENERATED ALWAYS AS IDENTITY"
+                v = self._log(t).set_generated(
+                    m_gen.group(2),
+                    identity=True,
+                    start=int(m_gen.group(3) or 1),
+                    step=int(m_gen.group(4) or 1),
+                )
+            return self.spark.createDataFrame(
+                [(t, op, v)],
+                "table_name string, operation string, version long",
+            )
+
         m_files = re.match(
             r"\s*DESCRIBE\s+FILES\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
         )
@@ -1496,14 +1538,28 @@ class Warehouse:
                 else None
             )
             target = self.read_snapshot(t).schema
-            # ONE defaults fetch per statement (advice r10: it ran once
-            # per DEFAULT cell plus once more for the unlisted-column
-            # fill — O(rows) driver queries on bulk inserts)
-            defaults = (
-                self._log(t).snapshot().defaults
-                if hasattr(self, "_log") and self.exists(t)
-                else {}
-            )
+            # ONE defaults/generated fetch per statement (advice r10: it
+            # ran once per DEFAULT cell plus once more for the
+            # unlisted-column fill — O(rows) driver queries)
+            if hasattr(self, "_log") and self.exists(t):
+                _snap = self._log(t).snapshot()
+                defaults, genmeta = _snap.defaults, _snap.generated
+            else:
+                defaults, genmeta = {}, {}
+            if genmeta:
+                listed = cols if cols is not None else list(target.names)
+                bad = sorted(set(listed) & set(genmeta))
+                if bad:
+                    hint = (
+                        "use an explicit column list omitting them"
+                        if cols is None
+                        else "omit them from the column list"
+                    )
+                    raise ValueError(
+                        f"INSERT may not provide generated column(s) "
+                        f"{bad} (GENERATED ALWAYS — the engine computes "
+                        f"them); {hint}"
+                    )
             if m_ins.group(4):
                 df = self.sql(m_ins.group(4))
                 # INSERT … SELECT binds POSITIONALLY (SQL semantics):
@@ -1570,16 +1626,21 @@ class Warehouse:
                 ]
                 df = self.spark.createDataFrame(coerced, sub)
             # columns the INSERT omitted take their declared DEFAULT
-            # (round 10) and otherwise read NULL (SQL semantics)
+            # (round 10) and otherwise read NULL (SQL semantics);
+            # GENERATED columns stay ABSENT — the txlog write computes/
+            # allocates them (round 11), and subset-schema appends are
+            # first-class on that backend
             for f in target.fields:
-                if f.name not in df.columns:
+                if f.name not in df.columns and f.name not in genmeta:
                     fill = (
                         F.expr(defaults[f.name])
                         if f.name in defaults
                         else F.lit(None)
                     )
                     df = df.withColumn(f.name, fill.cast(f.dataType))
-            df = df.select(*[df[f.name] for f in target.fields])
+            df = df.select(
+                *[df[f.name] for f in target.fields if f.name in df.columns]
+            )
             n = df.count()
             if hasattr(self, "append"):
                 v = self.append(df, t)

@@ -519,6 +519,17 @@ class TxLogBatchWriter(DataSourceArrowWriter):
                         f"physical or dropped column name of {self.root}; "
                         "run add_column() first"
                     )
+            if cur and cur.generated:
+                # generated/identity columns are computed by the Spark-
+                # side write path (_apply_generated); this DataSource
+                # writer stages executor-side with no SparkSession to
+                # compute them — refuse rather than silently commit
+                # un-generated rows
+                raise ValueError(
+                    f"table {self.root} has generated column(s) "
+                    f"{sorted(cur.generated)}; format('txlog') writes "
+                    "cannot compute them — use TableLog.write()/merge()"
+                )
             if cur and cur.bucket_by and not self.overwrite:
                 # same layout guard as TableLog.write: this writer's files
                 # are not bucket-tagged, so appending them would silently

@@ -205,6 +205,17 @@ class Snapshot:
     # column list omits the column; existing rows are untouched (the
     # SET DEFAULT form, not ADD COLUMN ... DEFAULT's existence default).
     defaults: dict = field(default_factory=dict)
+    # Generated columns (round 11 — Delta `GENERATED ALWAYS AS (expr)` /
+    # `GENERATED ALWAYS AS IDENTITY`): col -> {"expr": sql} for computed
+    # columns (recomputed from the row's other columns on every
+    # INSERT/UPDATE/merge write — the invariant always holds), or
+    # {"identity": {"start": n, "step": n, "high": m}} for identity
+    # columns (engine-assigned, unique, monotone in `step`'s direction,
+    # gaps allowed — Delta semantics; `high` is the allocation
+    # high-water mark, bumped by every commit that inserts rows).
+    # Explicit writes to identity columns refuse; rides checkpoints,
+    # RESTORE and SHALLOW CLONE like `defaults`.
+    generated: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -272,6 +283,39 @@ def _is_widening(src: str, dst: str) -> bool:
         and ms.group(2) == md.group(2)
         and int(md.group(1)) > int(ms.group(1))
     )
+
+
+def _translate_legacy_merge(
+    source: DataFrame,
+    delete_condition: str | None,
+    insert_unmatched_deletes: bool,
+    update_set: dict[str, str] | None,
+) -> tuple[DataFrame, list[dict], str | None]:
+    """Legacy merge parameters → the ordered clause form, with identical
+    semantics (shared by the general dv merge and, round 11, by CoW
+    merges on tables with generated columns — the legacy source-wins
+    path would otherwise need the source to carry generated columns).
+    The ``__mrg_del`` flag column reproduces merge_upsert's rule
+    exactly: a delete-flagged source row drops its target match, and
+    inserts only under ``insert_unmatched_deletes``. Returns
+    (source', matched_clauses, insert_condition)."""
+    from pyspark.sql import functions as F
+
+    src = source
+    mc: list[dict] = []
+    ic: str | None = None
+    if delete_condition is not None:
+        src = source.withColumn(
+            "__mrg_del",
+            F.coalesce(
+                F.expr(delete_condition).cast("boolean"), F.lit(False)
+            ),
+        )
+        mc.append({"action": "delete", "condition": "s.__mrg_del"})
+        if not insert_unmatched_deletes:
+            ic = "NOT s.__mrg_del"
+    mc.append({"action": "update", "condition": None, "set": update_set})
+    return src, mc, ic
 
 
 class ConstraintViolationError(ValueError):
@@ -368,6 +412,7 @@ class TableLog:
                 snap.bucket_by = cp.get("bucket_by") or {}
                 snap.bloom_cols = cp.get("bloom_cols") or []
                 snap.defaults = cp.get("defaults") or {}
+                snap.generated = cp.get("generated") or {}
                 replay_from = cv
                 break
 
@@ -395,6 +440,8 @@ class TableLog:
                 snap.bloom_cols = c["bloom_cols"]
             if "defaults" in c:  # same carry-forward rule
                 snap.defaults = c["defaults"]
+            if "generated" in c:  # same carry-forward rule
+                snap.generated = c["generated"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -529,6 +576,12 @@ class TableLog:
                     f"cannot set DEFAULT on unknown column {column!r} "
                     f"(table has {cur.schema.names})"
                 )
+            if column in cur.generated:
+                raise ValueError(
+                    f"column {column!r} is GENERATED; generated and "
+                    "default are mutually exclusive (drop_generated() "
+                    "first)"
+                )
             dt = cur.schema[column].dataType
             import re as _re
 
@@ -606,6 +659,267 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def set_generated(
+        self,
+        column: str,
+        expr: str | None = None,
+        identity: bool = False,
+        start: int = 1,
+        step: int = 1,
+        max_retries: int = 3,
+    ) -> int:
+        """``ALTER COLUMN … SET GENERATED ALWAYS AS (expr)`` /
+        ``… AS IDENTITY (START WITH n INCREMENT BY m)`` — Delta's
+        generated/identity columns (round 11), as a metadata-only
+        commit.
+
+        Computed columns (``expr``): recomputed from the row's OTHER
+        columns on every INSERT/UPDATE/merge write — the invariant
+        always holds (Delta recomputes on dependency change; this
+        engine recomputes unconditionally, which is the same value for
+        a deterministic expression). The expression must be
+        deterministic and may not reference itself or another generated
+        column (validated here by binding over a zero-row view with the
+        generated columns removed). Existing rows are NOT backfilled by
+        the DDL (metadata-only, like SET DEFAULT) — they pick the
+        invariant up at their next rewrite; declare before first write
+        for a uniformly-generated column.
+
+        Identity columns: the engine assigns ``start``, then values
+        strictly monotone in ``step``'s direction with GAPS ALLOWED
+        (Delta semantics — allocation is `high + step*(1+partition
+        counter)` via monotonically_increasing_id, so a commit never
+        serializes through a driver-side counter and never shuffles;
+        the high-water mark advances from the staged files' harvested
+        stats, no extra scan). Explicit writes refuse. Declaring
+        identity on a column with existing NULLs refuses (NULL is the
+        engine's "allocate me" marker); existing values fold into the
+        initial high-water mark so new allocations never collide."""
+        if (expr is None) == (not identity):
+            raise ValueError(
+                "set_generated takes exactly one of expr=<sql> or "
+                "identity=True"
+            )
+        if identity and step == 0:
+            raise ValueError("identity INCREMENT BY must be non-zero")
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if column not in cur.schema.names:
+                raise ValueError(
+                    f"cannot set GENERATED on unknown column {column!r} "
+                    f"(table has {cur.schema.names})"
+                )
+            if column in cur.defaults:
+                raise ValueError(
+                    f"column {column!r} has a DEFAULT; generated and "
+                    "default are mutually exclusive (drop the default "
+                    "first)"
+                )
+            dt = cur.schema[column].dataType.simpleString()
+            if identity:
+                if dt != "bigint":
+                    raise ValueError(
+                        f"IDENTITY requires a BIGINT column (Delta's own "
+                        f"restriction — allocation uses the sparse "
+                        f"monotonically_increasing_id space, which "
+                        f"overflows INT); {column!r} is {dt}"
+                    )
+                agg = self.read(cur.version).agg(
+                    F.count("*").alias("n"),
+                    F.count(column).alias("nn"),
+                    F.max(column).alias("mx"),
+                    F.min(column).alias("mn"),
+                ).head()
+                if agg["n"] != agg["nn"]:
+                    raise ValueError(
+                        f"column {column!r} has NULL values; IDENTITY "
+                        "uses NULL as the allocate-me marker — backfill "
+                        "before declaring"
+                    )
+                # fold existing values into the high-water mark so new
+                # allocations never collide with pre-DDL data
+                high = start - step
+                if agg["n"]:
+                    ext = agg["mx"] if step > 0 else agg["mn"]
+                    high = max(high, ext) if step > 0 else min(high, ext)
+                spec = {
+                    "identity": {
+                        "start": int(start),
+                        "step": int(step),
+                        "high": int(high),
+                    }
+                }
+            else:
+                import re as _re
+
+                if _re.search(
+                    r"\b(rand|randn|random|uuid|shuffle|now|"
+                    r"current_timestamp|current_date|"
+                    r"monotonically_increasing_id)\s*\(",
+                    expr,
+                    _re.IGNORECASE,
+                ):
+                    raise ValueError(
+                        f"GENERATED ALWAYS AS for {column!r} must be "
+                        f"deterministic; {expr!r} is not"
+                    )
+                probe = self.read(cur.version).limit(0).drop(
+                    column, *cur.generated.keys()
+                )
+                try:
+                    probe.selectExpr(f"CAST(({expr}) AS {dt})").schema
+                except Exception as e:
+                    raise ValueError(
+                        f"GENERATED ALWAYS AS expression for {column!r} "
+                        f"must bind over the table's non-generated "
+                        f"columns and cast to {dt}; {expr!r} failed: {e}"
+                    ) from e
+                spec = {"expr": expr}
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "set_generated",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "generated": {**cur.generated, column: spec},
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def drop_generated(self, column: str, max_retries: int = 3) -> int:
+        """``ALTER COLUMN … DROP GENERATED``: the column becomes an
+        ordinary writable column; existing values stay."""
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if column not in cur.generated:
+                raise ValueError(
+                    f"column {column!r} is not generated on {self.root}"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "drop_generated",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "generated": {
+                    k: v for k, v in cur.generated.items() if k != column
+                },
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _apply_generated(
+        self, df: DataFrame, generated: dict, schema
+    ) -> DataFrame:
+        """Enforce the generated-column invariant on rows about to land
+        in data files: computed columns are RECOMPUTED from the row
+        (missing ones materialize first, so `INSERT *` sources need not
+        carry them); identity columns fill their NULL rows — and only
+        those — with `high + step*(1 + monotonically_increasing_id())`:
+        scan-local, shuffle-free, unique and monotone per commit with
+        gaps (Delta's documented identity behavior). Rows that already
+        carry an identity value (rewrites of existing rows) keep it.
+        Entries whose column left the schema are skipped (a full
+        overwrite may have dropped it)."""
+        for c, spec in generated.items():
+            if c not in schema.names:
+                continue
+            dt = schema[c].dataType
+            if "expr" in spec:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(dt))
+                df = df.withColumn(c, F.expr(spec["expr"]).cast(dt))
+            else:
+                ident = spec["identity"]
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(dt))
+                alloc = (
+                    F.lit(int(ident["high"]))
+                    + F.lit(int(ident["step"]))
+                    * (F.lit(1) + F.monotonically_increasing_id())
+                ).cast(dt)
+                df = df.withColumn(
+                    c,
+                    F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                        alloc
+                    ),
+                )
+        return df
+
+    def _bump_identity_high(
+        self, generated: dict, adds: list[dict], mapping: dict | None
+    ) -> dict | None:
+        """Post-staging high-water advance: the staged files' harvested
+        min/max stats already contain the extreme allocated identity
+        value — no extra scan. Returns the updated generated map when
+        any mark moved, else None (absent commit key = carry-forward)."""
+        out = None
+        for c, spec in generated.items():
+            if "identity" not in spec:
+                continue
+            ident = spec["identity"]
+            step = ident["step"]
+            ext = None
+            phys = _phys_name(mapping or {}, c)
+            for a in adds:
+                s = (a.get("stats") or {}).get(phys)
+                if not s:
+                    continue
+                v = s.get("max") if step > 0 else s.get("min")
+                if v is None:
+                    continue
+                v = int(v)
+                ext = v if ext is None else (
+                    max(ext, v) if step > 0 else min(ext, v)
+                )
+            if ext is None:
+                continue
+            new_high = (
+                max(ident["high"], ext)
+                if step > 0
+                else min(ident["high"], ext)
+            )
+            if new_high != ident["high"]:
+                out = out if out is not None else {
+                    k: (dict(v) if isinstance(v, dict) else v)
+                    for k, v in generated.items()
+                }
+                out[c] = {"identity": {**ident, "high": int(new_high)}}
+        return out
+
+    def _refuse_generated_targets(
+        self, generated: dict, cols, what: str
+    ) -> None:
+        bad = sorted(set(cols or []) & set(generated))
+        if bad:
+            raise ValueError(
+                f"{what} may not assign generated column(s) {bad} "
+                "(GENERATED ALWAYS — the engine computes them; "
+                "drop_generated() to make them writable)"
+            )
 
     def _validate_constraint_duckdb(self, cur, name: str, expr: str) -> None:
         """format('txlog') writes enforce CHECKs EXECUTOR-SIDE in DuckDB
@@ -1002,6 +1316,7 @@ class TableLog:
                 "bucket_by": old.bucket_by,
                 "bloom_cols": old.bloom_cols,
                 "defaults": old.defaults,
+                "generated": old.generated,
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
@@ -1109,6 +1424,7 @@ class TableLog:
             "bucket_by": snap.bucket_by,
             "bloom_cols": snap.bloom_cols,
             "defaults": snap.defaults,
+            "generated": snap.generated,
             "constraints": snap.constraints,
             "column_mapping": snap.column_mapping,
             "dropped_physical": snap.dropped_physical,
@@ -1751,6 +2067,29 @@ class TableLog:
                 "cols": list(bucket_by[1]),
                 "sort": list(sort_by or []),
             }
+        pre_gen = dict(pre.generated) if pre else {}
+        if pre_gen:
+            # generated columns (round 11): identity columns cannot be
+            # PROVIDED by an append/replace (Delta's GENERATED ALWAYS
+            # rule — the engine allocates); a full overwrite is the
+            # admin path (restore/copy flows) and may carry existing
+            # values, over which the high-water mark then advances.
+            # Computed columns are recomputed unconditionally; missing
+            # generated columns materialize, so the write's schema
+            # always keeps them.
+            if mode == "append" or replace_where:
+                provided = [
+                    c
+                    for c, s in pre_gen.items()
+                    if "identity" in s and c in df.columns
+                ]
+                if provided:
+                    raise ValueError(
+                        f"identity column(s) {provided} are GENERATED "
+                        "ALWAYS — appends may not provide them; omit "
+                        "the column and the engine allocates"
+                    )
+            df = self._apply_generated(df, pre_gen, pre.schema)
         if pre is not None:
             self._enforce_constraints(df, pre.constraints, mode)
         # column mapping: a full overwrite redefines the schema wholesale,
@@ -1824,8 +2163,20 @@ class TableLog:
             )
 
         enforced_constraints = pre.constraints if pre else {}
+        new_gen = self._bump_identity_high(
+            pre_gen, adds, pre_mapping
+        ) if pre_gen else None
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
+            if (dict(cur.generated) if cur else {}) != pre_gen:
+                # a concurrent generated-column DDL (or another commit's
+                # high-water bump) landed after our fill: our allocated
+                # identity values came from a stale mark and could
+                # collide — surface the race, don't guess
+                raise ConcurrentCommitError(
+                    f"write to {self.root} raced a concurrent generated-"
+                    "column change; re-run the write"
+                )
             if mode == "append" and (
                 ((cur.bucket_by if cur else {}) or {})
                 != (staged_bucket or {})
@@ -1909,6 +2260,7 @@ class TableLog:
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+                **({"generated": new_gen} if new_gen is not None else {}),
             }
             if bucket_by is not None:
                 payload["bucket_by"] = {
@@ -1948,6 +2300,7 @@ class TableLog:
                     "bucket_by": snap.bucket_by,
                     "bloom_cols": snap.bloom_cols,
                     "defaults": snap.defaults,
+                    "generated": snap.generated,
                 },
                 f,
             )
@@ -2867,6 +3220,9 @@ class TableLog:
             unknown = [c for c in set_exprs if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
+            self._refuse_generated_targets(
+                base.generated, set_exprs, "UPDATE SET"
+            )
             pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
@@ -2917,6 +3273,10 @@ class TableLog:
                 else:
                     cols.append(F.col(fld.name))
             updated = matched.select(*cols)
+            if base.generated:
+                updated = self._apply_generated(
+                    updated, base.generated, base.schema
+                )
             self._enforce_constraints(updated, base.constraints, "update")
             adds = self._stage(
                 updated, base.partition_by or None, mapping=base.column_mapping,
@@ -2977,6 +3337,10 @@ class TableLog:
             unknown = [c for c in (set_exprs or {}) if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
+            if set_exprs:
+                self._refuse_generated_targets(
+                    base.generated, set_exprs, "UPDATE SET"
+                )
             pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
@@ -3024,6 +3388,13 @@ class TableLog:
                     else:
                         cols.append(F.col(fld.name))
                 new_df = df.select(*cols)
+            if op == "update" and base.generated:
+                # an UPDATE may change a computed column's source
+                # columns — recompute so the invariant holds (identity
+                # rows already carry values; the NULL-fill is a no-op)
+                new_df = self._apply_generated(
+                    new_df, base.generated, base.schema
+                )
             if op == "update":
                 # updated rows must still satisfy the table's CHECK
                 # constraints (delete survivors satisfied them already)
@@ -3196,6 +3567,46 @@ class TableLog:
                 "not_matched_by_source_* parameters — express everything "
                 "as clauses"
             )
+        gen0 = self.snapshot().generated if self.exists() else {}
+        if gen0:
+            # generated columns (round 11): clauses may never assign
+            # them — the engine computes/allocates. Checked across every
+            # clause family in one place, before any work runs.
+            targets: set[str] = set(update_set or {})
+            for cl in (
+                (matched_clauses or [])
+                + (not_matched_by_source_clauses or [])
+                + (not_matched_clauses or [])
+            ):
+                targets |= set(cl.get("set") or {})
+            self._refuse_generated_targets(gen0, targets, "MERGE clause")
+            if not clause_mode:
+                # legacy source-wins SET * would take every column from
+                # the source — losing target identity values and
+                # requiring the source to carry generated columns.
+                # Translate to clause form (identical semantics — the
+                # same translation the dv path uses) so the clause
+                # machinery's keep-rules apply.
+                source, matched_clauses, insert_condition = (
+                    _translate_legacy_merge(
+                        source,
+                        delete_condition,
+                        insert_unmatched_deletes,
+                        update_set,
+                    )
+                )
+                if not_matched_by_source_delete:
+                    not_matched_by_source_clauses = [
+                        {
+                            "action": "delete",
+                            "condition": not_matched_by_source_condition,
+                        }
+                    ]
+                delete_condition = None
+                update_set = None
+                not_matched_by_source_delete = False
+                not_matched_by_source_condition = None
+                clause_mode = True
         nmbs_any = not_matched_by_source_delete or bool(
             not_matched_by_source_clauses
         )
@@ -3205,6 +3616,7 @@ class TableLog:
                 or update_set is not None
                 or nmbs_any
                 or schema_evolution
+                or gen0
             ):
                 # the general merge-on-read path: reads affected target
                 # rows, masks positions, appends rewritten rows
@@ -3349,6 +3761,7 @@ class TableLog:
                     not_matched_by_source=not_matched_by_source_clauses,
                     check_cardinality=not _skip_dup_check,
                     defaults=base.defaults,
+                    generated_cols=frozenset(base.generated),
                 )
             else:
                 merged = merge_upsert(
@@ -3370,8 +3783,22 @@ class TableLog:
                     ),
                     check_cardinality=not _skip_dup_check,
                 )
+            if base.generated:
+                # matched rows kept identity values (keep_cols inside
+                # merge_branches), inserts carry NULL — recompute
+                # computed columns, allocate identity for the NULL rows
+                merged = self._apply_generated(
+                    merged, base.generated, eff_schema
+                )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage_for(base, merged)
+            new_gen = (
+                self._bump_identity_high(
+                    base.generated, adds, base.column_mapping
+                )
+                if base.generated
+                else None
+            )
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -3386,6 +3813,7 @@ class TableLog:
                 or cur.dvs != base.dvs
                 or cur.constraints != base.constraints
                 or cur.bucket_by != base.bucket_by
+                or cur.generated != base.generated
             ):
                 # a concurrent schema change landed (rename/add/drop column,
                 # a schema-evolving append, or an add_constraint whose
@@ -3413,6 +3841,7 @@ class TableLog:
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+                **({"generated": new_gen} if new_gen is not None else {}),
             }
             try:
                 self._commit(version, payload)
@@ -3664,28 +4093,13 @@ class TableLog:
         if clause_mode:
             mc = mc or []
         elif mc is None:
-            # legacy matched semantics: optional source-side delete flag,
-            # then UPDATE SET */assignments. The flag column reproduces
-            # merge_upsert's rule exactly: a delete-flagged source row
-            # drops its target match, and inserts only under
-            # insert_unmatched_deletes.
-            mc = []
-            if delete_condition is not None:
-                src = source.withColumn(
-                    "__mrg_del",
-                    F.coalesce(
-                        F.expr(delete_condition).cast("boolean"),
-                        F.lit(False),
-                    ),
-                )
-                mc.append(
-                    {"action": "delete", "condition": "s.__mrg_del"}
-                )
-                if not insert_unmatched_deletes:
-                    ic = "NOT s.__mrg_del"
-            mc.append(
-                {"action": "update", "condition": None, "set": update_set}
+            src, mc, tic = _translate_legacy_merge(
+                source,
+                delete_condition,
+                insert_unmatched_deletes,
+                update_set,
             )
+            ic = tic if tic is not None else ic
         nc = nmbs_clauses
         if nc is None and nmbs_delete:
             nc = [{"action": "delete", "condition": nmbs_condition}]
@@ -3785,6 +4199,7 @@ class TableLog:
                             *_clause_projection(
                                 mc, table_cols, eff_schema,
                                 "__m_branch", qualified=True,
+                                keep_cols=frozenset(base.generated),
                             )
                         )
                     )
@@ -3827,7 +4242,8 @@ class TableLog:
                     w = None
                     for i, cl in enumerate(nm):
                         v = _insert_value(
-                            c, dt, cl.get("set"), base.defaults
+                            c, dt, cl.get("set"), base.defaults,
+                            frozenset(base.generated),
                         )
                         cond_i = F.col("__i_branch") == i
                         w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
@@ -3854,10 +4270,24 @@ class TableLog:
                     new_rows = new_rows.unionByName(p)
             else:
                 new_rows = self.spark.createDataFrame([], eff_schema)
+            if base.generated:
+                # rewritten matched rows kept their identity (keep_cols
+                # above) and inserts carry NULL — recompute computed
+                # columns, allocate identity for exactly the NULL rows
+                new_rows = self._apply_generated(
+                    new_rows, base.generated, eff_schema
+                )
             self._enforce_constraints(new_rows, base.constraints, "merge")
             adds = self._stage(
                 new_rows, base.partition_by or None,
                 mapping=base.column_mapping, bloom_cols=base.bloom_cols,
+            )
+            new_gen = (
+                self._bump_identity_high(
+                    base.generated, adds, base.column_mapping
+                )
+                if base.generated
+                else None
             )
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():
@@ -3879,6 +4309,7 @@ class TableLog:
                 "adds": adds,
                 "removes": [],
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+                **({"generated": new_gen} if new_gen is not None else {}),
             }
             try:
                 self._commit(version, payload)
@@ -3934,6 +4365,17 @@ class TableLog:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        if self.exists() and self.snapshot().generated:
+            # merge_latest's whole-row competition needs the SOURCE to
+            # carry every table column — an identity column cannot be
+            # source-provided (GENERATED ALWAYS) and a computed column
+            # would silently decide ties. Use merge() clauses instead.
+            raise ValueError(
+                f"merge_latest on {self.root} is unsupported with "
+                "generated columns "
+                f"({sorted(self.snapshot().generated)}); use merge() "
+                "with clauses, or drop_generated() first"
+            )
         if via == "dv":
             return self._merge_latest_dv(
                 source, keys, order_col, delete_col, max_retries, txn

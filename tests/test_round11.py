@@ -224,6 +224,181 @@ def test_shallow_clone_exdev_names_the_filesystem_contract(
 
 
 # ---------------------------------------------------------------------------
+# verdict task 5: generated / identity columns
+# ---------------------------------------------------------------------------
+
+
+def test_identity_ddl_allocates_and_refuses(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse as _W,
+    )
+
+    wh = _W(spark, str(tmp_path / "gid"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(10, 1, "a"), (11, 2, "b")], "uid bigint, id int, name string"
+        ),
+        "t",
+    )
+    wh.sql(
+        "ALTER TABLE t ALTER COLUMN uid SET GENERATED ALWAYS AS "
+        "IDENTITY (START WITH 100 INCREMENT BY 1)"
+    )
+    wh.sql("INSERT INTO t (id, name) VALUES (3, 'c'), (4, 'd')")
+    rows = wh.read_snapshot("t").collect()
+    uids = [r.uid for r in rows]
+    assert all(u is not None for u in uids)
+    assert len(set(uids)) == len(uids)
+    # existing max (11) folded into the mark: fresh ids are above it
+    assert all(r.uid > 11 for r in rows if r.id in (3, 4))
+    with pytest.raises(ValueError, match="generated column"):
+        wh.sql("INSERT INTO t (uid, id, name) VALUES (5, 9, 'x')")
+    with pytest.raises(ValueError, match="generated column"):
+        wh.sql("INSERT INTO t VALUES (5, 9, 'x')")
+    with pytest.raises(ValueError, match="UPDATE SET"):
+        wh.sql("UPDATE t SET uid = 7 WHERE id = 1")
+
+
+def test_identity_requires_bigint_and_no_nulls(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "gbad"))
+    log.write(spark.createDataFrame([(1, "a")], "uid int, name string"))
+    with pytest.raises(ValueError, match="BIGINT"):
+        log.set_generated("uid", identity=True)
+    log2 = TableLog(spark, str(tmp_path / "gnull"))
+    log2.write(
+        spark.createDataFrame(
+            [(None, "a")], "uid bigint, name string"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        log2.set_generated("uid", identity=True)
+
+
+@pytest.mark.parametrize("via", ["cow", "dv"])
+def test_merge_identity_kept_on_update_allocated_on_insert(
+    spark, tmp_path, via
+):
+    log = TableLog(spark, str(tmp_path / f"gm_{via}"))
+    log.write(
+        spark.createDataFrame(
+            [(10, 1, "a"), (11, 2, "b")], "uid bigint, id int, name string"
+        )
+    )
+    log.set_generated("uid", identity=True)
+    src = spark.createDataFrame([(1, "A"), (9, "z")], "id int, name string")
+    log.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": None, "set": {"name": "s.name"}}
+        ],
+        not_matched_clauses=[
+            {"condition": None, "set": {"id": "s.id", "name": "s.name"}}
+        ],
+        via=via,
+    )
+    rows = {r.id: r for r in log.read().collect()}
+    assert rows[1].uid == 10 and rows[1].name == "A"  # identity kept
+    assert rows[2].uid == 11
+    assert rows[9].uid is not None and rows[9].uid > 11  # allocated
+    # high-water advanced so the NEXT commit can't collide
+    assert (
+        log.snapshot().generated["uid"]["identity"]["high"] >= rows[9].uid
+    )
+
+
+@pytest.mark.parametrize("via", ["cow", "dv"])
+def test_legacy_merge_translates_on_generated_tables(spark, tmp_path, via):
+    """The legacy source-wins merge (no clauses) on a generated table:
+    matched rows keep their identity, inserts allocate — the source
+    never carries the column."""
+    log = TableLog(spark, str(tmp_path / f"gl_{via}"))
+    log.write(
+        spark.createDataFrame(
+            [(10, 1, "a"), (11, 2, "b")], "uid bigint, id int, name string"
+        )
+    )
+    log.set_generated("uid", identity=True)
+    src = spark.createDataFrame([(1, "A"), (9, "z")], "id int, name string")
+    log.merge(src, ["id"], via=via)
+    rows = {r.id: r for r in log.read().collect()}
+    assert rows[1].uid == 10 and rows[1].name == "A"
+    assert rows[9].uid is not None and rows[9].uid > 11
+
+
+def test_expr_generated_recomputed_through_merge_and_update(
+    spark, tmp_path
+):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse as _W,
+    )
+
+    wh = _W(spark, str(tmp_path / "gexpr"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(1, "ab", 2)], "id int, name string, nlen int"
+        ),
+        "g",
+    )
+    wh.sql(
+        "ALTER TABLE g ALTER COLUMN nlen SET GENERATED ALWAYS AS "
+        "(length(name))"
+    )
+    spark.createDataFrame(
+        [(1, "wxyz"), (2, "hello")], "id int, name string"
+    ).createOrReplaceTempView("gsrc11")
+    wh.sql(
+        "MERGE INTO g USING gsrc11 AS s ON g.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {(r.id, r.name, r.nlen) for r in wh.read_snapshot("g").collect()}
+    assert rows == {(1, "wxyz", 4), (2, "hello", 5)}
+    # UPDATE to a dependency recomputes the generated column
+    wh.sql("UPDATE g SET name = 'abcdef' WHERE id = 2")
+    rows = {(r.id, r.nlen) for r in wh.read_snapshot("g").collect()}
+    assert rows == {(1, 4), (2, 6)}
+
+
+def test_generated_metadata_rides_clone_and_restore(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "gmeta"))
+    log.write(
+        spark.createDataFrame([(10, 1)], "uid bigint, id int")
+    )
+    log.set_generated("uid", identity=True)
+    v_with = log.versions()[-1]
+    clone = log.shallow_clone(str(tmp_path / "gmeta2"))
+    assert clone.snapshot().generated == log.snapshot().generated
+    log.drop_generated("uid")
+    assert log.snapshot().generated == {}
+    log.restore(v_with)
+    assert "uid" in log.snapshot().generated
+
+
+def test_generated_and_default_mutually_exclusive(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "gmx"))
+    log.write(
+        spark.createDataFrame([(1, 5)], "id int, n bigint")
+    )
+    log.set_default("n", "3")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        log.set_generated("n", identity=True)
+    log.drop_default("n")
+    log.set_generated("n", identity=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        log.set_default("n", "3")
+
+
+def test_expr_generated_rejects_self_and_nondeterminism(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "gval"))
+    log.write(spark.createDataFrame([(1, "a", 0)], "id int, s string, n int"))
+    with pytest.raises(ValueError, match="must bind"):
+        log.set_generated("n", expr="n + 1")  # self-reference
+    with pytest.raises(ValueError, match="deterministic"):
+        log.set_generated("n", expr="cast(rand()*10 as int)")
+
+
+# ---------------------------------------------------------------------------
 # advice 4: DEFAULT keyword resolution is memoized per statement
 # ---------------------------------------------------------------------------
 
