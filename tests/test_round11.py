@@ -399,6 +399,90 @@ def test_expr_generated_rejects_self_and_nondeterminism(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# verdict task 7: SHALLOW CLONE on the base snapshot-dir backend
+# ---------------------------------------------------------------------------
+
+
+def test_base_backend_shallow_clone_zero_copy_fork(spark, tmp_path):
+    """Round 11: the CLONE verb works on the snapshot-dir backend too —
+    hardlinked v1 (st_nlink proves shared inodes), divergence both
+    ways, VERSION AS OF clones history points, partitioned layouts
+    carry their directory structure."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "basewh"))
+    df1 = spark.createDataFrame(
+        [(1, "eu", 10.0), (2, "us", 20.0)], "id int, region string, v double"
+    )
+    wh.write_snapshot(df1, "t", partition_by=["region"])
+    wh.write_snapshot(
+        df1.union(
+            spark.createDataFrame([(3, "eu", 30.0)], df1.schema)
+        ),
+        "t",
+        partition_by=["region"],
+    )
+    r = wh.sql("CREATE TABLE t2 SHALLOW CLONE t").head()
+    assert r.operation == "SHALLOW CLONE" and r.version == 1
+    assert sorted(x.id for x in wh.read_snapshot("t2").collect()) == [1, 2, 3]
+    # zero-copy: every clone parquet file shares its inode
+    v1 = os.path.join(wh.path("t2"), "v1")
+    links = [
+        os.stat(os.path.join(dp, f)).st_nlink
+        for dp, _, fs in os.walk(v1)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert links and all(n >= 2 for n in links)
+    # divergence: a new snapshot on the clone leaves the source alone
+    wh.write_snapshot(
+        spark.createDataFrame([(9, "ap", 90.0)], df1.schema), "t2"
+    )
+    assert sorted(x.id for x in wh.read_snapshot("t2").collect()) == [9]
+    assert sorted(x.id for x in wh.read_snapshot("t").collect()) == [1, 2, 3]
+    # VERSION AS OF clones a history point
+    wh.sql("CREATE TABLE t0 SHALLOW CLONE t VERSION AS OF 1")
+    assert sorted(x.id for x in wh.read_snapshot("t0").collect()) == [1, 2]
+    # refusal on an existing destination
+    with pytest.raises(ValueError, match="already exists"):
+        wh.shallow_clone("t", "t2")
+
+
+def test_base_backend_clone_partial_failure_is_clean(
+    spark, tmp_path, monkeypatch
+):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "basewh2"))
+    wh.write_snapshot(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id int, v double"
+        ).repartition(4),
+        "t",
+    )
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky(s, d, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(5, "injected")
+        return real_link(s, d, *a, **k)
+
+    monkeypatch.setattr(os, "link", flaky)
+    with pytest.raises(ValueError, match="failed linking"):
+        wh.shallow_clone("t", "tc")
+    monkeypatch.undo()
+    assert wh.versions("tc") == []  # no half-visible clone
+    assert wh.shallow_clone("t", "tc") == 1  # retry succeeds
+    assert wh.read_snapshot("tc").count() == 20
+
+
+# ---------------------------------------------------------------------------
 # advice 4: DEFAULT keyword resolution is memoized per statement
 # ---------------------------------------------------------------------------
 
