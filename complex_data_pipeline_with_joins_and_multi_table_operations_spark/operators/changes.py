@@ -611,9 +611,14 @@ def apply_changes_to_summary(
     dropped — matching what the recompute never produces.
     """
     sum_cols = sum_cols or {}
-    sign = F.when(F.col(change_type_col) == "delete", F.lit(-1)).otherwise(
-        F.lit(1)
-    )
+    # update images (round 11) fold as their additive equivalents:
+    # pre-image = the replaced version leaving (−1), post-image = the
+    # new version arriving (+1) — identical to the delete+insert pair
+    # the pre-round-11 file-granularity feed emitted for the same update
+    sign = F.when(
+        F.col(change_type_col).isin("delete", "update_preimage"),
+        F.lit(-1),
+    ).otherwise(F.lit(1))
     delta = changes.withColumn("__sign", sign)
     delta_summary = delta.groupBy(*keys).agg(
         F.sum("__sign").alias(count_col),

@@ -285,6 +285,102 @@ def _is_widening(src: str, dst: str) -> bool:
     )
 
 
+def _cdc_lit_to_json(v):
+    """JSON-encode one DNF literal with a type tag for the non-native
+    types (dates, timestamps, decimals, between/IN sequences). Returns
+    the sentinel ``_CDC_UNSERIALIZABLE`` for anything else — the caller
+    then skips recording the derivable-CDC metadata rather than
+    committing a lossy predicate."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, _dt.datetime):
+        return {"__t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__t": "date", "v": v.isoformat()}
+    if isinstance(v, _decimal.Decimal):
+        return {"__t": "dec", "v": str(v)}
+    if isinstance(v, (list, tuple)):
+        out = [_cdc_lit_to_json(x) for x in v]
+        if any(x is _CDC_UNSERIALIZABLE for x in out):
+            return _CDC_UNSERIALIZABLE
+        return {"__t": "seq", "v": out}
+    if isinstance(v, (int, float, str)):
+        return v
+    return _CDC_UNSERIALIZABLE
+
+
+_CDC_UNSERIALIZABLE = object()
+
+
+def _cdc_lit_from_json(v):
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, dict) and "__t" in v:
+        t = v["__t"]
+        if t == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if t == "date":
+            return _dt.date.fromisoformat(v["v"])
+        if t == "dec":
+            return _decimal.Decimal(v["v"])
+        if t == "seq":
+            return tuple(_cdc_lit_from_json(x) for x in v["v"])
+    return v
+
+
+def _cdc_derive_payload(
+    dnf: list,
+    set_exprs: dict[str, str],
+    gen_exprs: dict[str, str] | None = None,
+) -> dict | None:
+    """The derivable-CDC record for a copy-on-write UPDATE commit
+    (round 11): the row predicate (normalized DNF, typed-JSON literals)
+    plus the SET assignment map. ``table_changes`` re-derives the exact
+    update_preimage/update_postimage rows from the removed files at
+    READ time — precise Delta-style update images with ZERO write-time
+    cost (no sidecar files, no extra job). Returns None — and the feed
+    falls back to file granularity — when a SET expression is
+    non-deterministic (the derived post-image would lie) or a literal
+    doesn't round-trip through JSON."""
+    import re as _re
+
+    for expr in set_exprs.values():
+        if _re.search(
+            r"\b(rand|randn|random|uuid|shuffle|now|current_timestamp|"
+            r"current_date|monotonically_increasing_id)\s*\(",
+            str(expr),
+            _re.IGNORECASE,
+        ):
+            return None
+    where = []
+    for conj in dnf:
+        out_conj = []
+        for col, op, val in conj:
+            j = _cdc_lit_to_json(val)
+            if j is _CDC_UNSERIALIZABLE:
+                return None
+            out_conj.append([col, op, j])
+        where.append(out_conj)
+    out = {"where": where, "set": dict(set_exprs)}
+    if gen_exprs:
+        # computed GENERATED columns re-derive after the SET map (their
+        # expressions are deterministic by DDL-time validation), so the
+        # derived post-image matches what the rewrite actually stored
+        out["gen"] = dict(gen_exprs)
+    return out
+
+
+def _cdc_derive_dnf(payload: dict) -> list:
+    return [
+        [(col, op, _cdc_lit_from_json(val)) for col, op, val in conj]
+        for conj in payload["where"]
+    ]
+
+
 def _translate_legacy_merge(
     source: DataFrame,
     delete_condition: str | None,
@@ -2492,11 +2588,27 @@ class TableLog:
         to_version: int | None = None,
         net: bool = False,
     ) -> DataFrame:
-        """Delta-style change data feed at file granularity: the rows added
-        and removed by each commit in ``(from_version, to_version]``,
-        tagged ``_change_type`` ('insert' | 'delete'), ``_commit_version``
-        and ``_commit_ts_ms``. Batch CDC — the complement of the streaming
-        tail (sources/pyds.py), which only carries appends.
+        """Delta-style change data feed: the rows added and removed by
+        each commit in ``(from_version, to_version]``, tagged
+        ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+        'update_postimage'), ``_commit_version`` and ``_commit_ts_ms``.
+        Batch CDC — the complement of the streaming tail
+        (sources/pyds.py), which only carries appends.
+
+        UPDATE IMAGES (round 11, Delta CDF parity — downstream CDC
+        consumers pattern-match on the update_* types): an ``update_dv``
+        commit's masked rows are pre-images and its appended rows
+        post-images by definition; a ``merge_dv`` commit records its
+        update-branch positions (``dv_update``) and tags its post-image
+        files, so its feed separates updates from inserts/deletes
+        exactly; a copy-on-write UPDATE commit carries a derivable-CDC
+        record (predicate + SET map) from which the exact changed rows
+        re-derive at READ time — its surviving co-located rows emit
+        nothing (no delete+insert noise), at zero write-time cost.
+        Copy-on-write MERGE commits remain file-granularity (their
+        delete+insert pairs cancel additively — the pre-round-11
+        contract); ``net=True`` output is unchanged everywhere
+        (update images fold as their additive equivalents).
 
         File granularity means an overwrite reports every replaced row as
         a delete plus every new row as an insert (exactly what downstream
@@ -2552,6 +2664,28 @@ class TableLog:
         inv_cur = {pv: lv for lv, pv in cur_mapping.items()}
         parent_schema_json: str | None = None
         parent_mapping: dict | None = None
+
+        def _emit(part, label, mapping_era, v, c):
+            """Rename a change part to current logical names and tag it
+            with the change type + commit coordinates."""
+            if part is None:
+                return
+            if mapping_era or cur_mapping:
+                ren = {
+                    n: inv_cur.get(_phys_name(mapping_era, n), n)
+                    for n in part.columns
+                }
+                part = _rename_columns(
+                    part, {a: b for a, b in ren.items() if a != b}
+                )
+            parts.append(
+                part.withColumn("_change_type", F.lit(label))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_ts_ms", F.lit(c.get("ts_ms")).cast("long")
+                )
+            )
+
         for v in versions:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
@@ -2565,50 +2699,145 @@ class TableLog:
                 "merge_dv",
                 "merge_latest_dv",
             ):
-                # merge-on-read delete/update: the commit's deletion-vector
-                # map minus the parent's IS the deleted row set — read
-                # exactly those positions from the (untouched) files; an
-                # update_dv / merge_dv additionally fall through to the
-                # adds loop below so their new row versions emit as
-                # inserts
+                # merge-on-read delete/update: the commit's deletion-
+                # vector map minus the parent's IS the masked row set —
+                # read exactly those positions from the (untouched)
+                # files. Round 11, Delta CDF parity: an update_dv's
+                # masked rows are BY DEFINITION update pre-images (an
+                # UPDATE never deletes), and a merge_dv records its
+                # update-branch positions in ``dv_update`` — those emit
+                # as update_preimage, the rest as delete. update_dv /
+                # merge_dv additionally fall through to the adds loop so
+                # their new row versions emit as update_postimage /
+                # insert.
                 if parent_mapping is None:
                     parent_mapping = (
                         self.snapshot(v - 1).column_mapping if v > 1 else {}
                     )
-                part = self._read_dv_rows(
-                    c,
-                    self.snapshot(v - 1).dvs if v > 1 else {},
-                    StructType.fromJson(json.loads(c["schema"])),
-                    parent_mapping or {},
-                )
-                if part is not None:
-                    if parent_mapping or cur_mapping:
-                        ren = {
-                            n: inv_cur.get(
-                                _phys_name(parent_mapping or {}, n), n
-                            )
-                            for n in part.columns
-                        }
-                        part = _rename_columns(
-                            part, {a: b for a, b in ren.items() if a != b}
-                        )
-                    parts.append(
-                        part.withColumn("_change_type", F.lit("delete"))
-                        .withColumn(
-                            "_commit_version", F.lit(v).cast("long")
-                        )
-                        .withColumn(
-                            "_commit_ts_ms",
-                            F.lit(c.get("ts_ms")).cast("long"),
-                        )
+                pdvs = self.snapshot(v - 1).dvs if v > 1 else {}
+                schema_v = StructType.fromJson(json.loads(c["schema"]))
+                delta: dict[str, list[int]] = {}
+                for p, vv in (c.get("dvs") or {}).items():
+                    fresh = sorted(set(vv) - set(pdvs.get(p, [])))
+                    if fresh:
+                        delta[p] = fresh
+                if c["operation"] == "update_dv":
+                    upd_pos, del_pos = delta, {}
+                else:
+                    du = c.get("dv_update") or {}
+                    upd_pos = {p: x for p, x in du.items() if x}
+                    del_pos = {}
+                    for p, x in delta.items():
+                        rest = sorted(set(x) - set(upd_pos.get(p, [])))
+                        if rest:
+                            del_pos[p] = rest
+                for label, posmap in (
+                    ("update_preimage", upd_pos),
+                    ("delete", del_pos),
+                ):
+                    if not posmap:
+                        continue
+                    _emit(
+                        self._read_dv_rows(
+                            c, pdvs, schema_v, parent_mapping or {},
+                            positions=posmap,
+                        ),
+                        label,
+                        parent_mapping or {},
+                        v,
+                        c,
                     )
                 parent_schema_json = c["schema"]
                 if c["operation"] == "delete_dv":
                     continue
-            for kind, metas in (
-                ("insert", c.get("adds", [])),
-                ("delete", c.get("removes", [])),
-            ):
+            cd = c.get("cdc_derive")
+            if c["operation"] == "update" and cd:
+                # copy-on-write UPDATE with derivable CDC (round 11):
+                # re-derive the exact changed rows from the removed
+                # files' alive rows — pre-images are the predicate
+                # matches, post-images the same rows through the SET map
+                # (+ generated-column recompute). The surviving
+                # co-located rows emit NOTHING (no delete+insert noise),
+                # matching Delta's CDC-file output.
+                if parent_mapping is None:
+                    parent_mapping = (
+                        self.snapshot(v - 1).column_mapping if v > 1 else {}
+                    )
+                if parent_schema_json is None:
+                    parent_schema_json = self.snapshot(v - 1).schema_json
+                pschema = StructType.fromJson(json.loads(parent_schema_json))
+                fmetas = [
+                    {
+                        "path": p,
+                        "partition_values": _parse_partition_values(
+                            os.path.dirname(p) or "."
+                        ),
+                    }
+                    for p in c.get("removes", [])
+                ]
+                missing = [
+                    m["path"]
+                    for m in fmetas
+                    if not os.path.exists(
+                        os.path.join(self.data_dir, m["path"])
+                    )
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed for v{v} references vacuumed "
+                        f"files: {missing[:3]}…"
+                    )
+                pdvs = self.snapshot(v - 1).dvs if v > 1 else {}
+                alive = self._read_file_metas(
+                    fmetas, pschema, parent_mapping or {}, pdvs
+                )
+                cond = F.coalesce(
+                    _dnf_column(_cdc_derive_dnf(cd)), F.lit(False)
+                )
+                pre = alive.filter(cond)
+                sets = cd["set"]
+                post = pre.select(
+                    *[
+                        F.expr(sets[fld.name])
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                        if fld.name in sets
+                        else F.col(fld.name)
+                        for fld in pschema.fields
+                    ]
+                )
+                for gcol, gexpr in (cd.get("gen") or {}).items():
+                    if gcol in pschema.names:
+                        post = post.withColumn(
+                            gcol,
+                            F.expr(gexpr).cast(pschema[gcol].dataType),
+                        )
+                _emit(pre, "update_preimage", parent_mapping or {}, v, c)
+                _emit(post, "update_postimage", parent_mapping or {}, v, c)
+                parent_schema_json = c["schema"]
+                parent_mapping = c.get("column_mapping", parent_mapping)
+                continue
+            adds_ = c.get("adds", [])
+            add_groups: list[tuple[str, list]] = []
+            if adds_:
+                if c["operation"] == "update_dv":
+                    add_groups.append(("update_postimage", adds_))
+                elif any(a.get("cdc") == "update_post" for a in adds_):
+                    post_a = [
+                        a for a in adds_ if a.get("cdc") == "update_post"
+                    ]
+                    ins_a = [
+                        a for a in adds_ if a.get("cdc") != "update_post"
+                    ]
+                    if post_a:
+                        add_groups.append(("update_postimage", post_a))
+                    if ins_a:
+                        add_groups.append(("insert", ins_a))
+                else:
+                    add_groups.append(("insert", adds_))
+            for kind, metas in add_groups + [
+                ("delete", c.get("removes", []))
+            ]:
                 if not metas:
                     continue
                 if parent_mapping is None and (
@@ -2730,7 +2959,12 @@ class TableLog:
                 for c in out.columns
                 if c not in ("_change_type", "_commit_version", "_commit_ts_ms")
             ]
-            signed = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            # update images participate as their additive equivalents
+            # (post ⇒ +1, pre ⇒ −1), so net output is BIT-IDENTICAL to
+            # the pre-round-11 file-granularity diff: insert|delete only
+            signed = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), 1
+            ).otherwise(-1)
             agg = (
                 out.groupBy("_commit_version", "_commit_ts_ms", *data_cols)
                 .agg(F.sum(signed).alias("_net"))
@@ -3112,17 +3346,24 @@ class TableLog:
         parent_dvs: dict[str, list[int]],
         schema,
         mapping: dict[str, str],
+        positions: dict[str, list[int]] | None = None,
     ) -> DataFrame | None:
         """The rows a ``delete_dv`` commit deleted: for each file, the
         commit's positions minus the parent's, read back by an inclusion
         join on (file basename, row_index). Logical-era column names.
         Raises FileNotFoundError when the files were vacuumed — same
-        contract as any other change-feed read."""
-        new_pos = {}
-        for p, v in (c.get("dvs") or {}).items():
-            fresh = sorted(set(v) - set(parent_dvs.get(p, [])))
-            if fresh:
-                new_pos[p] = fresh
+        contract as any other change-feed read. ``positions`` (round 11)
+        overrides the delta computation with an explicit position map —
+        the change feed uses it to split a merge commit's masked rows
+        into update pre-images vs deletes."""
+        if positions is not None:
+            new_pos = {p: sorted(v) for p, v in positions.items() if v}
+        else:
+            new_pos = {}
+            for p, v in (c.get("dvs") or {}).items():
+                fresh = sorted(set(v) - set(parent_dvs.get(p, [])))
+                if fresh:
+                    new_pos[p] = fresh
         if not new_pos:
             return None
         missing = [
@@ -3430,6 +3671,23 @@ class TableLog:
                 # resolved here by re-running instead of raising).
                 continue
             version = cur.version + 1
+            # derivable CDC metadata (round 11): lets table_changes
+            # reconstruct exact update_preimage/update_postimage rows
+            # from the removed files at read time — Delta-precision CDF
+            # for CoW updates at zero write-time cost
+            cdc = (
+                _cdc_derive_payload(
+                    dnf,
+                    set_exprs,
+                    {
+                        c: s["expr"]
+                        for c, s in base.generated.items()
+                        if "expr" in s and c in base.schema.names
+                    },
+                )
+                if op == "update"
+                else None
+            )
             payload = {
                 "version": version,
                 "snapshot_id": _snapshot_id(version, adds, removes, cur),
@@ -3439,6 +3697,7 @@ class TableLog:
                 "partition_by": list(base.partition_by or []),
                 "adds": adds,
                 "removes": removes,
+                **({"cdc_derive": cdc} if cdc is not None else {}),
             }
             try:
                 self._commit(version, payload)
@@ -3919,9 +4178,44 @@ class TableLog:
             )
             skipped = len(base.files) - len(cand)
             # positions of ALIVE matched target rows — the rows the merge
-            # updates or (delete branch) removes; keys-semi-join form of
-            # _dv_positions, same cap discipline
-            hits, truncated = self._dv_positions_join(cand, base, source, keys)
+            # updates or (delete branch) removes. The join carries the
+            # source's delete flag per key (round 11) so the commit can
+            # record which masked rows are UPDATE pre-images
+            # (``dv_update``, Delta CDF parity) — same one-scan cap
+            # discipline as _dv_positions_join.
+            scan = self._scan_with_positions(cand, base)
+            if delete_condition is not None:
+                flagged = (
+                    source.select(
+                        *keys,
+                        F.coalesce(
+                            F.expr(delete_condition).cast("boolean"),
+                            F.lit(False),
+                        ).alias("__del"),
+                    )
+                    .groupBy(*keys)
+                    .agg(F.bool_or("__del").alias("__del"))
+                )
+            else:
+                flagged = source.select(*keys).distinct().withColumn(
+                    "__del", F.lit(False)
+                )
+            mrows = (
+                scan.join(flagged, keys, "inner")
+                .select("__dv_file", "__dv_pos", "__del")
+                .limit(self._DV_INLINE_CAP + 1)
+                .collect()
+            )
+            truncated = len(mrows) > self._DV_INLINE_CAP
+            base_by_name = {os.path.basename(p): p for p in cand}
+            hits, upd_hits = {}, {}
+            for r in mrows:
+                p = base_by_name[r["__dv_file"]]
+                hits.setdefault(p, []).append(int(r["__dv_pos"]))
+                if not r["__del"]:
+                    upd_hits.setdefault(p, []).append(int(r["__dv_pos"]))
+            hits = {p: sorted(x) for p, x in hits.items()}
+            upd_hits = {p: sorted(x) for p, x in upd_hits.items()}
             n_hits = sum(len(v) for v in hits.values())
             if truncated or (
                 n_hits + sum(len(v) for v in base.dvs.values())
@@ -3943,28 +4237,41 @@ class TableLog:
             # The membership probe runs against the ALIVE candidate rows,
             # exact for the same stats-pruning reason as CoW merge.
             table_cols = [f.name for f in base.schema.fields]
+            alive_keys = scan.select(*keys)
             src_eff = source
             if delete_condition is not None:
                 cond = F.coalesce(F.expr(delete_condition), F.lit(False))
                 if insert_unmatched_deletes:
-                    alive_keys = self._read_file_metas(
-                        list(cand.values()),
-                        base.schema,
-                        base.column_mapping,
-                        base.dvs,
-                    ).select(*keys)
                     unmatched_del = source.filter(cond).join(
                         alive_keys, keys, "left_anti"
                     )
                     src_eff = source.filter(~cond).unionByName(unmatched_del)
                 else:
                     src_eff = source.filter(~cond)
-            new_rows = src_eff.select(*table_cols)
-            self._enforce_constraints(new_rows, base.constraints, "merge")
-            adds = self._stage(
-                new_rows, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
+            # post-image rows (matched keys) stage separately from
+            # inserts so the change feed tells them apart — key-column-
+            # pruned probes against the candidate scan, trickle-sized
+            adds: list[dict] = []
+            upd_rows = (
+                src_eff.join(alive_keys, keys, "left_semi")
+                .select(*table_cols)
             )
+            ins_rows = (
+                src_eff.join(alive_keys, keys, "left_anti")
+                .select(*table_cols)
+            )
+            self._enforce_constraints(
+                src_eff.select(*table_cols), base.constraints, "merge"
+            )
+            for rows_df, tag in ((upd_rows, "update_post"), (ins_rows, None)):
+                staged = self._stage(
+                    rows_df, base.partition_by or None,
+                    mapping=base.column_mapping, bloom_cols=base.bloom_cols,
+                )
+                for a in staged:
+                    if tag:
+                        a["cdc"] = tag
+                    adds.append(a)
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():
                 dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
@@ -3985,6 +4292,7 @@ class TableLog:
                 "adds": adds,
                 "removes": [],
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
+                **({"dv_update": upd_hits} if upd_hits else {}),
             }
             try:
                 self._commit(version, payload)
@@ -4176,24 +4484,35 @@ class TableLog:
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
             mask_parts: list[DataFrame] = []
-            append_parts: list[DataFrame] = []
+            upd_parts: list[DataFrame] = []  # update post-image rows
+            ins_parts: list[DataFrame] = []  # insert-branch rows
 
             if mc:
                 pairs = scan.alias("t").join(
                     src.alias("s"), keys, "inner"
                 ).withColumn("__m_branch", _first_match_branch(mc))
                 touched = pairs.filter(F.col("__m_branch").isNotNull())
+                upd_idx = [
+                    i for i, cl in enumerate(mc) if cl["action"] == "update"
+                ]
+                # the __upd flag rides the position collect so the
+                # commit can record which masked rows are UPDATE
+                # pre-images (Delta CDF parity, round 11) — one scan,
+                # no second collect
+                m_upd_flag = (
+                    F.col("__m_branch").isin(upd_idx)
+                    if upd_idx
+                    else F.lit(False)
+                )
                 mask_parts.append(
                     touched.select(
                         F.col("t.__dv_file").alias("__dv_file"),
                         F.col("t.__dv_pos").alias("__dv_pos"),
+                        m_upd_flag.alias("__upd"),
                     )
                 )
-                upd_idx = [
-                    i for i, cl in enumerate(mc) if cl["action"] == "update"
-                ]
                 if upd_idx:
-                    append_parts.append(
+                    upd_parts.append(
                         touched.filter(F.col("__m_branch").isin(upd_idx))
                         .select(
                             *_clause_projection(
@@ -4208,14 +4527,21 @@ class TableLog:
                     src.select(*keys).distinct(), keys, "left_anti"
                 ).withColumn("__n_branch", _first_match_branch(nc))
                 ntouched = unmatched.filter(F.col("__n_branch").isNotNull())
-                mask_parts.append(
-                    ntouched.select("__dv_file", "__dv_pos")
-                )
                 n_upd = [
                     i for i, cl in enumerate(nc) if cl["action"] == "update"
                 ]
+                n_upd_flag = (
+                    F.col("__n_branch").isin(n_upd)
+                    if n_upd
+                    else F.lit(False)
+                )
+                mask_parts.append(
+                    ntouched.select(
+                        "__dv_file", "__dv_pos", n_upd_flag.alias("__upd")
+                    )
+                )
                 if n_upd:
-                    append_parts.append(
+                    upd_parts.append(
                         ntouched.filter(F.col("__n_branch").isin(n_upd))
                         .select(
                             *_clause_projection(
@@ -4248,15 +4574,29 @@ class TableLog:
                         cond_i = F.col("__i_branch") == i
                         w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
                     proj.append(w.alias(c))
-                append_parts.append(ins.select(*proj))
+                ins_parts.append(ins.select(*proj))
 
             if mask_parts:
                 mask = mask_parts[0]
                 for m in mask_parts[1:]:
                     mask = mask.unionByName(m)
-                hits, truncated = self._collect_positions(mask, cand)
+                rows = (
+                    mask.select("__dv_file", "__dv_pos", "__upd")
+                    .limit(self._DV_INLINE_CAP + 1)
+                    .collect()
+                )
+                truncated = len(rows) > self._DV_INLINE_CAP
+                base_by_name = {os.path.basename(p): p for p in cand}
+                hits, upd_hits = {}, {}
+                for r in rows:
+                    p = base_by_name[r["__dv_file"]]
+                    hits.setdefault(p, []).append(int(r["__dv_pos"]))
+                    if r["__upd"]:
+                        upd_hits.setdefault(p, []).append(int(r["__dv_pos"]))
+                hits = {p: sorted(x) for p, x in hits.items()}
+                upd_hits = {p: sorted(x) for p, x in upd_hits.items()}
             else:
-                hits, truncated = {}, False
+                hits, upd_hits, truncated = {}, {}, False
             n_hits = sum(len(v) for v in hits.values())
             if truncated or (
                 n_hits + sum(len(v) for v in base.dvs.values())
@@ -4264,24 +4604,38 @@ class TableLog:
             ):
                 return _cow_fallback()
 
-            if append_parts:
-                new_rows = append_parts[0]
-                for p in append_parts[1:]:
-                    new_rows = new_rows.unionByName(p)
-            else:
-                new_rows = self.spark.createDataFrame([], eff_schema)
-            if base.generated:
-                # rewritten matched rows kept their identity (keep_cols
-                # above) and inserts carry NULL — recompute computed
-                # columns, allocate identity for exactly the NULL rows
-                new_rows = self._apply_generated(
-                    new_rows, base.generated, eff_schema
+            def _finish(parts_list: list[DataFrame]) -> list[dict]:
+                rows_df = parts_list[0]
+                for p in parts_list[1:]:
+                    rows_df = rows_df.unionByName(p)
+                if base.generated:
+                    # rewritten matched rows kept their identity
+                    # (keep_cols above) and inserts carry NULL —
+                    # recompute computed columns, allocate identity for
+                    # exactly the NULL rows
+                    rows_df = self._apply_generated(
+                        rows_df, base.generated, eff_schema
+                    )
+                self._enforce_constraints(
+                    rows_df, base.constraints, "merge"
                 )
-            self._enforce_constraints(new_rows, base.constraints, "merge")
-            adds = self._stage(
-                new_rows, base.partition_by or None,
-                mapping=base.column_mapping, bloom_cols=base.bloom_cols,
-            )
+                return self._stage(
+                    rows_df, base.partition_by or None,
+                    mapping=base.column_mapping,
+                    bloom_cols=base.bloom_cols,
+                )
+
+            # update post-images stage separately from inserts so the
+            # change feed can tell them apart (the `cdc` tag on the
+            # add-action — Delta CDF parity); a trickle merge stages
+            # small sets either way
+            adds: list[dict] = []
+            if upd_parts:
+                for a in _finish(upd_parts):
+                    a["cdc"] = "update_post"
+                    adds.append(a)
+            if ins_parts:
+                adds += _finish(ins_parts)
             new_gen = (
                 self._bump_identity_high(
                     base.generated, adds, base.column_mapping
@@ -4310,6 +4664,7 @@ class TableLog:
                 "removes": [],
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
                 **({"generated": new_gen} if new_gen is not None else {}),
+                **({"dv_update": upd_hits} if upd_hits else {}),
             }
             try:
                 self._commit(version, payload)

@@ -1053,13 +1053,25 @@ def test_table_changes_dv_then_cow_never_double_deletes(spark, tmp_path):
     )
     # id=2 deleted EXACTLY once — by the dv commit, not again by the CoW
     assert [d for d in dels if d[0] == 2] == [(2, v0 + 1)]
-    # the CoW commit reports the alive pre-images only: 1, 3, 4
-    assert [i for i, cv in dels if cv == v0 + 2] == [1, 3, 4]
+    # the CoW update commit emits PRECISE update images (round 11 —
+    # derivable CDC): the already-dv-deleted row never re-appears in
+    # them, and the surviving co-located rows 1/4 emit nothing
+    upd = sorted(
+        (r.id, r.v, r._change_type)
+        for r in ch
+        if r._commit_version == v0 + 2
+    )
+    assert upd == [
+        (3, 30, "update_preimage"),
+        (3, 31, "update_postimage"),
+    ]
     # folding the feed onto the pre-window state reproduces the live table
     net = {(1, 10): 1, (2, 20): 1, (3, 30): 1, (4, 40): 1}
     for r in ch:
         net[(r.id, r.v)] = net.get((r.id, r.v), 0) + (
-            1 if r._change_type == "insert" else -1
+            1
+            if r._change_type in ("insert", "update_postimage")
+            else -1
         )
     fold = {k for k, n in net.items() if n > 0}
     live = {(r.id, r.v) for r in log.read().collect()}
@@ -1523,10 +1535,23 @@ def test_drop_and_add_column_without_rewrite(spark, tmp_path):
     # change feed spans the drop: era rows carry the old column where it
     # existed (unionByName fills null elsewhere)
     feed = log.table_changes(0)
-    # two delete rows for id=1000: the update's replaced version (v=7)
-    # and the final DELETE of the updated row (v=8) — file-granularity CDC
+    # the UPDATE emits precise images (round 11 — derivable CDC, even
+    # across the column-mapping era): pre v=7, post v=8; only the final
+    # DELETE emits a delete row (v=8)
     dels = feed.filter("id = 1000 AND _change_type = 'delete'")
-    assert sorted(r.v for r in dels.collect()) == [7, 8]
+    assert sorted(r.v for r in dels.collect()) == [8]
+    assert [
+        r.v
+        for r in feed.filter(
+            "id = 1000 AND _change_type = 'update_preimage'"
+        ).collect()
+    ] == [7]
+    assert [
+        r.v
+        for r in feed.filter(
+            "id = 1000 AND _change_type = 'update_postimage'"
+        ).collect()
+    ] == [8]
     # the pyds DataSource resolves the evolved schema too
     from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
         register_txlog,
@@ -2011,10 +2036,11 @@ def test_deletion_vector_update(spark, tmp_path):
     }
     # time travel pre-update
     assert log.read(1).filter("v between 1000 and 2000").count() == 0
-    # CDC: 3 deletes (old versions) + 3 inserts (new versions)
+    # CDC: an update_dv's masked rows ARE update pre-images and its
+    # appended rows the post-images (round 11 — Delta CDF parity)
     feed = log.table_changes(1)
-    assert feed.filter("_change_type = 'delete'").count() == 3
-    ins = feed.filter("_change_type = 'insert'")
+    assert feed.filter("_change_type = 'update_preimage'").count() == 3
+    ins = feed.filter("_change_type = 'update_postimage'")
     assert {r.v for r in ins.collect()} == {1010, 1011, 1012}
     # net CDC agrees
     net = log.table_changes(1, net=True)
@@ -2084,10 +2110,20 @@ def test_deletion_vector_merge(spark, tmp_path):
     assert {(r.id, r.v) for r in twin.read().collect()} == {
         (r.id, r.v) for r in out.collect()
     }
-    # CDC: the dv'd rows emit as deletes, the appended rows as inserts
+    # CDC (round 11 — update images): the matched UPDATE row emits as a
+    # pre/post pair, the matched DELETE row as a delete, the fresh keys
+    # as inserts
     feed = log.table_changes(1)
-    assert {r.id for r in feed.filter("_change_type = 'delete'").collect()} == {5, 7}
-    assert {r.id for r in feed.filter("_change_type = 'insert'").collect()} == {5, 200, 300}
+    by_type = {
+        t: {r.id for r in feed.filter(f"_change_type = '{t}'").collect()}
+        for t in (
+            "delete", "insert", "update_preimage", "update_postimage",
+        )
+    }
+    assert by_type["update_preimage"] == {5}
+    assert by_type["update_postimage"] == {5}
+    assert by_type["delete"] == {7}
+    assert by_type["insert"] == {200, 300}
     # idempotent-writer token works in dv mode
     res2 = log.merge(src, ["id"], delete_condition="del = 1",
                      via="dv", txn=("app", 1))
