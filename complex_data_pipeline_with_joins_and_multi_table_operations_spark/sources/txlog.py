@@ -190,7 +190,11 @@ class Snapshot:
     # join the bucket layout (bucket ids in their names keep grouping
     # correct); round 10: row-level DML rewrites re-stage through the
     # bucketed writer too (_stage_for), so only replace_where and the
-    # layout-redefining DDL still refuse.
+    # layout-redefining DDL still refuse. Round 11: merge-on-read (dv)
+    # works on bucketed tables as well — read_bucketed masks deleted
+    # positions with a broadcast anti-join, which preserves the
+    # bucketed scan's output partitioning (zero-Exchange joins survive
+    # live deletion vectors, plan-asserted).
     bucket_by: dict = field(default_factory=dict)
     # Opt-in per-column Bloom-filter file skipping (round 9 — Delta's
     # Bloom filter index / Iceberg's bloom write property): columns
@@ -1883,6 +1887,39 @@ class TableLog:
                 f"LOCATION '{loc}'"
             )
         df = spark.table(name)
+        dvs = {
+            os.path.basename(p): v for p, v in snap.dvs.items() if v
+        }
+        if dvs:
+            # merge-on-read on a bucketed table (round 11): mask the
+            # deleted positions with a BROADCAST anti-join on
+            # (file basename, row_index). A broadcast join preserves
+            # the streamed side's output partitioning, so joins and
+            # aggregations keyed on the bucket columns STILL plan zero
+            # Exchange (plan-asserted in tests) — the CDC-trickle-into-
+            # bucketed-fact shape stops paying file rewrites. The
+            # vector is _DV_INLINE_CAP-bounded, so the broadcast side
+            # is always tiny.
+            phys_names = df.columns
+            positions = spark.createDataFrame(
+                [(b, int(p)) for b, ps in dvs.items() for p in ps],
+                "__dv_file string, __dv_pos long",
+            )
+            df = (
+                df.select(
+                    *phys_names,
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+                .join(
+                    F.broadcast(positions),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+                .drop("__dv_file", "__dv_pos")
+            )
         inverse = {p: l for l, p in snap.column_mapping.items()}
         return _rename_columns(df, inverse)
 
@@ -3214,12 +3251,12 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            if base.bucket_by:
-                # merge-on-read masks would put an anti-join on top of the
-                # bucketed scan and break its zero-Exchange contract —
-                # bucketed tables take the copy-on-write path (round 10),
-                # which re-stages through the bucketed writer
-                return self._rewrite_rows(filters, None, max_retries)
+            # bucketed tables take dv deletes too since round 11:
+            # read_bucketed masks the positions with a broadcast
+            # anti-join, which PRESERVES the bucketed scan's output
+            # partitioning — the zero-Exchange join contract survives
+            # (plan-asserted), and a point delete on a 100 TB bucketed
+            # fact commits metadata-only instead of rewriting files
             pdnf = _dnf_physical(dnf, base.column_mapping)
             cand = {
                 p: m
@@ -3454,10 +3491,6 @@ class TableLog:
         dnf = _as_dnf(filters)
         for _attempt in range(max_retries):
             base = self.snapshot()
-            if base.bucket_by:
-                # same bucketed-table rule as delete(via='dv'): CoW keeps
-                # the zero-Exchange layout
-                return self._rewrite_rows(filters, set_exprs, max_retries)
             unknown = [c for c in set_exprs if c not in base.schema.names]
             if unknown:
                 raise ValueError(f"update sets unknown columns {unknown}")
@@ -3519,10 +3552,10 @@ class TableLog:
                     updated, base.generated, base.schema
                 )
             self._enforce_constraints(updated, base.constraints, "update")
-            adds = self._stage(
-                updated, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
-            )
+            # _stage_for: a bucketed table's rewritten rows re-stage
+            # through the bucketed writer, so the appended file joins
+            # the bucket layout (round 11)
+            adds = self._stage_for(base, updated)
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for p, pos in hits.items():
                 dvs[p] = sorted(set(dvs.get(p, [])) | set(pos))
@@ -4140,18 +4173,6 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
-            if base.bucket_by:
-                # bucketed tables take the CoW merge (round 10): dv masks
-                # would break the zero-Exchange bucketed-scan contract
-                return self.merge(
-                    source,
-                    keys,
-                    delete_condition=delete_condition,
-                    max_retries=max_retries,
-                    txn=txn,
-                    insert_unmatched_deletes=insert_unmatched_deletes,
-                    via="cow",
-                )
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -4264,10 +4285,7 @@ class TableLog:
                 src_eff.select(*table_cols), base.constraints, "merge"
             )
             for rows_df, tag in ((upd_rows, "update_post"), (ins_rows, None)):
-                staged = self._stage(
-                    rows_df, base.partition_by or None,
-                    mapping=base.column_mapping, bloom_cols=base.bloom_cols,
-                )
+                staged = self._stage_for(base, rows_df)
                 for a in staged:
                     if tag:
                         a["cdc"] = tag
@@ -4420,9 +4438,6 @@ class TableLog:
 
         for _attempt in range(max_retries):
             base = self.snapshot()
-            if base.bucket_by:
-                # bucketed tables take the CoW form (round 10)
-                return _cow_fallback()
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -4619,11 +4634,9 @@ class TableLog:
                 self._enforce_constraints(
                     rows_df, base.constraints, "merge"
                 )
-                return self._stage(
-                    rows_df, base.partition_by or None,
-                    mapping=base.column_mapping,
-                    bloom_cols=base.bloom_cols,
-                )
+                # _stage_for: bucketed tables re-stage through the
+                # bucketed writer so appended rows join the layout
+                return self._stage_for(base, rows_df)
 
             # update post-images stage separately from inserts so the
             # change feed can tell them apart (the `cdc` tag on the
@@ -4894,17 +4907,6 @@ class TableLog:
                 return _noop(self.versions()[-1], len(self.snapshot().files))
         for _attempt in range(max_retries):
             base = self.snapshot()
-            if base.bucket_by:
-                # bucketed tables take the CoW form (round 10)
-                return self.merge_latest(
-                    source,
-                    keys,
-                    order_col,
-                    delete_col=delete_col,
-                    max_retries=max_retries,
-                    txn=txn,
-                    via="cow",
-                )
             if _attempt and txn is not None:
                 seen = self.last_txn_version(txn[0])
                 if seen is not None and txn[1] <= seen:
@@ -4994,10 +4996,9 @@ class TableLog:
                 (F.col("_rn") == 1) & F.col("__dv_file").isNull()
             ).select(*table_cols)
             self._enforce_constraints(winners, base.constraints, "merge")
-            adds = self._stage(
-                winners, base.partition_by or None, mapping=base.column_mapping,
-                bloom_cols=base.bloom_cols,
-            )
+            # _stage_for: bucketed tables (dv-capable since round 11)
+            # re-stage winners through the bucketed writer
+            adds = self._stage_for(base, winners)
             base_by_name = {os.path.basename(p): p for p in cand}
             dvs = {p: list(v) for p, v in base.dvs.items()}
             for r in loser_pos:

@@ -122,9 +122,11 @@ def test_bucketed_txlog_row_level_dml_keeps_layout(spark, tmp_path):
         assert j.count() == n - 1  # k=1 deleted; k=n+7 has no dim row
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    # merge-on-read requests fall back to CoW: no vectors ever recorded
+    # merge-on-read on bucketed tables (round 11): vectors record, NO
+    # host file rewrites — the CDC-trickle-into-bucketed-fact shape
     res = log.delete([("k", "==", 3)], via="dv")
-    assert res["files_rewritten"] >= 1 and log.snapshot().dvs == {}
+    assert res["files_rewritten"] == 0
+    assert sum(len(v) for v in log.snapshot().dvs.values()) >= 1
     log.update([("k", "==", 4)], {"v": "0"}, via="dv")
     log.merge(chg.filter("k = 3"), ["k"], via="dv")
     log.merge(
@@ -132,10 +134,20 @@ def test_bucketed_txlog_row_level_dml_keeps_layout(spark, tmp_path):
         matched_clauses=[{"action": "update", "condition": None,
                           "set": {"v": "s.v"}}],
     )
-    assert log.snapshot().dvs == {}
     assert log.snapshot().bucket_by == {"n": 4, "cols": ["k"], "sort": []}
     got = {r.k: r.v for r in log.read_bucketed().collect()}
     assert got[4] == 0 and got[3] == -3
+    # the zero-Exchange co-bucketed join SURVIVES live deletion vectors
+    # (the broadcast anti-join mask preserves the bucketed scan's
+    # output partitioning) — the round-11 plan contract
+    assert sum(len(v) for v in log.snapshot().dvs.values()) >= 1
+    prev = _no_broadcast(spark)
+    try:
+        j = log.read_bucketed().join(other.read_bucketed(), "k")
+        assert "Exchange hashpartitioning" not in _plan(j)
+        assert {r.k: r.v for r in j.collect()}[4] == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_txlog_ddl_guards_still_refuse(spark, tmp_path):
