@@ -3596,6 +3596,168 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt) AND op <> 'D'
 """
 
 
+def q_sql_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 MERGE feature stack end-to-end: ``MERGE WITH SCHEMA
+    EVOLUTION`` (the Spark 4 / Delta CDC-apply-against-evolving-source
+    statement — the source's ``note`` column extends the table schema
+    and an UPDATE clause targets it), the ``DEFAULT`` keyword in a merge
+    INSERT VALUES list plus default-fill of unlisted columns (Delta's
+    fill rule: ``tier`` defaults to 'std'), and a ``GENERATED ALWAYS
+    AS`` computed column (``price_band``) recomputed on every write —
+    matched rows' bands move with their updated price, inserted rows
+    compute theirs, and the column may never be listed. The oracle
+    recomputes the three-way split with the evolution/default/generation
+    rules as plain SQL."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="merge_ev_"))
+    orders = Catalog(spark, sf_dir).orders
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.lit("std").alias("tier"),
+            F.floor(F.col("o_totalprice") / 100000)
+            .cast("int")
+            .alias("price_band"),
+        ),
+        "t",
+    )
+    wh.sql("ALTER TABLE t ALTER COLUMN tier SET DEFAULT 'std'")
+    wh.sql(
+        "ALTER TABLE t ALTER COLUMN price_band SET GENERATED ALWAYS AS "
+        "(CAST(FLOOR(o_totalprice / 100000) AS INT))"
+    )
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 30 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.col("o_orderpriority").alias("note"),
+        ),
+        "s",
+    )
+    wh.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t AS tg USING s AS sr "
+        "ON tg.o_orderkey = sr.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_totalprice = sr.o_totalprice, note = sr.note "
+        "WHEN NOT MATCHED AND sr.o_totalprice > 300000 THEN INSERT "
+        "(o_orderkey, o_custkey, o_totalprice, note, tier) VALUES "
+        "(sr.o_orderkey, sr.o_custkey, sr.o_totalprice, sr.note, 'big') "
+        "WHEN NOT MATCHED AND sr.o_totalprice > 150000 THEN INSERT "
+        "(o_orderkey, o_custkey, o_totalprice, note, tier) VALUES "
+        "(sr.o_orderkey, sr.o_custkey, sr.o_totalprice, sr.note, DEFAULT) "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(o_orderkey, o_custkey, o_totalprice) VALUES "
+        "(sr.o_orderkey, sr.o_custkey, sr.o_totalprice)"
+    )
+    return wh.read_snapshot("t")
+
+
+SQL_SQL_MERGE_EVOLVE = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 'std' AS tier,
+         CAST(FLOOR(o_totalprice / 100000) AS INT) AS price_band
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+         o_orderpriority AS note
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+-- matched: price + note from the source, tier kept, band recomputed
+SELECT t.o_orderkey, t.o_custkey, s.o_totalprice, t.tier,
+       CAST(FLOOR(s.o_totalprice / 100000) AS INT) AS price_band,
+       s.note
+FROM tgt t JOIN src s USING (o_orderkey)
+UNION ALL
+-- untouched target rows read the evolved column as NULL
+SELECT t.*, NULL AS note FROM tgt t
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+-- inserts: 'big' tier above 300k, the DEFAULT keyword at 150-300k,
+-- unlisted-column default-fill below (tier 'std' everywhere but 'big');
+-- note only rides the clauses that list it; the generated band computes
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'std' END AS tier,
+       CAST(FLOOR(o_totalprice / 100000) AS INT) AS price_band,
+       CASE WHEN o_totalprice > 150000 THEN note ELSE NULL END AS note
+FROM src
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+"""
+
+
+def q_cdf_update_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 CDF update images on a BUCKETED table carrying live
+    deletion vectors: a dv UPDATE (masked rows are pre-images, the
+    appended bucket-tagged file the post-images), a copy-on-write UPDATE
+    (precise images re-derived at read time from the commit's
+    derivable-CDC record — surviving co-located rows emit NOTHING), and
+    a dv point DELETE (metadata-only on the bucketed fact, round 11's
+    scale feature). The three predicates are disjoint price bands, so
+    the oracle recomputes each commit's expected image rows straight
+    from the base relation."""
+    import tempfile
+
+    from ..sources.txlog import TableLog
+
+    log = TableLog(spark, tempfile.mkdtemp(prefix="cdf_feed_") + "/t")
+    orders = Catalog(spark, sf_dir).orders
+    log.write(
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4),
+        bucket_by=(4, ["o_orderkey"]),
+    )
+    log.update(
+        [("o_totalprice", ">", 400000.0)],
+        {"o_orderstatus": "'H'"},
+        via="dv",
+    )
+    log.update(
+        [("o_totalprice", "<", 30000.0)],
+        {"o_orderstatus": "'L'"},
+        via="cow",
+    )
+    log.delete(
+        [("o_totalprice", "between", (100000.0, 150000.0))], via="dv"
+    )
+    return log.table_changes(1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "_change_type",
+        "_commit_version",
+    )
+
+
+SQL_CDF_UPDATE_FEED = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM base WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, 'H', o_totalprice, 'update_postimage', 2
+FROM base WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage', 3
+FROM base WHERE o_totalprice < 30000
+UNION ALL
+SELECT o_orderkey, 'L', o_totalprice, 'update_postimage', 3
+FROM base WHERE o_totalprice < 30000
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 4
+FROM base WHERE o_totalprice BETWEEN 100000 AND 150000
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5559,15 +5721,15 @@ WHERE sa.split <> sb.split
 
 QUERIES: dict[str, QueryFn] = {
     # --- window slots 1-50 (the driver hash-checks only the FIRST 50
-    # entries; full-registry evidence lives in SWEEP_r09*.json) --------
-    # Round-10 rotation: the r9 window head is kept with this round's
-    # NEW query inserted — sql_merge_branches (slot 14, the multi-branch
-    # MERGE grammar + its dv twin machinery) — every round-10 addition
-    # gets a driver row in its introduction round. Displaced entry
-    # (forecast_revenue) moved to the tail top; the r01-r09 union covers
-    # all prior queries at least once (r9 verdict), and every displaced
-    # entry's newest green row is within two rounds (SWEEP_r09 at two
-    # scale factors).
+    # entries; full-registry evidence lives in SWEEP_r10*.json) --------
+    # Round-11 rotation: the r10 window head is kept with this round's
+    # TWO new queries inserted — sql_merge_evolve (slot 15: MERGE WITH
+    # SCHEMA EVOLUTION + DEFAULT-in-merge-inserts + generated columns)
+    # and cdf_update_feed (slot 16: CDF update images + dv-on-bucketed)
+    # — every round-11 addition gets a driver row in its introduction
+    # round. Displaced entries (gk_quantiles, kmv_segment_overlap)
+    # moved to the tail top; both stay hash-green in the full sweep at
+    # two scale factors (SWEEP_r11*.json).
     "approx_event_stats": q_approx_event_stats,
     "triplet_mining": q_triplet_mining,
     "column_profile_approx": q_column_profile_approx,
@@ -5582,6 +5744,8 @@ QUERIES: dict[str, QueryFn] = {
     "sql_insert_ops": q_sql_insert_ops,  # NEW in r9
     "sql_merge_set": q_sql_merge_set,  # NEW in r9
     "sql_merge_branches": q_sql_merge_branches,  # NEW in r10
+    "sql_merge_evolve": q_sql_merge_evolve,  # NEW in r11
+    "cdf_update_feed": q_cdf_update_feed,  # NEW in r11
     # oldest-evidence refresh (front of the r7 tail)
     "label_centroids": q_label_centroids,
     "media_features": q_media_features,
@@ -5617,12 +5781,12 @@ QUERIES: dict[str, QueryFn] = {
     "skewed_hot_key_join": q_skewed_hot_key_join,
     "bloom_prejoin_revenue": q_bloom_prejoin,
     "decoded_media_stats": q_decoded_media_stats,
-    "gk_quantiles": q_gk_quantiles,
-    "kmv_segment_overlap": q_kmv_segment_overlap,
     # --- tail (outside the 50-entry window) -----------------------
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "gk_quantiles": q_gk_quantiles,  # displaced r11 (green r10)
+    "kmv_segment_overlap": q_kmv_segment_overlap,  # displaced r11 (green r10)
     "forecast_revenue": q_forecast_revenue,  # displaced r10 (green r9)
     "product_type_profit": q_product_type_profit,
     "customer_distribution": q_customer_distribution,
@@ -5769,6 +5933,8 @@ ORACLES: dict[str, str] = {
     "sql_insert_ops": SQL_SQL_INSERT_OPS,
     "sql_merge_set": SQL_SQL_MERGE_SET,
     "sql_merge_branches": SQL_SQL_MERGE_BRANCHES,
+    "sql_merge_evolve": SQL_SQL_MERGE_EVOLVE,
+    "cdf_update_feed": SQL_CDF_UPDATE_FEED,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
