@@ -388,6 +388,7 @@ def merge_branches(
     check_cardinality: bool = True,
     defaults: dict[str, str] | None = None,
     generated_cols: frozenset = frozenset(),
+    with_changes: bool = False,
 ) -> DataFrame:
     """The FULL multi-branch MERGE (Delta's CDC-apply shape) as one batch
     operator::
@@ -438,6 +439,13 @@ def merge_branches(
     ran it (the txlog dv→CoW fallback re-enters here; re-checking would
     double the job).
 
+    ``with_changes=True`` (round 11 — the CDF sidecar feed) returns
+    ``(merged, changes)``: ``changes`` carries the exact change rows —
+    table columns plus ``_change_type`` in {'insert', 'delete',
+    'update_preimage', 'update_postimage'} — built from the SAME branch
+    split in the same lineage, so evaluating it re-runs the join but
+    can never disagree with ``merged`` for deterministic expressions.
+
     Reference analog: the upsert semantics implied by SDSIcebergWriter
     (IngestionJob.scala:80-84), generalized to the standard Delta/SQL
     multi-branch grammar.
@@ -450,6 +458,12 @@ def merge_branches(
         check_merge_cardinality(target, source, keys)
 
     out_parts: list[DataFrame] = []
+    change_parts: list[DataFrame] = []
+
+    def _tag(df: DataFrame, label: str) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(label))
+
+    t_cols_pre = [F.col(f"t.`{c}`").alias(c) for c in target.columns]
 
     # ---- matched pairs: one join, branch index, one projection --------
     if matched:
@@ -463,9 +477,10 @@ def merge_branches(
         keep_cond = F.col("__m_branch").isNull()
         if keep_idx:
             keep_cond = keep_cond | F.col("__m_branch").isin(keep_idx)
-        pairs = pairs.withColumn("__m_branch", branch).filter(keep_cond)
+        branched = pairs.withColumn("__m_branch", branch)
+        kept = branched.filter(keep_cond)
         out_parts.append(
-            pairs.select(
+            kept.select(
                 *_clause_projection(
                     matched, target.columns, target.schema,
                     "__m_branch", qualified=True,
@@ -473,6 +488,38 @@ def merge_branches(
                 )
             )
         )
+        if with_changes:
+            del_idx = [
+                i
+                for i, cl in enumerate(matched)
+                if cl["action"] == "delete"
+            ]
+            if keep_idx:
+                upd = branched.filter(F.col("__m_branch").isin(keep_idx))
+                change_parts.append(
+                    _tag(upd.select(*t_cols_pre), "update_preimage")
+                )
+                change_parts.append(
+                    _tag(
+                        upd.select(
+                            *_clause_projection(
+                                matched, target.columns, target.schema,
+                                "__m_branch", qualified=True,
+                                keep_cols=generated_cols,
+                            )
+                        ),
+                        "update_postimage",
+                    )
+                )
+            if del_idx:
+                change_parts.append(
+                    _tag(
+                        branched.filter(
+                            F.col("__m_branch").isin(del_idx)
+                        ).select(*t_cols_pre),
+                        "delete",
+                    )
+                )
         unmatched_target = target.join(
             source.select(*keys).distinct(), keys, "left_anti"
         )
@@ -504,9 +551,8 @@ def merge_branches(
             keep_cond = F.col("__n_branch").isNull()
             if keep_idx:
                 keep_cond = keep_cond | F.col("__n_branch").isin(keep_idx)
-            rows = unmatched_target.withColumn("__n_branch", nbranch).filter(
-                keep_cond
-            )
+            nbranched = unmatched_target.withColumn("__n_branch", nbranch)
+            rows = nbranched.filter(keep_cond)
             out_parts.append(
                 rows.select(
                     *_clause_projection(
@@ -515,6 +561,42 @@ def merge_branches(
                     )
                 )
             )
+            if with_changes:
+                n_del = [
+                    i
+                    for i, cl in enumerate(nmbs)
+                    if cl["action"] == "delete"
+                ]
+                if keep_idx:
+                    nupd = nbranched.filter(
+                        F.col("__n_branch").isin(keep_idx)
+                    )
+                    change_parts.append(
+                        _tag(
+                            nupd.select(*target.columns),
+                            "update_preimage",
+                        )
+                    )
+                    change_parts.append(
+                        _tag(
+                            nupd.select(
+                                *_clause_projection(
+                                    nmbs, target.columns, target.schema,
+                                    "__n_branch", qualified=False,
+                                )
+                            ),
+                            "update_postimage",
+                        )
+                    )
+                if n_del:
+                    change_parts.append(
+                        _tag(
+                            nbranched.filter(
+                                F.col("__n_branch").isin(n_del)
+                            ).select(*target.columns),
+                            "delete",
+                        )
+                    )
         else:
             out_parts.append(unmatched_target)
 
@@ -542,12 +624,23 @@ def merge_branches(
                 cond_i = F.col("__i_branch") == i
                 w = F.when(cond_i, v) if w is None else w.when(cond_i, v)
             proj.append(w.alias(c))
-        out_parts.append(inserts.select(*proj))
+        ins_rows = inserts.select(*proj)
+        out_parts.append(ins_rows)
+        if with_changes:
+            change_parts.append(_tag(ins_rows, "insert"))
 
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
-    return out
+    if not with_changes:
+        return out
+    if change_parts:
+        changes = change_parts[0]
+        for p in change_parts[1:]:
+            changes = changes.unionByName(p)
+    else:
+        changes = out.limit(0).withColumn("_change_type", F.lit(None).cast("string"))
+    return out, changes
 
 
 def merge_partial_aggregates(

@@ -1493,6 +1493,54 @@ class Warehouse:
                 "table_name string, operation string, version long",
             )
 
+        # table properties (round 11; Delta/Spark syntax): SET acts on
+        # delta.enableChangeDataFeed — CoW MERGE/DELETE commits then
+        # write precise CDC sidecars (see TableLog.set_properties)
+        m_props = re.match(
+            r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
+            r"(?:SET\s+TBLPROPERTIES\s*\((.+)\)"
+            r"|UNSET\s+TBLPROPERTIES\s*\((.+)\))\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_props:
+            t = m_props.group(1)
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "TBLPROPERTIES require the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots carry no "
+                    "property metadata"
+                )
+
+            def _unq(s: str) -> str:
+                s = s.strip()
+                if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+                    return s[1:-1].replace("''", "'")
+                return s
+
+            if m_props.group(2):
+                pairs = {}
+                for item in _split_in_list(m_props.group(2)):
+                    k, eq, val = item.partition("=")
+                    if not eq:
+                        raise ValueError(
+                            f"cannot parse TBLPROPERTIES pair {item!r}; "
+                            "expected 'key' = 'value'"
+                        )
+                    pairs[_unq(k)] = _unq(val)
+                op = "SET TBLPROPERTIES"
+                v = self._log(t).set_properties(pairs)
+            else:
+                keys = [
+                    _unq(k) for k in _split_in_list(m_props.group(3))
+                ]
+                op = "UNSET TBLPROPERTIES"
+                v = self._log(t).unset_properties(keys)
+            return self.spark.createDataFrame(
+                [(t, op, v)],
+                "table_name string, operation string, version long",
+            )
+
         m_files = re.match(
             r"\s*DESCRIBE\s+FILES\s+`?(\w+)`?\s*;?\s*$", query, re.IGNORECASE
         )

@@ -220,6 +220,15 @@ class Snapshot:
     # Explicit writes to identity columns refuse; rides checkpoints,
     # RESTORE and SHALLOW CLONE like `defaults`.
     generated: dict = field(default_factory=dict)
+    # Table properties (round 11 — `ALTER TABLE t SET TBLPROPERTIES`):
+    # free-form string key/values, same carry-forward rules as
+    # `defaults`. The engine-recognized key is
+    # `delta.enableChangeDataFeed` ('true'): copy-on-write MERGE and
+    # DELETE commits then write their exact change rows to a `_cdc/`
+    # sidecar (Delta's CDC-file design) so `table_changes` emits
+    # precise insert/delete/update_pre/postimage rows for them too —
+    # the dv paths and CoW UPDATE are precise without it.
+    properties: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -513,6 +522,7 @@ class TableLog:
                 snap.bloom_cols = cp.get("bloom_cols") or []
                 snap.defaults = cp.get("defaults") or {}
                 snap.generated = cp.get("generated") or {}
+                snap.properties = cp.get("properties") or {}
                 replay_from = cv
                 break
 
@@ -542,6 +552,8 @@ class TableLog:
                 snap.defaults = c["defaults"]
             if "generated" in c:  # same carry-forward rule
                 snap.generated = c["generated"]
+            if "properties" in c:  # same carry-forward rule
+                snap.properties = c["properties"]
             for r in c.get("removes", []):
                 snap.files.pop(r, None)
             for a in c.get("adds", []):
@@ -930,6 +942,108 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def set_properties(
+        self, props: dict[str, str], max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE t SET TBLPROPERTIES (k=v, …)`` (round 11):
+        free-form string key/values as a metadata-only commit, Delta's
+        table-property surface. The engine acts on
+        ``delta.enableChangeDataFeed`` ('true'/'false'): with it on,
+        copy-on-write MERGE and DELETE commits write their exact change
+        rows to a ``_cdc/`` sidecar so the change feed emits precise
+        images for them too (the dv paths and CoW UPDATE are precise
+        without it — see table_changes)."""
+        if not props:
+            raise ValueError("SET TBLPROPERTIES needs at least one pair")
+        norm = {str(k): str(v) for k, v in props.items()}
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "set_properties",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "properties": {**cur.properties, **norm},
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def unset_properties(
+        self, keys: list[str], max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE t UNSET TBLPROPERTIES (k, …)``; unknown keys
+        refuse (Delta's IF EXISTS-less semantics)."""
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            missing = [k for k in keys if k not in cur.properties]
+            if missing:
+                raise ValueError(
+                    f"table {self.root} has no propert"
+                    f"{'y' if len(missing) == 1 else 'ies'} {missing}"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, [], [], cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "unset_properties",
+                "schema": cur.schema_json,
+                "partition_by": list(cur.partition_by or []),
+                "adds": [],
+                "removes": [],
+                "properties": {
+                    k: v
+                    for k, v in cur.properties.items()
+                    if k not in keys
+                },
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _cdf_enabled(self, snap: "Snapshot") -> bool:
+        return (
+            str(
+                snap.properties.get("delta.enableChangeDataFeed", "false")
+            ).lower()
+            == "true"
+        )
+
+    def _stage_cdc(self, changes: DataFrame) -> tuple[list[str], str]:
+        """Write a commit's change rows (table columns + _change_type,
+        LOGICAL names) as a ``_cdc/<uuid>/*.parquet`` sidecar; returns
+        (relpaths under root, schema json). Sidecars are tiny (exact
+        changed rows only) and live outside the data tree, so vacuum's
+        active-set accounting never sees them; they share the history
+        retention story with the commit files that reference them."""
+        cdir = f"_cdc/{uuid.uuid4().hex}"
+        out = os.path.join(self.root, cdir)
+        changes.write.mode("errorifexists").parquet(out)
+        rels = [
+            os.path.join(cdir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+        return rels, changes.schema.json()
 
     def _apply_generated(
         self, df: DataFrame, generated: dict, schema
@@ -1417,6 +1531,7 @@ class TableLog:
                 "bloom_cols": old.bloom_cols,
                 "defaults": old.defaults,
                 "generated": old.generated,
+                "properties": old.properties,
                 "constraints": old.constraints,
                 "column_mapping": old.column_mapping,
                 "dropped_physical": old.dropped_physical,
@@ -1525,6 +1640,7 @@ class TableLog:
             "bloom_cols": snap.bloom_cols,
             "defaults": snap.defaults,
             "generated": snap.generated,
+            "properties": snap.properties,
             "constraints": snap.constraints,
             "column_mapping": snap.column_mapping,
             "dropped_physical": snap.dropped_physical,
@@ -2434,6 +2550,7 @@ class TableLog:
                     "bloom_cols": snap.bloom_cols,
                     "defaults": snap.defaults,
                     "generated": snap.generated,
+                    "properties": snap.properties,
                 },
                 f,
             )
@@ -2787,6 +2904,46 @@ class TableLog:
                 parent_schema_json = c["schema"]
                 if c["operation"] == "delete_dv":
                     continue
+            cfiles = c.get("cdc_files")
+            if cfiles:
+                # CDF sidecar commit (round 11 — delta.enableChangeData
+                # Feed): the exact change rows were written at commit
+                # time with their _change_type; read them EXCLUSIVELY —
+                # the commit's adds/removes would re-report survivors
+                if parent_mapping is None:
+                    parent_mapping = (
+                        self.snapshot(v - 1).column_mapping if v > 1 else {}
+                    )
+                cschema = StructType.fromJson(json.loads(c["cdc_schema"]))
+                paths = [os.path.join(self.root, p) for p in cfiles]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed for v{v} references removed CDC "
+                        f"sidecar files: {missing[:3]}…"
+                    )
+                part = self.spark.read.schema(cschema).parquet(*paths)
+                m_use = parent_mapping or {}
+                if m_use or cur_mapping:
+                    ren = {
+                        n: inv_cur.get(_phys_name(m_use, n), n)
+                        for n in part.columns
+                        if n != "_change_type"
+                    }
+                    part = _rename_columns(
+                        part, {a: b for a, b in ren.items() if a != b}
+                    )
+                parts.append(
+                    part.withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    ).withColumn(
+                        "_commit_ts_ms",
+                        F.lit(c.get("ts_ms")).cast("long"),
+                    )
+                )
+                parent_schema_json = c["schema"]
+                parent_mapping = c.get("column_mapping", parent_mapping)
+                continue
             cd = c.get("cdc_derive")
             if c["operation"] == "update" and cd:
                 # copy-on-write UPDATE with derivable CDC (round 11):
@@ -3674,6 +3831,16 @@ class TableLog:
                 # constraints (delete survivors satisfied them already)
                 self._enforce_constraints(new_df, base.constraints, op)
             adds = self._stage_for(base, new_df)
+            cdc_files, cdc_schema = (None, None)
+            if op == "delete" and self._cdf_enabled(base):
+                # CDF sidecar (round 11): the exact deleted rows — the
+                # feed then emits them alone instead of the whole
+                # rewritten files' delete+insert pairs
+                cdc_files, cdc_schema = self._stage_cdc(
+                    df.filter(cond).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
             removes = list(cand)
             cur = self.snapshot()
             if not set(removes) <= set(cur.files):
@@ -3731,6 +3898,11 @@ class TableLog:
                 "adds": adds,
                 "removes": removes,
                 **({"cdc_derive": cdc} if cdc is not None else {}),
+                **(
+                    {"cdc_files": cdc_files, "cdc_schema": cdc_schema}
+                    if cdc_files is not None
+                    else {}
+                ),
             }
             try:
                 self._commit(version, payload)
@@ -3859,8 +4031,20 @@ class TableLog:
                 "not_matched_by_source_* parameters — express everything "
                 "as clauses"
             )
-        gen0 = self.snapshot().generated if self.exists() else {}
-        if gen0:
+        snap0 = self.snapshot() if self.exists() else None
+        gen0 = snap0.generated if snap0 else {}
+        # CDF sidecar gate (round 11): with delta.enableChangeDataFeed
+        # on, CoW merges write their exact change rows — requires clause
+        # form (the legacy source-wins path has no branch split), so
+        # legacy calls translate below; identity columns opt the commit
+        # out (the sidecar would re-allocate ids independently of the
+        # staged data — two evaluations of a nondeterministic expr)
+        cdf0 = (
+            snap0 is not None
+            and self._cdf_enabled(snap0)
+            and not any("identity" in s for s in gen0.values())
+        )
+        if gen0 or cdf0:
             # generated columns (round 11): clauses may never assign
             # them — the engine computes/allocates. Checked across every
             # clause family in one place, before any work runs.
@@ -4041,8 +4225,16 @@ class TableLog:
                     tgt = tgt.withColumn(
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
+            want_cdc = (
+                clause_mode
+                and self._cdf_enabled(base)
+                and not any(
+                    "identity" in s for s in base.generated.values()
+                )
+            )
+            changes = None
             if clause_mode:
-                merged = merge_branches(
+                res_mb = merge_branches(
                     tgt,
                     source,
                     keys,
@@ -4054,7 +4246,11 @@ class TableLog:
                     check_cardinality=not _skip_dup_check,
                     defaults=base.defaults,
                     generated_cols=frozenset(base.generated),
+                    with_changes=want_cdc,
                 )
+                merged = res_mb[0] if want_cdc else res_mb
+                if want_cdc:
+                    changes = res_mb[1]
             else:
                 merged = merge_upsert(
                     tgt,
@@ -4082,8 +4278,21 @@ class TableLog:
                 merged = self._apply_generated(
                     merged, base.generated, eff_schema
                 )
+                if changes is not None:
+                    # deterministic recompute: pre-image rows yield
+                    # their old value (the invariant held before the
+                    # merge), post/insert rows the new one — identical
+                    # to what the staged data carries
+                    changes = self._apply_generated(
+                        changes, base.generated, eff_schema
+                    )
             self._enforce_constraints(merged, base.constraints, "merge")
             adds = self._stage_for(base, merged)
+            cdc_files, cdc_schema = (
+                self._stage_cdc(changes)
+                if changes is not None
+                else (None, None)
+            )
             new_gen = (
                 self._bump_identity_high(
                     base.generated, adds, base.column_mapping
@@ -4134,6 +4343,11 @@ class TableLog:
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
                 **({"generated": new_gen} if new_gen is not None else {}),
+                **(
+                    {"cdc_files": cdc_files, "cdc_schema": cdc_schema}
+                    if cdc_files is not None
+                    else {}
+                ),
             }
             try:
                 self._commit(version, payload)

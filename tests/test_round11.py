@@ -740,6 +740,181 @@ def test_bucketed_dv_cap_fallback_still_rewrites(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# round-11 stretch: TBLPROPERTIES + delta.enableChangeDataFeed sidecars
+# (precise CDF for copy-on-write MERGE and DELETE commits)
+# ---------------------------------------------------------------------------
+
+_CDF_PROP = "delta.enableChangeDataFeed"
+
+
+def test_tblproperties_ddl_roundtrip(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+        TxLogWarehouse as _W,
+        Warehouse as _B,
+    )
+
+    wh = _W(spark, str(tmp_path / "props"))
+    wh.write_snapshot(spark.createDataFrame([(1,)], "id int"), "t")
+    wh.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true', 'team' = 'data-eng')"
+    )
+    log = wh._log("t")
+    assert log.snapshot().properties == {
+        _CDF_PROP: "true",
+        "team": "data-eng",
+    }
+    wh.sql("ALTER TABLE t UNSET TBLPROPERTIES ('team')")
+    assert log.snapshot().properties == {_CDF_PROP: "true"}
+    with pytest.raises(ValueError, match="no propert"):
+        wh.sql("ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+    base = _B(spark, str(tmp_path / "propsb"))
+    base.write_snapshot(spark.createDataFrame([(1,)], "id int"), "t")
+    with pytest.raises(ValueError, match="txlog backend"):
+        base.sql("ALTER TABLE t SET TBLPROPERTIES ('k' = 'v')")
+
+
+def test_cdf_sidecar_cow_merge_emits_precise_images(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "cdfm"))
+    log.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id int, val int"
+        ).coalesce(1)
+    )
+    log.set_properties({_CDF_PROP: "true"})
+    src = spark.createDataFrame(
+        [(2, 99), (3, 0), (9, 90)], "id int, val int"
+    )
+    log.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"action": "delete", "condition": "s.val = 0"},
+            {"action": "update", "condition": None, "set": {"val": "s.val"}},
+        ],
+        not_matched_clauses=[{"condition": None, "set": None}],
+        via="cow",
+    )
+    # commit carries the sidecar; survivors (id=1) emit NOTHING
+    import json as _json
+
+    with open(log._commit_path(log.versions()[-1])) as f:
+        c = _json.load(f)
+    assert c["operation"] == "merge" and c.get("cdc_files")
+    feed = sorted(
+        (r.id, r._change_type, r.val)
+        for r in log.table_changes(2).collect()
+    )
+    assert feed == [
+        (2, "update_postimage", 99),
+        (2, "update_preimage", 20),
+        (3, "delete", 30),
+        (9, "insert", 90),
+    ]
+    # net output identical to a property-less twin's (file granularity)
+    twin = TableLog(spark, str(tmp_path / "cdfm_twin"))
+    twin.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id int, val int"
+        ).coalesce(1)
+    )
+    twin.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"action": "delete", "condition": "s.val = 0"},
+            {"action": "update", "condition": None, "set": {"val": "s.val"}},
+        ],
+        not_matched_clauses=[{"condition": None, "set": None}],
+        via="cow",
+    )
+    net_a = sorted(
+        (r.id, r._change_type, r.val)
+        for r in log.table_changes(2, net=True).collect()
+    )
+    net_b = sorted(
+        (r.id, r._change_type, r.val)
+        for r in twin.table_changes(1, net=True).collect()
+    )
+    assert net_a == net_b
+
+
+def test_cdf_sidecar_cow_delete_and_legacy_merge_translate(
+    spark, tmp_path
+):
+    log = TableLog(spark, str(tmp_path / "cdfd"))
+    log.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id int, val int"
+        ).coalesce(1)
+    )
+    log.set_properties({_CDF_PROP: "true"})
+    log.delete([("val", ">", 15)])
+    feed = sorted(
+        (r.id, r._change_type) for r in log.table_changes(2).collect()
+    )
+    # only the deleted rows — no survivor delete+insert noise
+    assert feed == [(2, "delete"), (3, "delete")]
+    # a LEGACY (no-clause) merge on a CDF table translates to clause
+    # form and still writes the sidecar
+    src = spark.createDataFrame([(1, 100), (7, 70)], "id int, val int")
+    log.merge(src, ["id"], via="cow")
+    feed = sorted(
+        (r.id, r._change_type, r.val)
+        for r in log.table_changes(3).collect()
+    )
+    assert feed == [
+        (1, "update_postimage", 100),
+        (1, "update_preimage", 10),
+        (7, "insert", 70),
+    ]
+
+
+def test_cdf_property_rides_clone_and_restore(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "cdfp"))
+    log.write(spark.createDataFrame([(1,)], "id int"))
+    log.set_properties({_CDF_PROP: "true"})
+    v_with = log.versions()[-1]
+    clone = log.shallow_clone(str(tmp_path / "cdfp2"))
+    assert clone.snapshot().properties == {_CDF_PROP: "true"}
+    log.unset_properties([_CDF_PROP])
+    assert log.snapshot().properties == {}
+    log.restore(v_with)
+    assert log.snapshot().properties == {_CDF_PROP: "true"}
+
+
+def test_cdf_sidecar_skipped_for_identity_tables(spark, tmp_path):
+    """Identity allocation is nondeterministic per evaluation — a
+    sidecar would re-allocate ids independently of the staged data, so
+    identity tables keep the (net-correct) file granularity on CoW
+    merges even with CDF on."""
+    import json as _json
+
+    log = TableLog(spark, str(tmp_path / "cdfi"))
+    log.write(
+        spark.createDataFrame(
+            [(10, 1, "a")], "uid bigint, id int, name string"
+        )
+    )
+    log.set_generated("uid", identity=True)
+    log.set_properties({_CDF_PROP: "true"})
+    src = spark.createDataFrame([(9, "z")], "id int, name string")
+    log.merge(
+        src,
+        ["id"],
+        not_matched_clauses=[
+            {"condition": None, "set": {"id": "s.id", "name": "s.name"}}
+        ],
+        via="cow",
+    )
+    with open(log._commit_path(log.versions()[-1])) as f:
+        c = _json.load(f)
+    assert "cdc_files" not in c
+    # the allocated id in the DATA is the single source of truth
+    assert {r.id for r in log.read().collect()} == {1, 9}
+
+
+# ---------------------------------------------------------------------------
 # advice 4: DEFAULT keyword resolution is memoized per statement
 # ---------------------------------------------------------------------------
 
