@@ -3758,6 +3758,81 @@ FROM base WHERE o_totalprice BETWEEN 100000 AND 150000
 """
 
 
+def q_cdf_merge_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 CDF sidecar on a copy-on-write MERGE
+    (``delta.enableChangeDataFeed`` table property, Delta's CDC-file
+    design): the multi-branch merge commit writes its exact change rows
+    — matched updates as pre/post image pairs, matched deletes as
+    deletes, unmatched inserts as inserts — and the change feed reads
+    the sidecar EXCLUSIVELY, so the rewritten files' surviving
+    co-located rows emit nothing. The oracle recomputes the expected
+    image rows per branch as plain SQL."""
+    import tempfile
+
+    from .pipeline import TxLogWarehouse
+
+    wh = TxLogWarehouse(spark, tempfile.mkdtemp(prefix="cdf_mrg_"))
+    orders = Catalog(spark, sf_dir).orders
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        "t",
+    )
+    wh.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')"
+    )
+    wh.write_snapshot(
+        orders.filter(F.col("o_orderkey") % 30 == 0).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 90 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        ),
+        "s",
+    )
+    wh.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.o_orderkey = sr.o_orderkey "
+        "WHEN MATCHED AND sr.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = sr.o_totalprice "
+        "WHEN NOT MATCHED AND sr.op <> 'D' THEN INSERT "
+        "(o_orderkey, o_totalprice) VALUES (sr.o_orderkey, sr.o_totalprice)"
+    )
+    return wh._log("t").table_changes(2).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "_change_type"
+    )
+
+
+SQL_CDF_MERGE_FEED = """
+WITH tgt AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 90 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice * 1.5 AS o_totalprice
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+       'update_preimage' AS _change_type
+FROM tgt t JOIN src s USING (o_orderkey) WHERE s.op <> 'D'
+UNION ALL
+SELECT t.o_orderkey, t.o_orderstatus, s.o_totalprice, 'update_postimage'
+FROM tgt t JOIN src s USING (o_orderkey) WHERE s.op <> 'D'
+UNION ALL
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, 'delete'
+FROM tgt t JOIN src s USING (o_orderkey) WHERE s.op = 'D'
+UNION ALL
+SELECT s.o_orderkey, NULL AS o_orderstatus, s.o_totalprice, 'insert'
+FROM src s
+WHERE s.op <> 'D'
+  AND s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+"""
+
+
 SQL_MERGE_UPSERT = """
 WITH src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
@@ -5785,6 +5860,7 @@ QUERIES: dict[str, QueryFn] = {
     # The window holds exactly 50 entries — re-count whenever entries
     # are inserted above this line. Order: oldest evidence first;
     # r7/r8-fresh displaced entries last.
+    "cdf_merge_feed": q_cdf_merge_feed,  # NEW in r11 (tail: sweep-checked)
     "gk_quantiles": q_gk_quantiles,  # displaced r11 (green r10)
     "kmv_segment_overlap": q_kmv_segment_overlap,  # displaced r11 (green r10)
     "forecast_revenue": q_forecast_revenue,  # displaced r10 (green r9)
@@ -5935,6 +6011,7 @@ ORACLES: dict[str, str] = {
     "sql_merge_branches": SQL_SQL_MERGE_BRANCHES,
     "sql_merge_evolve": SQL_SQL_MERGE_EVOLVE,
     "cdf_update_feed": SQL_CDF_UPDATE_FEED,
+    "cdf_merge_feed": SQL_CDF_MERGE_FEED,
     "kmv_segment_overlap": SQL_KMV_SEGMENT_OVERLAP,
     "classifier_cached_scores": SQL_CLASSIFIER_SCORES,
     "perplexity_cached": SQL_PERPLEXITY_SCORES,
