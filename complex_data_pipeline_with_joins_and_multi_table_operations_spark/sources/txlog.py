@@ -5452,6 +5452,32 @@ class TableLog:
                 )
                 if not v_ok:
                     _rmtree(os.path.join(view_root, d))
+        # CDC sidecars (round 11): a sidecar belongs to the commit that
+        # wrote it; a commit below the retention horizon loses its data
+        # files above, so its change-feed window is unreadable anyway —
+        # reclaim its sidecar too. Dirs referenced by NO commit (a lost
+        # commit race staged them) age out the same way. The age guard
+        # mirrors the data-file one: a racing merge stages its sidecar
+        # BEFORE its commit exists.
+        cdc_root = os.path.join(self.root, "_cdc")
+        if os.path.isdir(cdc_root):
+            horizon = keep_versions[0] if keep_versions else 0
+            keep_dirs: set[str] = set()
+            for v in versions:
+                if v < horizon:
+                    continue
+                with open(self._commit_path(v)) as f:
+                    c = json.load(f)
+                for p in c.get("cdc_files") or []:
+                    keep_dirs.add(os.path.basename(os.path.dirname(p)))
+            for d in os.listdir(cdc_root):
+                full = os.path.join(cdc_root, d)
+                if d in keep_dirs:
+                    continue
+                if os.path.getmtime(full) <= cutoff:
+                    n_inside = sum(len(fs) for _, _, fs in os.walk(full))
+                    _rmtree(full)
+                    deleted += n_inside
         return deleted
 
     def remove_orphans(self, min_age_s: float = 3600.0) -> int:

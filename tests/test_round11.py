@@ -870,6 +870,45 @@ def test_cdf_sidecar_cow_delete_and_legacy_merge_translate(
     ]
 
 
+def test_vacuum_reclaims_cdc_sidecars_outside_horizon(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "cdfv"))
+    log.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, val int")
+        .coalesce(1)
+    )
+    log.set_properties({_CDF_PROP: "true"})
+    src = spark.createDataFrame([(1, 100)], "id int, val int")
+    log.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": None, "set": {"val": "s.val"}}
+        ],
+        via="cow",
+    )
+    v_merge = log.versions()[-1]
+    cdc_root = os.path.join(log.root, "_cdc")
+    assert os.path.isdir(cdc_root) and os.listdir(cdc_root)
+    # sidecar within the retention horizon SURVIVES a vacuum
+    log.vacuum(retain_last=len(log.versions()), min_file_age_s=0)
+    assert os.listdir(cdc_root)
+    assert (
+        log.table_changes(v_merge - 1, v_merge)
+        .filter("_change_type = 'update_postimage'")
+        .count()
+        == 1
+    )
+    # push the merge below the horizon — the sidecar reclaims and the
+    # feed for that window raises like any vacuumed-history read
+    log.write(
+        spark.createDataFrame([(9, 90)], "id int, val int").coalesce(1)
+    )
+    log.vacuum(retain_last=1, min_file_age_s=0)
+    assert not os.path.isdir(cdc_root) or not os.listdir(cdc_root)
+    with pytest.raises(FileNotFoundError, match="CDC sidecar"):
+        log.table_changes(v_merge - 1, v_merge).collect()
+
+
 def test_cdf_property_rides_clone_and_restore(spark, tmp_path):
     log = TableLog(spark, str(tmp_path / "cdfp"))
     log.write(spark.createDataFrame([(1,)], "id int"))
