@@ -217,6 +217,152 @@ def _split_in_list(s: str) -> list[str]:
     return out
 
 
+def _split_coldefs(s: str) -> list[str]:
+    """Split a CREATE TABLE column list on TOP-LEVEL commas. Unlike
+    ``_split_in_list`` this also respects ``<>`` nesting, because DDL
+    types spell complex types with angle brackets whose commas are not
+    separators (``MAP<STRING, INT>``, ``STRUCT<a: INT, b: STRING>``) —
+    but ONLY here: in expression lists ``<`` is the comparison operator
+    and must not open a bracket scope."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n, depth = 0, len(s), 0
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string literal in {s!r}")
+            cur.append(s[i : j + 1])
+            i = j + 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+        else:
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            cur.append(ch)
+            i += 1
+    out.append("".join(cur).strip())
+    return out
+
+
+def _parse_column_defs(
+    body: str,
+) -> tuple[list[str], dict[str, dict], dict[str, str]]:
+    """Parse a CREATE TABLE column list (round 12): each item is
+    ``name TYPE`` optionally followed by ONE of ``GENERATED ALWAYS AS
+    (expr)``, ``GENERATED ALWAYS AS IDENTITY [(START WITH n [INCREMENT
+    BY m])]`` or ``DEFAULT <expr>`` (Delta's declare-time column
+    surface). Returns (ddl "name type" fragments, generated specs,
+    default exprs). The constraint keyword is located at TOP level only
+    — a keyword inside the type's angle brackets or an expression's
+    parens never splits."""
+    import re
+
+    fields: list[str] = []
+    generated: dict[str, dict] = {}
+    defaults: dict[str, str] = {}
+    kw = re.compile(r"\b(GENERATED|DEFAULT|NOT)\b", re.IGNORECASE)
+    for item in _split_coldefs(body):
+        m = re.match(r"`?(\w+)`?\s+(.+)$", item, re.DOTALL)
+        if not m:
+            raise ValueError(
+                f"cannot parse column definition {item!r}; expected "
+                "`name TYPE [GENERATED ALWAYS AS …|DEFAULT <expr>]`"
+            )
+        name, rest = m.group(1), m.group(2).strip()
+        # first top-level constraint keyword (outside (), <>, '')
+        idx = None
+        depth, i, n = 0, 0, len(rest)
+        while i < n:
+            ch = rest[i]
+            if ch == "'":
+                j = rest.find("'", i + 1)
+                i = n if j < 0 else j + 1
+                continue
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            elif depth == 0:
+                km = kw.match(rest, i)
+                if km and (i == 0 or not rest[i - 1].isalnum()):
+                    idx = i
+                    break
+            i += 1
+        type_part = (rest[:idx] if idx is not None else rest).strip()
+        cons = rest[idx:].strip() if idx is not None else ""
+        if not type_part:
+            raise ValueError(f"column {name!r} is missing a type: {item!r}")
+        fields.append(f"{name} {type_part}")
+        if not cons:
+            continue
+        m_id = re.match(
+            r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+            r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+            r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$",
+            cons,
+            re.IGNORECASE,
+        )
+        m_ex = re.match(
+            r"GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$",
+            cons,
+            re.IGNORECASE | re.DOTALL,
+        )
+        m_df = re.match(r"DEFAULT\s+(.+?)\s*$", cons, re.IGNORECASE | re.DOTALL)
+        if m_id:
+            generated[name] = {
+                "identity": {
+                    "start": int(m_id.group(1) or 1),
+                    "step": int(m_id.group(2) or 1),
+                }
+            }
+        elif m_ex:
+            generated[name] = {"expr": m_ex.group(1).strip()}
+        elif m_df:
+            defaults[name] = m_df.group(1).strip()
+        else:
+            raise ValueError(
+                f"unsupported column constraint {cons!r} on {name!r} "
+                "(supported: GENERATED ALWAYS AS (expr) | GENERATED "
+                "ALWAYS AS IDENTITY [(START WITH n INCREMENT BY m)] | "
+                "DEFAULT <expr>)"
+            )
+    return fields, generated, defaults
+
+
+def _unq_sql(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1].replace("''", "'")
+    return s
+
+
+def _parse_props_body(body: str) -> dict[str, str]:
+    """``'k' = 'v', …`` inside a TBLPROPERTIES clause → dict."""
+    pairs: dict[str, str] = {}
+    for item in _split_in_list(body):
+        k, eq, val = item.partition("=")
+        if not eq:
+            raise ValueError(
+                f"cannot parse TBLPROPERTIES pair {item!r}; "
+                "expected 'key' = 'value'"
+            )
+        pairs[_unq_sql(k)] = _unq_sql(val)
+    return pairs
+
+
 def _outside_literal_spans(s: str) -> list[tuple[int, int]]:
     """(start, end) spans of ``s`` OUTSIDE ''-escaped string literals —
     the structural scanner under the MERGE clause splitter and the alias
@@ -1575,6 +1721,95 @@ class Warehouse:
                 "table_name string, operation string, version long",
             )
 
+        # CREATE TABLE with an explicit column list (round 12): Delta's
+        # declare-before-first-write surface — GENERATED ALWAYS AS /
+        # IDENTITY, DEFAULT, PARTITIONED BY, CLUSTERED BY … INTO n
+        # BUCKETS and TBLPROPERTIES all land in the version-1 commit of
+        # an EMPTY table, so the very first data write already satisfies
+        # every declared invariant (closes round 11's ALTER-only gap).
+        m_newtab = re.match(
+            r"\s*CREATE\s+TABLE\s+`?(\w+)`?\s*\(", query, re.IGNORECASE
+        )
+        if m_newtab:
+            t = m_newtab.group(1)
+            # balanced-paren scan for the column list (types and
+            # generated expressions nest parens; regexes can't)
+            i = m_newtab.end() - 1
+            depth, j, n = 0, i, len(query)
+            while j < n:
+                ch = query[j]
+                if ch == "'":
+                    k = query.find("'", j + 1)
+                    j = n if k < 0 else k + 1
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(
+                    f"unbalanced parentheses in CREATE TABLE: {query!r}"
+                )
+            coldefs, tail = query[i + 1 : j], query[j + 1 :]
+            m_tail = re.match(
+                r"\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?"
+                r"(?:CLUSTERED\s+BY\s*\(([^)]+)\)\s*"
+                r"(?:SORTED\s+BY\s*\(([^)]+)\)\s*)?"
+                r"INTO\s+(\d+)\s+BUCKETS\s*)?"
+                r"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?;?\s*$",
+                tail,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m_tail:
+                raise ValueError(
+                    f"cannot parse CREATE TABLE clauses {tail!r} "
+                    "(supported: PARTITIONED BY | CLUSTERED BY … INTO n "
+                    "BUCKETS | TBLPROPERTIES; CTAS uses `CREATE TABLE t "
+                    "AS SELECT …` without a column list)"
+                )
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "CREATE TABLE with column definitions requires the "
+                    "txlog backend (TxLogWarehouse); this backend's "
+                    "snapshots carry no declare-time metadata"
+                )
+            if self.exists(t):
+                raise ValueError(
+                    f"table {t!r} already exists; CREATE TABLE never "
+                    "clobbers data"
+                )
+            fields, gen, dflts = _parse_column_defs(coldefs)
+            split = lambda g: (
+                [c.strip(" `") for c in g.split(",")] if g else None
+            )
+            part, bcols, scols = (
+                split(m_tail.group(1)),
+                split(m_tail.group(2)),
+                split(m_tail.group(3)),
+            )
+            props = (
+                _parse_props_body(m_tail.group(5))
+                if m_tail.group(5)
+                else None
+            )
+            v = self.create_table(
+                t,
+                ", ".join(fields),
+                partition_by=part,
+                bucket_by=(int(m_tail.group(4)), bcols) if bcols else None,
+                sort_by=scols,
+                generated=gen or None,
+                defaults=dflts or None,
+                properties=props,
+            )
+            return self.spark.createDataFrame(
+                [(t, "CREATE TABLE", v)],
+                "table_name string, operation string, version long",
+            )
+
         # CTAS with optional partition/bucket layout (round 8): the SELECT
         # runs back through .sql() so VERSION AS OF / table_changes() /
         # warehouse table references all resolve inside it. CREATE TABLE
@@ -1587,6 +1822,7 @@ class Warehouse:
             r"(?:CLUSTERED\s+BY\s*\(([^)]+)\)\s*"
             r"(?:SORTED\s+BY\s*\(([^)]+)\)\s*)?"
             r"INTO\s+(\d+)\s+BUCKETS\s*)?"
+            r"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?"
             r"AS\s+(SELECT\b.+?)\s*;?\s*$",
             query,
             re.IGNORECASE | re.DOTALL,
@@ -1606,7 +1842,19 @@ class Warehouse:
                 split(m_ctas.group(3)), split(m_ctas.group(4)),
                 split(m_ctas.group(5)),
             )
-            df = self.sql(m_ctas.group(7))
+            props = (
+                _parse_props_body(m_ctas.group(7))
+                if m_ctas.group(7)
+                else None
+            )
+            if props is not None and not hasattr(self, "_log"):
+                raise ValueError(
+                    "TBLPROPERTIES require the txlog backend "
+                    "(TxLogWarehouse); this backend's snapshots carry no "
+                    "property metadata"
+                )
+            prop_kw = {"properties": props} if props is not None else {}
+            df = self.sql(m_ctas.group(8))
             if bcols:
                 # capability check up front (never catch TypeError around
                 # the write — an unrelated TypeError from Spark or user
@@ -1624,10 +1872,10 @@ class Warehouse:
                 v = self.write_snapshot(
                     df, t, partition_by=part,
                     bucket_by=(int(m_ctas.group(6)), bcols),
-                    sort_by=scols,
+                    sort_by=scols, **prop_kw,
                 )
             else:
-                v = self.write_snapshot(df, t, partition_by=part)
+                v = self.write_snapshot(df, t, partition_by=part, **prop_kw)
             return self.spark.createDataFrame(
                 [(t, "CREATE OR REPLACE TABLE AS" if replace
                   else "CREATE TABLE AS", v)],
@@ -1662,8 +1910,11 @@ class Warehouse:
             if hasattr(self, "_log") and self.exists(t):
                 _snap = self._log(t).snapshot()
                 defaults, genmeta = _snap.defaults, _snap.generated
+                # appends extend the table's standing partition layout
+                # (TableLog.write is spec-strict by contract)
+                part_spec = list(_snap.partition_by or []) or None
             else:
-                defaults, genmeta = {}, {}
+                defaults, genmeta, part_spec = {}, {}, None
             if genmeta:
                 listed = cols if cols is not None else list(target.names)
                 bad = sorted(set(listed) & set(genmeta))
@@ -1761,7 +2012,7 @@ class Warehouse:
             )
             n = df.count()
             if hasattr(self, "append"):
-                v = self.append(df, t)
+                v = self.append(df, t, partition_by=part_spec)
             else:
                 v = self.write_snapshot(
                     self.read_snapshot(t).unionByName(df), t
@@ -2406,10 +2657,36 @@ class TxLogWarehouse(Warehouse):
         partition_by: list[str] | None = None,
         bucket_by: tuple[int, list[str]] | None = None,
         sort_by: list[str] | None = None,
+        generated: dict[str, dict] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> int:
         return self._log(name).write(
             df, partition_by=partition_by, bucket_by=bucket_by,
+            sort_by=sort_by, generated=generated, properties=properties,
+        )
+
+    def create_table(
+        self,
+        name: str,
+        schema,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
+        generated: dict[str, dict] | None = None,
+        defaults: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """``CREATE TABLE`` with an explicit column list (round 12) —
+        an EMPTY version-1 commit carrying schema + declare-time
+        metadata; see TableLog.create."""
+        return self._log(name).create(
+            schema,
+            partition_by=partition_by,
+            bucket_by=bucket_by,
             sort_by=sort_by,
+            generated=generated,
+            defaults=defaults,
+            properties=properties,
         )
 
     def read_bucketed(self, name: str, version: int | None = None) -> DataFrame:

@@ -61,6 +61,14 @@ from pyspark.sql.types import StructType
 CHECKPOINT_EVERY = 10
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# functions banned inside GENERATED ALWAYS AS expressions (the invariant
+# "recompute on every write yields the same value" requires determinism)
+_GEN_NONDETERMINISTIC = (
+    r"(?i)\b(rand|randn|random|uuid|shuffle|now|"
+    r"current_timestamp|current_date|"
+    r"monotonically_increasing_id)\s*\("
+)
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (optimistic-concurrency
@@ -694,31 +702,11 @@ class TableLog:
                     "default are mutually exclusive (drop_generated() "
                     "first)"
                 )
-            dt = cur.schema[column].dataType
-            import re as _re
-
-            if _re.search(
-                r"\b(rand|randn|random|uuid|shuffle|"
-                r"monotonically_increasing_id)\s*\(",
-                expr,
-                _re.IGNORECASE,
-            ):
-                raise ValueError(
-                    f"DEFAULT for {column!r} must be deterministic; "
-                    f"{expr!r} is not (Spark's constant-default rule)"
-                )
-            try:
-                # FROM-less SELECT: no columns are in scope, so any
-                # column reference in the expression fails right here
-                self.spark.sql(
-                    f"SELECT CAST(({expr}) AS {dt.simpleString()})"
-                ).head()
-            except Exception as e:
-                raise ValueError(
-                    f"DEFAULT for {column!r} must be a constant "
-                    f"expression castable to {dt.simpleString()}; "
-                    f"{expr!r} failed: {e}"
-                ) from e
+            # FROM-less probe inside: no columns are in scope, so any
+            # column reference in the expression fails right there
+            self._validate_default_expr(
+                column, expr, cur.schema[column].dataType
+            )
             version = cur.version + 1
             payload = {
                 "version": version,
@@ -865,13 +853,7 @@ class TableLog:
             else:
                 import re as _re
 
-                if _re.search(
-                    r"\b(rand|randn|random|uuid|shuffle|now|"
-                    r"current_timestamp|current_date|"
-                    r"monotonically_increasing_id)\s*\(",
-                    expr,
-                    _re.IGNORECASE,
-                ):
+                if _re.search(_GEN_NONDETERMINISTIC, expr):
                     raise ValueError(
                         f"GENERATED ALWAYS AS for {column!r} must be "
                         f"deterministic; {expr!r} is not"
@@ -942,6 +924,196 @@ class TableLog:
         raise ConcurrentCommitError(
             f"lost {max_retries} commit races on {self.root}"
         )
+
+    def _validate_generated_specs(
+        self, specs: dict, schema: StructType, defaults: dict
+    ) -> dict:
+        """Normalize/validate declare-time generated-column specs (round
+        12 — the CREATE-time half of the round-11 ALTER surface) against
+        a declared schema: ``{col: {"expr": sql}}`` for computed columns
+        (must be deterministic, bind over the table's NON-generated
+        columns only — Delta's no-generated-referencing-generated rule —
+        and cast to the column's declared type) or ``{col: {"identity":
+        {"start": n, "step": m}}}`` for identity columns (BIGINT only;
+        the normalized spec gains the allocation high-water mark at
+        ``start - step`` so the first allocated value is ``start``)."""
+        import re as _re
+
+        norm: dict[str, dict] = {}
+        probe_base = self.spark.createDataFrame([], schema)
+        for c, spec in specs.items():
+            if c not in schema.names:
+                raise ValueError(
+                    f"cannot declare GENERATED column {c!r}: not in the "
+                    f"declared schema {list(schema.names)}"
+                )
+            if c in (defaults or {}):
+                raise ValueError(
+                    f"column {c!r} declares both GENERATED and DEFAULT; "
+                    "they are mutually exclusive"
+                )
+            dt = schema[c].dataType.simpleString()
+            if "identity" in spec:
+                ident = dict(spec.get("identity") or {})
+                start = int(ident.get("start", 1))
+                step = int(ident.get("step", 1))
+                if step == 0:
+                    raise ValueError("identity INCREMENT BY must be non-zero")
+                if dt != "bigint":
+                    raise ValueError(
+                        f"IDENTITY requires a BIGINT column (Delta's own "
+                        f"restriction — allocation uses the sparse "
+                        f"monotonically_increasing_id space, which "
+                        f"overflows INT); {c!r} is {dt}"
+                    )
+                norm[c] = {
+                    "identity": {
+                        "start": start,
+                        "step": step,
+                        "high": start - step,
+                    }
+                }
+            elif "expr" in spec:
+                expr = str(spec["expr"])
+                if _re.search(_GEN_NONDETERMINISTIC, expr):
+                    raise ValueError(
+                        f"GENERATED ALWAYS AS for {c!r} must be "
+                        f"deterministic; {expr!r} is not"
+                    )
+                probe = probe_base.drop(
+                    c, *[k for k in specs if k != c]
+                )
+                try:
+                    probe.selectExpr(f"CAST(({expr}) AS {dt})").schema
+                except Exception as e:
+                    raise ValueError(
+                        f"GENERATED ALWAYS AS expression for {c!r} must "
+                        f"bind over the table's non-generated columns and "
+                        f"cast to {dt}; {expr!r} failed: {e}"
+                    ) from e
+                norm[c] = {"expr": expr}
+            else:
+                raise ValueError(
+                    f"generated spec for {c!r} must be {{'expr': <sql>}} "
+                    "or {'identity': {'start': n, 'step': m}}; got "
+                    f"{spec!r}"
+                )
+        return norm
+
+    def _validate_default_expr(self, column: str, expr: str, dt) -> None:
+        """The SET DEFAULT constant-expression rule, shared by the ALTER
+        path (set_default) and CREATE-time declarations: deterministic,
+        no column references (FROM-less probe), castable to the type."""
+        import re as _re
+
+        if _re.search(
+            r"\b(rand|randn|random|uuid|shuffle|"
+            r"monotonically_increasing_id)\s*\(",
+            expr,
+            _re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"DEFAULT for {column!r} must be deterministic; "
+                f"{expr!r} is not (Spark's constant-default rule)"
+            )
+        try:
+            self.spark.sql(
+                f"SELECT CAST(({expr}) AS {dt.simpleString()})"
+            ).head()
+        except Exception as e:
+            raise ValueError(
+                f"DEFAULT for {column!r} must be a constant "
+                f"expression castable to {dt.simpleString()}; "
+                f"{expr!r} failed: {e}"
+            ) from e
+
+    def create(
+        self,
+        schema: StructType | str,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
+        generated: dict[str, dict] | None = None,
+        defaults: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """``CREATE TABLE`` with an explicit column list (round 12):
+        commit version 1 as an EMPTY table carrying the declared schema
+        plus all declare-time metadata — generated/identity columns
+        (Delta's ``CREATE TABLE … GENERATED ALWAYS AS`` surface, closing
+        round 11's "declare before first write by convention" gap: v1
+        data already satisfies the invariant because no v1 data exists),
+        column DEFAULTs, TBLPROPERTIES, partitioning and bucket layout.
+        The reference has no DDL at all (its Scala jobs create tables by
+        writing, IngestionJob.scala:15-19); this is the engine's own
+        Delta-parity extension. Concurrent double-create loses the
+        version-1 commit race atomically (create-exclusive link)."""
+        if self.exists():
+            raise ValueError(
+                f"table {self.root} already exists; CREATE TABLE never "
+                "clobbers data (write(mode='overwrite') replaces it)"
+            )
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if not schema.fields:
+            raise ValueError("CREATE TABLE needs at least one column")
+        defaults = {str(k): str(v) for k, v in (defaults or {}).items()}
+        for c in partition_by or []:
+            if c not in schema.names:
+                raise ValueError(
+                    f"partition column {c!r} not in the declared schema"
+                )
+        if bucket_by is not None:
+            if partition_by:
+                raise ValueError(
+                    "bucket_by does not compose with partition_by on this "
+                    "format; pick one physical layout"
+                )
+            missing = [c for c in bucket_by[1] if c not in schema.names]
+            if missing:
+                raise ValueError(
+                    f"bucket columns {missing} not in the declared schema"
+                )
+        for c, expr in defaults.items():
+            if c not in schema.names:
+                raise ValueError(
+                    f"cannot declare DEFAULT for unknown column {c!r}"
+                )
+            self._validate_default_expr(c, expr, schema[c].dataType)
+        gen = (
+            self._validate_generated_specs(generated, schema, defaults)
+            if generated
+            else {}
+        )
+        payload = {
+            "version": 1,
+            "snapshot_id": _snapshot_id(1, [], [], None),
+            "parent_id": None,
+            "operation": "create",
+            "schema": schema.json(),
+            "partition_by": list(partition_by or []),
+            "adds": [],
+            "removes": [],
+            **({"generated": gen} if gen else {}),
+            **({"defaults": defaults} if defaults else {}),
+            **(
+                {
+                    "properties": {
+                        str(k): str(v) for k, v in properties.items()
+                    }
+                }
+                if properties
+                else {}
+            ),
+        }
+        if bucket_by is not None:
+            payload["bucket_by"] = {
+                "n": int(bucket_by[0]),
+                "cols": list(bucket_by[1]),
+                "sort": list(sort_by or []),
+            }
+        self._commit(1, payload)
+        return 1
 
     def set_properties(
         self, props: dict[str, str], max_retries: int = 3
@@ -2156,6 +2328,8 @@ class TableLog:
         bucket_by: tuple[int, list[str]] | None = None,
         sort_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        generated: dict[str, dict] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> int:
         """Commit df as a new table version. Modes:
 
@@ -2200,6 +2374,20 @@ class TableLog:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if generated is not None and (mode != "overwrite" or replace_where):
+            # declare-time generated specs ride CREATE/REPLACE semantics
+            # (round 12): only a full overwrite redefines the table's
+            # metadata wholesale — appends inherit, ALTER is set_generated
+            raise ValueError(
+                "generated column specs may only be declared by a full "
+                "overwrite (CREATE/REPLACE semantics); use "
+                "set_generated() to ALTER an existing table"
+            )
+        if properties is not None and (mode != "overwrite" or replace_where):
+            raise ValueError(
+                "create-time TBLPROPERTIES may only ride a full "
+                "overwrite; use set_properties() to ALTER"
+            )
         if bucket_by is not None:
             # bucketing spec: a physical layout established by a full
             # overwrite (see Snapshot.bucket_by) and PRESERVED by appends
@@ -2317,7 +2505,47 @@ class TableLog:
                 "sort": list(sort_by or []),
             }
         pre_gen = dict(pre.generated) if pre else {}
-        if pre_gen:
+        decl_gen: dict | None = None
+        if generated is not None:
+            # CREATE/REPLACE-time generated declaration (round 12): the
+            # given specs REPLACE the table's generated metadata the way
+            # the overwrite's schema replaces its schema. Declared columns
+            # absent from df materialize (identity as BIGINT NULLs — the
+            # allocate-me marker; computed columns at their expression's
+            # inferred type), so a CTAS need not carry them; identity
+            # values the df DOES carry are kept (the admin/copy path) and
+            # the high-water mark advances over them from staged stats.
+            for c, spec in generated.items():
+                if c in df.columns:
+                    continue
+                if "identity" in (spec or {}):
+                    df = df.withColumn(c, F.lit(None).cast("bigint"))
+                elif "expr" in (spec or {}):
+                    others = [
+                        k for k in generated if k != c and k in df.columns
+                    ]
+                    try:
+                        inferred = (
+                            df.limit(0)
+                            .drop(*others)
+                            .selectExpr(f"({spec['expr']})")
+                            .schema[0]
+                            .dataType
+                        )
+                    except Exception as e:
+                        raise ValueError(
+                            f"GENERATED ALWAYS AS expression for {c!r} "
+                            f"must bind over the data's non-generated "
+                            f"columns; {spec['expr']!r} failed: {e}"
+                        ) from e
+                    df = df.withColumn(c, F.lit(None).cast(inferred))
+                # malformed specs fall through to the validator's error
+            decl_gen = self._validate_generated_specs(
+                generated, df.schema, pre.defaults if pre else {}
+            )
+            df = self._apply_generated(df, decl_gen, df.schema)
+            pre_gen = {}
+        elif pre_gen:
             # generated columns (round 11): identity columns cannot be
             # PROVIDED by an append/replace (Delta's GENERATED ALWAYS
             # rule — the engine allocates); a full overwrite is the
@@ -2412,12 +2640,15 @@ class TableLog:
             )
 
         enforced_constraints = pre.constraints if pre else {}
+        base_gen = decl_gen if decl_gen is not None else pre_gen
         new_gen = self._bump_identity_high(
-            pre_gen, adds, pre_mapping
-        ) if pre_gen else None
+            base_gen, adds, pre_mapping
+        ) if base_gen else None
         for _attempt in range(max_retries):
             cur = self.snapshot() if self.exists() else None
-            if (dict(cur.generated) if cur else {}) != pre_gen:
+            if generated is None and (
+                dict(cur.generated) if cur else {}
+            ) != pre_gen:
                 # a concurrent generated-column DDL (or another commit's
                 # high-water bump) landed after our fill: our allocated
                 # identity values came from a stale mark and could
@@ -2509,8 +2740,22 @@ class TableLog:
                 "adds": adds,
                 "removes": removes,
                 **({"txn": [txn[0], txn[1]]} if txn is not None else {}),
-                **({"generated": new_gen} if new_gen is not None else {}),
             }
+            if generated is not None:
+                # declaration commit: ALWAYS write the key (replacement
+                # semantics — an empty dict explicitly clears)
+                payload["generated"] = (
+                    new_gen if new_gen is not None else decl_gen
+                )
+            elif new_gen is not None:
+                payload["generated"] = new_gen
+            if properties is not None:
+                # create-time TBLPROPERTIES: SET semantics over whatever
+                # the table carries (same merge rule as set_properties)
+                payload["properties"] = {
+                    **(cur.properties if cur else {}),
+                    **{str(k): str(v) for k, v in properties.items()},
+                }
             if bucket_by is not None:
                 payload["bucket_by"] = {
                     "n": bucket_by[0],

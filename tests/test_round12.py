@@ -1,0 +1,307 @@
+"""Round-12 features.
+
+1. Generated/identity columns at CREATE time (verdict-r11 task 1):
+   ``TableLog.create`` (empty table + declared metadata), the
+   ``write(generated=…)`` CTAS-with-data path, and the SQL
+   ``CREATE TABLE t (col TYPE GENERATED ALWAYS AS …)`` surface — so v1
+   data already satisfies the generated invariant instead of round 11's
+   "declare before first write by convention".
+2. Create-time TBLPROPERTIES (verdict-r11 task 8): the declare clause on
+   both the explicit-column CREATE TABLE and CTAS, plus SQL SHALLOW
+   CLONE end-to-end coverage on the txlog backend.
+
+The reference has no DDL at all (its tables appear by being written,
+IngestionJob.scala:15-19) — this is the engine's Delta-parity extension
+surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.plans.pipeline import (
+    TxLogWarehouse,
+    _parse_column_defs,
+)
+from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.txlog import (
+    TableLog,
+)
+
+
+# -- TableLog.create -------------------------------------------------------
+
+
+def test_create_empty_table_with_metadata(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    v = log.create(
+        "id BIGINT, k BIGINT, price DOUBLE, band INT, tier STRING",
+        generated={
+            "id": {"identity": {"start": 10, "step": 2}},
+            "band": {"expr": "CAST(FLOOR(price/100) AS INT)"},
+        },
+        defaults={"tier": "'std'"},
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    assert v == 1
+    snap = log.snapshot()
+    assert snap.generated["id"]["identity"] == {
+        "start": 10,
+        "step": 2,
+        "high": 8,
+    }
+    assert snap.generated["band"] == {"expr": "CAST(FLOOR(price/100) AS INT)"}
+    assert snap.defaults == {"tier": "'std'"}
+    assert snap.properties == {"delta.enableChangeDataFeed": "true"}
+    assert log.read().count() == 0
+    assert log.read().columns == ["id", "k", "price", "band", "tier"]
+
+
+def test_create_then_first_append_satisfies_invariant(spark, tmp_path):
+    """The point of CREATE-time declaration: the FIRST data commit
+    already allocates identity values and computes generated columns —
+    no convention required."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.create(
+        "id BIGINT, k BIGINT, price DOUBLE, band INT",
+        generated={
+            "id": {"identity": {"start": 10, "step": 2}},
+            "band": {"expr": "CAST(FLOOR(price/100) AS INT)"},
+        },
+    )
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 150.0).alias("price")
+    )
+    log.write(df, mode="append")
+    rows = log.read().orderBy("k").collect()
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == 5
+    assert all(i >= 10 and i % 2 == 0 for i in ids)  # start 10, step 2
+    assert [r["band"] for r in rows] == [0, 1, 3, 4, 6]
+    # second append: high-water advanced from staged stats, no collision
+    log.write(df, mode="append")
+    ids2 = [r["id"] for r in log.read().collect()]
+    assert len(set(ids2)) == 10
+
+
+def test_create_refuses_existing_and_bad_specs(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.create("a INT")
+    with pytest.raises(ValueError, match="already exists"):
+        log.create("a INT")
+    log2 = TableLog(spark, str(tmp_path / "u"))
+    with pytest.raises(ValueError, match="BIGINT"):
+        log2.create("a INT", generated={"a": {"identity": {}}})
+    with pytest.raises(ValueError, match="deterministic"):
+        log2.create(
+            "a INT, b DOUBLE",
+            generated={"b": {"expr": "rand()"}},
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        log2.create(
+            "a INT, b INT",
+            generated={"b": {"expr": "a + 1"}},
+            defaults={"b": "7"},
+        )
+    with pytest.raises(ValueError, match="non-generated"):
+        # a generated column may not reference another generated column
+        log2.create(
+            "a INT, b INT, c INT",
+            generated={"b": {"expr": "a + 1"}, "c": {"expr": "b + 1"}},
+        )
+    with pytest.raises(ValueError, match="not in the declared schema"):
+        log2.create("a INT", partition_by=["zz"])
+    with pytest.raises(ValueError, match="constant"):
+        log2.create("a INT, b INT", defaults={"b": "a + 1"})
+
+
+def test_create_partitioned_and_bucketed(spark, tmp_path):
+    logp = TableLog(spark, str(tmp_path / "p"))
+    logp.create("d STRING, v INT", partition_by=["d"])
+    assert logp.snapshot().partition_by == ["d"]
+    logp.write(
+        spark.createDataFrame([("a", 1), ("b", 2)], "d string, v int"),
+        mode="append",
+        partition_by=["d"],
+    )
+    assert logp.read().count() == 2
+
+    logb = TableLog(spark, str(tmp_path / "b"))
+    logb.create("k BIGINT, v DOUBLE", bucket_by=(4, ["k"]))
+    assert logb.snapshot().bucket_by["n"] == 4
+    logb.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+        mode="append",
+    )
+    # appends staged through the bucketed writer join the layout
+    assert logb.read_bucketed().count() == 2
+
+
+def test_write_generated_ctas_materializes_absent_columns(spark, tmp_path):
+    """write(generated=…) — the CTAS-with-data declaration: identity and
+    computed columns absent from the df materialize (BIGINT / inferred
+    type) and compute; appends then refuse explicit identity values."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    src = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") + 0.5).alias("v")
+    )
+    log.write(
+        src,
+        generated={"rid": {"identity": {}}, "dbl": {"expr": "v * 2"}},
+    )
+    out = log.read().orderBy("k").collect()
+    assert [r["dbl"] for r in out] == [1.0, 3.0, 5.0, 7.0]
+    rids = [r["rid"] for r in out]
+    assert len(set(rids)) == 4 and min(rids) >= 1
+    assert dict(log.snapshot().generated)["rid"]["identity"]["start"] == 1
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        log.write(
+            src.withColumn("rid", F.lit(99).cast("bigint")), mode="append"
+        )
+
+
+def test_write_generated_only_on_full_overwrite(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="full overwrite"):
+        log.write(src, mode="append", generated={"d": {"expr": "v"}})
+    with pytest.raises(ValueError, match="full overwrite"):
+        log.write(src, mode="append", properties={"x": "1"})
+
+
+def test_write_generated_carried_identity_values_advance_high(
+    spark, tmp_path
+):
+    """The admin/copy path: a declaring overwrite MAY carry identity
+    values; the high-water mark folds over them so later allocations
+    never collide."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(100, 1), (200, 2)], "rid long, k int"
+    )
+    log.write(src, generated={"rid": {"identity": {}}})
+    assert log.snapshot().generated["rid"]["identity"]["high"] >= 200
+    log.write(
+        spark.createDataFrame([(3,)], "k int"), mode="append"
+    )
+    rids = [r["rid"] for r in log.read().collect()]
+    assert len(set(rids)) == 3 and max(rids) > 200
+
+
+# -- SQL surface -----------------------------------------------------------
+
+
+def test_sql_create_table_full_stack(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.sql(
+        "CREATE TABLE t ("
+        " id BIGINT GENERATED ALWAYS AS IDENTITY"
+        "   (START WITH 10 INCREMENT BY 2),"
+        " k BIGINT,"
+        " price DOUBLE,"
+        " band INT GENERATED ALWAYS AS (CAST(FLOOR(price / 100) AS INT)),"
+        " tier STRING DEFAULT 'std',"
+        " tags MAP<STRING, INT>"
+        ") TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')"
+    )
+    wh.sql("INSERT INTO t (k, price) VALUES (1, 150.0), (2, 420.0)")
+    wh.sql("INSERT INTO t (k, price, tier) VALUES (3, 90.0, 'big')")
+    rows = wh.read_snapshot("t").orderBy("k").collect()
+    assert [r["band"] for r in rows] == [1, 4, 0]
+    assert [r["tier"] for r in rows] == ["std", "std", "big"]
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == 3
+    assert all(i >= 10 and i % 2 == 0 for i in ids)
+    assert (
+        wh._log("t").snapshot().properties["delta.enableChangeDataFeed"]
+        == "true"
+    )
+    # INSERT may not provide a generated column
+    with pytest.raises(ValueError, match="generated column"):
+        wh.sql("INSERT INTO t (k, price, band) VALUES (4, 1.0, 9)")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.sql("CREATE TABLE t (a INT)")
+
+
+def test_sql_create_table_partitioned_insert_inherits_layout(
+    spark, tmp_path
+):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.sql("CREATE TABLE p (d STRING, v INT) PARTITIONED BY (d)")
+    wh.sql("INSERT INTO p VALUES ('a', 1), ('b', 2)")
+    snap = wh._log("p").snapshot()
+    assert snap.partition_by == ["d"]
+    assert {
+        tuple(m.get("partition_values", {}).items())
+        for m in snap.files.values()
+    } == {(("d", "a"),), (("d", "b"),)}
+    assert wh.read_snapshot("p").count() == 2
+
+
+def test_sql_create_table_bucketed(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.sql(
+        "CREATE TABLE b (k BIGINT, v DOUBLE) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS"
+    )
+    wh.sql("INSERT INTO b VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    assert wh._log("b").snapshot().bucket_by["n"] == 4
+    assert wh.read_bucketed("b").count() == 3
+
+
+def test_sql_ctas_tblproperties(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    spark.range(5).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "r12_srcv"
+    )
+    wh.sql(
+        "CREATE TABLE c TBLPROPERTIES ('delta.enableChangeDataFeed' = "
+        "'true', 'owner' = 'me') AS SELECT k FROM r12_srcv"
+    )
+    assert wh._log("c").snapshot().properties == {
+        "delta.enableChangeDataFeed": "true",
+        "owner": "me",
+    }
+    assert wh.read_snapshot("c").count() == 5
+
+
+def test_sql_shallow_clone_txlog_end_to_end(spark, tmp_path):
+    """Verdict-r11 task 8: SHALLOW CLONE driven purely through SQL on
+    the txlog backend — zero-copy fork, version pinning, divergence."""
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"
+    ).createOrReplaceTempView("r12_clone_src")
+    wh.sql("CREATE TABLE src AS SELECT * FROM r12_clone_src")
+    wh.sql("INSERT INTO src VALUES (3, 'c')")
+    wh.sql("CREATE TABLE dst SHALLOW CLONE src VERSION AS OF 1")
+    assert wh.read_snapshot("dst").count() == 2  # pre-insert snapshot
+    wh.sql("CREATE TABLE dst2 SHALLOW CLONE src")
+    assert wh.read_snapshot("dst2").count() == 3
+    # the clone diverges independently; the source is untouched
+    wh.sql("INSERT INTO dst2 VALUES (4, 'd')")
+    assert wh.read_snapshot("dst2").count() == 4
+    assert wh.read_snapshot("src").count() == 3
+
+
+def test_parse_column_defs_edge_cases():
+    fields, gen, dflts = _parse_column_defs(
+        "a DECIMAL(10, 2), b MAP<STRING, INT>, "
+        "c BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "d STRING DEFAULT 'x, (y)', "
+        "e INT GENERATED ALWAYS AS (CAST(a * 2 AS INT))"
+    )
+    assert fields == [
+        "a DECIMAL(10, 2)",
+        "b MAP<STRING, INT>",
+        "c BIGINT",
+        "d STRING",
+        "e INT",
+    ]
+    assert gen == {
+        "c": {"identity": {"start": 1, "step": 1}},
+        "e": {"expr": "CAST(a * 2 AS INT)"},
+    }
+    assert dflts == {"d": "'x, (y)'"}
+    with pytest.raises(ValueError, match="unsupported column constraint"):
+        _parse_column_defs("a INT NOT NULL")
