@@ -2386,6 +2386,36 @@ class Warehouse:
                 "table_name string, operation string, version long",
             )
 
+        # REORG TABLE … APPLY (PURGE) (round 12): Delta's scoped
+        # deletion-vector purge — rewrite ONLY the dv-carrying files
+        m_reorg = re.match(
+            r"\s*REORG\s+TABLE\s+`?(\w+)`?\s+APPLY\s*\(\s*PURGE\s*\)"
+            r"\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m_reorg:
+            t = m_reorg.group(1)
+            if not hasattr(self, "_log"):
+                raise ValueError(
+                    "REORG APPLY (PURGE) requires the txlog backend "
+                    "(TxLogWarehouse); only its snapshots carry deletion "
+                    "vectors"
+                )
+            res = self._log(t).reorg_purge()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        t,
+                        "REORG APPLY (PURGE)",
+                        res["version"],
+                        res["files_purged"],
+                    )
+                ],
+                "table_name string, operation string, version long, "
+                "files_purged long",
+            )
+
         m_vac = re.match(
             r"\s*VACUUM\s+`?(\w+)`?(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
             query,

@@ -3598,6 +3598,114 @@ class TableLog:
             f"lost {max_retries} commit races on {self.root}"
         )
 
+    def reorg_purge(self, max_retries: int = 3) -> dict:
+        """``REORG TABLE … APPLY (PURGE)`` (round 12 — Delta's scoped
+        deletion-vector purge): rewrite ONLY the active files that carry
+        a deletion vector, materializing their soft-deleted rows out;
+        every other file keeps its path, bytes and identity untouched.
+        At 100 TB this is the difference between an operation and an
+        outage — a table with 3 dv-carrying files out of 30,000 rewrites
+        3 files, where a whole-table OPTIMIZE (round 11's only way to
+        shed vectors) rewrites the active set. After the commit the
+        snapshot's ``dvs`` map is empty by the replay rule (a file
+        leaving the active set takes its vector with it).
+
+        Layout-preserving like optimize: bucketed tables re-stage the
+        purged rows through the bucketed writer under the standing spec
+        (zero-Exchange joins survive), partitioned tables restage into
+        their partition directories. The rewrite carries
+        ``dataChange=false`` — no live row changes, streaming readers
+        skip the commit (the deletes themselves were emitted by the dv
+        commits that created the vectors).
+
+        Returns {'version', 'files_purged', 'files_untouched',
+        'rows_materialized'}; a table with no deletion vectors commits
+        nothing."""
+        base = self.snapshot()
+        sel = {p: base.files[p] for p in base.files if base.dvs.get(p)}
+        if not sel:
+            return {
+                "version": base.version,
+                "files_purged": 0,
+                "files_untouched": len(base.files),
+                "rows_materialized": 0,
+            }
+        rows_mat = sum(len(base.dvs[p]) for p in sel)
+        # read the FROZEN selection with its vectors applied — the
+        # survivors are exactly the rows the purged files must carry
+        df = self._read_file_metas(
+            list(sel.values()),
+            base.schema,
+            base.column_mapping,
+            {p: v for p, v in base.dvs.items() if p in sel},
+        )
+        if base.bucket_by:
+            # align tasks to buckets so the purge lands one file per
+            # touched bucket (same trick as optimize's bucketed path)
+            df = df.repartition(
+                base.bucket_by["n"], *base.bucket_by["cols"]
+            )
+            adds = self._stage_bucketed(
+                df,
+                base.bucket_by["n"],
+                list(base.bucket_by["cols"]),
+                list(base.bucket_by.get("sort") or []),
+                bloom_cols=base.bloom_cols,
+            )
+        else:
+            if base.partition_by:
+                df = df.repartition(*base.partition_by)
+            else:
+                # per-file granularity: about as many files out as in
+                df = df.repartition(len(sel))
+            adds = self._stage(
+                df,
+                base.partition_by or None,
+                mapping=base.column_mapping,
+                bloom_cols=base.bloom_cols,
+            )
+        removes = list(sel)
+        for _attempt in range(max_retries):
+            cur = self.snapshot()
+            if not set(removes) <= set(cur.files):
+                raise ConcurrentCommitError(
+                    f"reorg_purge of {self.root} lost to a concurrent "
+                    "overwrite/replace: purged files are no longer active"
+                )
+            if {p: cur.dvs.get(p) for p in sel} != {
+                p: base.dvs.get(p) for p in sel
+            }:
+                raise ConcurrentCommitError(
+                    f"reorg_purge of {self.root} lost to a concurrent "
+                    "deletion-vector commit on a purged file; re-run"
+                )
+            version = cur.version + 1
+            payload = {
+                "version": version,
+                "snapshot_id": _snapshot_id(version, adds, removes, cur),
+                "parent_id": cur.snapshot_id,
+                "operation": "reorg_purge",
+                "schema": cur.schema_json,
+                "partition_by": list(base.partition_by or []),
+                "adds": adds,
+                "removes": removes,
+                "dataChange": False,
+            }
+            try:
+                self._commit(version, payload)
+            except ConcurrentCommitError:
+                continue
+            self._maybe_checkpoint(version)
+            return {
+                "version": version,
+                "files_purged": len(sel),
+                "files_untouched": len(base.files) - len(sel),
+                "rows_materialized": rows_mat,
+            }
+        raise ConcurrentCommitError(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
     def delete(
         self, filters: list[tuple], max_retries: int = 3, via: str = "cow"
     ) -> dict:
@@ -5611,11 +5719,15 @@ class TableLog:
         file is opened), then acts:
 
         - OPTIMIZE when more than ``max_small_files`` active files are
-          under half the ``target_file_bytes``, or when the table's
+          under half the ``target_file_bytes``. File count for the
+          compaction sizes from total bytes / target.
+        - REORG APPLY (PURGE) — round 12 — when the table's
           deletion-vector positions exceed ``max_dv_ratio`` of its rows
-          (merge-on-read read overhead has outgrown its write savings —
-          materialize). File count for the compaction sizes from total
-          bytes / target.
+          (merge-on-read read overhead has outgrown its write savings):
+          materialize ONLY the dv-carrying files, never the whole
+          active set (on a 100 TB table the old whole-table OPTIMIZE
+          answer was an outage, not maintenance). A compaction that
+          runs anyway materializes its files' vectors as always.
         - VACUUM old snapshots when ``retain_last`` is given (left off
           by default: shrinking the time-travel horizon is a policy
           decision, not hygiene).
@@ -5623,7 +5735,8 @@ class TableLog:
           never shrinks the horizon).
 
         Returns what it did: {'optimized': version | None,
-        'files_deleted': int, 'orphans_deleted': int}."""
+        'purged': version | None, 'files_deleted': int,
+        'orphans_deleted': int}."""
         snap = self.snapshot()
         small = sum(
             1
@@ -5634,11 +5747,12 @@ class TableLog:
         dv_positions = sum(len(v) for v in snap.dvs.values())
         total_bytes = sum(int(m.get("bytes") or 0) for m in snap.files.values())
         optimized = None
-        if small > max_small_files or (
-            total_rows and dv_positions / total_rows > max_dv_ratio
-        ):
+        purged = None
+        if small > max_small_files:
             n_files = max(1, -(-total_bytes // target_file_bytes))
             optimized = self.optimize(n_files=n_files)
+        elif total_rows and dv_positions / total_rows > max_dv_ratio:
+            purged = self.reorg_purge()["version"]
         files_deleted = (
             self.vacuum(retain_last=retain_last, min_file_age_s=min_file_age_s)
             if retain_last is not None
@@ -5647,6 +5761,7 @@ class TableLog:
         orphans = self.remove_orphans(min_age_s=min_file_age_s)
         return {
             "optimized": optimized,
+            "purged": purged,
             "files_deleted": files_deleted,
             "orphans_deleted": orphans,
         }

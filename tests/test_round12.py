@@ -284,6 +284,99 @@ def test_sql_shallow_clone_txlog_end_to_end(spark, tmp_path):
     assert wh.read_snapshot("src").count() == 3
 
 
+# -- REORG TABLE … APPLY (PURGE) ------------------------------------------
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
+    """The scoped dv purge: files WITHOUT vectors keep their identity
+    (same path, never rewritten); dv-carrying files materialize; the
+    snapshot's dv map empties by the replay rule."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    # three separate files via three appends
+    for lo in (0, 100, 200):
+        log.write(
+            spark.range(lo, lo + 50)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1),
+            mode="append",
+        )
+    # vector on the middle file only
+    log.delete([("id", "between", (110, 119))], via="dv")
+    snap0 = log.snapshot()
+    assert len(snap0.files) == 3 and len(snap0.dvs) == 1
+    untouched = set(snap0.files) - set(snap0.dvs)
+    res = log.reorg_purge()
+    assert res["files_purged"] == 1
+    assert res["files_untouched"] == 2
+    assert res["rows_materialized"] == 10
+    snap1 = log.snapshot()
+    assert snap1.dvs == {}
+    # untouched files keep their exact identity
+    assert untouched <= set(snap1.files)
+    assert set(snap0.dvs) & set(snap1.files) == set()
+    assert log.read().count() == 140
+    assert log.read().filter("id between 110 and 119").count() == 0
+    # idempotent: nothing left to purge, no commit
+    v = snap1.version
+    res2 = log.reorg_purge()
+    assert res2["files_purged"] == 0 and res2["version"] == v
+    # the purge commit carries dataChange=false (streaming skip rule)
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(log.log_dir, f"{snap1.version:012d}.json")
+    ) as f:
+        assert _json.load(f)["dataChange"] is False
+
+
+def test_reorg_purge_bucketed_preserves_layout(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(1000).selectExpr("id AS k", "id * 1.5 AS v")
+        .repartition(4),
+        bucket_by=(4, ["k"]),
+    )
+    log.delete([("k", "between", (10, 19))], via="dv")
+    assert log.snapshot().dvs
+    res = log.reorg_purge()
+    assert res["files_purged"] >= 1
+    snap = log.snapshot()
+    assert snap.dvs == {} and snap.bucket_by["n"] == 4
+    assert log.read_bucketed().count() == 990
+
+
+def test_sql_reorg_apply_purge(spark, tmp_path):
+    wh = TxLogWarehouse(spark, str(tmp_path / "wh"))
+    spark.range(100).selectExpr(
+        "id", "id * 3 AS v"
+    ).createOrReplaceTempView("r12_reorg_src")
+    wh.sql("CREATE TABLE t AS SELECT * FROM r12_reorg_src")
+    wh.delete("t", [("id", "<", 10)], via="dv")
+    out = wh.sql("REORG TABLE t APPLY (PURGE)").collect()[0]
+    assert out["operation"] == "REORG APPLY (PURGE)"
+    assert out["files_purged"] >= 1
+    assert wh._log("t").snapshot().dvs == {}
+    assert wh.read_snapshot("t").count() == 90
+
+
+def test_maintain_dv_trigger_purges_scoped(spark, tmp_path):
+    """The janitor's dv-density response is the scoped purge: the
+    clean files of a two-file table survive with their identity."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(100).selectExpr("id"), mode="append")
+    log.write(spark.range(100, 200).selectExpr("id"), mode="append")
+    log.delete([("id", "<", 40)], via="dv")  # 40/200 = 20% > 10%
+    clean = set(log.snapshot().files) - set(log.snapshot().dvs)
+    res = log.maintain(
+        target_file_bytes=10, max_small_files=99, min_file_age_s=0.0
+    )
+    assert res["purged"] is not None and res["optimized"] is None
+    snap = log.snapshot()
+    assert snap.dvs == {} and clean <= set(snap.files)
+    assert log.read().count() == 160
+
+
 def test_parse_column_defs_edge_cases():
     fields, gen, dflts = _parse_column_defs(
         "a DECIMAL(10, 2), b MAP<STRING, INT>, "

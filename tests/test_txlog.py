@@ -2283,12 +2283,14 @@ def test_maintain_policy_janitor(spark, tmp_path):
     res2 = log.maintain(target_file_bytes=10_000_000, max_small_files=4,
                         min_file_age_s=0.0)
     assert res2["optimized"] is None and res2["orphans_deleted"] == 0
-    # dv density trigger: delete >10% of rows via vectors
+    # dv density trigger: delete >10% of rows via vectors — round 12:
+    # the janitor answers with the SCOPED purge, not a whole-table
+    # compaction
     log.delete([("id", "<", 7)], via="dv")
     assert log.snapshot().dvs
     res3 = log.maintain(target_file_bytes=10_000_000, max_small_files=99,
                         max_dv_ratio=0.1, min_file_age_s=0.0)
-    assert res3["optimized"] is not None
+    assert res3["optimized"] is None and res3["purged"] is not None
     assert log.snapshot().dvs == {}
     assert log.read().count() == 53
     # vacuum only when asked
