@@ -163,12 +163,18 @@ def _read_file_as_batches(
     schema_json: str,
     mapping: dict | None = None,
     dv_positions: list[int] | None = None,
+    take_positions: list[int] | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Read one immutable data file and yield Arrow batches matching the
     snapshot schema exactly: partition columns (absent from the file, held
     as strings in the commit log) are re-materialized as typed constants,
     and physical types (int32 vs int64 etc.) are cast to the logical ones.
     Runs inside a Python worker — stdlib + pyarrow + pyspark only.
+
+    ``dv_positions`` DROPS the given file-global row positions (deletion
+    vector masking); ``take_positions`` keeps ONLY them (the change-feed
+    reader emitting a dv commit's masked rows as delete/pre-images) —
+    mutually exclusive.
     """
     import json as _json
 
@@ -177,24 +183,33 @@ def _read_file_as_batches(
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType as _StructType
 
+    if dv_positions and take_positions:
+        raise ValueError("pass dv_positions or take_positions, not both")
     target = to_arrow_schema(_StructType.fromJson(_json.loads(schema_json)))
     mapping = mapping or {}  # column mapping: files/dirs spell PHYSICAL names
     pvals = meta.get("partition_values", {})
     pf = pq.ParquetFile(os.path.join(data_dir, meta["path"]))
     dv = sorted(dv_positions) if dv_positions else None
+    take = sorted(take_positions) if take_positions else None
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
-        if dv is not None:
-            # deletion vector: drop this batch's deleted row positions
-            # (file-global row_index ∈ [offset, offset+n))
+        if dv is not None or take is not None:
+            # positional slice against file-global row_index
+            # ∈ [offset, offset+n)
             import bisect as _bisect
 
-            lo = _bisect.bisect_left(dv, offset)
-            hi = _bisect.bisect_left(dv, offset + n)
-            local = [p - offset for p in dv[lo:hi]]
+            pos = dv if dv is not None else take
+            lo = _bisect.bisect_left(pos, offset)
+            hi = _bisect.bisect_left(pos, offset + n)
+            local = [p - offset for p in pos[lo:hi]]
             offset += n
-            if local:
+            if take is not None:
+                if not local:
+                    continue
+                batch = batch.take(pa.array(local, pa.int64()))
+                n = batch.num_rows
+            elif local:
                 mask = [True] * n
                 for p in local:
                     mask[p] = False
@@ -796,6 +811,310 @@ class TxLogStreamReader(DataSourceStreamReader):
 
 
 # ---------------------------------------------------------------------------
+# streaming change-data feed (round 12)
+
+_CDC_COLS = ("_change_type", "_commit_version", "_commit_ts_ms")
+
+
+class _ChangePartition(InputPartition):
+    """One unit of change-feed read work: a whole data file emitted
+    under a constant label (``file``), specific row positions of a file
+    (``take`` — a dv commit's masked rows), or a CDC sidecar whose rows
+    carry their own ``_change_type`` (``sidecar``)."""
+
+    def __init__(
+        self,
+        kind: str,
+        meta: dict,
+        label: str | None,
+        version: int,
+        ts_ms: int | None,
+        positions: list[int] | None = None,
+        drop_positions: list[int] | None = None,
+        sidecar_schema: str | None = None,
+    ):
+        self.kind = kind
+        self.meta = meta
+        self.label = label
+        self.version = version
+        self.ts_ms = ts_ms
+        self.positions = positions
+        self.drop_positions = drop_positions
+        self.sidecar_schema = sidecar_schema
+
+
+def _with_cdc_cols(
+    batch: "pa.RecordBatch", label: str, version: int, ts_ms: int | None
+) -> "pa.RecordBatch":
+    import pyarrow as pa
+
+    n = batch.num_rows
+    return pa.RecordBatch.from_arrays(
+        list(batch.columns)
+        + [
+            pa.array([label] * n, pa.string()),
+            pa.array([version] * n, pa.int64()),
+            pa.nulls(n, pa.int64())
+            if ts_ms is None
+            else pa.array([ts_ms] * n, pa.int64()),
+        ],
+        names=list(batch.schema.names) + list(_CDC_COLS),
+    )
+
+
+class TxLogChangeStreamReader(TxLogStreamReader):
+    """``spark.readStream.format("txlog").option("readChangeFeed",
+    "true")`` — the STREAMING twin of ``TableLog.table_changes`` (round
+    12, closing round 11's batch/stream CDC asymmetry): each microbatch
+    is the change rows of the commits in ``(start, end]``, tagged
+    ``_change_type`` / ``_commit_version`` / ``_commit_ts_ms``, so a
+    downstream summary folds a MUTABLE upstream (updates and deletes,
+    not just appends) with exactly-once semantics from its checkpoint.
+
+    Delta parity: the read REQUIRES ``delta.enableChangeDataFeed =
+    'true'`` on the table (Delta's own rule for CDF reads). With the
+    property on, every copy-on-write mutation writes a ``_cdc/`` sidecar
+    of its exact change rows (MERGE/DELETE since round 11, UPDATE round
+    12) which this reader emits verbatim; merge-on-read (dv) commits
+    need NO sidecar — their images derive from the commit's recorded
+    positions, read back with a pyarrow positional take (the streaming
+    worker has no SparkSession, which is also why sidecar-less CoW
+    UPDATE derive records cannot feed a stream: evaluating a SET
+    expression needs an engine). Overwrites emit file-granularity
+    delete+insert like the batch feed; compactions (``dataChange=
+    false``) are skipped. A CoW row-op commit that predates enabling
+    the property fails the stream loudly — start past it with
+    ``startingVersion`` or re-run the mutation under the property.
+
+    Offsets, rate limiting (``maxFilesPerTrigger``), ``startingVersion``
+    / ``startingTimestamp`` and the monotone progress floors are
+    inherited unchanged from the append tail reader."""
+
+    def __init__(self, root: str, schema_json: str, options):
+        super().__init__(root, schema_json, options)
+        import json as _json
+
+        from .txlog import TableLog
+
+        log = TableLog(None, root)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"no txlog table at {root}; the change-feed stream "
+                "needs an existing table"
+            )
+        snap = log.snapshot()
+        if (
+            str(
+                snap.properties.get("delta.enableChangeDataFeed", "false")
+            ).lower()
+            != "true"
+        ):
+            raise ValueError(
+                "readChangeFeed requires delta.enableChangeDataFeed="
+                "'true' on the table (Delta's CDF rule): ALTER TABLE … "
+                "SET TBLPROPERTIES ('delta.enableChangeDataFeed' = "
+                "'true') — copy-on-write commits then write the exact-"
+                "change sidecars the stream reads"
+            )
+        # data files are read under the TABLE schema — strip the three
+        # feed columns from the stream schema Spark hands us
+        from pyspark.sql.types import StructType as _StructType
+
+        full = _StructType.fromJson(_json.loads(schema_json))
+        self.data_schema_json = _StructType(
+            [f for f in full.fields if f.name not in _CDC_COLS]
+        ).json()
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import json as _json
+
+        from .txlog import TableLog, _parse_partition_values
+
+        self._advance_floor(max(start["version"], end["version"]))
+        self._emit_floor = max(
+            getattr(self, "_emit_floor", self.starting_version),
+            start["version"],
+        )
+        lo = max(start["version"], self._emit_floor)
+        log = TableLog(None, self.root)
+
+        def _meta_for(path: str) -> dict:
+            return {
+                "path": path,
+                "partition_values": _parse_partition_values(
+                    os.path.dirname(path) or "."
+                ),
+            }
+
+        parts: list[_ChangePartition] = []
+        for v in log.versions():
+            if not (lo < v <= end["version"]):
+                continue
+            with open(log._commit_path(v)) as f:
+                c = _json.load(f)
+            op = c["operation"]
+            ts = c.get("ts_ms")
+            if c.get("dataChange") is False or op == "optimize":
+                continue
+            adds = c.get("adds") or []
+            removes = c.get("removes") or []
+            if op in (
+                "delete_dv",
+                "update_dv",
+                "merge_dv",
+                "merge_latest_dv",
+            ):
+                # images derive from the commit's recorded positions —
+                # same split as the batch feed (update_dv masks are
+                # pre-images by definition; merge_dv tags its update
+                # branch in dv_update, the rest are deletes)
+                pdvs = log.snapshot(v - 1).dvs if v > 1 else {}
+                delta: dict[str, list[int]] = {}
+                for p, vv in (c.get("dvs") or {}).items():
+                    fresh = sorted(set(vv) - set(pdvs.get(p, [])))
+                    if fresh:
+                        delta[p] = fresh
+                if op == "update_dv":
+                    upd_pos, del_pos = delta, {}
+                else:
+                    du = c.get("dv_update") or {}
+                    upd_pos = {p: x for p, x in du.items() if x}
+                    del_pos = {}
+                    for p, x in delta.items():
+                        rest = sorted(set(x) - set(upd_pos.get(p, [])))
+                        if rest:
+                            del_pos[p] = rest
+                for label, posmap in (
+                    ("update_preimage", upd_pos),
+                    ("delete", del_pos),
+                ):
+                    for p, pos in posmap.items():
+                        parts.append(
+                            _ChangePartition(
+                                "take", _meta_for(p), label, v, ts,
+                                positions=list(pos),
+                            )
+                        )
+                for a in adds:
+                    label = (
+                        "update_postimage"
+                        if op == "update_dv"
+                        or a.get("cdc") == "update_post"
+                        else "insert"
+                    )
+                    parts.append(_ChangePartition("file", a, label, v, ts))
+                continue
+            if c.get("cdc_files"):
+                # sidecar commit: the exact change rows, _change_type
+                # included, written at commit time — read them verbatim
+                for rel in c["cdc_files"]:
+                    parts.append(
+                        _ChangePartition(
+                            "sidecar", {"path": rel}, None, v, ts,
+                            sidecar_schema=c["cdc_schema"],
+                        )
+                    )
+                continue
+            if not removes:
+                # append/create/metadata commits: adds are pure inserts
+                for a in adds:
+                    parts.append(
+                        _ChangePartition("file", a, "insert", v, ts)
+                    )
+                continue
+            if op in ("overwrite", "replace_where", "restore"):
+                # file granularity like the batch feed: removed files'
+                # ALIVE rows (parent dvs masked) as deletes, new files
+                # as inserts
+                pdvs = log.snapshot(v - 1).dvs if v > 1 else {}
+                for p in removes:
+                    parts.append(
+                        _ChangePartition(
+                            "file", _meta_for(p), "delete", v, ts,
+                            drop_positions=pdvs.get(p),
+                        )
+                    )
+                for a in adds:
+                    parts.append(
+                        _ChangePartition("file", a, "insert", v, ts)
+                    )
+                continue
+            raise RuntimeError(
+                f"change-feed stream hit a {op!r} commit at version {v} "
+                "with no CDC record (it predates "
+                "delta.enableChangeDataFeed); enable the property "
+                "BEFORE mutating, or start the stream past it with "
+                "startingVersion"
+            )
+        return parts
+
+    def read(self, partition: _ChangePartition) -> Iterator["pa.RecordBatch"]:
+        if partition.kind == "sidecar":
+            yield from self._read_sidecar(partition)
+            return
+        for batch in _read_file_as_batches(
+            self.data_dir,
+            partition.meta,
+            self.data_schema_json,
+            self.mapping,
+            dv_positions=partition.drop_positions,
+            take_positions=partition.positions,
+        ):
+            yield _with_cdc_cols(
+                batch, partition.label, partition.version, partition.ts_ms
+            )
+
+    def _read_sidecar(
+        self, partition: _ChangePartition
+    ) -> Iterator["pa.RecordBatch"]:
+        """Sidecar rows (LOGICAL names + _change_type) aligned to the
+        stream schema: shared columns cast, columns the sidecar lacks
+        (schema drift since the commit) read null, commit coordinates
+        appended as constants."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _StructType
+
+        target = to_arrow_schema(
+            _StructType.fromJson(_json.loads(self.data_schema_json))
+        )
+        pf = pq.ParquetFile(
+            os.path.join(self.root, partition.meta["path"])
+        )
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            present = set(batch.schema.names)
+            arrays, names = [], []
+            for fld in target:
+                if fld.name in present:
+                    arr = batch.column(
+                        batch.schema.get_field_index(fld.name)
+                    ).cast(fld.type)
+                else:
+                    arr = pa.nulls(n, fld.type)
+                arrays.append(arr)
+                names.append(fld.name)
+            arrays.append(
+                batch.column(
+                    batch.schema.get_field_index("_change_type")
+                ).cast(pa.string())
+            )
+            names.append("_change_type")
+            arrays.append(pa.array([partition.version] * n, pa.int64()))
+            names.append("_commit_version")
+            arrays.append(
+                pa.nulls(n, pa.int64())
+                if partition.ts_ms is None
+                else pa.array([partition.ts_ms] * n, pa.int64())
+            )
+            names.append("_commit_ts_ms")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+# ---------------------------------------------------------------------------
 
 class TxLogDataSource(DataSource):
     """``txlog`` — the transaction-log table format as a Spark source."""
@@ -821,17 +1140,48 @@ class TxLogDataSource(DataSource):
             return log.version_at(int(ts))
         return None
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         from .txlog import TableLog
 
         log = TableLog(None, self._root())
         if log.exists():
-            return log.snapshot(self._version(log)).schema
+            base = log.snapshot(self._version(log)).schema
+            if self._cdf():
+                # change-feed surface: table columns + the three feed
+                # columns, matching TableLog.table_changes exactly
+                # (no fromDDL — this runs in a session-less worker)
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                )
+
+                return StructType(
+                    base.fields
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", LongType()),
+                        StructField("_commit_ts_ms", LongType()),
+                    ]
+                )
+            return base
         raise FileNotFoundError(f"no txlog table at {self._root()}")
 
     def reader(self, schema: StructType) -> TxLogBatchReader:
         from .txlog import TableLog
 
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is the STREAMING surface "
+                "(spark.readStream); the batch change feed is "
+                "TableLog.table_changes / SQL table_changes('t', from)"
+            )
         root = self._root()
         log = TableLog(None, root)
         snap = log.snapshot(self._version(log))
@@ -864,4 +1214,8 @@ class TxLogDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        if self._cdf():
+            return TxLogChangeStreamReader(
+                self._root(), schema.json(), self.options
+            )
         return TxLogStreamReader(self._root(), schema.json(), self.options)

@@ -4184,6 +4184,24 @@ class TableLog:
                 # constraints (delete survivors satisfied them already)
                 self._enforce_constraints(new_df, base.constraints, op)
             adds = self._stage_for(base, new_df)
+            # derivable CDC metadata (round 11): lets table_changes
+            # reconstruct exact update_preimage/update_postimage rows
+            # from the removed files at read time — Delta-precision CDF
+            # for CoW updates at zero write-time cost. None when a SET
+            # expression is non-deterministic (file granularity then).
+            cdc = (
+                _cdc_derive_payload(
+                    dnf,
+                    set_exprs,
+                    {
+                        c: s["expr"]
+                        for c, s in base.generated.items()
+                        if "expr" in s and c in base.schema.names
+                    },
+                )
+                if op == "update"
+                else None
+            )
             cdc_files, cdc_schema = (None, None)
             if op == "delete" and self._cdf_enabled(base):
                 # CDF sidecar (round 11): the exact deleted rows — the
@@ -4192,6 +4210,43 @@ class TableLog:
                 cdc_files, cdc_schema = self._stage_cdc(
                     df.filter(cond).withColumn(
                         "_change_type", F.lit("delete")
+                    )
+                )
+            elif op == "update" and self._cdf_enabled(base) and cdc:
+                # CDF sidecar for CoW UPDATE (round 12 — what Delta
+                # itself writes): the exact pre/post images, computed by
+                # the SAME deterministic derivation table_changes would
+                # run at read time. A sidecar makes the images STREAMABLE
+                # (sources/pyds.py change reader — a Python worker with
+                # no SparkSession cannot evaluate SET expressions, so
+                # derive-at-read can't feed a stream). With the property
+                # off, the zero-write-cost derive-at-read path stands.
+                pre = df.filter(cond)
+                post = pre.select(
+                    *[
+                        F.expr(set_exprs[fld.name])
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                        if fld.name in set_exprs
+                        else F.col(fld.name)
+                        for fld in base.schema.fields
+                    ]
+                )
+                for gcol, gspec in base.generated.items():
+                    if "expr" in gspec and gcol in base.schema.names:
+                        post = post.withColumn(
+                            gcol,
+                            F.expr(gspec["expr"]).cast(
+                                base.schema[gcol].dataType
+                            ),
+                        )
+                cdc_files, cdc_schema = self._stage_cdc(
+                    pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
                     )
                 )
             removes = list(cand)
@@ -4224,23 +4279,6 @@ class TableLog:
                 # resolved here by re-running instead of raising).
                 continue
             version = cur.version + 1
-            # derivable CDC metadata (round 11): lets table_changes
-            # reconstruct exact update_preimage/update_postimage rows
-            # from the removed files at read time — Delta-precision CDF
-            # for CoW updates at zero write-time cost
-            cdc = (
-                _cdc_derive_payload(
-                    dnf,
-                    set_exprs,
-                    {
-                        c: s["expr"]
-                        for c, s in base.generated.items()
-                        if "expr" in s and c in base.schema.names
-                    },
-                )
-                if op == "update"
-                else None
-            )
             payload = {
                 "version": version,
                 "snapshot_id": _snapshot_id(version, adds, removes, cur),
@@ -4250,7 +4288,14 @@ class TableLog:
                 "partition_by": list(base.partition_by or []),
                 "adds": adds,
                 "removes": removes,
-                **({"cdc_derive": cdc} if cdc is not None else {}),
+                # sidecar present ⇒ it is the single CDC authority (the
+                # feed reads sidecars exclusively); derive rides only
+                # sidecar-less update commits
+                **(
+                    {"cdc_derive": cdc}
+                    if cdc is not None and cdc_files is None
+                    else {}
+                ),
                 **(
                     {"cdc_files": cdc_files, "cdc_schema": cdc_schema}
                     if cdc_files is not None

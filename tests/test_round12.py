@@ -377,6 +377,242 @@ def test_maintain_dv_trigger_purges_scoped(spark, tmp_path):
     assert log.read().count() == 160
 
 
+# -- streaming change-data feed -------------------------------------------
+
+
+def _cdf_table(spark, tmp_path, name="t"):
+    """A CDF-enabled table with a mixed append/dv-update/CoW-delete/
+    CoW-update/dv-delete history — the verdict-r11 task-2 scenario."""
+    log = TableLog(spark, str(tmp_path / name))
+    log.create(
+        "k BIGINT, status STRING, price DOUBLE",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    log.write(
+        spark.range(20)
+        .selectExpr("id AS k", "'A' AS status", "id * 100.0D AS price")
+        .coalesce(2),
+        mode="append",
+    )
+    log.update([("k", "<", 5)], {"status": "'H'"}, via="dv")
+    log.delete([("k", "between", (8, 11))], via="cow")
+    log.update([("price", ">", 1500.0)], {"price": "price + 7.0D"}, via="cow")
+    log.delete([("k", "==", 6)], via="dv")
+    log.write(
+        spark.range(100, 105)
+        .selectExpr("id AS k", "'B' AS status", "id * 1.0D AS price")
+        .coalesce(1),
+        mode="append",
+    )
+    return log
+
+
+def _drain_stream(spark, root, qname, ckpt, **options):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    sdf = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .options(**options)
+        .load(root)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
+def test_stream_cdf_equals_batch_feed(spark, tmp_path):
+    """The streaming change feed delivers EXACTLY the batch
+    table_changes rows across a mixed append / dv-update / CoW-delete /
+    CoW-update / dv-delete history (round-12 batch/stream CDC parity)."""
+    log = _cdf_table(spark, tmp_path)
+    key = lambda r: (
+        r.k,
+        r.status,
+        r.price,
+        r._change_type,
+        r._commit_version,
+    )
+    brows = sorted(key(r) for r in log.table_changes(0).collect())
+    out = _drain_stream(
+        spark, log.root, "r12_feed", str(tmp_path / "ckpt")
+    )
+    srows = sorted(key(r) for r in out.collect())
+    assert brows == srows
+    # the images are precise: CoW survivors emit nothing
+    types = {r[3] for r in srows}
+    assert types == {
+        "insert",
+        "delete",
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_stream_cdf_fold_equals_recompute(spark, tmp_path):
+    """Verdict-r11 task 2's done-bar: folding the STREAMED change rows
+    into an additive summary equals the from-scratch recompute of the
+    final table."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators.changes import (
+        apply_changes_to_summary,
+    )
+
+    log = _cdf_table(spark, tmp_path)
+    changes = _drain_stream(
+        spark, log.root, "r12_fold", str(tmp_path / "ckpt")
+    )
+    empty = (
+        log.read()
+        .limit(0)
+        .groupBy("status")
+        .agg(F.count("*").alias("cnt"), F.sum("price").alias("price"))
+    )
+    folded = apply_changes_to_summary(
+        empty, changes, ["status"], count_col="cnt", sum_cols={"price": 2}
+    )
+    recomputed = (
+        log.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("cnt"), F.sum("price").alias("price"))
+    )
+    f = {r.status: (r.cnt, r.price) for r in folded.collect()}
+    r = {r.status: (r.cnt, r.price) for r in recomputed.collect()}
+    assert f == r and f  # non-empty and bit-equal
+
+
+def test_stream_cdf_requires_property(spark, tmp_path):
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(spark.range(5).selectExpr("id AS k"))
+    sdf = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(log.root)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("r12_noprop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="delta.enableChangeDataFeed"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
+def test_stream_cdf_refuses_pre_property_cow_commit(spark, tmp_path):
+    """A CoW row-op commit from BEFORE the property was enabled has no
+    sidecar — the stream fails loudly instead of emitting a wrong feed."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.write(
+        spark.range(20).selectExpr("id AS k", "id * 1.0D AS v").coalesce(1)
+    )
+    log.delete([("k", "<", 5)], via="cow")  # pre-property: no sidecar
+    log.set_properties({"delta.enableChangeDataFeed": "true"})
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.sources.pyds import (
+        register_txlog,
+    )
+
+    register_txlog(spark)
+    sdf = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(log.root)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("r12_prefail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no CDC record"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # startingVersion past the offending commit streams clean
+    out = _drain_stream(
+        spark,
+        log.root,
+        "r12_past",
+        str(tmp_path / "ckpt2"),
+        startingVersion="3",
+    )
+    assert out.count() == 0  # property commit only — no data changes
+
+
+def test_stream_cdf_skips_compaction_and_purge(spark, tmp_path):
+    """OPTIMIZE and REORG APPLY (PURGE) commits carry dataChange=false:
+    the change stream emits nothing for them (their rows were already
+    delivered by the original commits)."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.create(
+        "k BIGINT, v DOUBLE",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    log.write(
+        spark.range(10).selectExpr("id AS k", "id * 2.0D AS v").coalesce(1),
+        mode="append",
+    )
+    log.delete([("k", "<", 3)], via="dv")
+    before = _drain_stream(
+        spark, log.root, "r12_precompact", str(tmp_path / "ckptA")
+    ).count()
+    log.reorg_purge()
+    log.optimize(n_files=1)
+    after = _drain_stream(
+        spark, log.root, "r12_postcompact", str(tmp_path / "ckptB")
+    ).count()
+    assert after == before == 13  # 10 inserts + 3 deletes, nothing more
+
+
+def test_cow_update_writes_sidecar_under_cdf(spark, tmp_path):
+    """Round 12: with the property on, a CoW UPDATE commit writes the
+    exact pre/post images to a _cdc/ sidecar (what Delta does) so the
+    STREAM can read them; batch table_changes reads the same sidecar."""
+    import json as _json
+    import os as _os
+
+    log = TableLog(spark, str(tmp_path / "t"))
+    log.create(
+        "k BIGINT, v DOUBLE",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    log.write(
+        spark.range(10).selectExpr("id AS k", "id * 2.0D AS v").coalesce(1),
+        mode="append",
+    )
+    res = log.update([("k", "<", 3)], {"v": "v + 100.0D"}, via="cow")
+    with open(
+        _os.path.join(log.log_dir, f"{res['version']:012d}.json")
+    ) as f:
+        c = _json.load(f)
+    assert c.get("cdc_files") and "cdc_derive" not in c
+    feed = log.table_changes(res["version"] - 1, res["version"])
+    rows = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    assert rows == {
+        (0, 0.0, "update_preimage"),
+        (1, 2.0, "update_preimage"),
+        (2, 4.0, "update_preimage"),
+        (0, 100.0, "update_postimage"),
+        (1, 102.0, "update_postimage"),
+        (2, 104.0, "update_postimage"),
+    }
+
+
 def test_parse_column_defs_edge_cases():
     fields, gen, dflts = _parse_column_defs(
         "a DECIMAL(10, 2), b MAP<STRING, INT>, "
