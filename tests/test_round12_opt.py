@@ -91,3 +91,76 @@ def test_nonempty_text_matches_minhash_isnotnull(edge_docs):
     # the NULL-text row must be KEPT (shingles to [''] — a real signature)
     kept = {r.doc_id for r in new.select("doc_id").collect()}
     assert 2 in kept and 3 not in kept and 4 not in kept
+
+
+def test_user_median_vectorized_matches_grouped_map(spark, cat):
+    """user_median_value's batched mapInPandas must equal the per-group
+    applyInPandas it replaced — including NULL user_id (its own group),
+    NULL values (skipped by median, counted by n_events), and groups
+    split across Arrow batch boundaries (forced 7-row batches)."""
+    from complex_data_pipeline_with_joins_and_multi_table_operations_spark.operators import (
+        custom,
+    )
+
+    def old_form(events):
+        def _median(pdf):
+            import pandas as _pd
+
+            return _pd.DataFrame(
+                {
+                    "user_id": [pdf["user_id"].iloc[0]],
+                    "n_events": [len(pdf)],
+                    "median_value": [float(pdf["value"].median())],
+                }
+            )
+
+        return (
+            events.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(_median, schema=custom.MEDIAN_SCHEMA)
+        )
+
+    rows = []
+    for uid in [None, 1, 2, 3]:
+        for i in range(23):
+            rows.append((uid, float(i) if i % 5 else None))
+    syn = spark.createDataFrame(rows, "user_id long, value double")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 7)
+    try:
+        old = {
+            (r.user_id): (r.n_events, r.median_value)
+            for r in old_form(syn).collect()
+        }
+        new = {
+            (r.user_id): (r.n_events, r.median_value)
+            for r in custom.user_median_value(syn).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert old == new and len(new) == 4
+
+    ev = cat.events
+    old = old_form(ev)
+    new = custom.user_median_value(ev)
+    assert old.count() == new.count()
+    from pyspark.sql import functions as F
+
+    j = (
+        old.withColumnRenamed("n_events", "na").withColumnRenamed("median_value", "ma")
+        .join(
+            new.withColumnRenamed("n_events", "nb").withColumnRenamed(
+                "median_value", "mb"
+            ),
+            "user_id",
+            "full",
+        )
+    )
+    assert (
+        j.filter(
+            F.col("na").isNull()
+            | F.col("nb").isNull()
+            | (F.col("na") != F.col("nb"))
+            | (F.col("ma") != F.col("mb"))
+        ).count()
+        == 0
+    )
