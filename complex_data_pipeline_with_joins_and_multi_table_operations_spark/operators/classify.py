@@ -187,8 +187,12 @@ def logreg_train(
     mirrors op for op."""
     x = _with_features(embeddings, target_label).persist()
     try:
-        n = x.count()
-        dim = len(x.select("xv").head()[0])
+        # ONE materializing job for both scalars (count + feature width);
+        # the old count()-then-head() shape paid a second job just to
+        # read the dimension off an already-cached relation
+        n, dim = x.agg(
+            F.count(F.lit(1)), F.first(F.size("xv"))
+        ).head()
         w = [0.0] * dim
         for _ in range(iters):
             if via == "blas":
