@@ -27,26 +27,60 @@ LSH_BANDS = 4
 LSH_ROWS = 4
 
 
+import os as _os
+
+# Respread only pays when the per-row signature work it unlocks outweighs
+# one extra narrow shuffle (~0.2-0.5 s of stage fixed cost in local mode).
+# The gate reads Catalyst's optimizer statistics (driver-side metadata, no
+# job): below the threshold the serial fold is cheaper than the shuffle —
+# measured at sf0.1 (0.57 MB of documents, ~5 k rows: fold ≈ 0.9 s serial,
+# respread net-negative in-suite), while the 10× replica (~6 MB, ~50 k
+# rows) wins 1.4× from the spread. Parameterised for other clusters:
+# production boxes with slower cores or bigger fixed costs tune the
+# threshold via env, the default keeps the local bench honest.
+_RESPREAD_MIN_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_RESPREAD_MIN_BYTES", str(2 << 20))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated output size of ``df`` in bytes — pure
+    driver-side plan statistics (the same estimate the broadcast-join
+    threshold consults), no job, no RDD materialization."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def _parallelize_input(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     signature computation. A single-file parquet source arrives as one
     partition — the 16-permutation fold would then run on one core while
     31 idle. The repartition shuffle moves only raw rows (cheap relative
     to the compute it unlocks); inputs that already have enough
-    partitions pass through untouched."""
+    partitions pass through untouched, and inputs too SMALL to amortize
+    the shuffle (plan-statistics gate, see _RESPREAD_MIN_BYTES) skip it —
+    an unconditional respread was measured net-negative at bench scale
+    (3 extra shuffle stages × 32 tiny tasks for ~5 k rows)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     # inputFiles() reads the file index off the already-analyzed scan —
     # no physical planning and no RDD materialization (df.rdd.getNumPartitions
     # would force both just to read a count). Non-file relations (in-memory
-    # test frames, views over joins) report 0 files and take the repartition:
-    # for those the extra narrow shuffle is cheap insurance.
+    # test frames, views over joins) report 0 files and fall through to the
+    # size gate like everything else.
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    size = _plan_size_bytes(df)
+    if size is not None and size < _RESPREAD_MIN_BYTES:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup_clusters(documents: DataFrame) -> DataFrame:
@@ -541,10 +575,29 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             ).reshape(-1, 8)
             swapped = ((dig >> 4) | ((dig & 0x0F) << 4)).astype(np.uint8)
             bits_u = np.unpackbits(swapped, axis=1, bitorder="little")  # (n_uniq, 64)
-            bits = bits_u[inv].astype(np.int32)  # (n_tok, 64)
             starts = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)
+            # vote accumulation in fixed-size ROW CHUNKS: the expanded
+            # (n_tok, 64) int32 gather is ~256 B/token — long documents ×
+            # a 10 k-row Arrow batch would transiently hold multi-GB per
+            # concurrent task. Chunk boundaries are aligned DOWN to doc
+            # starts so every reduceat segment stays whole; peak transient
+            # memory is ~CHUNK_TOKENS * 64 B regardless of batch shape.
+            CHUNK_TOKENS = 1 << 18  # ~64 MB expanded per chunk
+            n_docs = len(counts)
+            ones = np.empty((n_docs, 64), dtype=np.int64)
+            ends = starts + counts
+            d0 = 0
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while d1 < n_docs and ends[d1 - 1] - starts[d0] < CHUNK_TOKENS:
+                    d1 += 1
+                seg = slice(starts[d0], ends[d1 - 1])
+                bits = bits_u[inv[seg]].astype(np.int32)
+                ones[d0:d1] = np.add.reduceat(
+                    bits, (starts[d0:d1] - starts[d0]), axis=0
+                )
+                d0 = d1
             # vote_b = 2*ones_b - n_tok; bit set ⟺ vote_b > 0
             mask = (ones.astype(np.int64) * 2) > counts[:, None]
             packed = np.packbits(mask.astype(np.uint8), axis=1, bitorder="little")
@@ -1663,6 +1716,8 @@ def resolve_clusters(
     rounds 1..N-1 — THE classic Spark iterative-algorithm trap. The
     driver only sees a 1-scalar convergence flag per round, never data.
     """
+    from pyspark.sql import Observation
+
     # materialize the edge list ONCE — `pairs` is typically an expensive
     # candidate-generation plan (LSH join / all-pairs cosine); without
     # this every iteration replays it from scratch (measured 8× of the
@@ -1709,14 +1764,14 @@ def resolve_clusters(
             .select(F.col("x.node").alias("node"), F.col("l_label").alias("label"))
         )
         # min-step + jump + changed-flag fused into ONE checkpointed
-        # frame: each round used to pay TWO jobs (checkpoint the min
-        # step, then a join-count for convergence) and re-execute the
-        # pointer jump in the next round's neighbor join — round 10
-        # folds the convergence flag into the same materialization, so
-        # per round there is one real job plus a filter-count over the
-        # already-materialized rows (measured ~35% off the per-round
-        # cost at sf0.1; the driver still only ever sees the 1-scalar
-        # flag, never data)
+        # frame, and the convergence COUNT folded into the same action
+        # as an observed metric: each round used to pay a checkpoint job
+        # plus a filter-count job over the materialized rows — the
+        # Observation rides the checkpoint's own execution (verified:
+        # localCheckpoint(eager=True) runs through withAction, so
+        # observed metrics fire), leaving exactly ONE job per round.
+        # The driver still only ever sees a 1-scalar flag, never data.
+        obs = Observation()
         flagged = (
             jumped.alias("n")
             .join(
@@ -1731,9 +1786,10 @@ def resolve_clusters(
                 F.col("n.label").alias("label"),
                 (F.col("n.label") != F.col("o_label")).alias("__chg"),
             )
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = flagged.filter("__chg").limit(1).count()
+        changed = obs.get["n_chg"] or 0
         labels = flagged.drop("__chg")
         if changed == 0:
             converged = True
