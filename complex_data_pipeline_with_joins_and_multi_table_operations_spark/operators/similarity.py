@@ -861,6 +861,7 @@ def pq_train(
     m: int = 8,
     nbits: int = 4,
     iters: int = 4,
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """Train PQ codebooks with Lloyd's k-means per subspace, fully
     distributed: no vector ever reaches the driver.
@@ -879,7 +880,15 @@ def pq_train(
     """
     k = 1 << nbits
     assert 256 % k == 0, "nbits must be <= 8 for the md5 two-digit init"
-    sub = _pq_subvectors(vectors, id_col, vec_col, m)
+    # every Lloyd's round re-reads the subvector relation; persisted ONCE
+    # the (iters + 1) iteration jobs read the cache instead of re-running
+    # scan → unit-normalize (an interpreted fold) → explode each round
+    # (guide §5 persist-what-you-reuse). A caller that already holds the
+    # relation (ann_pq_topk shares it with the encode pass) passes ``sub``
+    # and owns its lifecycle.
+    own_sub = sub is None
+    if own_sub:
+        sub = _pq_subvectors(vectors, id_col, vec_col, m).persist()
     seeded = sub.withColumn(
         "code",
         F.expr(
@@ -896,14 +905,34 @@ def pq_train(
     # checkpoint is needed.
     schema = None
     rows = None
-    for it in range(iters + 1):
-        assigned = (
-            seeded if it == 0 else _pq_assign_rows(sub, rows, id_col)
-        )
-        cents = _pq_centroids_from(assigned)
-        schema = cents.schema
-        rows = cents.collect()
+    try:
+        for it in range(iters + 1):
+            assigned = (
+                seeded if it == 0 else _pq_assign_rows(sub, rows, id_col)
+            )
+            cents = _pq_centroids_from(assigned)
+            schema = cents.schema
+            rows = cents.collect()
+    finally:
+        if own_sub:
+            # the trajectory is fully collected — nothing downstream
+            # reads the cached relation
+            sub.unpersist()
     return vectors.sparkSession.createDataFrame(rows, schema=schema)
+
+
+def _pq_encode_from_sub(
+    sub: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """:func:`pq_encode` over an already-built subvector relation — lets
+    a caller that trained on the same relation (ann_pq_topk) reuse one
+    persisted copy instead of re-deriving scan → normalize → explode."""
+    assigned = _pq_assign(sub, cents, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, code))), x -> x.code)"
+        ).alias("codes")
+    )
 
 
 def pq_encode(
@@ -916,11 +945,8 @@ def pq_encode(
     """(id, codes): each vector as its array of m codebook codes, ordered
     by subspace. The 64×-smaller relation ADC search scans instead of
     raw vectors."""
-    assigned = _pq_assign(_pq_subvectors(vectors, id_col, vec_col, m), cents, id_col)
-    return assigned.groupBy(id_col).agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(j, code))), x -> x.code)"
-        ).alias("codes")
+    return _pq_encode_from_sub(
+        _pq_subvectors(vectors, id_col, vec_col, m), cents, id_col
     )
 
 
@@ -994,10 +1020,18 @@ def ann_pq_topk(
     unit = _unit(
         _as_double(embeddings, "embedding", "v_"), "v_", "v"
     ).select("vec_id", "v")
-    if cents is None:
-        cents = pq_train(unit, m=m, nbits=nbits, iters=iters)
-    if codes is None:
-        codes = pq_encode(unit, cents, m=m)
+    if cents is None or codes is None:
+        # ONE persisted subvector relation serves the (iters + 1) Lloyd's
+        # rounds AND the encode pass — previously each re-derived
+        # scan → unit-normalize (interpreted fold) → explode. The persist
+        # has no owner to unpersist it (the returned plan reads it
+        # lazily); like the LSH signature persists, the session's cache
+        # policy (bench: clearCache between trials) releases it.
+        sub = _pq_subvectors(unit, "vec_id", "v", m).persist()
+        if cents is None:
+            cents = pq_train(unit, m=m, nbits=nbits, iters=iters, sub=sub)
+        if codes is None:
+            codes = _pq_encode_from_sub(sub, cents)
 
     queries = unit.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
