@@ -172,6 +172,7 @@ def logreg_train(
     iters: int = 3,
     lr: float = 2.0,
     via: str = "blas",
+    features: DataFrame | None = None,
 ) -> list[float]:
     """Full-batch GD logistic regression for ``P(label == target_label)``
     over the embedding corpus; returns the trained weights (intercept
@@ -185,7 +186,16 @@ def logreg_train(
     ~n·d interpreted lambda terms per pass replaced by one Arrow-batched
     matmul; ``via="fold"`` keeps the original all-SQL form the oracle
     mirrors op for op."""
-    x = _with_features(embeddings, target_label).persist()
+    # ``features``: a caller that also SCORES the same relation
+    # (classifier_scores) passes one persisted copy and owns its
+    # lifecycle — train and score then share a single cached derivation
+    # instead of re-running scan → feature projection for each.
+    own_x = features is None
+    x = (
+        _with_features(embeddings, target_label).persist()
+        if own_x
+        else features
+    )
     try:
         # ONE materializing job for both scalars (count + feature width);
         # the old count()-then-head() shape paid a second job just to
@@ -218,7 +228,8 @@ def logreg_train(
             w = [w[j] - lr * (by_pos[j] / n) for j in range(dim)]
         return w
     finally:
-        x.unpersist()
+        if own_x:
+            x.unpersist()
 
 
 def logreg_score(
@@ -226,6 +237,7 @@ def logreg_score(
     w: list[float],
     target_label: int = 0,
     via: str = "fold",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Scoring under trained weights: (vec_id, label, score, pred).
 
@@ -238,7 +250,11 @@ def logreg_score(
     21.6 s -> 6.0 s at sf10). ``via="blas"`` nominates the margin with
     one Arrow-batched matmul (the `_with_margins_blas` contract —
     bit-identical scores) for when d grows past the fold's comfort."""
-    x = _with_features(embeddings, target_label)
+    x = (
+        _with_features(embeddings, target_label)
+        if features is None
+        else features
+    )
     if via == "blas":
         scored = _with_margins_blas(x, w).withColumn(
             "score", F.expr(_SIGMOID_Z)
@@ -265,8 +281,14 @@ def classifier_scores(
     weights, score many — :func:`model_build` / :func:`model_score`);
     fused here so the driver's hash check covers the ENTIRE training
     trajectory, not just the final scores."""
-    w = logreg_train(embeddings, target_label, iters, lr)
-    return logreg_score(embeddings, w, target_label)
+    # ONE persisted feature relation serves training's (iters + 1) jobs
+    # AND the scoring pass — the scan → concat projection used to run
+    # once more for the score. No owner unpersists it (the returned plan
+    # reads it lazily); the session's cache policy releases it, same as
+    # the LSH signature persists.
+    x = _with_features(embeddings, target_label).persist()
+    w = logreg_train(embeddings, target_label, iters, lr, features=x)
+    return logreg_score(embeddings, w, target_label, features=x)
 
 
 def model_build(

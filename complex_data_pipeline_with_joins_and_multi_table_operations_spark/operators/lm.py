@@ -79,12 +79,55 @@ def vocab_size(documents: DataFrame) -> int:
     )
 
 
+def _vocab_count_df(documents: DataFrame) -> DataFrame:
+    """The lazy 1-row twin of :func:`vocab_size` — ``(__v double)`` for
+    in-plan use as a broadcast cross join, so the fused training path
+    pays no eager vocab JOB at plan build: the count rides inside the
+    training/scoring job itself, and identical references to it
+    deduplicate through broadcast-exchange reuse (one vocab pass per
+    action). The double cast is exact (an integer count) and reproduces
+    the old ``F.lit(float(v))`` arithmetic bit for bit."""
+    return (
+        documents.withColumn("toks", tokens_col(F.col("text")))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("__v"))
+    )
+
+
+def _train_lm_with_v(documents: DataFrame, vdf: DataFrame) -> DataFrame:
+    """(w1, w2, cnt, ctx, logp, __v): :func:`train_bigram_lm` with the
+    vocabulary denominator attached as a column via a 1-row broadcast
+    cross join — the fused/materialized paths read ``__v`` back off the
+    relation instead of running a separate vocab job."""
+    bg = _bigrams(documents)
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    return (
+        counts.join(ctx, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1.0)) / (F.col("ctx") + F.col("__v"))
+                ),
+                6,
+            ),
+        )
+        .select("w1", "w2", "cnt", "ctx", "logp", "__v")
+    )
+
+
 def train_bigram_lm(documents: DataFrame, v: int | None = None) -> DataFrame:
     """(w1, w2, cnt, ctx, logp): add-1-smoothed bigram conditionals with
     quantized log-probabilities. ``v`` overrides the vocabulary size
-    (pass it when scoring a different corpus than the training one)."""
+    (pass it when scoring a different corpus than the training one);
+    omitted, the exact count is computed INSIDE the training plan (a
+    1-row broadcast) rather than as an eager job at plan build."""
     if v is None:
-        v = vocab_size(documents)
+        return _train_lm_with_v(documents, _vocab_count_df(documents)).drop(
+            "__v"
+        )
     bg = _bigrams(documents)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
@@ -126,12 +169,39 @@ def perplexity_scores(
     the checkpoint serializes vocab → train → score into barriers.
     Values are identical either way (quantized logp grid); same oracle.
     """
-    if v is None:
-        v = vocab_size(documents)
-    if lm is None:
-        lm = train_bigram_lm(documents, v=v)
-        if materialize_lm:
-            lm = lm.localCheckpoint(eager=True)
+    if lm is None and v is None and materialize_lm:
+        # MATERIALIZED fused path (the rank_fusion composition): the
+        # vocab count lives INSIDE the training plan (1-row broadcast
+        # cross join), so the localCheckpoint's one job computes vocab +
+        # training together — the separate eager vocab job is gone — and
+        # the scalar v for the scoring-side backoff rides out on an
+        # observed metric of the same action (verified:
+        # localCheckpoint(eager=True) runs through withAction, so
+        # observed metrics fire). An LM with zero rows means the corpus
+        # has zero bigrams — nothing will be scored, any v works.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        lmv = _train_lm_with_v(documents, _vocab_count_df(documents)).observe(
+            obs, F.max("__v").alias("v")
+        )
+        lm = lmv.localCheckpoint(eager=True).select(
+            "w1", "w2", "cnt", "ctx", "logp"
+        )
+        v = obs.get["v"]
+        v = 0.0 if v is None else v
+    else:
+        if v is None:
+            # standalone fused path: the eager scalar keeps the vocab
+            # subtree evaluated exactly ONCE — an in-plan broadcast was
+            # measured to re-evaluate per reference site (3×: both lazy
+            # LM trainings plus the backoff; broadcast-exchange reuse
+            # does not collapse them under AQE)
+            v = vocab_size(documents)
+        if lm is None:
+            lm = train_bigram_lm(documents, v=v)
+            if materialize_lm:
+                lm = lm.localCheckpoint(eager=True)
     ctx = lm.groupBy("w1").agg(F.first("ctx").alias("ctx"))
     scored = (
         _bigrams(documents)
