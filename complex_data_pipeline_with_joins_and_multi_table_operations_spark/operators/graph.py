@@ -314,8 +314,12 @@ def trade_pagerank(
     order-free), unchanged oracle.
     """
     pc = _trade_pairs(orders, lineitem).persist()
-    pc.count()
     deg_c = pc.groupBy("c").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ONE eager job materializes BOTH caches (computing a_edges computes
+    # and caches pc's partitions on the way; concurrent references inside
+    # the job serialize per-partition on the block manager's write lock,
+    # so nothing is computed twice) — the former extra pc.count() guard
+    # paid a whole second job for the same effect.
     a_edges = pc.join(deg_c.hint("shuffle_hash"), "c").persist()
     a_edges.count()  # (c, s, outdeg) hash(c)
     # supplier degrees: node-sized output, the one by-s shuffle left
