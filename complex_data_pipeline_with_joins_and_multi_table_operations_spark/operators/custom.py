@@ -54,33 +54,55 @@ def user_median_value(events: DataFrame) -> DataFrame:
     def _medians(it):
         # self-contained closure (workers can't import this package)
         import pandas as _pd
+        import pyarrow as _pa
+
+        out_schema = _pa.schema(
+            [
+                ("user_id", _pa.int64()),
+                ("n_events", _pa.int64()),
+                ("median_value", _pa.float64()),
+            ]
+        )
 
         def _agg(pdf):
             g = pdf.groupby("user_id", sort=False, dropna=False)["value"]
             size = g.size()
-            return _pd.DataFrame(
-                {
-                    "user_id": size.index.to_series().astype("Int64").to_numpy(
-                        dtype="object"
+            # from_pandas keeps pandas NA/NaN → Arrow null, exactly the
+            # conversion the old mapInPandas serializer applied
+            return _pa.RecordBatch.from_arrays(
+                [
+                    _pa.Array.from_pandas(
+                        size.index.to_series(), type=_pa.int64()
                     ),
-                    "n_events": size.to_numpy(),
-                    "median_value": g.median().to_numpy(),
-                }
+                    _pa.array(size.to_numpy(), type=_pa.int64()),
+                    _pa.Array.from_pandas(g.median(), type=_pa.float64()),
+                ],
+                schema=out_schema,
             )
 
         carry = None
-        for pdf in it:
+        for batch in it:
+            # Arrow → pandas with the key as NULLABLE Int64: the default
+            # conversion floats an int64-with-nulls column to float64,
+            # where ids past 2^53 round — two adjacent distinct users
+            # could merge. The masked-int path is exact for every long.
+            pdf = batch.to_pandas(
+                types_mapper={_pa.int64(): _pd.Int64Dtype()}.get
+            )
             if carry is not None and len(carry):
                 pdf = _pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
             # rows are sorted by user_id within the partition, so the last
             # user's rows form a contiguous tail — hold them for the next
-            # batch (NaN-safe: NULL keys compare equal via isna)
+            # batch (NA-safe: NULL keys compare equal via isna)
             u = pdf["user_id"]
             last = u.iloc[-1]
-            same = u.eq(last) if not _pd.isna(last) else u.isna()
-            tail_len = int(same[::-1].cumprod().sum())
+            if _pd.isna(last):
+                same = u.isna()
+            else:
+                same = u.eq(last).fillna(False)
+            tail_len = int(same.to_numpy(dtype=bool)[::-1].cumprod().sum())
             carry = pdf.iloc[len(pdf) - tail_len :]
             head = pdf.iloc[: len(pdf) - tail_len]
             if len(head):
@@ -92,7 +114,7 @@ def user_median_value(events: DataFrame) -> DataFrame:
         events.select("user_id", "value")
         .repartition("user_id")
         .sortWithinPartitions("user_id")
-        .mapInPandas(_medians, schema=MEDIAN_SCHEMA)
+        .mapInArrow(_medians, schema=MEDIAN_SCHEMA)
     )
 
 
