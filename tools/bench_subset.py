@@ -20,8 +20,17 @@ def main() -> int:
     if argv and argv[0] == "-n":
         trials = int(argv[1])
         argv = argv[2:]
-    sf_dir = argv[0] if os.path.isdir(argv[0]) else "/root/testdata/sf0.1"
-    names = argv[1:] if os.path.isdir(argv[0]) else argv
+    if not argv:
+        print(
+            "usage: bench_subset.py [-n TRIALS] [sf_dir] query [query ...]",
+            file=sys.stderr,
+        )
+        return 2
+    # argv[0] is a data dir only when it exists AND further args follow
+    # (a lone query name matching a directory stays a query name)
+    takes_dir = os.path.isdir(argv[0]) and len(argv) > 1
+    sf_dir = argv[0] if takes_dir else "/root/testdata/sf0.1"
+    names = argv[1:] if takes_dir else argv
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)

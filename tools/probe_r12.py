@@ -17,8 +17,12 @@ import time
 
 def main() -> int:
     argv = sys.argv[1:]
-    sf_dir = argv[0] if os.path.isdir(argv[0]) else "/root/testdata/sf0.1"
-    names = argv[1:] if os.path.isdir(argv[0]) else argv
+    if not argv:
+        print("usage: probe_r12.py [sf_dir] query [query ...]", file=sys.stderr)
+        return 2
+    takes_dir = os.path.isdir(argv[0]) and len(argv) > 1
+    sf_dir = argv[0] if takes_dir else "/root/testdata/sf0.1"
+    names = argv[1:] if takes_dir else argv
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
