@@ -1276,10 +1276,16 @@ def kmeans_clusters(
     shared; NULL embeddings are dropped by both methods (a null vector
     has no distance to anything).
     """
+    # persisted: the seed job, every iteration's assign+update job and
+    # the final assign all re-derived scan → cast → filter otherwise —
+    # (iters + 2) executions of the same subtree (guide §5
+    # persist-what-you-reuse). No owner unpersists it (the returned plan
+    # reads it lazily); the session's cache policy releases it.
     corpus = (
         _as_double(embeddings, "embedding", "ev")
         .filter(F.col("ev").isNotNull())
         .select("vec_id", "ev")
+        .persist()
     )
 
     def assign_fold(cents: dict[int, list[float]]) -> DataFrame:
@@ -1493,9 +1499,16 @@ def semantic_dedup(
             if (k > 16 or n * k >= 5e6 or n * n / k >= 5e6)
             else "fold"
         )
+    # the clustered relation is referenced THREE times downstream (the
+    # grouped pairing plus both sides of the verify join) and its plan
+    # ends in the final assign pass (a full corpus scan + argmin): only
+    # the groupBy exchange deduplicates via reuse, so unpersisted the
+    # assign executed 3×. One persisted copy serves all references; the
+    # returned plan reads it lazily, so the session's cache policy
+    # releases it (same pattern as the LSH signature persists).
     clustered = kmeans_clusters(
         embeddings, k=k, iters=iters, keep_vector=True, method=method
-    )
+    ).persist()
     if method == "blas":
         return _cluster_kept_blas(clustered, threshold)
     a = clustered.select(
